@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, GraphQueries, Q}
+import graft.queries.{CoreQueries, ExtQueries, GraphQueries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{CoreQueries, GraphQueries, Q}
 object SparkEntry {
 
   private def registry: Seq[(String, Q)] =
-    CoreQueries.all ++ GraphQueries.all
+    CoreQueries.all ++ GraphQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

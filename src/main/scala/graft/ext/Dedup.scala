@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content-hash groupBy), n-gram Jaccard similarity join,
+  * MinHash+LSH banding, and SimHash fingerprints.
+  *
+  * Scale design (100 TB): every variant is a pure shuffle-on-key plan —
+  * content hash, shingle, or band signature — so work distributes evenly
+  * and nothing funnels through the driver. The LSH band join is the scale
+  * path: candidate generation is O(sum of bucket sizes squared) on tiny
+  * buckets instead of O(n²) all-pairs.
+  *
+  * All hashes derive from md5 (standard everywhere) so the DuckDB oracle
+  * can reproduce them bit-for-bit: hash64(s) = first 15 hex chars of
+  * md5 as a 60-bit integer.
+  */
+object Dedup {
+
+  /** 60-bit integer hash from md5 — reproducible in any engine. */
+  def hash64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a single-space-tokenized text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array()))
+  }
+
+  /** Exact dedup: first-wins (min id) per identical text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** (doc_id, shingle) inverted-index relation. */
+  def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("sh"))
+
+  /** Near-dup pairs by exact n-gram Jaccard >= tau, via inverted-index
+    * self-join (docs sharing at least one shingle are the only candidates).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "sh")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val MinhashK = 8     // signature length
+  val MinhashBands = 4 // bands of 2 rows each
+
+  /** MinHash signatures: k independent hash functions h_i(s) =
+    * hash64(i || ':' || s), minimum over the doc's shingles — computed as
+    * k aggregate expressions in ONE groupBy (no k-times row blowup).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val mins = (0 until MinhashK).map(i =>
+      min(hash64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature (band = 2
+    * consecutive minhashes). Returns (doc_a, doc_b, n_bands) where
+    * n_bands is the number of colliding bands.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int): DataFrame = {
+    val sig = minhashSignatures(docs, n)
+    val bandStructs = (0 until MinhashBands).map(b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"), col(s"mh${2 * b + 1}").as("m1")))
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.m0").as("m0"), col("bs.m1").as("m1"))
+    bands.as("a").join(bands.as("b"), Seq("band", "m0", "m1"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  val SimhashBits = 16
+
+  /** SimHash fingerprint over word tokens (with multiplicity): bit j of
+    * the fingerprint is set iff sum over tokens of (+1/-1 for bit j of
+    * the token hash) is positive.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), hash64(col("token")).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+}

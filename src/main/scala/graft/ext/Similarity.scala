@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the IVF variant
+  * is the 100 TB scale path: vectors are bucketed by nearest centroid, a
+  * query probes only its centroid's bucket, so the scored candidate set
+  * shrinks by ~#centroids and the buckets shuffle-partition evenly.
+  *
+  * Determinism: embeddings are quantized to integer thousandths before
+  * scoring, so dot products are exact integer sums (order-independent)
+  * and the resulting cosine is the same IEEE double in any engine — the
+  * DuckDB oracle reproduces scores bit-for-bit. Ranking ties break on
+  * vec_id.
+  */
+object Similarity {
+
+  /** float vector -> exact integer-thousandths vector. */
+  def quantize(e: Column): Column = transform(e, x => round(x * 1000).cast("long"))
+
+  /** Exact integer dot product via zip_with + fold. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** embeddings + q (quantized) + norm columns. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("norm", sqrt(dotL(col("q"), col("q")).cast("double")))
+
+  private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
+    dotL(qa, qb).cast("double") / (na * nb)
+
+  /** All near-duplicate pairs with cosine >= tau (brute-force self-join;
+    * used on modest partitions — the LSH/IVF paths prune first at scale).
+    */
+  def cosineDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = prepared(embeddings)
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
+    * ranked per query by (cos desc, vec_id).
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val queries = broadcast(e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF-style top-k: centroids = the first nCentroids vectors (stand-in
+    * for k-means at fixture scale); every vector is assigned to its
+    * nearest centroid (argmax cosine, ties on centroid id); a query
+    * probes only its own centroid's bucket (nprobe=1).
+    */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val cents = broadcast(e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("norm").as("cn")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = e.join(cents)
+      .withColumn("ccos", cosine(col("cq"), col("cn"), col("q"), col("norm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("norm"), col("c_id").as("cluster"))
+    val queries = broadcast(assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("norm").as("qn"), col("cluster").as("q_cluster")))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(queries,
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+}

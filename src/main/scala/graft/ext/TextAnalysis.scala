@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: marker-word
+  * language ID, quality scoring, token counting, and a polynomial
+  * rolling-hash document fingerprint. Everything is a fixed expression
+  * tree over exact integers (or a final single division), so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Marker words per language (n-gram heuristic stand-in; the fixture
+    * vocabulary is synthetic so markers are arbitrary but fixed). Order
+    * matters: it is the deterministic tie-break.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "table", "row"),
+    "de" -> Seq("der", "spark", "query"),
+    "fr" -> Seq("le", "join", "merge"),
+    "es" -> Seq("el", "hash", "scan"),
+    "zh" -> Seq("zh", "batch", "stream"))
+
+  /** #occurrences of `w` in `text` via length difference — exact ints. */
+  def occurrences(text: Column, w: String): Column =
+    (length(text) - length(call_function("replace", text, lit(w), lit("")))) / w.length
+
+  /** Language-ID: argmax of summed marker-word occurrences, first-listed
+    * language wins ties. Emits (doc_id, lang_guess, lang, is_match).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = LangMarkers.map { case (lang, ws) =>
+      (lang, ws.map(w => occurrences(col("text"), w)).reduce(_ + _))
+    }
+    // fold: keep (bestLang, bestScore), strict > so earlier langs win ties
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    docs.select(col("doc_id"), best._1.as("lang_guess"), col("lang"),
+      (best._1 === col("lang")).as("is_match"))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "data", "key", "value")
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * digit ratio, and a blended score. Text is single-space tokenized;
+    * ratios are single divisions of exact integers.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val sumTokLen = (length(col("text")) - (nTok - 1)).cast("long") // single-spaced
+    val nStop = Stopwords
+      .map(w => size(filter(toks, t => t === w)).cast("long")).reduce(_ + _)
+    val meanLen = sumTokLen.cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    docs.select(
+      col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
+      stopRatio.as("stopword_ratio"),
+      (meanLen * 0.1 + stopRatio).as("quality_score"))
+  }
+
+  /** Token counting three ways: whitespace split, BPE-ish regex pieces
+    * (letter runs / digit runs / single other), distinct tokens.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long").as("n_re"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"))
+  }
+
+  val FpBase = 131L
+  val FpMod = 1000000007L
+  val FpGram = 8
+  /** FpBase^j mod FpMod for j < FpGram — literal powers shared with SQL. */
+  val FpPowers: Seq[Long] =
+    Iterator.iterate(1L)(p => p * FpBase % FpMod).take(FpGram).toSeq
+
+  /** Polynomial rolling-hash fingerprint over character 8-grams:
+    * h(i) = sum_j ascii(text[i+j]) * B^j mod M; the document fingerprint
+    * is the minimum hash (winnowing-style) plus the distinct-gram count.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val h = FpPowers.zipWithIndex.map { case (p, j) =>
+      ascii(substr(col("text"), col("i") + j, lit(1))) * p
+    }.reduce(_ + _) % FpMod
+    docs
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - (FpGram - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), countDistinct(col("h")).as("n_grams"))
+  }
+}

@@ -31,18 +31,20 @@ object Closure {
     * as a child; roots themselves are absent (as in the reference map).
     */
   def resolveRoots(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
     var m = edges.select(col("id"), col("parent").as("anc")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // Lazy checkpoint: the convergence probe below is the job that
+      // materializes this iteration's result (one job per iteration, and
+      // the logical plan stays O(1) instead of growing with iterations).
       val next = m.as("a")
         .join(m.as("b"), col("a.anc") === col("b.id"), "left")
         .select(
           col("a.id"),
           coalesce(col("b.anc"), col("a.anc")).as("anc"),
           col("b.anc").isNotNull.as("_jumped"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.where(col("_jumped")).limit(1).count()
       m = next.drop("_jumped")
       iter += 1

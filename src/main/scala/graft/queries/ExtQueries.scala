@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.util.Tables
+
+/** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
+  * similarity search, text analysis, multimodal columns, event-time
+  * windows. Oracle SQL fragments that depend on shared constants
+  * (minhash k, simhash bits, fingerprint powers, marker words) are
+  * GENERATED from the same Scala values the engine uses, so the two
+  * sides cannot drift.
+  */
+object ExtQueries {
+
+  /** hash64 in DuckDB: first 15 md5 hex chars as a 60-bit integer. */
+  private def sqlHash64(e: String): String =
+    s"cast(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val shingleBase5 =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-3, 1))) AS i FROM toks))
+      |""".stripMargin
+
+  private val shingleBase3 =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM toks))
+      |""".stripMargin
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ── exact dedup: content-hash groupBy, first-wins ──────────────────
+    "q30_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(Tables.documents(s, dir)),
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin),
+
+    // ── n-gram Jaccard near-dup similarity join ────────────────────────
+    "q31_dedup_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 5, tau = 0.5),
+      shingleBase5 +
+        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       cast(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+          |FROM pairs
+          |JOIN cnt ca ON doc_a = ca.doc_id
+          |JOIN cnt cb ON doc_b = cb.doc_id
+          |WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin),
+
+    // ── MinHash + LSH banding candidates ───────────────────────────────
+    "q32_dedup_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), n = 3),
+      shingleBase3 +
+        ", mh AS (SELECT doc_id, " +
+        (0 until Dedup.MinhashK).map(i =>
+          s"min(${sqlHash64(s"'$i:' || sh")}) AS mh$i").mkString(", ") +
+        " FROM sh GROUP BY doc_id),\n" +
+        "bands AS (" +
+        (0 until Dedup.MinhashBands).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1 FROM mh")
+          .mkString(" UNION ALL ") + ")\n" +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+          |FROM bands a JOIN bands b USING (band, m0, m1)
+          |WHERE a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin),
+
+    // ── SimHash fingerprints ───────────────────────────────────────────
+    "q33_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
+      "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + " AS h FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
+        "bits AS (SELECT doc_id, " +
+        (0 until Dedup.SimhashBits).map(j =>
+          s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+        " FROM tok GROUP BY doc_id)\n" +
+        "SELECT doc_id, cast(" +
+        (0 until Dedup.SimhashBits).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS simhash FROM bits"),
+
+    // ── embedding-cosine near-dup pairs (quantized-exact scores) ───────
+    "q34_embed_cosine_dup" -> Q(
+      (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.40),
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.q, b.q)
+        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.q, b.q)
+        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40""".stripMargin),
+
+    // ── brute-force cosine top-k (ANN baseline) ────────────────────────
+    "q35_ann_bruteforce" -> Q(
+      (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT qs.vec_id AS q_id, e.vec_id,
+        |    list_dot_product(qs.q, e.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e.q, e.q))) AS cos
+        |  FROM e qs JOIN e ON qs.vec_id < 8 AND e.vec_id != qs.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
+    "q36_ann_ivf" -> Q(
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, q, cluster FROM (
+        |    SELECT e.vec_id, e.q, c.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.q, e.q)
+        |          / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(e.q, e.q))) DESC,
+        |        c.vec_id) AS arn
+        |    FROM e JOIN e c ON c.vec_id < 8)
+        |  WHERE arn = 1),
+        |scored AS (
+        |  SELECT qs.vec_id AS q_id, v.vec_id,
+        |    list_dot_product(qs.q, v.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(v.q, v.q))) AS cos
+        |  FROM assign qs JOIN assign v
+        |    ON qs.vec_id < 8 AND v.cluster = qs.cluster AND v.vec_id != qs.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin),
+
+    // ── language ID (marker-word heuristic) ────────────────────────────
+    "q37_lang_id" -> Q(
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+      {
+        def occ(w: String) =
+          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+        }.mkString(", ")
+        // fold argmax with first-listed-wins tie-break, mirroring the Scala fold
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+          case ((bl, bs), lang) =>
+            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+              s"greatest($bs, sc_$lang)")
+        }._1
+        s"WITH sc AS (SELECT doc_id, lang, text, $scores FROM documents)\n" +
+          s"SELECT doc_id, $guess AS lang_guess, lang, ($guess = lang) AS is_match FROM sc"
+      }),
+
+    // ── quality scoring ────────────────────────────────────────────────
+    "q38_quality_score" -> Q(
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)),
+      {
+        val stopSum = TextAnalysis.Stopwords
+          .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+           |m AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
+           |  cast(length(text) - (len(t) - 1) AS BIGINT) AS sum_len,
+           |  cast($stopSum AS BIGINT) AS n_stop FROM toks)
+           |SELECT doc_id, n_tokens,
+           |  cast(sum_len AS DOUBLE) / n_tokens AS mean_token_len,
+           |  cast(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           |  (cast(sum_len AS DOUBLE) / n_tokens) * 0.1
+           |    + cast(n_stop AS DOUBLE) / n_tokens AS quality_score
+           |FROM m""".stripMargin
+      }),
+
+    // ── token counting (whitespace / regex / distinct) ─────────────────
+    "q39_token_count" -> Q(
+      (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)),
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+        |  cast(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |FROM documents""".stripMargin),
+
+    // ── rolling-hash document fingerprint ──────────────────────────────
+    "q40_fingerprint" -> Q(
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)),
+      {
+        val terms = TextAnalysis.FpPowers.zipWithIndex.map { case (p, j) =>
+          s"cast(ascii(substr(text, i + $j, 1)) AS BIGINT) * $p"
+        }.mkString(" + ")
+        s"""WITH g AS (SELECT doc_id, (($terms) % ${TextAnalysis.FpMod}) AS h
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(1, length(text) - ${TextAnalysis.FpGram - 2})) AS i
+           |        FROM documents))
+           |SELECT doc_id, min(h) AS fp_min, count(DISTINCT h) AS n_grams
+           |FROM g GROUP BY doc_id""".stripMargin
+      }),
+
+    // ── tumbling event-time windows ────────────────────────────────────
+    "q41_window_tumbling" -> Q(
+      (s, dir) => EventWindows.tumbling(Tables.events(s, dir)),
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS wstart, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
+    // ── sliding event-time windows (1h every 30min) ────────────────────
+    "q42_window_sliding" -> Q(
+      (s, dir) => EventWindows.sliding(Tables.events(s, dir)),
+      """SELECT make_timestamp((epoch_us(date_trunc('microseconds', ts)) // 1800000000 - off)
+        |                      * 1800000000) AS wstart,
+        |  count(*) AS n,
+        |  cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM (SELECT ts, value, unnest([0, 1]) AS off FROM events)
+        |GROUP BY 1""".stripMargin),
+
+    // ── session windows (30-minute gap, per user) ──────────────────────
+    "q43_window_session" -> Q(
+      (s, dir) => EventWindows.sessions(Tables.events(s, dir)),
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tus,
+        |    cast(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (SELECT *,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus) AS sid FROM s)
+        |SELECT user_id,
+        |  make_timestamp(min(tus)) AS session_start,
+        |  make_timestamp(max(tus) + 1800000000) AS session_end,
+        |  count(*) AS n, cast(sum(cents) AS BIGINT) AS cents
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    // ── multimodal: binary media column + partition-wise stub decode ───
+    "q44_multimodal_decode" -> Q(
+      (s, dir) => Multimodal.mediaFeatures(Tables.documents(s, dir)),
+      """SELECT doc_id,
+        |  16 + length(text) % 64 AS width,
+        |  16 + doc_id % 32 AS height,
+        |  cast(3 AS BIGINT) AS channels,
+        |  cast(ascii(substr(text, 1, 1)) AS BIGINT) AS luma,
+        |  cast(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin),
+  )
+}

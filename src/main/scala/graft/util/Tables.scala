@@ -31,7 +31,8 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division — ts is ~1.7e18 ns, beyond double's 53-bit mantissa
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
