@@ -22,15 +22,18 @@ object Dedup {
   /** 60-bit integer hash from md5 — reproducible in any engine. */
   def hash64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of a single-space-tokenized text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    * array column. The tokens must be a plain attribute, not an inline
+    * `split(...)` expression: a lambda body re-evaluates its non-attribute
+    * subtrees once per array element, which turns shingling into
+    * O(positions × tokenize) — 10× slower on real documents.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array()))
-  }
 
   /** Exact dedup: first-wins (min id) per identical text. */
   def exact(docs: DataFrame): DataFrame =
@@ -40,7 +43,8 @@ object Dedup {
 
   /** (doc_id, shingle) inverted-index relation. */
   def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("sh"))
 
   /** Near-dup pairs by exact n-gram Jaccard >= tau, via inverted-index
     * self-join (docs sharing at least one shingle are the only candidates).

@@ -21,15 +21,18 @@ object Similarity {
   /** float vector -> exact integer-thousandths vector. */
   def quantize(e: Column): Column = transform(e, x => round(x * 1000).cast("long"))
 
-  /** Exact integer dot product via zip_with + fold. */
-  def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product — graft.functions.LongDot, a codegen'd
+    * Catalyst expression (the HOF formulation `aggregate(zip_with(...))`
+    * is interpreted and dominates all-pairs join runtime). */
+  def dotL(a: Column, b: Column): Column = call_function("long_dot", a, b)
 
   /** embeddings + q (quantized) + norm columns. */
-  def prepared(embeddings: DataFrame): DataFrame =
+  def prepared(embeddings: DataFrame): DataFrame = {
+    graft.functions.LongDot.register(embeddings.sparkSession)
     embeddings
       .withColumn("q", quantize(col("embedding")))
       .withColumn("norm", sqrt(dotL(col("q"), col("q")).cast("double")))
+  }
 
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dotL(qa, qb).cast("double") / (na * nb)

@@ -1,0 +1,47 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Sink surface of the reference pipeline (SURVEY §2.2), Spark-first:
+  *
+  *  - K1 JSONL append sink (`fetch_conversation_tweets.py:75-77`) →
+  *    `write.mode(append).json` — per-page flush becomes per-task file.
+  *  - K3 error-log sink (`:87-98`) → quarantine DataFrame written beside
+  *    the output instead of an unstructured log.
+  *  - K4 id-list text sink (`extract_conversation_ids.py:34-37`).
+  *  - K5/K6 batched keyed-upsert with retry → not needed: dedup happens
+  *    BEFORE the write (Ingest.firstWins) and task retry is built in.
+  *  - K7 CTAS / K8 row→columnar copy → `write.parquet`: the mart IS
+  *    columnar, schema travels with the plan.
+  *  - K9 index toggling → sorted/partitioned parquet layout at write
+  *    time (`partitionBy` + `sortWithinPartitions`) replaces B-trees:
+  *    min/max row-group stats give the same pruning a secondary index
+  *    bought the reference.
+  */
+object Sinks {
+
+  /** K1: newline-delimited JSON, append-mode (crawler page log shape). */
+  def appendJsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").json(dir)
+
+  /** K3: quarantine sink for corrupt/error rows. */
+  def quarantine(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  /** K4: one id per line (conversation-id list shape). */
+  def idList(df: DataFrame, idCol: String, dir: String): Unit =
+    df.select(col(idCol).cast("string")).write.mode("overwrite").text(dir)
+
+  /** K7/K8: columnar mart write; optional hot-key partitioning and an
+    * in-partition sort so parquet min/max stats prune point lookups
+    * (the analog of the reference's composite B-tree indexes).
+    */
+  def mart(df: DataFrame, dir: String, partitionCols: Seq[String] = Nil,
+           sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.nonEmpty)
+      df.sortWithinPartitions(sortCols.map(col): _*) else df
+    val w = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+  }
+}

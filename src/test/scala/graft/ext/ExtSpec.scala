@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSuite
+
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words here nothing shared at all"),
+    (5L, "a b")                                            // shorter than shingle size
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id with copy count") {
+    val out = Dedup.exact(docs).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2)        // docs 1+2 collapse onto id 1
+    assert(out.keySet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("ngram jaccard finds exact and near duplicates, nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical docs collide in every minhash band") {
+    val cand = Dedup.minhashCandidates(docs, n = 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cand((1L, 2L)) == Dedup.MinhashBands)
+  }
+
+  test("simhash: identical docs get identical fingerprints in [0, 2^16)") {
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << Dedup.SimhashBits)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // ~dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.999f, 0.02f, 0.0f)), // ~dup of 2
+    (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine dup pairs find the planted near-duplicates") {
+    val pairs = Similarity.cosineDupPairs(vecs, tau = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("brute-force top-k ranks the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(vecs, nQueries = 2, k = 1)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(top.toSet == Set((0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("ivf top-k returns neighbors from the query's cluster only") {
+    // centroids = vecs 0,1. Assignments: 0→c0 (itself); 1→c1 (itself);
+    // 2,3,4→c1 (all have higher cosine to c1 than to c0). So query 0's
+    // bucket is empty and query 1 sees only {2,3,4} — its top hit is 4.
+    val out = Similarity.ivfTopK(vecs, nCentroids = 2, nQueries = 2, k = 2)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(!out.exists(_._1 == 0L)) // empty bucket → no results, no error
+    assert(out.contains((1L, 4L, 1L)))
+    assert(!out.exists(t => t._1 == 1L && t._2 == 0L)) // other cluster pruned
+  }
+
+  test("long_dot matches BigInt arithmetic") {
+    graft.functions.LongDot.register(spark)
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+    val got = df.selectExpr("long_dot(a, b)").as[Long].head()
+    assert(got == 1 * 4 + 2 * 5 + 3 * 6)
+  }
+
+  test("multimodal stub decode is deterministic over the binary column") {
+    val out = Multimodal.mediaFeatures(docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+      .where("doc_id = 1").collect().head
+    val len = "the quick brown fox jumps over the lazy dog".length
+    assert(out.getAs[Long]("n_bytes") == len)
+    assert(out.getAs[Long]("width") == 16 + len % 64)
+    assert(out.getAs[Long]("luma") == 't'.toLong)
+  }
+}
