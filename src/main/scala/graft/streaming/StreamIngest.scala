@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
+
+/** Typed view of one event row (streaming stateful ops). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+/** Per-user running state carried across micro-batches. */
+case class UserSessions(sessions: Long, events: Long, lastMicros: Long)
+
+/** Update emitted per user per micro-batch. */
+case class UserSessionUpdate(user_id: Long, sessions: Long, events: Long)
 
 /** Streaming shape of the reference's crawler (SURVEY §2.8): an unbounded
   * paginated source consumed incrementally with per-page checkpointing
@@ -42,6 +52,30 @@ object StreamIngest {
         toWrite.write.mode("append").parquet(outDir)
       }
       .start()
+
+  /** Custom per-key state across micro-batches via
+    * `flatMapGroupsWithState`: running session/event counters per user
+    * with a session gap — the stateful-stream analog of
+    * `EventWindows.sessions`, and the capability slot for any
+    * accumulate-across-pages logic the reference's crawler kept in its
+    * status file (SURVEY §2.8).
+    */
+  def sessionCounters(events: Dataset[Event], gapMinutes: Int): Dataset[UserSessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserSessions]) =>
+          var s = state.getOption.getOrElse(UserSessions(0L, 0L, Long.MinValue))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val micros = e.ts.getTime * 1000L
+            val newSession = s.lastMicros == Long.MinValue || micros - s.lastMicros >= gapMicros
+            s = UserSessions(s.sessions + (if (newSession) 1 else 0), s.events + 1, micros)
+          }
+          state.update(s)
+          Iterator.single(UserSessionUpdate(uid, s.sessions, s.events))
+      }
+  }
 
   /** Event-time windowed aggregation with watermark (late data beyond
     * 10 minutes dropped) — the streaming form of EventWindows.tumbling.

@@ -35,6 +35,27 @@ class StreamIngestSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 5L)) // replayed key not duplicated
   }
 
+  test("flatMapGroupsWithState keeps per-user session state across micro-batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("stream_state").toString
+    def ev(id: Long, minute: Int): String =
+      s"""{"event_id": $id, "ts": "2024-01-01T0${minute / 60}:${f"${minute % 60}%02d"}:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}"""
+    // batch 1: two events 5 minutes apart (one session)
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(ev(1, 0), ev(2, 5)).mkString("\n").getBytes)
+    val stream = spark.readStream.schema(StreamIngest.eventSchema).json(src).as[Event]
+    val q = StreamIngest.sessionCounters(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // batch 2: one event 90 minutes later → new session, state carried over
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"), ev(3, 95).getBytes)
+    q.processAllAvailable(); q.stop()
+    val last = spark.sql("select * from sess_out").as[UserSessionUpdate]
+      .collect().maxBy(_.events)
+    assert(last == UserSessionUpdate(1L, sessions = 2L, events = 3L))
+  }
+
   test("streaming windowed aggregation matches batch window boundaries") {
     val src = Files.createTempDirectory("stream_w").toString
     Files.write(java.nio.file.Paths.get(s"$src/a.json"),
