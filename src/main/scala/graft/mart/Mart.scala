@@ -29,10 +29,17 @@ object Mart {
     * (deleted root tweet) — the rollup row survives with NULL tweet
     * columns, hence the aggregate side stays on the left.
     */
-  def conversationRollup(tweets: DataFrame, idCol: String): DataFrame = {
+  def conversationRollup(tweets: DataFrame, idCol: String,
+                         approxDistinct: Boolean = false): DataFrame = {
+    // A7: exact distinct matches the oracle; at 100 TB the opt-in HLL
+    // sketch (±2% default rsd) avoids the second exchange the exact
+    // two-phase distinct needs (SURVEY §2.5 A7).
+    val authors =
+      if (approxDistinct) approx_count_distinct(col("author_id")).as("authors")
+      else countDistinct(col("author_id")).as("authors")
     val agg = tweets.groupBy(col(idCol).as("conversation_key")).agg(
       count(lit(1)).as("tweets"),
-      countDistinct(col("author_id")).as("authors"),
+      authors,
       sum(col("reply_count")).as("replies"),
       sum(col("like_count")).as("likes"),
       sum(col("quote_count")).as("quotes_total"),
