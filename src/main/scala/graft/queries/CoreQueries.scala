@@ -327,6 +327,31 @@ object CoreQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name""".stripMargin),
 
+    // ── J5 + P10 combined: the tweets_a wide-mart shape ────────────────
+    // (4_create_tweets_a.py via graft.mart.Mart.tweetsWide: roots ⟕
+    // per-key stats + calendar derivations in one pass)
+    "q29_wide_mart" -> Q(
+      (s, dir) => {
+        val roots = Tables.orders(s, dir).select(
+          col("o_orderkey").as("tweet_id"),
+          col("o_orderstatus"),
+          col("o_orderdate").as("created_at"))
+        val stats = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("tweet_id"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        graft.mart.Mart.tweetsWide(roots, stats).drop("created_at")
+      },
+      """SELECT o.o_orderkey AS tweet_id, o.o_orderstatus, a.n_items, a.sum_qty,
+        |  cast(o.o_orderdate AS DATE) AS created_date,
+        |  cast(year(o.o_orderdate) AS INT) AS created_year,
+        |  cast(month(o.o_orderdate) AS INT) AS created_month,
+        |  cast(day(o.o_orderdate) AS INT) AS created_day,
+        |  cast(weekofyear(o.o_orderdate) AS INT) AS created_week,
+        |  cast(hour(o.o_orderdate) AS INT) AS created_hour
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey) a
+        |ON o.o_orderkey = a.l_orderkey""".stripMargin),
+
     // ── O2: deterministic top-k ────────────────────────────────────────
     "q25_topk" -> Q(
       (s, dir) => Tables.orders(s, dir)

@@ -86,7 +86,7 @@ object ExtQueries {
     "q34_embed_cosine_dup" -> Q(
       (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.40),
       """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
         |  FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_dot_product(a.q, b.q)
@@ -99,7 +99,7 @@ object ExtQueries {
     "q35_ann_bruteforce" -> Q(
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
       """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
         |  FROM embeddings),
         |scored AS (
         |  SELECT qs.vec_id AS q_id, e.vec_id,
@@ -115,7 +115,7 @@ object ExtQueries {
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),
       """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x*1000) AS BIGINT))::DOUBLE[] AS q
+        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
         |  FROM embeddings),
         |assign AS (
         |  SELECT vec_id, q, cluster FROM (
