@@ -1,0 +1,35 @@
+package graft.util
+
+import graft.SparkSuite
+
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed tables join with no exchange on either side") {
+    val left = (1 to 1000).map(i => (i.toLong % 50, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong % 50, s"r$i")).toDF("k", "rv")
+    Scale.writeBucketed(left, "bucketed_l", "k", 8)
+    Scale.writeBucketed(right, "bucketed_r", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000L * 1000 / 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // hot key: 90% of the big side lands on key 1
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name")
+    val salted = Scale.saltedJoin(big, small, "k", factor = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
