@@ -52,6 +52,18 @@ class ConvoyPipelineSpec extends SparkSuite {
     assert(ur.getAs[Long]("tweets") == 5) // + 200 via ur closure
   }
 
+  test("tweet stats match the committed golden file (all 41 columns)") {
+    // regenerate with: sbt "runMain graft.tools.GenGolden" (review the diff!)
+    val golden = scala.io.Source.fromFile(resource("golden_tweet_stats.csv"))
+      .getLines().toSeq
+    val cols = out.tweetStats.columns
+    assert(golden.head == cols.mkString(","))
+    val got = out.tweetStats.orderBy("tweet_id").collect().map { r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(",")
+    }.toSeq
+    assert(got == golden.tail)
+  }
+
   test("marts write to disk; id-list text sink reads back (S2/K4)") {
     val dir = Files.createTempDirectory("pipeline_out").toString
     ConvoyPipeline.write(out, dir)
