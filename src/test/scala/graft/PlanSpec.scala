@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape assertions: the PLANS.md claims, enforced. These are the
+  * properties that must survive a 100 TB scale-up — column pruning into
+  * the scan, broadcast dims, rank-limit pushdown — so a regression here
+  * is a performance bug even while results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: lineitem scan prunes to the 4 referenced columns") {
+    val plan = planOf("q01_conv_rollup")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"),
+      s"column pruning regressed:\n$plan")
+  }
+
+  test("q21: all three dimension joins broadcast (fact table never shuffles for joins)") {
+    val plan = planOf("q21_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q06: window dedup uses rank-limit pushdown") {
+    assert(planOf("q06_dedup_firstwins").contains("WindowGroupLimit"))
+  }
+
+  test("q35: top-k uses rank-limit pushdown, queries broadcast") {
+    val plan = planOf("q35_ann_bruteforce")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q13: embeddings scan prunes the vector payload when only its size is needed") {
+    // size(embedding) still needs the column, but label+vec_id+embedding
+    // is all that may be read — no stray columns
+    val plan = planOf("q13_array_size")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"), plan)
+  }
+
+  test("q02: filter is pushed into the events scan") {
+    val plan = planOf("q02_filter_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)]"), plan)
+  }
+}
