@@ -52,6 +52,56 @@ object Closure {
     m.withColumnRenamed("anc", "root")
   }
 
+  /** Frontier-shrinking variant of [[resolveRoots]]: a row is *settled*
+    * the moment its pointer lands on a root (no incoming map row) or on
+    * an already-settled row (whose pointer is final by induction).
+    * Settled rows leave the probe side, so late iterations touch only
+    * the deep-chain tail instead of the whole relation — the work saver
+    * at 100 TB where most chains are short and a few are very deep.
+    *
+    * Note: unions of same-lineage checkpointed parts trip Catalyst's
+    * union constraint rewriting (AttributeMap key-not-found), so
+    * constraint propagation is disabled for the duration of the loop —
+    * these tiny iteration plans gain nothing from it anyway.
+    */
+  def resolveRootsFrontier(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val confKey = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    try {
+      var active = edges
+        .select(col("id"), col("parent").as("anc"), lit(false).as("settled"))
+        .localCheckpoint(true)
+      var settledParts: List[DataFrame] = Nil
+      var iter = 0
+      var activeCount = active.count()
+      while (activeCount > 0 && iter < maxIter) {
+        val target = (settledParts :+ active).map(_.toDF("id", "anc", "settled"))
+          .reduce(_ unionByName _)
+        val next = active.as("a")
+          .join(target.as("b"), col("a.anc") === col("b.id"), "left")
+          .select(
+            col("a.id"),
+            coalesce(col("b.anc"), col("a.anc")).as("anc"),
+            (col("b.id").isNull || col("b.settled")).as("settled"))
+          .localCheckpoint(false)
+        active = next.where(!col("settled"))
+        settledParts ::= next.where(col("settled"))
+        activeCount = active.count()
+        iter += 1
+      }
+      // cycle survivors (never settle) keep their current ancestor
+      (settledParts :+ active).map(_.toDF("id", "anc", "settled"))
+        .reduce(_ unionByName _)
+        .select(col("id"), col("anc").as("root"))
+        .localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** Attach `ur_conversation_id = COALESCE(root, conversation_id)` — the
     * reference's final enrichment join
     * (`2_enrich_ur_conversation_ids.py:49-52`). */

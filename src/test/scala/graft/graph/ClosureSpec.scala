@@ -40,7 +40,17 @@ class ClosureSpec extends SparkSuite {
         parent.get(x).map(rootOf).getOrElse(x)
       val want = edges.map { case (id, _) => id -> rootOf(id) }.toMap
       assert(resolve(edges) == want)
+      val frontier = Closure.resolveRootsFrontier(edges.toDF("id", "parent"))
+        .as[(Long, Long)].collect().toMap
+      assert(frontier == want)
     }
+  }
+
+  test("frontier variant: cycle terminates within maxIter") {
+    val out = Closure
+      .resolveRootsFrontier(Seq(1L -> 2L, 2L -> 1L).toDF("id", "parent"), maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
   }
 
   test("enrich coalesces missing ids to their own value") {

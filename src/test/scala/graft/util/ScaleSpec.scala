@@ -6,19 +6,27 @@ class ScaleSpec extends SparkSuite {
   import spark.implicits._
 
   test("bucketed tables join with no exchange on either side") {
+    // unique names: the warehouse dir outlives the in-memory catalog, so
+    // a fixed name collides on the second test run
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (tl, tr) = (s"bucketed_l_$tag", s"bucketed_r_$tag")
     val left = (1 to 1000).map(i => (i.toLong % 50, s"l$i")).toDF("k", "lv")
     val right = (1 to 1000).map(i => (i.toLong % 50, s"r$i")).toDF("k", "rv")
-    Scale.writeBucketed(left, "bucketed_l", "k", 8)
-    Scale.writeBucketed(right, "bucketed_r", "k", 8)
+    Scale.writeBucketed(left, tl, "k", 8)
+    Scale.writeBucketed(right, tr, "k", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), "k")
+      val joined = spark.table(tl).join(spark.table(tr), "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
       assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() == 1000L * 1000 / 50)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $tr")
+    }
   }
 
   test("salted join equals plain join on skewed data") {
