@@ -96,6 +96,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** End-to-end near-dedup: Jaccard pairs → connected components →
+    * (doc_id, canonical_id, cluster_size). The canonical survivor is the
+    * minimum doc id of each near-dup cluster (first-wins, like the exact
+    * path); docs with no near-dup form singleton clusters.
+    */
+  def nearDupClusters(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, tau)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = graft.graph.ConnectedComponents.run(pairs)
+    val labeled = docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    val sizes = labeled.groupBy(col("canonical_id").as("_c"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, labeled("canonical_id") === col("_c"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+  }
+
   val SimhashBits = 16
 
   /** SimHash fingerprint over word tokens (with multiplicity): bit j of

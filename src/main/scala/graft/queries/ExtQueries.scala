@@ -68,6 +68,34 @@ object ExtQueries {
           |FROM bands a JOIN bands b USING (band, m0, m1)
           |WHERE a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin),
 
+    // ── end-to-end near-dedup: pairs → connected components → clusters ─
+    "q45_dedup_clusters" -> Q(
+      (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5),
+      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |jp AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM jp
+          |  JOIN cnt ca ON doc_a = ca.doc_id
+          |  JOIN cnt cb ON doc_b = cb.doc_id
+          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+          |          FROM reach GROUP BY a),
+          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id)
+          |SELECT doc_id, canonical_id,
+          |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+          |FROM lab""".stripMargin),
+
     // ── SimHash fingerprints ───────────────────────────────────────────
     "q33_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
