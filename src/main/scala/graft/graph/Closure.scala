@@ -107,9 +107,11 @@ object Closure {
     * (`2_enrich_ur_conversation_ids.py:49-52`). */
   def enrich(facts: DataFrame, edges: DataFrame, idCol: String,
              outCol: String = "ur_conversation_id", maxIter: Int = 50): DataFrame = {
+    // internal names so a caller column called "id"/"root" survives
     val roots = resolveRoots(edges, maxIter)
-    facts.join(roots, facts(idCol) === roots("id"), "left")
-      .withColumn(outCol, coalesce(col("root"), facts(idCol)))
-      .drop("id", "root")
+      .select(col("id").as("_closure_id"), col("root").as("_closure_root"))
+    facts.join(roots, facts(idCol) === col("_closure_id"), "left")
+      .withColumn(outCol, coalesce(col("_closure_root"), facts(idCol)))
+      .drop("_closure_id", "_closure_root")
   }
 }
