@@ -55,7 +55,9 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = prepared(embeddings)
+    // zero-norm vectors produce NaN cosine, and NaN sorts ABOVE every
+    // real score in descending order — exclude them from both sides
+    val e = prepared(embeddings).where(col("norm") > 0)
     val queries = broadcast(e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -73,7 +75,8 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = prepared(embeddings)
+    // see bruteForceTopK: zero-norm vectors would rank first with NaN
+    val e = prepared(embeddings).where(col("norm") > 0)
     val cents = broadcast(e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("norm").as("cn")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))

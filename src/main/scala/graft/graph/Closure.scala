@@ -107,11 +107,16 @@ object Closure {
     * (`2_enrich_ur_conversation_ids.py:49-52`). */
   def enrich(facts: DataFrame, edges: DataFrame, idCol: String,
              outCol: String = "ur_conversation_id", maxIter: Int = 50): DataFrame = {
-    // internal names so a caller column called "id"/"root" survives
+    // join-column names chosen to not collide with ANY caller column
+    def free(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !facts.columns.contains(n)).get
+    val idName = free("_closure_id")
+    val rootName = free("_closure_root")
     val roots = resolveRoots(edges, maxIter)
-      .select(col("id").as("_closure_id"), col("root").as("_closure_root"))
-    facts.join(roots, facts(idCol) === col("_closure_id"), "left")
-      .withColumn(outCol, coalesce(col("_closure_root"), facts(idCol)))
-      .drop("_closure_id", "_closure_root")
+      .select(col("id").as(idName), col("root").as(rootName))
+    facts.join(roots, facts(idCol) === col(idName), "left")
+      .withColumn(outCol, coalesce(col(rootName), facts(idCol)))
+      .drop(idName, rootName)
   }
 }

@@ -19,27 +19,36 @@ object ConnectedComponents {
 
   /** edges: (a, b) undirected pairs. Returns (id, component) for every
     * endpoint, where component = the minimum id in the component. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lab", col("id")).localCheckpoint(true)
-    var prevSum = labels.agg(sum("lab")).head().getLong(0)
+    // sum over zero rows is NULL — empty edge list means nothing to label
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("lab")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == 0L
     while (!converged && iter < maxIter) {
       val next = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lab"))
         .union(labels.select(col("id"), col("lab")))
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
         .localCheckpoint(false)
-      val s = next.agg(sum("lab")).head().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       iter += 1
     }
+    if (!converged && iter >= maxIter)
+      System.err.println(
+        s"[ConnectedComponents] iteration cap $maxIter hit before convergence — " +
+          "labels for components with diameter > cap are not minimal")
     labels.withColumnRenamed("lab", "component")
   }
 }

@@ -105,7 +105,10 @@ object Ingest {
   private def rewriteText(text: Column, urls: Column): Column =
     when(urls.isNull, text).otherwise(
       aggregate(
-        filter(urls, u => u.getField("unwound_url").isNotNull || u.getField("expanded_url").isNotNull),
+        // the short url itself must be non-null too: replace() is
+        // null-intolerant and one null entry would null the whole text
+        filter(urls, u => u.getField("url").isNotNull &&
+          (u.getField("unwound_url").isNotNull || u.getField("expanded_url").isNotNull)),
         text,
         (acc, u) => call_function("replace", acc, u.getField("url"), bestUrl(u))))
 
@@ -157,8 +160,8 @@ object Ingest {
     val entityUrls = concat(
       coalesce(u.getField("entities").getField("url").getField("urls"), array()),
       coalesce(u.getField("entities").getField("description").getField("urls"), array()))
-    val rewritten = filter(entityUrls, e => e.getField("expanded_url").isNotNull
-      || e.getField("unwound_url").isNotNull)
+    val rewritten = filter(entityUrls, e => e.getField("url").isNotNull &&
+      (e.getField("expanded_url").isNotNull || e.getField("unwound_url").isNotNull))
     def rewrite(c: Column) = when(u.getField("entities").isNull, c).otherwise(
       aggregate(rewritten, c,
         (acc, e) => call_function("replace", acc, e.getField("url"), bestUrl(e))))

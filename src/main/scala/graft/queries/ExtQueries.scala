@@ -126,9 +126,9 @@ object ExtQueries {
     // ── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q35_ann_bruteforce" -> Q(
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-        |  FROM embeddings),
+      """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
         |scored AS (
         |  SELECT qs.vec_id AS q_id, e.vec_id,
         |    list_dot_product(qs.q, e.q)
@@ -142,9 +142,9 @@ object ExtQueries {
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-        |  FROM embeddings),
+      """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
         |assign AS (
         |  SELECT vec_id, q, cluster FROM (
         |    SELECT e.vec_id, e.q, c.vec_id AS cluster,

@@ -40,7 +40,6 @@ object GraphQueries {
       .withColumn("in_reply_to", when(!col("is_q"), col("parent")))
       .withColumn("quotes", when(col("is_q"), col("parent")))
       .withColumn("retweet_of", lit(null).cast("long"))
-      .withColumn("root_id", first(col("tweet_id")).over(tweetChainW))
 
   private def tweetChainW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tweet_id"))
 

@@ -308,9 +308,16 @@ object TreeStats {
   /** The reference's singleton fast path (`3_create_tweet_stats_i.py:304-352`):
     * conversations of size 1 skip tree building entirely and get constant /
     * copied stats. Pure DataFrame rewrite — `groupBy.count` split + constant
-    * projection; results are identical to running the tree path on a
-    * 1-node tree (verified by SingletonSpec), so `compute` doesn't need the
-    * split; this exists as the explicit P13 operator.
+    * projection; for root singletons the results equal the tree path on a
+    * 1-node tree (verified by SparkEntrySpec), so `compute` doesn't need
+    * the split; this exists as the explicit P13 operator.
+    *
+    * Edge-case fidelity: like the reference, a singleton group whose sole
+    * tweet is NOT the group root (orphaned reply, `tweet_id != group_id`)
+    * gets NO row here — the reference's `WHERE tweet_id IN (... HAVING
+    * COUNT(*)=1)` drops it from the fast path and `HAVING COUNT(*)>1`
+    * drops it from the tree path, so it falls through both. The unified
+    * [[compute]] is a superset: it DOES emit a row for such tweets.
     */
   def singletonStats(tweets: DataFrame, groupCol: String = "group_id"): DataFrame = {
     val singles = tweets.groupBy(col(groupCol)).count().where(col("count") === 1)

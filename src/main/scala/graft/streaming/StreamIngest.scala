@@ -44,11 +44,17 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = batch.dropDuplicates("event_id")
+        // only a missing path (AnalysisException) means "first batch" —
+        // any other read failure (corrupt file, transient FS error) must
+        // fail the batch, not silently skip the dedup that provides the
+        // exactly-once contract
         val existing =
-          try batch.sparkSession.read.parquet(outDir).select("event_id")
-          catch { case _: Throwable => null } // first batch: nothing yet
-        val toWrite = if (existing == null) fresh
-          else fresh.join(existing, Seq("event_id"), "left_anti")
+          try Some(batch.sparkSession.read.parquet(outDir).select("event_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val toWrite = existing match {
+          case Some(e) => fresh.join(e, Seq("event_id"), "left_anti")
+          case None => fresh
+        }
         toWrite.write.mode("append").parquet(outDir)
       }
       .start()
