@@ -34,14 +34,17 @@ object Sinks {
     df.select(col(idCol).cast("string")).write.mode("overwrite").text(dir)
 
   /** K7/K8: columnar mart write; optional hot-key partitioning and an
-    * in-partition sort so parquet min/max stats prune point lookups
-    * (the analog of the reference's composite B-tree indexes).
+    * in-partition sort so parquet/orc min/max stats prune point lookups
+    * (the analog of the reference's composite B-tree indexes). `format`
+    * accepts any Spark batch format — parquet (default) and orc keep the
+    * columnar-mart contract; csv/json are interchange escapes.
     */
   def mart(df: DataFrame, dir: String, partitionCols: Seq[String] = Nil,
-           sortCols: Seq[String] = Nil): Unit = {
+           sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
     val sorted = if (sortCols.nonEmpty)
       df.sortWithinPartitions(sortCols.map(col): _*) else df
-    val w = sorted.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    val w = sorted.write.mode("overwrite").format(format)
+    val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    (if (format == "csv") pw.option("header", "true") else pw).save(dir)
   }
 }

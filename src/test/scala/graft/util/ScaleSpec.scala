@@ -29,6 +29,19 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("mart sink round-trips through parquet, orc and csv") {
+    import java.nio.file.Files
+    val df = (1 to 100).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("k", "s", "x")
+    for (fmt <- Seq("parquet", "orc", "csv")) {
+      val dir = Files.createTempDirectory(s"mart_$fmt").toString + "/t"
+      graft.ingest.Sinks.mart(df, dir, sortCols = Seq("k"), format = fmt)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(dir)
+      assert(back.count() == 100, fmt)
+      assert(back.columns.toSeq == Seq("k", "s", "x"), fmt)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of the big side lands on key 1
     val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
