@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 60-bit integer hash from md5 — reproducible in any engine. */
-  def hash64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit integer hash from md5 — reproducible in any engine. Computed
+    * by the fused codegen expression [[graft.functions.Md5Prefix64]]
+    * (callers must register it on the session first); bit-identical to
+    * the spelled-out form below, which remains as the cross-engine
+    * specification and parity-test reference. */
+  def hash64(c: Column): Column = call_function("md5_prefix64", c)
+
+  /** The same hash via built-ins — the form the DuckDB oracle mirrors. */
+  def hash64Spec(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
     * array column. The tokens must be a plain attribute, not an inline
@@ -73,6 +80,7 @@ object Dedup {
     * k aggregate expressions in ONE groupBy (no k-times row blowup).
     */
   def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
     val sh = shingleIndex(docs, n)
     val mins = (0 until MinhashK).map(i =>
       min(hash64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
@@ -121,6 +129,7 @@ object Dedup {
     * the token hash) is positive.
     */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), hash64(col("token")).as("h"))

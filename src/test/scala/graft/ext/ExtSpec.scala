@@ -70,6 +70,18 @@ class ExtSpec extends SparkSuite {
     assert(!out.exists(t => t._1 == 1L && t._2 == 0L)) // other cluster pruned
   }
 
+  test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
+    graft.functions.Md5Prefix64.register(spark)
+    val rnd = new scala.util.Random(5)
+    val strs = (1 to 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val pairs = df.select(
+      Dedup.hash64(org.apache.spark.sql.functions.col("s")).as("fused"),
+      Dedup.hash64Spec(org.apache.spark.sql.functions.col("s")).as("spec"))
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a == b })
+  }
+
   test("long_dot matches BigInt arithmetic") {
     graft.functions.LongDot.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
