@@ -31,6 +31,40 @@ object ConvoyPipeline {
                      tweetsWide: DataFrame, conversations: DataFrame,
                      urConversations: DataFrame, corrupt: DataFrame)
 
+  /** Conversation→conversation parent edges from quote/retweet links
+    * (`2_enrich_ur_conversation_ids.py:33-36`). Reply-link precedence
+    * applies to QUOTE edges only — `WHERE ISNULL(t2.in_reply_to)` guards
+    * the quotes join; the retweet join is unguarded, so a retweet that is
+    * also a reply still contributes an edge, exactly as the reference.
+    *
+    * Deviation (documented in SURVEY §7.6): the reference's
+    * `PRIMARY KEY (from_conversation_id)` makes it FAIL LOUDLY when one
+    * conversation root carries edges to two different parents. An engine
+    * operator should be total, so we instead collapse deterministically
+    * to one parent per id — quote edges win over retweet edges, then the
+    * smallest parent id — which also satisfies `Closure.resolveRoots`'
+    * one-parent-per-id precondition.
+    */
+  def conversationEdges(tweets: DataFrame): DataFrame = {
+    val t = tweets.select("tweet_id", "conversation_id", "in_reply_to",
+      "quotes", "retweet_of")
+    def edgesVia(linkCol: String, prio: Int, replyGuard: Boolean) = {
+      val joined = t.as("c")
+        .join(t.select(col("tweet_id").as("p_tweet_id"),
+          col("conversation_id").as("p_conversation_id")).as("p"),
+          col(s"c.$linkCol") === col("p_tweet_id"))
+      (if (replyGuard) joined.where(col("c.in_reply_to").isNull) else joined)
+        .select(col("c.conversation_id").as("id"),
+          col("p_conversation_id").as("parent"), lit(prio).as("_prio"))
+    }
+    edgesVia("quotes", prio = 0, replyGuard = true)
+      .union(edgesVia("retweet_of", prio = 1, replyGuard = false))
+      .where(col("id") =!= col("parent"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("_prio"), col("parent"))).as("_best"))
+      .select(col("id"), col("_best.parent").as("parent"))
+  }
+
   def run(spark: SparkSession, originalPaths: Seq[String],
           expansionPaths: Seq[String] = Seq.empty): Outputs = {
     import spark.implicits._
@@ -46,19 +80,7 @@ object ConvoyPipeline {
       .select(col("conversation_id"))
 
     // stage 3: conversation→conversation edges from quote/retweet links
-    // (reply-link takes precedence: a quoting tweet that is itself a reply
-    // contributes no edge, 2_enrich_ur_conversation_ids.py:33)
-    val t = tweets.select("tweet_id", "conversation_id", "in_reply_to",
-      "quotes", "retweet_of")
-    def edgesVia(linkCol: String) = t.as("c")
-      .join(t.select(col("tweet_id").as("p_tweet_id"),
-        col("conversation_id").as("p_conversation_id")).as("p"),
-        col(s"c.$linkCol") === col("p_tweet_id"))
-      .where(col("c.in_reply_to").isNull)
-      .select(col("c.conversation_id").as("id"),
-        col("p_conversation_id").as("parent"))
-    val edges = edgesVia("quotes").union(edgesVia("retweet_of")).distinct()
-      .where(col("id") =!= col("parent"))
+    val edges = conversationEdges(tweets)
     val withUr = Closure.enrich(tweets.drop("ur_conversation_id"), edges,
       "conversation_id")
 

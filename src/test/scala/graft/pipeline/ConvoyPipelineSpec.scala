@@ -64,6 +64,29 @@ class ConvoyPipelineSpec extends SparkSuite {
     assert(got == golden.tail)
   }
 
+  test("edge extraction: reply guard on quotes only; one parent per id") {
+    import spark.implicits._
+    // (tweet_id, conversation_id, in_reply_to, quotes, retweet_of)
+    val tweets = Seq(
+      // parents being linked to
+      (10L, 2L, None, None, None),
+      (11L, 4L, None, None, None),
+      (12L, 5L, None, None, None),
+      (13L, 6L, None, None, None),
+      // retweet that is ALSO a reply: edge survives (reference guards
+      // only the quotes join, 2_enrich_ur_conversation_ids.py:35)
+      (20L, 1L, Some(99L), None, Some(10L)),
+      // quote that is ALSO a reply: reply precedence, no edge
+      (21L, 3L, Some(99L), Some(11L), None),
+      // root with BOTH a quote parent and a retweet parent: quote wins
+      (22L, 7L, None, Some(12L), None),
+      (23L, 7L, None, None, Some(13L)))
+      .toDF("tweet_id", "conversation_id", "in_reply_to", "quotes", "retweet_of")
+    val edges = ConvoyPipeline.conversationEdges(tweets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges == Map(1L -> 2L, 7L -> 5L))
+  }
+
   test("marts write to disk; id-list text sink reads back (S2/K4)") {
     val dir = Files.createTempDirectory("pipeline_out").toString
     ConvoyPipeline.write(out, dir)
