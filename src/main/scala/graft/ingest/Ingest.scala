@@ -89,10 +89,20 @@ object Ingest {
     */
   def readPages(spark: SparkSession, paths: Seq[String], original: Boolean): DataFrame =
     spark.read.text(paths: _*)
+      // Within-file page order, captured AT SCAN TIME: the text source
+      // has no _metadata.row_index, but (file_block_start, scan-order id)
+      // sorts pages into exact file line order on any cluster layout —
+      // splits of one file are ordered by byte offset, and within a split
+      // monotonically_increasing_id ascends in physical line order. Only
+      // the ORDER is used (never the id values), so differing split
+      // packing across cluster sizes cannot change the dedup winner.
+      .select(col("value"),
+        struct(col("_metadata.file_block_start"), monotonically_increasing_id())
+          .as("_page_ord"))
       .select(from_json(col("value"), pageSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
-      ).as("p"))
-      .select(col("p.*"))
+      ).as("p"), col("_page_ord"))
+      .select(col("p.*"), col("_page_ord"))
       .withColumn("original", lit(original))
       .withColumn("src_file", input_file_name())
 
@@ -185,13 +195,18 @@ object Ingest {
 
   /** P7: deterministic first-wins dedup — original-sample rows win over
     * expansion rows, then real rows over synthesized error rows (the
-    * reference's within-page arrival order), then file order
+    * reference's within-page arrival order), then file order, then
+    * position WITHIN the file (page line order via `_page_ord`, array
+    * position within the page via `_pos`) — a total order, so the
+    * winner is reproducible even when one file holds several copies of
+    * a key, matching the reference's line-ordered INSERT IGNORE
     * (SURVEY §7.6.2). */
   private def firstWins(df: DataFrame, key: String): DataFrame = {
     val w = Window.partitionBy(col(key))
-      .orderBy(col("original").desc, col("_prio"), col("src_file"))
+      .orderBy(col("original").desc, col("_prio"), col("src_file"),
+        col("_page_ord"), col("_pos"))
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .drop("_rn", "src_file", "_prio")
+      .drop("_rn", "src_file", "_prio", "_page_ord", "_pos")
   }
 
   /** Full ingest: pages → deduped tweets/users + exploded entity tables
@@ -212,19 +227,20 @@ object Ingest {
         col("meta.next_token").as("next_token"))
     val ok = pages.where(col("_corrupt_record").isNull)
 
-    // data[] ++ includes.tweets[] (U2, `:322-324`)
+    // data[] ++ includes.tweets[] (U2, `:322-324`); posexplode keeps the
+    // within-page arrival position for the dedup total order
     val allTweets = ok.select(
-      explode(concat(coalesce(col("data"), array()),
-        coalesce(col("includes.tweets"), array()))).as("t"),
-      col("original"), col("src_file"))
+      posexplode(concat(coalesce(col("data"), array()),
+        coalesce(col("includes.tweets"), array()))).as(Seq("_pos", "t")),
+      col("original"), col("src_file"), col("_page_ord"))
     val realTweets = allTweets.select(
       flattenTweet(col("t"), col("original")).as("r"), col("src_file"),
-      lit(0).as("_prio"))
+      lit(0).as("_prio"), col("_page_ord"), col("_pos"))
 
     // P8: errors[] with resource_type='tweet' → placeholder tweet rows
     val tweetErrors = ok.select(
-        explode(coalesce(col("errors"), array())).as("e"),
-        col("original"), col("src_file"))
+        posexplode(coalesce(col("errors"), array())).as(Seq("_pos", "e")),
+        col("original"), col("src_file"), col("_page_ord"))
       .where(col("e.resource_type") === "tweet")
       .select(struct(
         lit(null).cast("long").as("ur_conversation_id"),
@@ -248,10 +264,11 @@ object Ingest {
         lit(null).cast("array<string>").as("hashtag_list"),
         lit(null).cast("array<string>").as("url_list"),
         lit(null).cast("array<long>").as("mention_list")).as("r"),
-        col("src_file"), lit(1).as("_prio"))
+        col("src_file"), lit(1).as("_prio"), col("_page_ord"), col("_pos"))
 
     val tweetsAll = realTweets.unionByName(tweetErrors)
-      .select(col("r.*"), col("src_file"), col("_prio"))
+      .select(col("r.*"), col("src_file"), col("_prio"),
+        col("_page_ord"), col("_pos"))
     // P6: the main table stores entity-list LENGTHS (`:215-216`)
     val tweets = firstWins(tweetsAll, "tweet_id")
       .withColumn("hashtags", when(col("hashtag_list").isNull, lit(null)).otherwise(size(col("hashtag_list"))))
@@ -271,13 +288,16 @@ object Ingest {
 
     // users: includes.users[] + error placeholders (`:325-329`)
     val realUsers = ok.select(
-        explode(coalesce(col("includes.users"), array())).as("u"),
-        col("original"), col("src_file"))
-      .select(flattenUser(col("u")).as("r"), col("original"), col("src_file"))
-      .select(col("r.*"), col("original"), col("src_file"))
+        posexplode(coalesce(col("includes.users"), array())).as(Seq("_pos", "u")),
+        col("original"), col("src_file"), col("_page_ord"))
+      .select(flattenUser(col("u")).as("r"), col("original"), col("src_file"),
+        col("_page_ord"), col("_pos"))
+      .select(col("r.*"), col("original"), col("src_file"),
+        col("_page_ord"), col("_pos"))
       .withColumn("_prio", lit(0))
-    val errs = ok.select(explode(coalesce(col("errors"), array())).as("e"),
-      col("original"), col("src_file"))
+    val errs = ok.select(
+      posexplode(coalesce(col("errors"), array())).as(Seq("_pos", "e")),
+      col("original"), col("src_file"), col("_page_ord"))
     def userError(idCol: Column) = struct(
       idCol.as("user_id"),
       lit(null).cast("string").as("username"), lit(null).cast("string").as("name"),
@@ -290,8 +310,9 @@ object Ingest {
       col("e.title").as("error"), col("e.detail").as("error_detail"))
     val inReplyToErrors = errs.where(col("e.parameter") === "in_reply_to_user_id")
       .select(userError(col("e.resource_id").cast("long")).as("r"),
-        col("original"), col("src_file"))
-      .select(col("r.*"), col("original"), col("src_file"))
+        col("original"), col("src_file"), col("_page_ord"), col("_pos"))
+      .select(col("r.*"), col("original"), col("src_file"),
+        col("_page_ord"), col("_pos"))
       .withColumn("_prio", lit(1))
     // J9: username → id via the (broadcast) global mention map
     val mentionMap = allTweets
@@ -300,8 +321,10 @@ object Ingest {
       .groupBy(col("m_username")).agg(min(col("m_id")).as("m_id"))
     val mentionErrors = errs.where(col("e.parameter") === "entities.mentions.username")
       .join(broadcast(mentionMap), col("e.resource_id") === col("m_username"), "inner")
-      .select(userError(col("m_id")).as("r"), col("original"), col("src_file"))
-      .select(col("r.*"), col("original"), col("src_file"))
+      .select(userError(col("m_id")).as("r"), col("original"), col("src_file"),
+        col("_page_ord"), col("_pos"))
+      .select(col("r.*"), col("original"), col("src_file"),
+        col("_page_ord"), col("_pos"))
       .withColumn("_prio", lit(2))
 
     val users = firstWins(

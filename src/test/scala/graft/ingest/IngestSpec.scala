@@ -111,6 +111,36 @@ class IngestSpec extends SparkSuite {
     assert(ids == Set(1L, 2L, 3L, 4L, 5L, 77L)) // no ghost row
   }
 
+  test("duplicate key within ONE file keeps the first occurrence, even across splits") {
+    // 200 pages in one file, every page re-asserting tweet_id=1 with a
+    // different text; page 0 holds two copies (array order). The winner
+    // must be the file's first occurrence — "v0a" — on every run, even
+    // when the file is chopped into many scan splits.
+    def page(texts: Seq[String]): String = {
+      val tweets = texts.map(t =>
+        s"""{"id": "1", "conversation_id": "1", "author_id": "1", "text": "$t"}""")
+      s"""{"data": [${tweets.mkString(", ")}], "meta": {}}"""
+    }
+    val lines = page(Seq("v0a", "v0b")) +: (1 until 200).map(i => page(Seq(s"v${i}")))
+    val f = java.nio.file.Files.createTempFile("dupes", ".jsonl")
+    java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      for (_ <- 1 to 3) {
+        val t = Ingest.load(spark, Seq(f.toString)).tweets
+          .where("tweet_id = 1").collect()
+        assert(t.length == 1)
+        assert(t.head.getAs[String]("text") == "v0a")
+      }
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("ingest is idempotent: loading the same file twice equals once (INSERT IGNORE contract)") {
     val twice = Ingest.load(spark,
       Seq(resource("pages_original.jsonl"), resource("pages_original.jsonl")))
