@@ -53,15 +53,39 @@ object Dedup {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("sh"))
 
-  /** Near-dup pairs by exact n-gram Jaccard >= tau, via inverted-index
-    * self-join (docs sharing at least one shingle are the only candidates).
+  /** Stop-shingle document-frequency cap. A shingle shared by more than
+    * this many documents is corpus boilerplate; its inverted-index bucket
+    * would contribute df² candidate pairs (one hot shingle = one
+    * quadratic bucket at 100 TB). Hot shingles are excluded from
+    * CANDIDATE GENERATION only — Jaccard scores are still computed over
+    * the full shingle sets, so every emitted score is exact. Recall: a
+    * qualifying pair is missed only when EVERY shingle it shares is hot,
+    * i.e. the entire overlap is boilerplate shared by > maxDf docs. */
+  val DefaultMaxShingleDf = 128
+
+  /** Near-dup pairs by exact n-gram Jaccard >= tau.
+    *
+    * Two-phase plan, all equi-joins: (1) candidates from the
+    * inverted-index self-join restricted to shingles with document
+    * frequency <= maxDf (bounds every join bucket, so the candidate
+    * count is sum-of-bucket² over CAPPED buckets); (2) exact
+    * intersection/Jaccard for candidate pairs over the FULL index.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
+                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = shingleIndex(docs, n)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), "sh")
+    val coldShingles = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("sh"))
+    val cold = sh.join(coldShingles, "sh")
+    val cand = cold.as("a").join(cold.as("b"), "sh")
       .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
@@ -104,16 +128,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** End-to-end near-dedup: Jaccard pairs → connected components →
-    * (doc_id, canonical_id, cluster_size). The canonical survivor is the
-    * minimum doc id of each near-dup cluster (first-wins, like the exact
-    * path); docs with no near-dup form singleton clusters.
+  /** Cluster ANY near-dup pair relation over a universe of ids:
+    * connected components → (doc_id, canonical_id, cluster_size). The
+    * canonical survivor is the minimum id of each cluster (first-wins,
+    * like the exact path); ids with no pair form singleton clusters.
+    *
+    * `ids` is a one-column (`doc_id`) universe; `pairs` a two-column
+    * (`a`, `b`) edge relation — any candidate generator composes here:
+    * [[ngramJaccardPairs]], [[minhashCandidates]], or
+    * [[graft.ext.Similarity.cosineDupPairs]] output renamed to (a, b).
     */
-  def nearDupClusters(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, n, tau)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val cc = graft.graph.ConnectedComponents.run(pairs)
-    val labeled = docs.select(col("doc_id"))
+  def clusterPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = graft.graph.ConnectedComponents.run(pairs.select(col("a"), col("b")))
+    val labeled = ids.select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
     val sizes = labeled.groupBy(col("canonical_id").as("_c"))
@@ -121,6 +148,16 @@ object Dedup {
     labeled.join(sizes, labeled("canonical_id") === col("_c"))
       .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
   }
+
+  /** End-to-end near-dedup over documents: capped Jaccard pairs →
+    * connected components (see [[clusterPairs]] to cluster a different
+    * pair source, e.g. embedding-cosine pairs).
+    */
+  def nearDupClusters(docs: DataFrame, n: Int, tau: Double,
+                      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    clusterPairs(docs,
+      ngramJaccardPairs(docs, n, tau, maxDf)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
 
   val SimhashBits = 16
 

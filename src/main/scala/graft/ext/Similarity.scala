@@ -37,14 +37,84 @@ object Similarity {
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dotL(qa, qb).cast("double") / (na * nb)
 
-  /** All near-duplicate pairs with cosine >= tau (brute-force self-join;
-    * used on modest partitions — the LSH/IVF paths prune first at scale).
+  /** All near-duplicate pairs with cosine >= tau via brute-force
+    * self-join — a CARTESIAN plan, kept ONLY as the fixture-scale oracle
+    * baseline that [[cosineDupPairs]] (the LSH-prefiltered scale path)
+    * is verified against. Do not call this at scale.
     */
-  def cosineDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+  def cosineDupPairsExact(embeddings: DataFrame, tau: Double): DataFrame = {
     val e = prepared(embeddings)
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Sign-bit LSH parameters for [[cosineDupPairs]]: `CosineLshBits`
+    * hyperplanes per band × `CosineLshBands` bands. More bits per band →
+    * smaller buckets (more pruning); more bands → higher recall. The
+    * defaults favour recall (collision probability per bit is
+    * 1 − θ/π, so at a LOW tau like 0.4 only wide banding keeps recall
+    * high); for production near-dup thresholds (tau ≥ 0.8) raise bits to
+    * 8–16 for real pruning.
+    */
+  val CosineLshBits = 2
+  val CosineLshBands = 16
+
+  /** Deterministic ±1 hyperplane components — sign from the low bit of
+    * the first md5 byte of "h:plane:dim", so any engine (and any rerun)
+    * derives the identical hyperplane family. Driver-side constant:
+    * materialized once into the plan as an array literal.
+    */
+  private[ext] def hyperplane(plane: Int, dim: Int): Seq[Long] =
+    (0 until dim).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      if ((md.digest(s"h:$plane:$d".getBytes("UTF-8"))(0) & 1) == 0) 1L else -1L
+    }
+
+  /** LSH candidate pairs for cosine similarity: each vector gets
+    * bits×bands sign bits (dot against fixed ±1 hyperplanes — one
+    * codegen'd integer dot per bit); vectors sharing all bits of any
+    * band are candidates. Pure equi-join on (band, bit…): every shuffle
+    * key is a band signature, no cartesian anywhere.
+    */
+  def cosineLshCandidates(embeddings: DataFrame, dim: Int,
+                          bits: Int = CosineLshBits,
+                          bands: Int = CosineLshBands): DataFrame = {
+    val e = prepared(embeddings)
+    val withBits = e.select(
+      col("vec_id") +: (0 until bits * bands).map(i =>
+        (dotL(col("q"), typedLit(hyperplane(i, dim))) >= 0).cast("int").as(s"_b$i")): _*)
+    val keyCols = "band" +: (0 until bits).map(r => s"r$r")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until bits).map(r => col(s"_b${b * bits + r}").as(s"r$r")): _*)
+    }
+    val flat = withBits
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
+    flat.select(col("vec_id").as("vec_a") +: keyCols.map(col): _*)
+      .join(flat.select(col("vec_id").as("vec_b") +: keyCols.map(col): _*),
+        keyCols.toSeq)
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs with cosine >= tau — the scale path: LSH
+    * banded candidates (equi-join prefilter) + exact rescore, so every
+    * emitted score is identical to [[cosineDupPairsExact]]'s and only
+    * recall is probabilistic (tunable via bits/bands).
+    */
+  def cosineDupPairs(embeddings: DataFrame, tau: Double, dim: Int,
+                     bits: Int = CosineLshBits,
+                     bands: Int = CosineLshBands): DataFrame = {
+    val e = prepared(embeddings)
+    cosineLshCandidates(embeddings, dim, bits, bands)
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb")), "vec_b")
       .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .where(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * components are dense and tiny (diameter ≤ 3-4), so this converges in
   * a few shuffles even at 100 TB — no GraphX dependency, plain
   * DataFrame joins, lineage cut per iteration like [[Closure]].
-  * Convergence detection is a single `sum(label)` aggregate: labels
-  * only ever decrease, so the sum is strictly monotone until fixpoint.
+  * Convergence detection counts CHANGED labels (new label < the node's
+  * own previous label, carried through the aggregate) — airtight at any
+  * id magnitude, unlike a label-sum probe which could in principle alias
+  * under 64-bit overflow.
   */
 object ConnectedComponents {
 
@@ -25,24 +27,21 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lab", col("id")).localCheckpoint(true)
-    // sum over zero rows is NULL — empty edge list means nothing to label
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("lab")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum == 0L
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
+      // neighbor labels + the node's own row; the own row alone carries
+      // `own`, so after the min-aggregate `lab < own` marks a change —
+      // counting those is the convergence probe AND the materializing
+      // job for the lazy checkpoint (one job per iteration total)
       val next = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("lab"))
-        .union(labels.select(col("id"), col("lab")))
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .select(sym("a").as("id"), col("lab"), lit(null).cast("long").as("own"))
+        .union(labels.select(col("id"), col("lab"), col("lab").as("own")))
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"), min(col("own")).as("own"))
         .localCheckpoint(false)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      val changed = next.agg(count(when(col("lab") < col("own"), 1))).head().getLong(0)
+      converged = changed == 0L
+      labels = next.drop("own")
       iter += 1
     }
     if (!converged && iter >= maxIter)

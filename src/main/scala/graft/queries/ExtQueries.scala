@@ -28,6 +28,36 @@ object ExtQueries {
       |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM toks))
       |""".stripMargin
 
+  /** Capped-candidate + exact-rescore pair CTEs (continuation of a
+    * shingle base): mirrors `Dedup.ngramJaccardPairs` with the stop-
+    * shingle cap taken from the engine's own constant. */
+  private val cappedJaccardPairsSql =
+    s""", cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cold AS (SELECT doc_id, sh FROM sh
+       |         WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+       |                      HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM cold a JOIN cold b USING (sh) WHERE a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
+       |          FROM cand
+       |          JOIN sh sa ON sa.doc_id = doc_a
+       |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+       |          GROUP BY 1, 2)
+       |""".stripMargin
+
+  /** Brute-force quantized cosine pairs at tau=0.40 — the oracle for
+    * BOTH the exact baseline (q34) and the LSH-pruned path (q46). */
+  private val cosineAllPairsSql =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_dot_product(a.q, b.q)
+      |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.q, b.q)
+      |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── exact dedup: content-hash groupBy, first-wins ──────────────────
@@ -37,15 +67,14 @@ object ExtQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin),
 
     // ── n-gram Jaccard near-dup similarity join ────────────────────────
+    // Oracle mirrors the engine's two-phase semantics EXACTLY (capped
+    // candidate generation, exact rescore) with the cap interpolated
+    // from the same Scala constant, so the two sides cannot drift at
+    // any corpus scale.
     "q31_dedup_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 5, tau = 0.5),
-      shingleBase5 +
-        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |pairs AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-          |  GROUP BY 1, 2)
-          |SELECT doc_a, doc_b,
+      shingleBase5 + cappedJaccardPairsSql +
+        """SELECT doc_a, doc_b,
           |       cast(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
           |FROM pairs
           |JOIN cnt ca ON doc_a = ca.doc_id
@@ -71,19 +100,14 @@ object ExtQueries {
     // ── end-to-end near-dedup: pairs → connected components → clusters ─
     "q45_dedup_clusters" -> Q(
       (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5),
-      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |jp AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_a, doc_b FROM jp
+      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
+        """, qual AS (
+          |  SELECT doc_a, doc_b FROM pairs
           |  JOIN cnt ca ON doc_a = ca.doc_id
           |  JOIN cnt cb ON doc_b = cb.doc_id
           |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-          |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+          |        UNION ALL SELECT doc_b, doc_a FROM qual),
           |reach(a, b) AS (
           |  SELECT a, b FROM sym
           |  UNION
@@ -112,16 +136,16 @@ object ExtQueries {
 
     // ── embedding-cosine near-dup pairs (quantized-exact scores) ───────
     "q34_embed_cosine_dup" -> Q(
-      (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.40),
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.q, b.q)
-        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.q, b.q)
-        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40""".stripMargin),
+      (s, dir) => Similarity.cosineDupPairsExact(Tables.embeddings(s, dir), tau = 0.40),
+      cosineAllPairsSql),
+
+    // ── LSH-prefiltered cosine pairs == brute force (the scale path) ───
+    // Same oracle as q34: the banded-LSH candidates + exact rescore must
+    // reproduce the all-pairs result on the fixture — the driver itself
+    // verifies that the pruned plan loses nothing.
+    "q46_embed_cosine_lsh" -> Q(
+      (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.40, dim = 64),
+      cosineAllPairsSql),
 
     // ── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q35_ann_bruteforce" -> Q(

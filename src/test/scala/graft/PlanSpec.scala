@@ -41,6 +41,20 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"), plan)
   }
 
+  test("q46: LSH-pruned cosine pairs plan is pure equi-join — no cartesian anywhere") {
+    val plan = planOf("q46_embed_cosine_lsh")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q31/q45: capped jaccard plans carry no cartesian join") {
+    Seq("q31_dedup_ngram_jaccard", "q45_dedup_clusters").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("q02: filter is pushed into the events scan") {
     val plan = planOf("q02_filter_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)]"), plan)

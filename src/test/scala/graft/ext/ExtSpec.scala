@@ -48,9 +48,43 @@ class ExtSpec extends SparkSuite {
   ).toDF("vec_id", "embedding")
 
   test("cosine dup pairs find the planted near-duplicates") {
-    val pairs = Similarity.cosineDupPairs(vecs, tau = 0.99)
+    val pairs = Similarity.cosineDupPairsExact(vecs, tau = 0.99)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("LSH-pruned cosine pairs equal the brute-force baseline (scores included)") {
+    val exact = Similarity.cosineDupPairsExact(vecs, tau = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val pruned = Similarity.cosineDupPairs(vecs, tau = 0.99, dim = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pruned == exact)
+  }
+
+  test("jaccard stop-shingle cap: candidates skip hot shingles, scores stay exact") {
+    // Every doc shares the boilerplate prefix "x y z ..." (one hot
+    // shingle family); pairs (1,2) additionally share a COLD overlap.
+    // Doc 4/5 share ONLY boilerplate.
+    val boiler = "common boilerplate header text block"
+    val d = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler alpha beta gamma delta zeta"),
+      (4L, s"$boiler qqq www eee rrr ttt"),
+      (5L, s"$boiler yyy uuu iii ooo ppp")
+    ).toDF("doc_id", "text")
+    def pairMap(rows: Array[(Long, Long, Double)]) =
+      rows.map { case (a, b, j) => (a, b) -> j }.toMap
+    val uncapped = pairMap(Dedup.ngramJaccardPairs(d, n = 3, tau = 0.1, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect())
+    // cap = 3 → the boilerplate shingles (df = 4) are excluded from
+    // candidate generation
+    val capped = pairMap(Dedup.ngramJaccardPairs(d, n = 3, tau = 0.1, maxDf = 3)
+      .as[(Long, Long, Double)].collect())
+    // (1,2) survives via its cold overlap, with the EXACT same score
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)))
+    // (4,5) shares only hot shingles → dropped by the cap (recall
+    // semantics, documented), present in the uncapped run
+    assert(uncapped.contains((4L, 5L)) && !capped.contains((4L, 5L)))
   }
 
   test("brute-force top-k ranks the planted neighbor first") {
@@ -87,6 +121,18 @@ class ExtSpec extends SparkSuite {
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
     val got = df.selectExpr("long_dot(a, b)").as[Long].head()
     assert(got == 1 * 4 + 2 * 5 + 3 * 6)
+  }
+
+  test("clusterPairs composes with the cosine pair generator") {
+    // vectors 0~1 and 2~3 are near-dups; clustering their cosine pairs
+    // over the vec_id universe must yield {0,1}, {2,3}, {4}
+    val pairs = Similarity.cosineDupPairs(vecs, tau = 0.99, dim = 4)
+      .select($"vec_a".as("a"), $"vec_b".as("b"))
+    val ids = vecs.select($"vec_id".as("doc_id"))
+    val out = Dedup.clusterPairs(ids, pairs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out == Map(0L -> ((0L, 2L)), 1L -> ((0L, 2L)),
+      2L -> ((2L, 2L)), 3L -> ((2L, 2L)), 4L -> ((4L, 1L))))
   }
 
   test("multimodal stub decode is deterministic over the binary column") {
