@@ -35,27 +35,48 @@ object StreamIngest {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Incremental ingest srcDir → outDir (parquet), exactly-once on
-    * event_id. Returns the started query; callers stop it. */
+  /** The rows of `batch` not already present in the dt-partitioned sink
+    * at `outDir`, deduped on event_id. The sink is partitioned by
+    * event-time date; the anti-join reads ONLY the partitions for dates
+    * present in the batch (partition-pruned scan), so per-batch dedup
+    * I/O is bounded by the event-time spread of one batch — not by sink
+    * lifetime. A replayed batch carries the same event dates, so its
+    * rows always land in the pruned read and are suppressed. Dedup scope
+    * is therefore per event-time date: the same event_id re-arriving
+    * under a DIFFERENT ts date is treated as a new event — the same
+    * bounded-lateness contract the watermark gives windowed aggs.
+    */
+  def notYetWritten(batch: DataFrame, outDir: String): DataFrame = {
+    val fresh = batch.dropDuplicates("event_id")
+      .withColumn("dt", to_date(col("ts")))
+    // driver-side collect of the batch's DISTINCT DATES — metadata-sized
+    // (bounded by the lateness window), never row data
+    val dts = fresh.select("dt").distinct().collect().map(_.getDate(0))
+    // only a missing path (AnalysisException) means "first batch" — any
+    // other read failure (corrupt file, transient FS error) must fail
+    // the batch, not silently skip the dedup that provides the
+    // exactly-once contract
+    val existing =
+      try Some(batch.sparkSession.read.parquet(outDir)
+        .where(col("dt").isin(dts.toIndexedSeq: _*)).select("event_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    existing match {
+      case Some(e) => fresh.join(e, Seq("event_id"), "left_anti")
+      case None => fresh
+    }
+  }
+
+  /** Incremental ingest srcDir → outDir (parquet partitioned by event
+    * date), exactly-once on (event date, event_id). Returns the started
+    * query; callers stop it. */
   def ingest(spark: SparkSession, srcDir: String, checkpointDir: String,
              outDir: String): StreamingQuery =
     spark.readStream.schema(eventSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fresh = batch.dropDuplicates("event_id")
-        // only a missing path (AnalysisException) means "first batch" —
-        // any other read failure (corrupt file, transient FS error) must
-        // fail the batch, not silently skip the dedup that provides the
-        // exactly-once contract
-        val existing =
-          try Some(batch.sparkSession.read.parquet(outDir).select("event_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val toWrite = existing match {
-          case Some(e) => fresh.join(e, Seq("event_id"), "left_anti")
-          case None => fresh
-        }
-        toWrite.write.mode("append").parquet(outDir)
+        notYetWritten(batch, outDir)
+          .write.partitionBy("dt").mode("append").parquet(outDir)
       }
       .start()
 

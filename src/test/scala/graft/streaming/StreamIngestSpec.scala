@@ -35,6 +35,29 @@ class StreamIngestSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 5L)) // replayed key not duplicated
   }
 
+  test("per-batch dedup scans only the batch's date partitions, not the whole sink") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits._
+    val out = Files.createTempDirectory("pruned_out").toString + "/data"
+    def row(id: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2023-12-$day%02d 00:00:00"), 1L, "click", 1.5, "{}")
+    // sink holds 28 historical date partitions
+    (1 to 28).map(d => row(100L + d, d))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("dt", to_date(col("ts")))
+      .write.partitionBy("dt").parquet(out)
+    // batch touches ONE date: a replay of event 101 plus a new event
+    val batch = Seq(row(101L, 1), row(999L, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val toWrite = StreamIngest.notYetWritten(batch, out)
+    assert(toWrite.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(999L))
+    // the sink-side scan must carry a dt partition filter — the dedup
+    // read is pruned to the batch's dates, not O(sink lifetime)
+    val plan = toWrite.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\(dt#\\d+ (=|IN) ".r
+    assert(pf.findFirstIn(plan).isDefined, s"no dt partition pruning in:\n$plan")
+  }
+
   test("flatMapGroupsWithState keeps per-user session state across micro-batches") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream_state").toString
