@@ -298,8 +298,30 @@ object TreeStats {
     rs.iterator.map(r => emit(nodes(r.tweet_id)))
   }
 
-  /** Distributed entry point: one shuffle on `group_id`, then local trees. */
+  /** Distributed entry point: one hash aggregate on `group_id`, local
+    * trees inside [[graft.functions.TreeStatsAgg]] (a
+    * TypedImperativeAggregate — packs rows map-side, no per-row Encoder
+    * deserialization, no sort-based grouping), exploded back to one row
+    * per tweet. */
   def compute(tweets: Dataset[TreeInput]): Dataset[TreeStatsRow] = {
+    val spark = tweets.sparkSession
+    import spark.implicits._
+    graft.functions.TreeStatsAgg.register(spark)
+    tweets.toDF()
+      .groupBy(col("group_id"))
+      .agg(call_function("tree_stats_agg",
+        col("tweet_id"), col("author_id"), col("in_reply_to"),
+        col("retweet_of"), col("quotes"), col("reply_count"),
+        col("quote_count"), col("like_count"), col("retweet_count")).as("stats"))
+      .select(explode(col("stats")).as("s"))
+      .select(col("s.*"))
+      .as[TreeStatsRow]
+  }
+
+  /** The pre-aggregate formulation (`groupByKey` + `flatMapGroups`) —
+    * kept as the parity reference for [[compute]] and as a fallback;
+    * same semantics, heavier per-row deserialization. */
+  def computeViaFlatMapGroups(tweets: Dataset[TreeInput]): Dataset[TreeStatsRow] = {
     val spark = tweets.sparkSession
     import spark.implicits._
     tweets.groupByKey(_.group_id).flatMapGroups((_, rows) => processGroup(rows))

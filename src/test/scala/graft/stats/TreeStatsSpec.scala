@@ -139,4 +139,34 @@ class TreeStatsSpec extends SparkSuite {
       TreeStats.processGroup(g.iterator)).map(r => r.tweet_id -> r).toMap
     assert(dist == local)
   }
+
+  test("aggregate path (TypedImperativeAggregate) equals the flatMapGroups path bit-for-bit") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // cross-link-heavy forests across 16 groups, incl. missing parents
+    val rows = (1 to 400).map { i =>
+      val group = i % 16
+      val pool = (1 until i).filter(j => j % 16 == group)
+      val parent =
+        if (pool.nonEmpty && rnd.nextDouble() < 0.8)
+          Some(pool(rnd.nextInt(pool.size)).toLong)
+        else if (rnd.nextDouble() < 0.1) Some(900000L + rnd.nextInt(3))
+        else None
+      val kind = rnd.nextInt(3)
+      row(i,
+        reply = if (kind == 0) parent else None,
+        rt = if (kind == 1) parent else None,
+        q = if (kind == 2) parent else None,
+        author = rnd.nextInt(6),
+        counts = (rnd.nextInt(5), rnd.nextInt(5), rnd.nextInt(5), rnd.nextInt(5)),
+        group = group)
+    }
+    val ds = spark.createDataset(rows).repartition(8)
+    val viaAgg = TreeStats.compute(ds).collect().map(r => r.tweet_id -> r).toMap
+    val viaFmg = TreeStats.computeViaFlatMapGroups(ds)
+      .collect().map(r => r.tweet_id -> r).toMap
+    // == on case classes: Double fields must be BIT-identical — the agg
+    // path must not perturb MAD summation order
+    assert(viaAgg == viaFmg)
+  }
 }
