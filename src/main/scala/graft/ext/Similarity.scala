@@ -138,29 +138,48 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** IVF-style top-k: centroids = the first nCentroids vectors (stand-in
-    * for k-means at fixture scale); every vector is assigned to its
-    * nearest centroid (argmax cosine, ties on centroid id); a query
-    * probes only its own centroid's bucket (nprobe=1).
+  /** IVF-style top-k. Centroids = the first nCentroids vectors — a
+    * deterministic stand-in for a k-means codebook (the fixture has no
+    * training step; swapping in k-means centroids changes only the
+    * `cents` relation, every downstream shape is identical). Every
+    * vector is assigned to its nearest centroid (argmax cosine, ties on
+    * centroid id); a query probes its `nprobe` nearest centroid buckets.
+    *
+    * Scale shape: the vector×centroid scoring happens under a BROADCAST
+    * join and collapses map-side via a partial `max_by` aggregate — the
+    * n×c scored rows never shuffle (the old formulation window-ranked
+    * them through an n×c exchange); the exchange carries one row per
+    * vector. Probing is an equi-join on the bucket id.
     */
-  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+              nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // see bruteForceTopK: zero-norm vectors would rank first with NaN
     val e = prepared(embeddings).where(col("norm") > 0)
     val cents = broadcast(e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("norm").as("cn")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val assigned = e.join(cents)
+    val scored = e.join(cents)
       .withColumn("ccos", cosine(col("cq"), col("cn"), col("q"), col("norm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("q"), col("norm"), col("c_id").as("cluster"))
-    val queries = broadcast(assigned.where(col("vec_id") < nQueries)
+    // argmax(ccos desc, c_id asc) as a partial-aggregable max_by: the
+    // key struct orders by score, then by NEGATED centroid id so the
+    // smallest id wins ties — same total order the oracle's
+    // row_number(ORDER BY ccos DESC, c_id) uses
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(first(col("q")).as("q"), first(col("norm")).as("norm"),
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("nc"))).as("cluster"))
+    // query probe lists are tiny (nQueries × nCentroids) — window-rank
+    // AFTER filtering to query vectors, then broadcast
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val probes = broadcast(scored.where(col("vec_id") < nQueries)
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
-        col("norm").as("qn"), col("cluster").as("q_cluster")))
+        col("norm").as("qn"), col("c_id").as("cluster")))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(queries,
-        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
+    assigned.join(probes,
+        Seq("cluster"))
+      .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)

@@ -104,6 +104,19 @@ class ExtSpec extends SparkSuite {
     assert(!out.exists(t => t._1 == 1L && t._2 == 0L)) // other cluster pruned
   }
 
+  test("ivf nprobe=2 recall >= nprobe=1, and probing every bucket equals brute force") {
+    val truth = Similarity.bruteForceTopK(vecs, nQueries = 2, k = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def got(nprobe: Int) =
+      Similarity.ivfTopK(vecs, nCentroids = 2, nQueries = 2, k = 2, nprobe = nprobe)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val r1 = (truth intersect got(1)).size
+    val g2 = got(2)
+    assert((truth intersect g2).size >= r1)
+    // 2 centroids, nprobe=2 → every bucket probed → identical to brute force
+    assert(g2 == truth)
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
