@@ -287,15 +287,20 @@ object ExtQueries {
         |  count(*) AS n, cast(sum(cents) AS BIGINT) AS cents
         |FROM g GROUP BY user_id, sid""".stripMargin),
 
-    // ── multimodal: binary media column + partition-wise stub decode ───
+    // ── multimodal: docs → real farbfeld blobs → real header decode ────
+    // The oracle recomputes what the encode→decode roundtrip must yield:
+    // dims from the deterministic render params, luma = first codepoint
+    // mod 2^16 (the first pixel's 16-bit red channel), n_bytes = the
+    // farbfeld container size. Codepoint semantics both sides.
     "q44_multimodal_decode" -> Q(
       (s, dir) => Multimodal.mediaFeatures(Tables.documents(s, dir)),
       """SELECT doc_id,
-        |  16 + length(text) % 64 AS width,
-        |  16 + doc_id % 32 AS height,
-        |  cast(3 AS BIGINT) AS channels,
-        |  cast(ascii(substr(text, 1, 1)) AS BIGINT) AS luma,
-        |  cast(length(text) AS BIGINT) AS n_bytes
+        |  8 + length(text) % 16 AS width,
+        |  4 + doc_id % 8 AS height,
+        |  cast(4 AS BIGINT) AS channels,
+        |  cast(CASE WHEN length(text) = 0 THEN 0
+        |       ELSE unicode(substr(text, 1, 1)) % 65536 END AS BIGINT) AS luma,
+        |  16 + 8 * (8 + length(text) % 16) * (4 + doc_id % 8) AS n_bytes
         |FROM documents""".stripMargin),
   )
 }

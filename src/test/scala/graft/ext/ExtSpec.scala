@@ -148,12 +148,35 @@ class ExtSpec extends SparkSuite {
       2L -> ((2L, 2L)), 3L -> ((2L, 2L)), 4L -> ((4L, 1L))))
   }
 
-  test("multimodal stub decode is deterministic over the binary column") {
-    val out = Multimodal.mediaFeatures(docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")))
-      .where("doc_id = 1").collect().head
-    val len = "the quick brown fox jumps over the lazy dog".length
-    assert(out.getAs[Long]("n_bytes") == len)
-    assert(out.getAs[Long]("width") == 16 + len % 64)
-    assert(out.getAs[Long]("luma") == 't'.toLong)
+  test("multimodal: farbfeld encode→decode roundtrip recovers real header fields") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val out = Multimodal.mediaFeatures(docs).where("doc_id = 1").collect().head
+    val (w, h) = (8 + text.length % 16, 4 + 1 % 8)
+    assert(out.getAs[Long]("width") == w)
+    assert(out.getAs[Long]("height") == h)
+    assert(out.getAs[Long]("channels") == 4L)
+    assert(out.getAs[Long]("luma") == 't'.toLong) // first pixel R16 = codepoint
+    assert(out.getAs[Long]("n_bytes") == 16L + 8L * w * h) // real container size
+  }
+
+  test("multimodal: the encoded blob IS a farbfeld file (magic + BE dims)") {
+    import spark.implicits._
+    val blob = Multimodal.encodeFarbfeld(docs).filter(_.doc_id == 1L)
+      .collect().head.media
+    assert(new String(blob.take(8), "US-ASCII") == "farbfeld")
+    val bb = java.nio.ByteBuffer.wrap(blob, 8, 8)
+    val (w, h) = (bb.getInt, bb.getInt)
+    assert(blob.length == 16 + 8 * w * h)
+  }
+
+  test("multimodal: non-ASCII text uses codepoint semantics (é, 𝄞)") {
+    import spark.implicits._
+    val d = Seq((7L, "é plain"), (8L, "𝄞 clef")).toDF("doc_id", "text")
+    val out = Multimodal.mediaFeatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(7L).getAs[Long]("luma") == 0xe9L)            // é = U+00E9
+    assert(out(7L).getAs[Long]("width") == 8 + 7 % 16)      // 7 codepoints
+    assert(out(8L).getAs[Long]("luma") == 0x1D11E % 65536)  // 𝄞 beyond BMP
+    assert(out(8L).getAs[Long]("width") == 8 + 6 % 16)      // 6 codepoints, not 7 UTF-16 units
   }
 }
