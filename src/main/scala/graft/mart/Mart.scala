@@ -12,15 +12,22 @@ object Mart {
     * derivations (`4_create_tweets_a.py:27-49`). The reference also adds
     * B-tree + FULLTEXT indexes; the Spark analog is the columnar layout
     * plus `Sinks.mart` partition/sort options at write time.
-    * `weekofyear` is ISO (deviation from MySQL WEEK(ts,1), SURVEY §7.6.4).
+    *
+    * `created_week` defaults to ISO `weekofyear` (documented deviation,
+    * SURVEY §7.6.4); `mysqlWeekParity = true` opts into exact MySQL
+    * `WEEK(ts,1)` numbering ([[graft.functions.MySqlWeek]]) for users
+    * diffing against the reference's MariaDB mart.
     */
-  def tweetsWide(tweets: DataFrame, stats: DataFrame): DataFrame =
+  def tweetsWide(tweets: DataFrame, stats: DataFrame,
+                 mysqlWeekParity: Boolean = false): DataFrame =
     tweets.join(stats, Seq("tweet_id"), "left")
       .withColumn("created_date", to_date(col("created_at")))
       .withColumn("created_year", year(col("created_at")))
       .withColumn("created_month", month(col("created_at")))
       .withColumn("created_day", dayofmonth(col("created_at")))
-      .withColumn("created_week", weekofyear(col("created_at")))
+      .withColumn("created_week",
+        if (mysqlWeekParity) graft.functions.MySqlWeek.weekMode1(col("created_at"))
+        else weekofyear(col("created_at")))
       .withColumn("created_hour", hour(col("created_at")))
 
   /** conversations_a / ur_conversations_a: per-conversation rollups with
