@@ -287,6 +287,28 @@ object ExtQueries {
         |  count(*) AS n, cast(sum(cents) AS BIGINT) AS cents
         |FROM g GROUP BY user_id, sid""".stripMargin),
 
+    // ── inverted-index text-search mart (FULLTEXT analog) ──────────────
+    "q47_text_index" -> Q(
+      (s, dir) => graft.mart.TextIndex.build(Tables.documents(s, dir)),
+      """SELECT token, doc_id, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY 1, 2""".stripMargin),
+
+    // conjunctive search over the index: docs containing BOTH terms
+    "q48_text_search" -> Q(
+      (s, dir) => graft.mart.TextIndex.search(
+        graft.mart.TextIndex.build(Tables.documents(s, dir)), Seq("spark", "join")),
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, cast(sum(tf) AS BIGINT) AS hits
+        |FROM ti WHERE token IN ('spark', 'join')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT token) = 2""".stripMargin),
+
     // ── multimodal: docs → real farbfeld blobs → real header decode ────
     // The oracle recomputes what the encode→decode roundtrip must yield:
     // dims from the deterministic render params, luma = first codepoint
