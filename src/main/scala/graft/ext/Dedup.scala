@@ -65,31 +65,57 @@ object Dedup {
 
   /** Near-dup pairs by exact n-gram Jaccard >= tau.
     *
-    * Two-phase plan, all equi-joins: (1) candidates from the
-    * inverted-index self-join restricted to shingles with document
-    * frequency <= maxDf (bounds every join bucket, so the candidate
-    * count is sum-of-bucket² over CAPPED buckets); (2) exact
-    * intersection/Jaccard for candidate pairs over the FULL index.
+    * All equi-joins, every bucket capped: the COLD (df <= maxDf)
+    * inverted-index self-join counts shared cold shingles in one
+    * aggregate — sum-of-bucket² over capped buckets only. The hot
+    * shingles' contribution is added back per candidate pair from
+    * per-doc HOT-SHINGLE SETS (`array_intersect` of two small arrays —
+    * a document carries at most a handful of boilerplate shingles), so
+    * the intersection is exact; only pairs whose ENTIRE overlap is hot
+    * are missed (see [[DefaultMaxShingleDf]]).
+    *
+    * Plan discipline: the heavy self-join lineage appears exactly ONCE,
+    * always on the STREAMING side. Every enrichment join is hinted
+    * SHUFFLE_HASH — if the planner instead broadcast the (row-wise
+    * tiny) pair side, the whole self-join subtree would re-execute
+    * inside each broadcast build, serially. The dictionary joins are
+    * likewise shuffle-based so all shingle-keyed consumers share one
+    * reused Exchange of the shingling subtree.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
                         maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = shingleIndex(docs, n)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val coldShingles = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("sh"))
-    val cold = sh.join(coldShingles, "sh")
-    val cand = cold.as("a").join(cold.as("b"), "sh")
+    val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val cold = sh.join(
+      dfRel.where(col("df") <= maxDf).select(col("sh")).hint("shuffle_hash"), "sh")
+    // pin the self-join input partitioning: its INPUT bytes are small
+    // (AQE would coalesce to 1 partition) but its OUTPUT is
+    // sum-of-bucket² rows — parallelism must follow the output side, so
+    // a user-numbered repartition (which AQE never coalesces) keeps the
+    // explosive stage wide
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val coldP = cold.repartition(p, col("sh"))
+    val interCold = coldP.as("a").join(coldP.as("b"), "sh")
       .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ic"))
+    val hotSets = sh.join(
+        dfRel.where(col("df") > maxDf).select(col("sh")).hint("shuffle_hash"), "sh")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("hs"))
+    val inter = interCold
+      .join(hotSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), Seq("doc_a"), "left")
+      .join(hotSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("ic") + size(array_intersect(
+          coalesce(col("hs_a"), array()), coalesce(col("hs_b"), array())))).as("inter"))
     inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= tau)
