@@ -24,7 +24,20 @@ object Bench {
     graft.util.Tables.events(spark, sfDir).groupBy("event_type").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        val df = fn(spark, sfDir)
+        // force FULL evaluation of every output column: a row-hash
+        // aggregate Catalyst cannot prune (a bare count() would let
+        // projection-only queries time just the scan, not the
+        // expression work); bit_xor cannot overflow under ANSI mode.
+        // SPARK_GRAFT_BENCH_LEGACY=1 restores the count() harness for
+        // like-for-like comparison against pre-r2 numbers.
+        if (sys.env.get("SPARK_GRAFT_BENCH_LEGACY").contains("1")) df.count()
+        else df.select(org.apache.spark.sql.functions.xxhash64(
+            df.columns.toIndexedSeq.map(df.col): _*).as("_row_hash"))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(_row_hash)")).head()
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -13,6 +13,16 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // slow-stage probe (>2s): where does the time actually go?
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+        if (dur.exists(_ > 2000))
+          println(f"[stage] id=${si.stageId}%-5d ${dur.get / 1000.0}%7.1f s  tasks=${si.numTasks}%-4d ${si.name.takeWhile(_ != '\n').take(90)}")
+      }
+    })
     // warm-up
     graft.util.Tables.events(spark, sfDir).count()
     graft.util.Tables.lineitem(spark, sfDir).count()
@@ -22,9 +32,16 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val qs = graft.SparkEntry.queries
+    def hashEval(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions.{expr, xxhash64}
+      df.select(xxhash64(df.columns.toIndexedSeq.map(df.col): _*).as("_row_hash"))
+        .agg(expr("bit_xor(_row_hash)")).head(); 1L
+    }
     for (name <- args.drop(1)) {
-      time(name + " (cold)")(qs(name)(spark, sfDir).count())
-      time(name + " (warm)")(qs(name)(spark, sfDir).count())
+      time(name + " (count cold)")(qs(name)(spark, sfDir).count())
+      time(name + " (count warm)")(qs(name)(spark, sfDir).count())
+      time(name + " (hash  cold)")(hashEval(qs(name)(spark, sfDir)))
+      time(name + " (hash  warm)")(hashEval(qs(name)(spark, sfDir)))
     }
     spark.stop()
   }
