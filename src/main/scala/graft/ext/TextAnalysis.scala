@@ -74,26 +74,31 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_uniq"))
   }
 
-  val FpBase = 131L
-  val FpMod = 1000000007L
-  val FpGram = 8
+  // hash constants live on the Expression (single source of truth);
+  // aliased here because the generated DuckDB oracle SQL reads them
+  val FpBase: Long = graft.functions.RollingFingerprint.Base
+  val FpMod: Long = graft.functions.RollingFingerprint.Mod
+  val FpGram: Int = graft.functions.RollingFingerprint.Gram
   /** FpBase^j mod FpMod for j < FpGram — literal powers shared with SQL. */
-  val FpPowers: Seq[Long] =
-    Iterator.iterate(1L)(p => p * FpBase % FpMod).take(FpGram).toSeq
+  val FpPowers: Seq[Long] = graft.functions.RollingFingerprint.Powers.toSeq
 
   /** Polynomial rolling-hash fingerprint over character 8-grams:
     * h(i) = sum_j ascii(text[i+j]) * B^j mod M; the document fingerprint
     * is the minimum hash (winnowing-style) plus the distinct-gram count.
+    *
+    * One codegen'd pass per document ([[graft.functions.RollingFingerprint]])
+    * — the declarative explode-per-position form shuffles O(len²) bytes
+    * (each gram row carries the full text) through a hash aggregate; this
+    * is a pure projection, no exchange at all. Documents shorter than
+    * [[FpGram]] codepoints produce no grams and are dropped, exactly as
+    * the grouped form drops them.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val h = FpPowers.zipWithIndex.map { case (p, j) =>
-      ascii(substr(col("text"), col("i") + j, lit(1))) * p
-    }.reduce(_ + _) % FpMod
+    val fp = graft.functions.RollingFingerprint.rollingFp(docs.sparkSession)(col("text"))
     docs
-      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - (FpGram - 1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), h.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fp_min"), countDistinct(col("h")).as("n_grams"))
+      .where(length(col("text")) >= FpGram)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"),
+        col("fp.fp_min").as("fp_min"), col("fp.n_grams").as("n_grams"))
   }
 }
