@@ -35,15 +35,30 @@ object Closure {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // Lazy checkpoint: the convergence probe below is the job that
-      // materializes this iteration's result (one job per iteration, and
-      // the logical plan stays O(1) instead of growing with iterations).
-      val next = m.as("a")
+      // TWO doublings per materialized job: each join is one pointer
+      // doubling, so total join/shuffle volume to convergence is the
+      // same as one-per-job, but the fixed per-job cost (scheduling,
+      // probe action, checkpoint) is paid half as often — at fixture
+      // scale that fixed cost IS the runtime. The second join's two
+      // identical m1 subtrees collapse into one ReusedExchange.
+      val m1 = m.as("a")
         .join(m.as("b"), col("a.anc") === col("b.id"), "left")
         .select(
           col("a.id"),
           coalesce(col("b.anc"), col("a.anc")).as("anc"),
           col("b.anc").isNotNull.as("_jumped"))
+      // Lazy checkpoint: the convergence probe below is the job that
+      // materializes this iteration's result (one job per iteration, and
+      // the logical plan stays O(1) instead of growing with iterations).
+      // The probe checks STAGE-1 jumps only — if no pointer moved in the
+      // first doubling, m was already fully converged and the second
+      // doubling was a no-op too.
+      val next = m1.as("a")
+        .join(m1.as("b"), col("a.anc") === col("b.id"), "left")
+        .select(
+          col("a.id"),
+          coalesce(col("b.anc"), col("a.anc")).as("anc"),
+          col("a._jumped"))
         .localCheckpoint(false)
       changed = next.where(col("_jumped")).limit(1).count()
       m = next.drop("_jumped")
