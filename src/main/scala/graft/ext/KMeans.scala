@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed Lloyd's k-means over an embedding column —
+  * the real training step behind [[Similarity.ivfTopK]]'s codebook
+  * (whose first-n-vectors "centroids" are a stand-in when no training
+  * has run).
+  *
+  * Every arithmetic step is exact and order-independent so the DuckDB
+  * oracle reproduces assignments bit-for-bit:
+  *  - vectors quantized to integer thousandths ([[Similarity.quantize]]);
+  *  - assignment = argmin of exact integer squared Euclidean distance,
+  *    encoded as `min(dist * k + c_id)` (ties break on the smaller
+  *    centroid id) and decoded with `% k` — a single partial-aggregable
+  *    `min`, no window;
+  *  - centroid update = element-wise integer sums and a truncating
+  *    integer division (both engines truncate toward zero);
+  *  - empty clusters keep their previous centroid.
+  *
+  * Scale shape: centroids are k×dim (broadcast); assignment is a
+  * broadcast cross-join collapsed map-side by the `min` partial
+  * aggregate, so the n×k scored rows never shuffle. The update explodes
+  * dim positions per vector but partial-aggregates (cluster, pos) sums
+  * map-side — the exchange carries k×dim rows per partition, not n×dim.
+  * Fixed iteration count (no convergence probe): deterministic,
+  * SQL-unrollable, and the standard practice for IVF codebooks.
+  */
+object KMeans {
+
+  /** Quantized vectors + squared norm: (vec_id, q, xx). */
+  private def vecs(embeddings: DataFrame): DataFrame = {
+    graft.functions.LongDot.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .withColumn("xx", Similarity.dotL(col("q"), col("q")))
+  }
+
+  /** (vec_id, q, cluster) — nearest centroid per vector, exact integer
+    * argmin, smallest-centroid-id tie-break. `cents`: (c_id, cvec, cc)
+    * with c_id in [0, k). */
+  private def assignAgainst(v: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    // dist = xx + cc - 2*q.cvec >= 0, so the (dist, c_id) encoding is
+    // non-negative and min/% decode is safe
+    val dist = col("xx") + col("cc") - Similarity.dotL(col("q"), col("cvec")) * 2
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("xx"), (dist * k + col("c_id")).as("enc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("q")).as("q"), first(col("xx")).as("xx"), min(col("enc")).as("enc"))
+      .withColumn("cluster", col("enc") % k)
+      .drop("enc")
+  }
+
+  /** Trained centroids after `iters` Lloyd rounds: (c_id, cvec, cc).
+    * Init = the first k vectors by vec_id (ids assumed dense from 0, the
+    * same convention as [[Similarity.ivfTopK]]'s stand-in codebook). */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs(embeddings)
+    var cents = v.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("q").as("cvec"), col("xx").as("cc"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignAgainst(v, cents, k)
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"), expr("s div n").as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+      // empty clusters (no assigned vectors) keep their previous centroid
+      cents = cents.select(col("c_id"), col("cvec").as("cv0"))
+        .join(upd, col("c_id") === col("cluster"), "left")
+        .select(col("c_id"), coalesce(col("cvec"), col("cv0")).as("cvec"))
+        .withColumn("cc", Similarity.dotL(col("cvec"), col("cvec")))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** (vec_id, cluster): final assignment against [[fit]]'s centroids. */
+  def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs(embeddings)
+    assignAgainst(v, fit(embeddings, k, iters), k)
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** DuckDB oracle for [[cluster]] — the identical unrolled computation
+    * (exact integer dot products are representable in doubles, so
+    * list_dot_product round-trips exactly). Generated from the same
+    * constants as the Spark plan to prevent drift. */
+  private def assignCteSql(k: Int, cents: String): String = {
+    val ldp = "list_dot_product"
+    def distSql(q: String, cv: String) =
+      s"cast($ldp($q, $q) + $ldp($cv, $cv) - 2 * $ldp($q, $cv) AS BIGINT)"
+    s"""SELECT vec_id, q, min(${distSql("v.q", "c.cvec")} * $k + c.c_id) % $k AS cluster
+       |  FROM v, $cents c GROUP BY vec_id, q""".stripMargin
+  }
+
+  /** The shared CTE chain `v, c0, a0, s0, u0, c1, … c{iters}` that
+    * reproduces [[fit]] in DuckDB (composable: [[clusterOracleSql]] and
+    * the IVF-over-trained-codebook oracle both build on it). */
+  private[ext] def fitCtesSql(k: Int, iters: Int, dim: Int): String = {
+    val iterCtes = (0 until iters).map { i =>
+      // integer sums are exact in DOUBLE (values far below 2^53); cast
+      // back to BIGINT before // so both engines truncate toward zero
+      s"""a$i AS (${assignCteSql(k, s"c$i")}),
+         |s$i AS (SELECT cluster, i AS pos, cast(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$i, range(1, ${dim + 1}) t(i) GROUP BY cluster, i),
+         |u$i AS (SELECT cluster, list(s // n ORDER BY pos) AS cvec FROM s$i GROUP BY cluster),
+         |c${i + 1} AS (SELECT c.c_id, coalesce(u.cvec, c.cvec) AS cvec
+         |  FROM c$i c LEFT JOIN u$i u ON u.cluster = c.c_id)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, q AS cvec FROM v WHERE vec_id < $k),
+       |$iterCtes""".stripMargin
+  }
+
+  def clusterOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${fitCtesSql(k, iters, dim)},
+       |final AS (${assignCteSql(k, s"c$iters")})
+       |SELECT vec_id, cast(cluster AS BIGINT) AS cluster FROM final""".stripMargin
+
+  /** DuckDB oracle for `Similarity.ivfTopK(…, trainIters)` at nprobe=1:
+    * the [[fitCtesSql]] codebook, then the same cosine
+    * assignment/probe/rescore shape as the first-n-codebook IVF oracle. */
+  def ivfKmeansOracleSql(k: Int, iters: Int, dim: Int,
+                         nQueries: Int, topK: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH ${fitCtesSql(k, iters, dim)},
+       |e AS (SELECT vec_id, q FROM v WHERE list_dot_product(q, q) > 0),
+       |cf AS (SELECT c_id, cvec::DOUBLE[] AS cq FROM c$iters
+       |       WHERE list_dot_product(cvec, cvec) > 0),
+       |assign AS (
+       |  SELECT vec_id, q, cluster FROM (
+       |    SELECT e.vec_id, e.q, c.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("c.cq", "e.q")} DESC, c.c_id) AS arn
+       |    FROM e, cf c)
+       |  WHERE arn = 1),
+       |scored AS (
+       |  SELECT qs.vec_id AS q_id, x.vec_id, ${cos("qs.q", "x.q")} AS cos
+       |  FROM assign qs JOIN assign x
+       |    ON qs.vec_id < $nQueries AND x.cluster = qs.cluster AND x.vec_id != qs.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
+  }
+}

@@ -152,12 +152,21 @@ object Similarity {
     * vector. Probing is an equi-join on the bucket id.
     */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // see bruteForceTopK: zero-norm vectors would rank first with NaN
     val e = prepared(embeddings).where(col("norm") > 0)
-    val cents = broadcast(e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("norm").as("cn")))
+    // codebook: first-n stand-in, or a real Lloyd's codebook when
+    // trainIters > 0 (KMeans.fit) — every downstream shape is identical
+    val centsBase =
+      if (trainIters > 0)
+        KMeans.fit(embeddings, nCentroids, trainIters)
+          .where(col("cc") > 0)
+          .select(col("c_id"), col("cvec").as("cq"),
+            sqrt(col("cc").cast("double")).as("cn"))
+      else e.where(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("norm").as("cn"))
+    val cents = broadcast(centsBase)
     val scored = e.join(cents)
       .withColumn("ccos", cosine(col("cq"), col("cn"), col("q"), col("norm")))
     // argmax(ccos desc, c_id asc) as a partial-aggregable max_by: the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
@@ -188,6 +188,17 @@ object ExtQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin),
+
+    // ── deterministic Lloyd's k-means (IVF codebook training) ──────────
+    "q49_kmeans" -> Q(
+      (s, dir) => KMeans.cluster(Tables.embeddings(s, dir), k = 8, iters = 2),
+      KMeans.clusterOracleSql(k = 8, iters = 2, dim = 64)),
+
+    // ── IVF top-k over the TRAINED codebook (kmeans → assign → probe) ──
+    "q50_ann_ivf_kmeans" -> Q(
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir),
+        nCentroids = 8, nQueries = 8, k = 3, nprobe = 1, trainIters = 2),
+      KMeans.ivfKmeansOracleSql(k = 8, iters = 2, dim = 64, nQueries = 8, topK = 3)),
 
     // ── language ID (marker-word heuristic) ────────────────────────────
     "q37_lang_id" -> Q(

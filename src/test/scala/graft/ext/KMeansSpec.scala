@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class KMeansSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def embDf(vs: Seq[Seq[Float]]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }),
+      schema)
+
+  test("two tight groups separate after training even from bad init") {
+    // vec 0 and 1 (the init centroids) are BOTH in group A; Lloyd must
+    // still pull one centroid over to group B
+    val a = Seq(0.1f, 0.1f); val b = Seq(0.9f, 0.95f)
+    def jitter(base: Seq[Float], d: Float) = base.map(_ + d)
+    val vs = Seq(a, jitter(a, 0.01f), b, jitter(b, 0.01f), jitter(a, -0.01f),
+      jitter(b, -0.01f), jitter(b, 0.02f))
+    val got = KMeans.cluster(embDf(vs), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groupA = Set(0L, 1L, 4L).map(got)
+    val groupB = Set(2L, 3L, 5L, 6L).map(got)
+    assert(groupA.size == 1 && groupB.size == 1 && groupA != groupB,
+      s"expected clean separation, got $got")
+  }
+
+  test("empty cluster keeps its previous centroid (k survives)") {
+    // vec 2 duplicates vec 0, so in round 1 centroid 2 ties with
+    // centroid 0 everywhere and wins nothing (smaller id breaks ties);
+    // the codebook must keep it, unchanged, rather than dropping to k-1
+    val vs = Seq(Seq(0f, 0f), Seq(1f, 1f), Seq(0f, 0f), Seq(0.05f, 0f), Seq(0.9f, 1f))
+    val cents = KMeans.fit(embDf(vs), k = 3, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.size == 3)
+    assert(cents(2L) == Seq(0L, 0L))       // carried over verbatim
+    assert(cents(0L) != Seq(0L, 0L))       // cluster 0 DID move (mean of 3 pts)
+  }
+
+  test("deterministic across runs") {
+    val vs = (0 until 40).map(i => Seq((i % 7) * 0.1f, (i % 5) * 0.2f, i * 0.01f))
+    def run() = KMeans.cluster(embDf(vs), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(run() == run())
+  }
+
+  private implicit class ToSorted(xs: Array[(Long, Long)]) {
+    def toSortedMap: Seq[(Long, Long)] = xs.sortBy(_._1).toSeq
+  }
+}
