@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
@@ -57,6 +57,11 @@ object ExtQueries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.q, b.q)
       |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40""".stripMargin
+
+  /** q52 per-language keep rates: downsample over-represented English,
+    * keep the long tail (unlisted strata fall back to the default). */
+  private val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
 
   val all: Seq[(String, Q)] = Seq(
 
@@ -199,6 +204,27 @@ object ExtQueries {
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir),
         nCentroids = 8, nQueries = 8, k = 3, nprobe = 1, trainIters = 2),
       KMeans.ivfKmeansOracleSql(k = 8, iters = 2, dim = 64, nQueries = 8, topK = 3)),
+
+    // ── deterministic train/val/test split (salted-hash buckets) ───────
+    "q51_hash_split" -> Q(
+      (s, dir) => Sampling.assignSplits(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "split"),
+      {
+        val b = Sampling.bucketSql("doc_id", "split")
+        s"""SELECT doc_id,
+           |  CASE WHEN $b < 80 THEN 'train'
+           |       WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }),
+
+    // ── stratified downsampling (per-language rates) ───────────────────
+    "q52_stratified_sample" -> Q(
+      (s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
+        "doc_id", "lang", StratRates, defaultPct = 25)
+        .select("doc_id", "lang"),
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.bucketSql("doc_id", "strat")}
+         |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
     // ── language ID (marker-word heuristic) ────────────────────────────
     "q37_lang_id" -> Q(

@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSuite
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = (0L until 2000L).toDF("doc_id")
+    .withColumn("lang",
+      org.apache.spark.sql.functions.expr("element_at(array('en','en','en','de','fr'), cast(doc_id % 5 AS INT) + 1)"))
+
+  test("splits are exhaustive, disjoint, and near the 80/10/10 target") {
+    val counts = Sampling.assignSplits(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700, counts)
+    assert(counts("val") > 120 && counts("val") < 280, counts)
+  }
+
+  test("split assignment is per-row stable regardless of input subset") {
+    // the defining property vs rand(): a row's split never depends on
+    // which other rows are present
+    val full = Sampling.assignSplits(docs, "doc_id")
+      .where($"doc_id" < 100).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Sampling.assignSplits(docs.where($"doc_id" < 100), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(full == subset)
+  }
+
+  test("stratified rates bind per stratum; unlisted stratum uses default") {
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 10, "de" -> 90), defaultPct = 50)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1200 en @10%, 400 de @90%, 400 fr @50% — wide tolerance, the
+    // point is the ORDERING en << fr << de despite en being 3x larger
+    assert(byLang("en") < byLang("fr") && byLang("fr") < byLang("de"), byLang)
+    // different salts give uncorrelated samples: same rates, different rows
+    val kept2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 10, "de" -> 90), defaultPct = 50, salt = "other")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = kept2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids != ids2)
+  }
+}
