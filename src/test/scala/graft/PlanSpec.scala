@@ -59,4 +59,30 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("q02_filter_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)]"), plan)
   }
+
+  test("q40: fingerprint is a pure projection — zero exchanges, zero aggregates") {
+    val plan = planOf("q40_fingerprint")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
+  test("q51/q52: sampling plans are pure narrow scans — zero exchanges") {
+    Seq("q51_hash_split", "q52_stratified_sample").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+  }
+
+  test("q49: kmeans assignment aggregates under the broadcast — the n×k scored rows never shuffle") {
+    // final assignment plan: the only exchange above the vector scan is
+    // the one hash exchange of the PARTIAL min aggregate (one row per
+    // vector), and the centroid side joins via broadcast
+    val plan = planOf("q49_kmeans")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // partial-then-final aggregate pairs: every HashAggregate exchange
+    // carries post-aggregate (per-vector) rows, never the n×k join output
+    assert(plan.contains("partial_min") || plan.contains("partial min")
+      || "HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
 }
