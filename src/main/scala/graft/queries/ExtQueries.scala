@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
@@ -225,6 +225,13 @@ object ExtQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
+
+    // ── sequence packing (fixed-token-budget training samples) ─────────
+    "q53_seq_pack" -> Q(
+      (s, dir) => SeqPack.pack(Tables.documents(s, dir), "doc_id", "text",
+        shards = 8, seqLen = 256),
+      SeqPack.packOracleSql("documents", "doc_id", "text",
+        shards = 8, seqLen = 256)),
 
     // ── language ID (marker-word heuristic) ────────────────────────────
     "q37_lang_id" -> Q(
