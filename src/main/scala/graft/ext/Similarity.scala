@@ -95,8 +95,15 @@ object Similarity {
     val flat = withBits
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("vec_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
+    // shuffle_hash both sides: the two flat subtrees canonicalize
+    // identically, so the signature computation (bits × bands codegen'd
+    // dot products) runs ONCE and the second side reads a
+    // ReusedExchange — a broadcast would re-execute the subtree into
+    // the hashed relation
     flat.select(col("vec_id").as("vec_a") +: keyCols.map(col): _*)
-      .join(flat.select(col("vec_id").as("vec_b") +: keyCols.map(col): _*),
+      .hint("shuffle_hash")
+      .join(flat.select(col("vec_id").as("vec_b") +: keyCols.map(col): _*)
+        .hint("shuffle_hash"),
         keyCols.toSeq)
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
@@ -112,9 +119,15 @@ object Similarity {
                      bits: Int = CosineLshBits,
                      bands: Int = CosineLshBands): DataFrame = {
     val e = prepared(embeddings)
+    // shuffle_hash on both vector sides: the two prepared subtrees
+    // canonicalize identically, so the second join reads a
+    // ReusedExchange instead of re-running scan+quantize+norm (a
+    // broadcast of the pair side would re-execute the subtree twice)
     cosineLshCandidates(embeddings, dim, bits, bands)
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb")), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
+        .hint("shuffle_hash"), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
+        .hint("shuffle_hash"), "vec_b")
       .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .where(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), col("cos"))
