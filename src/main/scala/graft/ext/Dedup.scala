@@ -53,6 +53,24 @@ object Dedup {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("sh"))
 
+  /** Eval-set decontamination: drop every training document that shares
+    * ANY word n-gram with the evaluation corpus — the guard against
+    * benchmark leakage that every LLM training pipeline runs before
+    * training. Eval sets are small (thousands of prompts), so their
+    * distinct shingle dictionary BROADCASTS; the training side is one
+    * shingle explode + broadcast semi-join + anti-join on doc_id — no
+    * shuffle of the corpus at all when the contaminated-id set is also
+    * broadcast-sized, one shuffle otherwise. If the eval relation is a
+    * subset of `docs`, the eval documents themselves are removed too
+    * (they share their own shingles).
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalSh = broadcast(shingleIndex(evalDocs, n).select(col("sh")).distinct())
+    val contaminated = shingleIndex(docs, n).join(evalSh, "sh")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Stop-shingle document-frequency cap. A shingle shared by more than
     * this many documents is corpus boilerplate; its inverted-index bucket
     * would contribute df² candidate pairs (one hot shingle = one

@@ -74,6 +74,27 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_uniq"))
   }
 
+  /** Intra-document repetition score (the Gopher-style quality filter):
+    * fraction of the document's word n-grams occupied by its single most
+    * repeated n-gram. Grams are counted with multiplicity — a document
+    * that loops one phrase scores near 1. Two partial-aggregable
+    * groupBys keyed by doc (map-side combine both times); ratio is one
+    * exact-integer division per doc.
+    */
+  def repetitionScore(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_rep"))
+      .select(col("doc_id"), col("n_grams"), col("top_rep"),
+        (col("top_rep").cast("double") / col("n_grams")).as("rep_ratio"))
+  }
+
   // hash constants live on the Expression (single source of truth);
   // aliased here because the generated DuckDB oracle SQL reads them
   val FpBase: Long = graft.functions.RollingFingerprint.Base

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
 
@@ -232,6 +234,36 @@ object ExtQueries {
         shards = 8, seqLen = 256),
       SeqPack.packOracleSql("documents", "doc_id", "text",
         shards = 8, seqLen = 256)),
+
+    // ── eval-set decontamination (benchmark-leakage guard) ─────────────
+    // pseudo-eval set: every 97th document; any training doc sharing a
+    // word 3-gram with it is dropped (eval docs drop by definition)
+    "q54_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminate(docs, docs.where(col("doc_id") % 97 === 0), n = 3)
+          .select("doc_id", "lang")
+      },
+      shingleBase3 +
+        """, ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+          |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh))
+          |SELECT doc_id, lang FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+
+    // ── intra-document repetition score (Gopher-style quality filter) ──
+    "q55_repetition" -> Q(
+      (s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir), n = 2),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |            FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_grams,
+        |               cast(max(c) AS BIGINT) AS top_rep
+        |        FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, top_rep,
+        |       cast(top_rep AS DOUBLE) / n_grams AS rep_ratio
+        |FROM agg""".stripMargin),
 
     // ── language ID (marker-word heuristic) ────────────────────────────
     "q37_lang_id" -> Q(

@@ -179,4 +179,27 @@ class ExtSpec extends SparkSuite {
     assert(out(8L).getAs[Long]("luma") == 0x1D11E % 65536)  // 𝄞 beyond BMP
     assert(out(8L).getAs[Long]("width") == 8 + 6 % 16)      // 6 codepoints, not 7 UTF-16 units
   }
+
+  test("decontaminate drops eval docs and any doc sharing an n-gram with them") {
+    // doc 3 shares "quick brown fox" with eval doc 1; doc 4 is clean
+    val eval = docs.where($"doc_id" === 1)
+    val kept = Dedup.decontaminate(docs, eval, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L))  // eval doc itself
+    assert(!kept.contains(2L))  // exact copy
+    assert(!kept.contains(3L))  // near dup shares 3-grams
+    assert(kept.contains(4L))   // clean
+    assert(kept.contains(5L))   // too short to shingle => no overlap possible
+  }
+
+  test("repetition score: looped phrase scores near 1, varied text scores low") {
+    val d = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(d, n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 9 && out(1L)._2 == 5)   // "spam ham" x5 of 9 grams
+    assert(out(1L)._3 > 0.5)
+    assert(out(2L)._2 == 1 && out(2L)._3 < 0.2)  // every gram unique
+  }
 }
