@@ -1,0 +1,110 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Seeded-random cross-checks of the distributed operators against
+  * independent pure-Scala reference implementations — the same
+  * naive-vs-engine discipline TreeStatsProps applies, for the ops whose
+  * engine side needs a SparkSession.
+  *
+  * Vector components are multiples of 1/100 so quantization to integer
+  * thousandths is exact on both sides (no round-half ambiguity).
+  */
+class NaiveCrossCheckSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ── k-means ────────────────────────────────────────────────────────
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def naiveKMeans(vs: Seq[Array[Long]], k: Int, iters: Int): Map[Long, Long] = {
+    var cents: Vector[Array[Long]] = (0 until k).map(i => vs(i).clone).toVector
+    def assign(): Seq[Int] = vs.map { v =>
+      (0 until k).minBy(c => {
+        val d = v.zip(cents(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, c.toLong)
+      })
+    }
+    for (_ <- 0 until iters) {
+      val a = assign()
+      val upd = a.zipWithIndex.groupBy(_._1).map { case (c, members) =>
+        val rows = members.map(m => vs(m._2))
+        c -> rows.head.indices.map(j => rows.map(_(j)).sum / rows.size).toArray
+      }
+      cents = (0 until k).map(c => upd.getOrElse(c, cents(c))).toVector
+    }
+    assign().zipWithIndex.map { case (c, i) => i.toLong -> c.toLong }.toMap
+  }
+
+  test("KMeans.cluster matches a pure-Scala Lloyd reference on random data") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val dim = 4 + rnd.nextInt(5)
+      val k = 2 + rnd.nextInt(4)
+      val iters = 1 + rnd.nextInt(3)
+      val floats = Seq.fill(n)(Array.fill(dim)((rnd.nextInt(201) - 100) / 100.0f))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          floats.zipWithIndex.map { case (v, i) => Row(i.toLong, v.toSeq) }),
+        embSchema)
+      val got = KMeans.cluster(df, k, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = naiveKMeans(floats.map(_.map(x => Math.round(x * 1000.0))), k, iters)
+      assert(got == want, s"seed=$seed n=$n dim=$dim k=$k iters=$iters")
+    }
+  }
+
+  // ── n-gram Jaccard ─────────────────────────────────────────────────
+
+  private def naiveJaccard(docs: Seq[(Long, String)], n: Int, tau: Double) = {
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= tau
+    } yield (a, b) -> j).toMap
+
+  }
+
+  test("ngramJaccardPairs (uncapped) matches a naive all-pairs reference") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(100 + seed)
+      val docs = (0L until (10L + rnd.nextInt(15))).map { i =>
+        i -> Seq.fill(4 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, n = 2, tau = 0.3, maxDf = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = naiveJaccard(docs, n = 2, tau = 0.3)
+      assert(got.keySet == want.keySet, s"seed=$seed")
+      assert(got.forall { case (k, v) => math.abs(v - want(k)) < 1e-12 }, s"seed=$seed")
+    }
+  }
+
+  test("capped jaccard emits a subset of the uncapped pairs with identical scores") {
+    val words = Vector("w1", "w2", "w3", "boiler", "plate")
+    val rnd = new Random(7)
+    val docs = (0L until 25L).map { i =>
+      // every doc shares the "boiler plate" bigram — a guaranteed hot shingle
+      i -> (Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(3))) ++ Seq("boiler", "plate")).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    def run(maxDf: Int) = Dedup.ngramJaccardPairs(df, n = 2, tau = 0.2, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = run(5)
+    val full = run(Int.MaxValue)
+    assert(capped.keySet.subsetOf(full.keySet))
+    assert(capped.forall { case (k, v) => v == full(k) })  // scores EXACT, not approximated
+  }
+}
