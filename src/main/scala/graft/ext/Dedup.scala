@@ -48,9 +48,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
-  /** (doc_id, shingle) inverted-index relation. */
+  /** (doc_id, shingle) inverted-index relation. Input widened first —
+    * shingling is CPU-bound fan-out and a single-row-group source would
+    * run it in one task; no-op on an already-wide input. */
   def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    graft.util.Scale.widen(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("sh"))
 
   /** Eval-set decontamination: drop every training document that shares

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Quantized vectors + squared norm: (vec_id, q, xx). */
+  /** Quantized vectors + squared norm: (vec_id, q, xx). Widened first —
+    * see [[Similarity.prepared]]. */
   private def vecs(embeddings: DataFrame): DataFrame = {
     graft.functions.LongDot.register(embeddings.sparkSession)
-    embeddings.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    graft.util.Scale.widen(embeddings)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
       .withColumn("xx", Similarity.dotL(col("q"), col("q")))
   }
 
@@ -54,8 +56,17 @@ object KMeans {
   /** Trained centroids after `iters` Lloyd rounds: (c_id, cvec, cc).
     * Init = the first k vectors by vec_id (ids assumed dense from 0, the
     * same convention as [[Similarity.ivfTopK]]'s stand-in codebook). */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val v = vecs(embeddings)
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    fitVecs(persistedVecs(embeddings), k, iters)
+
+  /** Lloyd's iterates over the same vectors every round, so they are
+    * quantized once and persisted (memory, spill to disk) — the MLlib
+    * convention for iterative training input; without it every round
+    * re-runs the scan + quantize chain. */
+  private def persistedVecs(embeddings: DataFrame): DataFrame =
+    vecs(embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def fitVecs(v: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = v.where(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("q").as("cvec"), col("xx").as("cc"))
       .localCheckpoint(true)
@@ -79,10 +90,11 @@ object KMeans {
     cents
   }
 
-  /** (vec_id, cluster): final assignment against [[fit]]'s centroids. */
+  /** (vec_id, cluster): final assignment against [[fit]]'s centroids —
+    * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val v = vecs(embeddings)
-    assignAgainst(v, fit(embeddings, k, iters), k)
+    val v = persistedVecs(embeddings)
+    assignAgainst(v, fitVecs(v, k, iters), k)
       .select(col("vec_id"), col("cluster"))
   }
 

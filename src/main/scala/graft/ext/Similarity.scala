@@ -26,10 +26,13 @@ object Similarity {
     * is interpreted and dominates all-pairs join runtime). */
   def dotL(a: Column, b: Column): Column = call_function("long_dot", a, b)
 
-  /** embeddings + q (quantized) + norm columns. */
+  /** embeddings + q (quantized) + norm columns. Input widened first: the
+    * quantize/norm/signature chain is CPU-bound fan-out work, and a
+    * narrow source (one parquet row-group at fixture scale) would pin it
+    * all on one task; at cluster scale the widen is a no-op. */
   def prepared(embeddings: DataFrame): DataFrame = {
     graft.functions.LongDot.register(embeddings.sparkSession)
-    embeddings
+    graft.util.Scale.widen(embeddings)
       .withColumn("q", quantize(col("embedding")))
       .withColumn("norm", sqrt(dotL(col("q"), col("q")).cast("double")))
   }

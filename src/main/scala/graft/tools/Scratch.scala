@@ -13,23 +13,34 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // slow-stage probe (>2s): where does the time actually go?
+    // slow-stage probe: where does the time actually go? Also keeps a
+    // running total of stage wall time so driver/planning overhead is
+    // visible as (query wall - stage total).
+    val stageTotal = new java.util.concurrent.atomic.AtomicLong(0)
+    val stageCount = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
-        if (dur.exists(_ > 2000))
+        dur.foreach { d => stageTotal.addAndGet(d); stageCount.incrementAndGet() }
+        if (dur.exists(_ > 200))
           println(f"[stage] id=${si.stageId}%-5d ${dur.get / 1000.0}%7.1f s  tasks=${si.numTasks}%-4d ${si.name.takeWhile(_ != '\n').take(90)}")
       }
     })
+    def stageSnapshot(): (Long, Long) = (stageTotal.get(), stageCount.get())
+    def stageDelta(before: (Long, Long)): String = {
+      val (t, c) = stageSnapshot()
+      f"stages=${c - before._2}%-3d stageTime=${(t - before._1) / 1000.0}%6.2f s"
+    }
     // warm-up
     graft.util.Tables.events(spark, sfDir).count()
     graft.util.Tables.lineitem(spark, sfDir).count()
     def time(name: String)(f: => Long): Unit = {
+      val before = stageSnapshot()
       val t0 = System.nanoTime()
       val n = f
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  ${stageDelta(before)}")
     }
     val qs = graft.SparkEntry.queries
     def hashEval(df: org.apache.spark.sql.DataFrame): Long = {

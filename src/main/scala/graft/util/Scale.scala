@@ -20,6 +20,19 @@ object Scale {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Widen a narrow input for CPU-heavy fan-out work (signature
+    * projections, shingling): when the source has fewer partitions than
+    * `spark.sql.shuffle.partitions` — a single parquet row-group at
+    * fixture scale puts the whole chain in ONE task — repartition up;
+    * when the input is already wide (any real cluster-scale table), this
+    * is a metadata check and NO shuffle is added. The check reads only
+    * the planned partition count, never data.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Deterministically salted equi-join for skewed keys: the big side's
     * rows spread across `factor` sub-keys via a content hash (no rand()
     * — results stay reproducible), the small side replicates `factor`
