@@ -56,8 +56,14 @@ object KMeans {
   /** Trained centroids after `iters` Lloyd rounds: (c_id, cvec, cc).
     * Init = the first k vectors by vec_id (ids assumed dense from 0, the
     * same convention as [[Similarity.ivfTopK]]'s stand-in codebook). */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
-    fitVecs(persistedVecs(embeddings), k, iters)
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = persistedVecs(embeddings)
+    // the returned centroids are eagerly checkpointed each round, so the
+    // training vectors can be released as soon as the rounds finish
+    val cents = fitVecs(v, k, iters)
+    v.unpersist(blocking = false)
+    cents
+  }
 
   /** Lloyd's iterates over the same vectors every round, so they are
     * quantized once and persisted (memory, spill to disk) — the MLlib
