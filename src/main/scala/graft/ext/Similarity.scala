@@ -78,26 +78,39 @@ object Similarity {
     }
 
   /** LSH candidate pairs for cosine similarity: each vector gets
-    * bits×bands sign bits (dot against fixed ±1 hyperplanes — one
-    * codegen'd integer dot per bit); vectors sharing all bits of any
-    * band are candidates. Pure equi-join on (band, bit…): every shuffle
-    * key is a band signature, no cartesian anywhere.
+    * bits×bands sign bits — ALL of them from one codegen'd
+    * [[graft.functions.SignMask64]] evaluation (the per-plane
+    * `long_dot(q, <literal>)` composition embedded every hyperplane in
+    * the generated code; 32 planes made the projection method enormous
+    * and its compilation the dominant fixed cost). Vectors sharing all
+    * bits of any band are candidates; band keys are bit-slices of the
+    * mask, so the shuffle key is (band, int). Pure equi-join, no
+    * cartesian anywhere.
     */
   def cosineLshCandidates(embeddings: DataFrame, dim: Int,
                           bits: Int = CosineLshBits,
                           bands: Int = CosineLshBands): DataFrame = {
+    require(bits * bands <= 64, "sign mask holds at most 64 planes")
     val e = prepared(embeddings)
-    val withBits = e.select(
-      col("vec_id") +: (0 until bits * bands).map(i =>
-        (dotL(col("q"), typedLit(hyperplane(i, dim))) >= 0).cast("int").as(s"_b$i")): _*)
-    val keyCols = "band" +: (0 until bits).map(r => s"r$r")
+    val planes = Array.tabulate(bits * bands)(i => hyperplane(i, dim).toArray)
+    val mask = graft.functions.SignMask64.signMask(
+      embeddings.sparkSession, s"${bits}x${bands}x$dim", planes)(col("q"))
+    val keyCols = Seq("band", "kb")
+    // key = the band's bits masked IN PLACE (no shift needed: equality
+    // of the masked value ⟺ equality of the band's bits)
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until bits).map(r => col(s"_b${b * bits + r}").as(s"r$r")): _*)
+      struct(lit(b).as("band"),
+        col("m").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("kb"))
     }
-    val flat = withBits
+    // pin the self-join input partitioning (same trick as the Jaccard
+    // path): the join's INPUT is small so AQE would coalesce it to one
+    // task, but its OUTPUT is sum-of-bucket² rows — a user-numbered
+    // repartition keeps the explosive stage wide
+    val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val flat = e.select(col("vec_id"), mask.as("m"))
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("vec_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
+      .repartition(p, keyCols.map(col): _*)
     // shuffle_hash both sides: the two flat subtrees canonicalize
     // identically, so the signature computation (bits × bands codegen'd
     // dot products) runs ONCE and the second side reads a

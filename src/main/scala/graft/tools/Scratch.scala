@@ -24,8 +24,11 @@ object Scratch {
         val si = sc.stageInfo
         val dur = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
         dur.foreach { d => stageTotal.addAndGet(d); stageCount.incrementAndGet() }
-        if (dur.exists(_ > 200))
+        if (dur.exists(_ > 200)) {
           println(f"[stage] id=${si.stageId}%-5d ${dur.get / 1000.0}%7.1f s  tasks=${si.numTasks}%-4d ${si.name.takeWhile(_ != '\n').take(90)}")
+          if (dur.exists(_ > 2000))
+            si.details.linesIterator.filter(_.contains("graft")).take(4).foreach(l => println("    | " + l.trim))
+        }
       }
     })
     def stageSnapshot(): (Long, Long) = (stageTotal.get(), stageCount.get())
