@@ -265,6 +265,31 @@ object ExtQueries {
         |       cast(top_rep AS DOUBLE) / n_grams AS rep_ratio
         |FROM agg""".stripMargin),
 
+    // ── per-language token-count percentiles (quality dashboards) ──────
+    // exact interpolated percentiles: both engines use the (n-1)*p
+    // rank-interpolation definition, so integer inputs give identical
+    // doubles
+    "q56_length_percentiles" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"),
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n_tok"))
+        toks.groupBy(col("lang")).agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.expr("percentile(n_tok, 0.5)").as("p50"),
+          org.apache.spark.sql.functions.expr("percentile(n_tok, 0.9)").as("p90"),
+          org.apache.spark.sql.functions.expr("percentile(n_tok, 0.99)").as("p99"))
+      },
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_tok, 0.5) AS p50,
+        |  quantile_cont(n_tok, 0.9) AS p90,
+        |  quantile_cont(n_tok, 0.99) AS p99
+        |FROM (SELECT lang, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin),
+
     // ── language ID (marker-word heuristic) ────────────────────────────
     "q37_lang_id" -> Q(
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
