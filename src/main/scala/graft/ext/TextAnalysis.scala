@@ -77,20 +77,32 @@ object TextAnalysis {
   /** Intra-document repetition score (the Gopher-style quality filter):
     * fraction of the document's word n-grams occupied by its single most
     * repeated n-gram. Grams are counted with multiplicity — a document
-    * that loops one phrase scores near 1. Two partial-aggregable
-    * groupBys keyed by doc (map-side combine both times); ratio is one
-    * exact-integer division per doc.
+    * that loops one phrase scores near 1.
+    *
+    * Pure projection, ZERO shuffles: the max gram count equals the
+    * longest run in the doc's SORTED gram array, computed by one
+    * `aggregate` fold per document. (The grouped formulation —
+    * groupBy(doc, gram) then groupBy(doc) — shuffles one row per
+    * distinct gram of the corpus; per-doc state never needs to leave
+    * the row.) The fold's lambda touches only the accumulator and the
+    * element, so nothing is re-evaluated per element.
     */
   def repetitionScore(docs: DataFrame, n: Int = 2): DataFrame = {
-    val grams = docs
+    val withGrams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("g"))
-    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_rep"))
+      .select(col("doc_id"),
+        sort_array(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("grams"))
+    def run(acc: Column, g: Column) =
+      when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+    val topRep = aggregate(col("grams"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => struct(g.as("prev"), run(acc, g).as("run"),
+        greatest(acc.getField("best"), run(acc, g)).as("best")),
+      acc => acc.getField("best"))
+    withGrams.select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"), topRep.as("top_rep"))
       .select(col("doc_id"), col("n_grams"), col("top_rep"),
         (col("top_rep").cast("double") / col("n_grams")).as("rep_ratio"))
   }

@@ -66,8 +66,8 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
   }
 
-  test("q51/q52: sampling plans are pure narrow scans — zero exchanges") {
-    Seq("q51_hash_split", "q52_stratified_sample").foreach { q =>
+  test("q51/q52/q55: sampling and repetition plans are pure narrow scans — zero exchanges") {
+    Seq("q51_hash_split", "q52_stratified_sample", "q55_repetition").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("Exchange"), s"$q:\n$plan")
     }
