@@ -68,8 +68,9 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components — sign from the low bit of
     * the first md5 byte of "h:plane:dim", so any engine (and any rerun)
-    * derives the identical hyperplane family. Driver-side constant:
-    * materialized once into the plan as an array literal.
+    * derives the identical hyperplane family. Driver-side constant,
+    * shipped to executors as [[graft.functions.SignMask64]]'s referenced
+    * plane matrix.
     */
   private[ext] def hyperplane(plane: Int, dim: Int): Seq[Long] =
     (0 until dim).map { d =>

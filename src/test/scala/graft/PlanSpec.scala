@@ -73,6 +73,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q54: decontamination probes a BROADCAST eval-shingle dictionary") {
+    val plan = planOf("q54_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q49: kmeans assignment aggregates under the broadcast — the n×k scored rows never shuffle") {
     // final assignment plan: the only exchange above the vector scan is
     // the one hash exchange of the PARTIAL min aggregate (one row per
