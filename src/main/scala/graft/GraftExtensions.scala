@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{LongDot, Md5Prefix64, RollingFingerprint}
+
+/** Library entry point for the SQL surface: the custom codegen
+  * expressions as SQL-callable functions.
+  *
+  * Two ways in:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` — the
+  *    standard library packaging; functions exist in every session of
+  *    the application, usable from `spark.sql("SELECT long_dot(a, b)")`.
+  *  - programmatic: `GraftExtensions.registerAll(spark)` on an existing
+  *    session (what the query registry does internally per function).
+  *
+  * `sign_mask64` is deliberately absent: its hyperplane matrix is a
+  * constructor parameter (not a child expression), so it has no
+  * argument-only SQL form — use `Similarity.cosineLshCandidates`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private[graft] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("long_dot"), info("long_dot", classOf[LongDot]),
+      exprs => LongDot(exprs.head, exprs(1))),
+    (FunctionIdentifier("md5_prefix64"), info("md5_prefix64", classOf[Md5Prefix64]),
+      exprs => Md5Prefix64(exprs.head)),
+    (FunctionIdentifier("rolling_fp"), info("rolling_fp", classOf[RollingFingerprint]),
+      exprs => RollingFingerprint(exprs.head)))
+
+  /** Register every function on an existing session (temp-function
+    * registry — same names the extension path injects). */
+  def registerAll(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
+}
