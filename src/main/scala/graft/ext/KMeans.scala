@@ -46,9 +46,9 @@ object KMeans {
     // non-negative and min/% decode is safe
     val dist = col("xx") + col("cc") - Similarity.dotL(col("q"), col("cvec")) * 2
     v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("xx"), (dist * k + col("c_id")).as("enc"))
+      .select(col("vec_id"), col("q"), (dist * k + col("c_id")).as("enc"))
       .groupBy(col("vec_id"))
-      .agg(first(col("q")).as("q"), first(col("xx")).as("xx"), min(col("enc")).as("enc"))
+      .agg(first(col("q")).as("q"), min(col("enc")).as("enc"))
       .withColumn("cluster", col("enc") % k)
       .drop("enc")
   }
