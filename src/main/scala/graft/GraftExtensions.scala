@@ -31,14 +31,30 @@ object GraftExtensions {
   private def info(name: String, clazz: Class[_]): ExpressionInfo =
     new ExpressionInfo(clazz.getName, name)
 
+  /** Wraps a builder with an arity check so `SELECT long_dot(a)` fails
+    * analysis with a readable wrong-number-of-arguments error instead of
+    * an IndexOutOfBoundsException from inside the builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   private[graft] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("long_dot"), info("long_dot", classOf[LongDot]),
-      exprs => LongDot(exprs.head, exprs(1))),
+      arity("long_dot", 2)(exprs => LongDot(exprs.head, exprs(1)))),
     (FunctionIdentifier("md5_prefix64"), info("md5_prefix64", classOf[Md5Prefix64]),
-      exprs => Md5Prefix64(exprs.head)),
+      arity("md5_prefix64", 1)(exprs => Md5Prefix64(exprs.head))),
     (FunctionIdentifier("rolling_fp"), info("rolling_fp", classOf[RollingFingerprint]),
-      exprs => RollingFingerprint(exprs.head)))
+      arity("rolling_fp", 1)(exprs => RollingFingerprint(exprs.head))))
 
   /** Register every function on an existing session (temp-function
     * registry — same names the extension path injects). */

@@ -100,7 +100,13 @@ object KMeans {
     * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = persistedVecs(embeddings)
-    assignAgainst(v, fitVecs(v, k, iters), k)
+    // training runs eagerly here (each round localCheckpoints), so the
+    // cache pays off across Lloyd rounds; release it before returning —
+    // the lazy assignment pass just recomputes the narrow quantize scan
+    // once instead of leaking a cached relation for the session lifetime
+    val cents = fitVecs(v, k, iters)
+    v.unpersist(blocking = false)
+    assignAgainst(v, cents, k)
       .select(col("vec_id"), col("cluster"))
   }
 

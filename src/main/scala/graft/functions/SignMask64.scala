@@ -53,7 +53,12 @@ object SignMask64 {
     var i = 0
     while (i < planes.length) {
       val p = planes(i)
-      val n = math.min(q.numElements(), p.length)
+      // a dim mismatch must fail loudly: a truncated dot product would
+      // silently degrade LSH recall (candidate pairs quietly lost)
+      if (q.numElements() != p.length)
+        throw new IllegalArgumentException(
+          s"sign_mask64: embedding dim ${q.numElements()} != plane dim ${p.length}")
+      val n = p.length
       var s = 0L
       var j = 0
       while (j < n) { s += q.getLong(j) * p(j); j += 1 }

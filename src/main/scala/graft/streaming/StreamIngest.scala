@@ -52,13 +52,21 @@ object StreamIngest {
     // driver-side collect of the batch's DISTINCT DATES — metadata-sized
     // (bounded by the lateness window), never row data
     val dts = fresh.select("dt").distinct().collect().map(_.getDate(0))
+    // null ts ⇒ null dt ⇒ the default partition; isin never matches null,
+    // so those rows need an explicit isNull disjunct or a replayed batch
+    // would re-append them outside the exactly-once contract
+    val (nullDt, realDts) = dts.partition(_ == null)
+    val dtFilter = {
+      val in = col("dt").isin(realDts.toIndexedSeq: _*)
+      if (nullDt.nonEmpty) in || col("dt").isNull else in
+    }
     // only a missing path (AnalysisException) means "first batch" — any
     // other read failure (corrupt file, transient FS error) must fail
     // the batch, not silently skip the dedup that provides the
     // exactly-once contract
     val existing =
       try Some(batch.sparkSession.read.parquet(outDir)
-        .where(col("dt").isin(dts.toIndexedSeq: _*)).select("event_id"))
+        .where(dtFilter).select("event_id"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     existing match {
       case Some(e) => fresh.join(e, Seq("event_id"), "left_anti")

@@ -17,6 +17,16 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(row.getLong(2) > 0L)
   }
 
+  test("wrong arity fails analysis with a readable error, not an index error") {
+    GraftExtensions.registerAll(spark)
+    for (bad <- Seq("SELECT long_dot(array(1L))",
+                    "SELECT md5_prefix64('a', 'b')",
+                    "SELECT rolling_fp()")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).head())
+      assert(e.getMessage.contains("requires"), s"unexpected message for `$bad`: ${e.getMessage}")
+    }
+  }
+
   test("the extensions class injects the same function set (builder smoke)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)   // must not throw; builders are shared

@@ -86,9 +86,13 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("q49_kmeans")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
-    // partial-then-final aggregate pairs: every HashAggregate exchange
-    // carries post-aggregate (per-vector) rows, never the n×k join output
-    assert(plan.contains("partial_min") || plan.contains("partial min")
-      || "HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // the partial min must sit BELOW the shuffle: in the plan tree string
+    // children print after parents, so the partial_min aggregate has to
+    // appear after the hash exchange that carries its (per-vector) output
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    val partialAt = plan.indexOf("partial_min")
+    assert(partialAt >= 0, s"no partial_min aggregate in plan:\n$plan")
+    assert(exchangeAt >= 0 && exchangeAt < partialAt,
+      s"partial_min is not below the hash exchange — the n×k join output would shuffle:\n$plan")
   }
 }

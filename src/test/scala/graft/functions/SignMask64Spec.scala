@@ -32,6 +32,15 @@ class SignMask64Spec extends SparkSuite {
     assert(masked == spelled)
   }
 
+  test("a dim mismatch fails loudly instead of silently truncating the dot product") {
+    val shortVecs = Seq((0L, Seq.fill(dim - 2)(1L))).toDF("id", "q")
+    val e = intercept[Exception] {
+      shortVecs.select(SignMask64.signMask(spark, "spec", planes)(col("q"))).collect()
+    }
+    assert(e.getMessage.contains("dim") || e.getCause != null &&
+      e.getCause.getMessage.contains("dim"), s"expected a dim-mismatch error, got: $e")
+  }
+
   test("interpreted eval matches codegen eval") {
     def run() = df.select(SignMask64.signMask(spark, "spec", planes)(col("q")))
       .collect().map(_.getLong(0)).toSeq

@@ -58,6 +58,25 @@ class StreamIngestSpec extends SparkSuite {
     assert(pf.findFirstIn(plan).isDefined, s"no dt partition pruning in:\n$plan")
   }
 
+  test("null-timestamp rows stay inside the exactly-once contract on replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits._
+    val out = Files.createTempDirectory("nullts_out").toString + "/data"
+    def row(id: Long, ts: java.sql.Timestamp) = (id, ts, 1L, "click", 1.5, "{}")
+    val d1 = java.sql.Timestamp.valueOf("2023-12-01 00:00:00")
+    // sink already holds one dated row and one null-ts row (default partition)
+    Seq(row(1L, d1), row(2L, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("dt", to_date(col("ts")))
+      .write.partitionBy("dt").parquet(out)
+    // replayed batch: both existing rows (incl. the null-ts one) + one new null-ts
+    val batch = Seq(row(1L, d1), row(2L, null), row(3L, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ids = StreamIngest.notYetWritten(batch, out)
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == Seq(3L), s"replayed null-ts row escaped dedup: $ids")
+  }
+
   test("flatMapGroupsWithState keeps per-user session state across micro-batches") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream_state").toString
