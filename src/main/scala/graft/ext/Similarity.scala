@@ -88,66 +88,97 @@ object Similarity {
     * mask, so the shuffle key is (band, int). Pure equi-join, no
     * cartesian anywhere.
     */
-  def cosineLshCandidates(embeddings: DataFrame, dim: Int,
-                          bits: Int = CosineLshBits,
-                          bands: Int = CosineLshBands): DataFrame = {
+  /** The banded LSH relation behind [[cosineLshCandidates]] /
+    * [[cosineDupPairs]]: one row per (vector, band) carrying the listed
+    * payload columns, keyed by (band, kb) and repartitioned on that key.
+    *
+    * Key = the band's bits masked IN PLACE (no shift needed: equality of
+    * the masked value ⟺ equality of the band's bits). All bits×bands
+    * sign bits come from ONE codegen'd [[graft.functions.SignMask64]]
+    * evaluation (the per-plane `long_dot(q, <literal>)` composition
+    * embedded every hyperplane in the generated code; 32 planes made the
+    * projection method enormous and its compilation the dominant fixed
+    * cost).
+    *
+    * The repartition pins the self-join input partitioning (same trick
+    * as the Jaccard path): the join's INPUT is small so AQE would
+    * coalesce it to one task, but its OUTPUT is sum-of-bucket² rows — a
+    * user-numbered repartition keeps the explosive stage wide.
+    */
+  private def bandedFlat(e: DataFrame, dim: Int, bits: Int, bands: Int,
+                         payload: Seq[String]): DataFrame = {
     require(bits * bands <= 64, "sign mask holds at most 64 planes")
-    val e = prepared(embeddings)
     val planes = Array.tabulate(bits * bands)(i => hyperplane(i, dim).toArray)
     val mask = graft.functions.SignMask64.signMask(
-      embeddings.sparkSession, s"${bits}x${bands}x$dim", planes)(col("q"))
-    val keyCols = Seq("band", "kb")
-    // key = the band's bits masked IN PLACE (no shift needed: equality
-    // of the masked value ⟺ equality of the band's bits)
+      e.sparkSession, s"${bits}x${bands}x$dim", planes)(col("q"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         col("m").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("kb"))
     }
-    // pin the self-join input partitioning (same trick as the Jaccard
-    // path): the join's INPUT is small so AQE would coalesce it to one
-    // task, but its OUTPUT is sum-of-bucket² rows — a user-numbered
-    // repartition keeps the explosive stage wide
-    val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    val flat = e.select(col("vec_id"), mask.as("m"))
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
-      .repartition(p, keyCols.map(col): _*)
-    // shuffle_hash both sides: the two flat subtrees canonicalize
-    // identically, so the signature computation (bits × bands codegen'd
-    // dot products) runs ONCE and the second side reads a
-    // ReusedExchange — a broadcast would re-execute the subtree into
-    // the hashed relation
-    flat.select(col("vec_id").as("vec_a") +: keyCols.map(col): _*)
+    val p = e.sparkSession.sessionState.conf.numShufflePartitions
+    e.select(col("vec_id") +: payload.map(col) :+ mask.as("m"): _*)
+      .select(col("vec_id") +: payload.map(col) :+ explode(array(bandStructs: _*)).as("bs"): _*)
+      .select(Seq(col("vec_id"), col("bs.band").as("band"), col("bs.kb").as("kb"))
+        ++ payload.map(col): _*)
+      .repartition(p, col("band"), col("kb"))
+  }
+
+  /** LSH candidate pairs for cosine similarity: vectors sharing all bits
+    * of any band are candidates. Pure equi-join on (band, kb), no
+    * cartesian anywhere; the two flat subtrees canonicalize identically,
+    * so the signature computation runs ONCE and the second side reads a
+    * ReusedExchange (shuffle_hash — a broadcast would re-execute the
+    * subtree into the hashed relation).
+    */
+  def cosineLshCandidates(embeddings: DataFrame, dim: Int,
+                          bits: Int = CosineLshBits,
+                          bands: Int = CosineLshBands): DataFrame = {
+    val flat = bandedFlat(prepared(embeddings), dim, bits, bands, Seq.empty)
+    flat.select(col("vec_id").as("vec_a"), col("band"), col("kb"))
       .hint("shuffle_hash")
-      .join(flat.select(col("vec_id").as("vec_b") +: keyCols.map(col): _*)
+      .join(flat.select(col("vec_id").as("vec_b"), col("band"), col("kb"))
         .hint("shuffle_hash"),
-        keyCols.toSeq)
+        Seq("band", "kb"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
   }
 
-  /** Near-duplicate pairs with cosine >= tau — the scale path: LSH
-    * banded candidates (equi-join prefilter) + exact rescore, so every
-    * emitted score is identical to [[cosineDupPairsExact]]'s and only
-    * recall is probabilistic (tunable via bits/bands).
+  /** Near-duplicate pairs with cosine >= tau — the scale path: banded
+    * LSH equi-join with the quantized vectors carried THROUGH the join
+    * (the MLlib `approxSimilarityJoin` shape), cosine computed inline on
+    * the join output, tau filter applied BEFORE the pair dedup. Every
+    * emitted score is identical to [[cosineDupPairsExact]]'s (same
+    * integer dot product both times a pair collides, so the final
+    * distinct sees bit-identical rows) and only recall is probabilistic
+    * (tunable via bits/bands).
+    *
+    * Why inline instead of candidates-then-rescore-joins: the tau filter
+    * runs inside the band-join stage, so the only exchange after the
+    * (reused) flat shuffle carries SURVIVING pairs — at any tau worth
+    * the name that is orders of magnitude smaller than the candidate
+    * set. The id-only variant shuffled the full candidate set three
+    * times (distinct + two vector-attach joins). The cost is carrying
+    * the vector payload through one bands-wide exchange — bands×|e|
+    * vector bytes, the same coin MLlib pays, and a narrow stage at any
+    * scale.
     */
   def cosineDupPairs(embeddings: DataFrame, tau: Double, dim: Int,
                      bits: Int = CosineLshBits,
                      bands: Int = CosineLshBands): DataFrame = {
-    val e = prepared(embeddings)
-    // shuffle_hash on both vector sides: the two prepared subtrees
-    // canonicalize identically, so the second join reads a
-    // ReusedExchange instead of re-running scan+quantize+norm (a
-    // broadcast of the pair side would re-execute the subtree twice)
-    cosineLshCandidates(embeddings, dim, bits, bands)
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm").as("na"))
-        .hint("shuffle_hash"), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm").as("nb"))
-        .hint("shuffle_hash"), "vec_b")
+    val flat = bandedFlat(prepared(embeddings), dim, bits, bands, Seq("q", "norm"))
+    flat.select(col("vec_id").as("vec_a"), col("band"), col("kb"),
+        col("q").as("qa"), col("norm").as("na"))
+      .hint("shuffle_hash")
+      .join(flat.select(col("vec_id").as("vec_b"), col("band"), col("kb"),
+          col("q").as("qb"), col("norm").as("nb"))
+        .hint("shuffle_hash"),
+        Seq("band", "kb"))
+      .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .where(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
   }
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
