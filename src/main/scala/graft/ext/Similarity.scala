@@ -57,14 +57,29 @@ object Similarity {
 
   /** Sign-bit LSH parameters for [[cosineDupPairs]]: `CosineLshBits`
     * hyperplanes per band × `CosineLshBands` bands. More bits per band →
-    * smaller buckets (more pruning); more bands → higher recall. The
-    * defaults favour recall (collision probability per bit is
-    * 1 − θ/π, so at a LOW tau like 0.4 only wide banding keeps recall
-    * high); for production near-dup thresholds (tau ≥ 0.8) raise bits to
-    * 8–16 for real pruning.
+    * smaller buckets (more pruning); more bands → higher recall.
+    *
+    * Tuning rule (sign-LSH collision probability per plane is
+    * p = 1 − acos(cos)/π, so a pair at cosine c is a candidate with
+    * probability `recall(c) = 1 − (1 − p^bits)^bands`):
+    *  - tau 0.4 (this fixture's oracle gate): p ≈ 0.63 — only WIDE
+    *    banding keeps recall ≈ 1, hence the 2×16 default; expect near
+    *    zero pruning of random pairs (p_rand = 0.5 per plane).
+    *  - tau ≥ 0.8 (production near-dup): use [[ProductionLshBits]] ×
+    *    [[ProductionLshBands]] (8×8). Theory: recall ≈ 0.75 at exactly
+    *    c = 0.8, ≥ 0.93 at c = 0.9, while a random pair survives with
+    *    probability 1 − (1 − 2⁻⁸)⁸ ≈ 0.03 — ~30× candidate pruning.
+    *    The floor is property-tested in ExtSpec ("production-tau LSH
+    *    recall").
+    *  - both presets keep bits × bands ≤ 64 so one [[SignMask64]] mask
+    *    carries every plane.
     */
   val CosineLshBits = 2
   val CosineLshBands = 16
+
+  /** Production preset for tau ≥ 0.8 — see the tuning rule above. */
+  val ProductionLshBits = 8
+  val ProductionLshBands = 8
 
   /** Deterministic ±1 hyperplane components — sign from the low bit of
     * the first md5 byte of "h:plane:dim", so any engine (and any rerun)

@@ -61,6 +61,38 @@ class ExtSpec extends SparkSuite {
     assert(pruned == exact)
   }
 
+  test("production-tau LSH recall: 8x8 banding keeps >=0.8 of true pairs and actually prunes") {
+    // Synthetic clustered corpus: 150 random base vectors (dim 16), each
+    // with one planted near-duplicate at cosine ~0.85-0.99 (random
+    // perturbation). Ground truth = the exact pairs at tau 0.8; the
+    // 8-bit x 8-band production preset must (a) recall most of them and
+    // (b) prune the candidate set hard — the two properties that make it
+    // a preset worth shipping, per the tuning rule on CosineLshBits.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = Seq.tabulate(150)(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val noise = 0.05 + rnd.nextDouble() * 0.22 // cosine ~0.88-0.99
+      val dup = unit(v.zip(Array.fill(dim)(rnd.nextGaussian() * noise)).map { case (a, b) => a + b })
+      Seq((2L * i, v.map(_.toFloat)), (2L * i + 1, dup.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.cosineDupPairsExact(df, tau = 0.8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 90, s"fixture too sparse: ${truth.size} true pairs")
+    val cand = Similarity.cosineLshCandidates(df, dim,
+        bits = Similarity.ProductionLshBits, bands = Similarity.ProductionLshBands)
+      .as[(Long, Long)].collect().toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.8, f"recall $recall%.3f below floor 0.8 (${truth.size} true pairs)")
+    // pruning: candidates must be a small fraction of all 300-choose-2 pairs
+    val allPairs = 300 * 299 / 2
+    assert(cand.size < allPairs / 5, s"no real pruning: ${cand.size} of $allPairs pairs")
+  }
+
   test("jaccard stop-shingle cap: candidates skip hot shingles, scores stay exact") {
     // Every doc shares the boilerplate prefix "x y z ..." (one hot
     // shingle family); pairs (1,2) additionally share a COLD overlap.
