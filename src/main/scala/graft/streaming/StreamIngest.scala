@@ -88,6 +88,36 @@ object StreamIngest {
       }
       .start()
 
+  /** Watermark-scoped alternative to [[ingest]]: the dedup window is
+    * EXPLICIT and watermark-driven instead of implicit-by-partitioning.
+    * `dropDuplicatesWithinWatermark` keeps each event_id in the state
+    * store until the watermark passes its event time + `lateness`, so
+    *  - a duplicate arriving within `lateness` of the first occurrence's
+    *    event time is guaranteed suppressed (any ts date — this variant
+    *    also dedups cross-date duplicates the per-date anti-join treats
+    *    as new events);
+    *  - once the watermark passes, the key is evicted and the same
+    *    event_id re-inserts — the same bounded-lateness contract, now
+    *    stated in one knob.
+    * Exactly-once to storage comes from the parquet sink's commit log
+    * (no foreachBatch needed). State is O(keys within the lateness
+    * window), the streaming-native bound. Rows with null ts have no
+    * event time and are dropped by the watermark operator — quarantine
+    * them upstream ([[ingest]]'s anti-join path handles them instead).
+    */
+  def ingestWatermarked(spark: SparkSession, srcDir: String, checkpointDir: String,
+                        outDir: String, lateness: String = "1 day"): StreamingQuery =
+    spark.readStream.schema(eventSchema).json(srcDir)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("dt", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("dt")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Custom per-key state across micro-batches via
     * `flatMapGroupsWithState`: running session/event counters per user
     * with a session gap — the stateful-stream analog of

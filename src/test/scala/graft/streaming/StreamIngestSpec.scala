@@ -58,6 +58,39 @@ class StreamIngestSpec extends SparkSuite {
     assert(pf.findFirstIn(plan).isDefined, s"no dt partition pruning in:\n$plan")
   }
 
+  test("watermark-scoped dedup: suppresses in-window duplicates (cross-date too), re-admits after eviction") {
+    val src = Files.createTempDirectory("wm_src").toString
+    val chk = Files.createTempDirectory("wm_chk").toString
+    val out = Files.createTempDirectory("wm_out").toString + "/data"
+    def ev(id: Long, ts: String): String =
+      s"""{"event_id": $id, "ts": "$ts", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}"""
+    def run(): Unit = {
+      val q = StreamIngest.ingestWatermarked(spark, src, chk, out, lateness = "1 day")
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: events 1, 2 at T0
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(ev(1, "2024-01-01T00:00:00Z"), ev(2, "2024-01-01T01:00:00Z")).mkString("\n").getBytes)
+    run()
+    // batch 2: duplicate of 2 (same ts — in window, suppressed) + a
+    // NEXT-DAY duplicate of 1 (still within the 1-day lateness of its
+    // first occurrence — suppressed even though its dt differs, the case
+    // the per-date anti-join path admits) + event 99 three days out,
+    // which advances the watermark past every batch-1 key's expiry
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(ev(2, "2024-01-01T01:00:00Z"), ev(1, "2024-01-01T20:00:00Z"),
+        ev(99, "2024-01-04T00:00:00Z")).mkString("\n").getBytes)
+    run()
+    // batch 3: event 1 again, after watermark eviction → re-admitted
+    Files.write(java.nio.file.Paths.get(s"$src/b3.json"),
+      ev(1, "2024-01-04T02:00:00Z").getBytes)
+    run()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 1L, 2L, 99L),
+      s"expected in-window dups suppressed and post-eviction re-admit, got $ids")
+  }
+
   test("null-timestamp rows stay inside the exactly-once contract on replay") {
     import org.apache.spark.sql.functions.{col, to_date}
     import spark.implicits._
