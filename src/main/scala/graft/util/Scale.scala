@@ -25,12 +25,27 @@ object Scale {
     * `spark.sql.shuffle.partitions` — a single parquet row-group at
     * fixture scale puts the whole chain in ONE task — repartition up;
     * when the input is already wide (any real cluster-scale table), this
-    * is a metadata check and NO shuffle is added. The check reads only
-    * the planned partition count, never data.
+    * is a metadata check and NO shuffle is added.
+    *
+    * The partition-count probe (`.rdd.getNumPartitions`) is safe only on
+    * a shuffle-free plan: building the RDD for a scan+narrow chain is
+    * pure lineage construction, but on a plan AQE wrapped (i.e. one
+    * containing an exchange) it would finalize the adaptive plan and can
+    * force stage execution. Such an input has already been sized by its
+    * shuffle (numShufflePartitions or AQE's coalesced choice), so it is
+    * returned untouched — never probed.
     */
   def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val alreadyShuffled = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (alreadyShuffled) df
+    else {
+      val p = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 
   /** Deterministically salted equi-join for skewed keys: the big side's

@@ -42,6 +42,27 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("widen repartitions a narrow leaf up to numShufflePartitions") {
+    val narrow = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    val p = spark.sessionState.conf.numShufflePartitions
+    assert(Scale.widen(narrow).rdd.getNumPartitions == p)
+  }
+
+  test("widen leaves a post-shuffle input untouched without finalizing its adaptive plan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val agg = (1 to 1000).map(i => (i.toLong % 10, i)).toDF("k", "v")
+      .groupBy("k").count()
+    val out = Scale.widen(agg)
+    assert(out eq agg, "post-shuffle input must be returned as-is")
+    // the old .rdd probe would have finalized the AQE plan (running its
+    // stages); the planned-only probe must leave it unexecuted
+    out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        assert(!a.isFinalPlan, "widen forced adaptive plan finalization (stage execution)")
+      case other => fail(s"expected an AQE-wrapped plan, got ${other.nodeName}")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of the big side lands on key 1
     val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
