@@ -196,6 +196,35 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
   }
 
+  /** [[clusterPairs]] with an explicit SURVIVOR POLICY: the canonical
+    * document of each cluster is the member maximizing `quality`
+    * (ties → smallest doc_id), instead of the hardcoded min-id. Training
+    * pipelines usually keep the longest / highest-quality copy of a
+    * near-dup cluster, not the one with the smallest id — pass e.g.
+    * `length(col("text"))` or a quality-score column.
+    *
+    * `docs` must carry `doc_id` plus whatever columns `quality` reads.
+    * Scale shape: unchanged from [[clusterPairs]] — the CC label is
+    * still the min-id component; the policy adds one groupBy on the
+    * cluster label (max_by partial-aggregates map-side) and one
+    * label-keyed join back.
+    */
+  def clusterPairsBy(docs: DataFrame, pairs: DataFrame, quality: Column): DataFrame = {
+    val cc = graft.graph.ConnectedComponents.run(pairs.select(col("a"), col("b")))
+    val labeled = docs
+      .join(cc, col("doc_id") === col("id"), "left")
+      .withColumn("_cl", coalesce(col("component"), col("doc_id")))
+    // survivor = max over the cluster of (quality, -doc_id) — highest
+    // quality wins, smallest id breaks ties; struct ordering is
+    // lexicographic so one partial-aggregable max_by carries the policy
+    val survivors = labeled.groupBy(col("_cl"))
+      .agg(max_by(col("doc_id"), struct(quality.as("_q"), (-col("doc_id")).as("_nid")))
+          .as("canonical_id"),
+        count(lit(1)).as("cluster_size"))
+    labeled.join(survivors.hint("shuffle_hash"), "_cl")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+  }
+
   /** End-to-end near-dedup over documents: capped Jaccard pairs →
     * connected components (see [[clusterPairs]] to cluster a different
     * pair source, e.g. embedding-cosine pairs).

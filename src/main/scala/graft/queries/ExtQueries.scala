@@ -127,6 +127,43 @@ object ExtQueries {
           |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
           |FROM lab""".stripMargin),
 
+    // ── survivor policy: same clusters, keep the LONGEST member ────────
+    // q45's pipeline with clusterPairsBy(quality = text length): the
+    // canonical id of each near-dup cluster is the longest document
+    // (ties → smallest id), the policy training pipelines actually want.
+    "q57_dedup_survivor" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.clusterPairsBy(docs,
+          Dedup.ngramJaccardPairs(docs, n = 5, tau = 0.5)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")),
+          org.apache.spark.sql.functions.length(col("text")))
+      },
+      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
+        """, qual AS (
+          |  SELECT doc_a, doc_b FROM pairs
+          |  JOIN cnt ca ON doc_a = ca.doc_id
+          |  JOIN cnt cb ON doc_b = cb.doc_id
+          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+          |        UNION ALL SELECT doc_b, doc_a FROM qual),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+          |          FROM reach GROUP BY a),
+          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cl,
+          |               length(d.text) AS q
+          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+          |surv AS (SELECT cl, doc_id AS canonical_id FROM (
+          |  SELECT cl, doc_id,
+          |         row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+          |  FROM lab) WHERE rn = 1)
+          |SELECT l.doc_id, s.canonical_id,
+          |       count(*) OVER (PARTITION BY l.cl) AS cluster_size
+          |FROM lab l JOIN surv s USING (cl)""".stripMargin),
+
     // ── SimHash fingerprints ───────────────────────────────────────────
     "q33_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhash(Tables.documents(s, dir)),

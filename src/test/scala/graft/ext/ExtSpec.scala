@@ -168,6 +168,21 @@ class ExtSpec extends SparkSuite {
     assert(got == 1 * 4 + 2 * 5 + 3 * 6)
   }
 
+  test("clusterPairsBy keeps the highest-quality member, min id on ties") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = Seq(
+      (1L, "short"), (2L, "the much longer survivor text"), (3L, "mid text"),
+      (4L, "same len a"), (5L, "same len b"),   // tie → min id 4
+      (6L, "singleton untouched")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.clusterPairsBy(d, pairs, length(col("text")))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (2L, 3L) && out(2L) == (2L, 3L) && out(3L) == (2L, 3L))
+    assert(out(4L) == (4L, 2L) && out(5L) == (4L, 2L))   // tie broken on min id
+    assert(out(6L) == (6L, 1L))                          // singleton survives itself
+  }
+
   test("clusterPairs composes with the cosine pair generator") {
     // vectors 0~1 and 2~3 are near-dups; clustering their cosine pairs
     // over the vec_id universe must yield {0,1}, {2,3}, {4}
