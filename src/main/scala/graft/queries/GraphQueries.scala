@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.Closure
-import graft.stats.{TreeInput, TreeStats}
+import graft.stats.{TreeInput, TreeStats, TreeStatsIterative}
 import graft.util.Tables
 
 /** Graph-closure (J3/J4) and tree-statistics (A4/A5/A6/P13) coverage.
@@ -76,6 +76,114 @@ object GraphQueries {
       |  FROM pos
       |)""".stripMargin
 
+  /** Shared q23/q58 input: tweet-shaped chain rows typed as TreeInput. */
+  private def treeInput(s: SparkSession, dir: String): Dataset[TreeInput] = {
+    import s.implicits._
+    eventsAsTweets(s, dir).select(
+      col("tweet_id"), col("author_id"), col("in_reply_to"),
+      col("retweet_of"), col("quotes"),
+      col("reply_count"), col("quote_count"), col("like_count"),
+      col("retweet_count"), col("user_id").as("group_id")).as[TreeInput]
+  }
+
+  /** The 41-column tree-statistics oracle, shared by q23 (in-memory
+    * aggregate) and q58 (relational escape hatch): on chains every
+    * formula is window-expressible. */
+  private val treeStatsOracle: String = oracleBase +
+    """, stats AS (
+      |  SELECT *,
+      |    coalesce(sum(is_flag) OVER schain, 0) AS ur_leaf,
+      |    coalesce(sum(is_flag * idx) OVER schain, 0) AS sum_flag_idx,
+      |    sum(reply_count) OVER sseg_incl AS t_reply,
+      |    sum(quote_count) OVER sseg_incl AS t_quote,
+      |    sum(like_count) OVER sseg_incl AS t_like,
+      |    sum(retweet_count) OVER sseg_incl AS t_retweet,
+      |    count(DISTINCT author_id) OVER sseg_incl AS t_auth,
+      |    sum(reply_count) OVER schain_incl AS ur_t_reply,
+      |    sum(quote_count) OVER schain_incl AS ur_t_quote,
+      |    sum(like_count) OVER schain_incl AS ur_t_like,
+      |    sum(retweet_count) OVER schain_incl AS ur_t_retweet,
+      |    count(DISTINCT author_id) OVER schain_incl AS ur_t_auth,
+      |    lead(reply_count) OVER wc AS nx_reply,
+      |    lead(quote_count) OVER wc AS nx_quote,
+      |    lead(like_count) OVER wc AS nx_like,
+      |    lead(retweet_count) OVER wc AS nx_retweet,
+      |    lead(d_seg) OVER wc AS nx_d_seg
+      |  FROM flags
+      |  WINDOW
+      |    wc AS (PARTITION BY user_id ORDER BY idx),
+      |    schain AS (PARTITION BY user_id ORDER BY idx
+      |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+      |    schain_incl AS (PARTITION BY user_id ORDER BY idx
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      |    sseg_incl AS (PARTITION BY user_id, seg_id ORDER BY idx
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT
+      |  tweet_id,
+      |  cast(CASE WHEN d_seg > 0 THEN 1 ELSE 0 END AS BIGINT) AS children,
+      |  cast(CASE WHEN d_ur > 0 THEN 1 ELSE 0 END AS BIGINT) AS ur_children,
+      |  cast(d_seg AS BIGINT) AS descendants,
+      |  cast(d_ur AS BIGINT) AS ur_descendants,
+      |  cast(CASE WHEN d_seg > 0 THEN 1 ELSE 0 END AS BIGINT) AS leaf_descendants,
+      |  cast(ur_leaf AS BIGINT) AS ur_leaf_descendants,
+      |  cast(d_seg AS BIGINT) AS max_depth,
+      |  cast(d_ur AS BIGINT) AS ur_max_depth,
+      |  cast(t_auth AS BIGINT) AS t_authors,
+      |  cast(ur_t_auth AS BIGINT) AS ur_t_authors,
+      |  cast(t_reply AS BIGINT) AS t_reply_count,
+      |  cast(ur_t_reply AS BIGINT) AS ur_t_reply_count,
+      |  cast(t_quote AS BIGINT) AS t_quote_count,
+      |  cast(ur_t_quote AS BIGINT) AS ur_t_quote_count,
+      |  cast(t_like AS BIGINT) AS t_like_count,
+      |  cast(ur_t_like AS BIGINT) AS ur_t_like_count,
+      |  cast(t_retweet AS BIGINT) AS t_retweet_count,
+      |  cast(ur_t_retweet AS BIGINT) AS ur_t_retweet_count,
+      |  d_seg / (1.0 + d_seg - CASE WHEN d_seg > 0 THEN 1 ELSE 0 END) AS branching_factor,
+      |  d_ur / (1.0 + d_ur - ur_leaf) AS ur_branching_factor,
+      |  CASE WHEN d_seg > 0 THEN cast(d_seg - 1 AS DOUBLE) ELSE 0.0 END AS mean_depth,
+      |  CASE WHEN ur_leaf > 0
+      |       THEN cast(sum_flag_idx - ur_leaf * (idx + 1) AS DOUBLE) / ur_leaf
+      |       ELSE 0.0 END AS ur_mean_depth,
+      |  0.0 AS depth_mad,
+      |  CASE WHEN d_ur > 0
+      |       THEN abs(cast(sum_flag_idx - ur_leaf * (idx + 1) AS DOUBLE) / ur_leaf
+      |                - nx_d_seg)
+      |       ELSE 0.0 END AS ur_depth_mad,
+      |  t_reply / (d_seg + 1.0) AS mean_reply_count,
+      |  ur_t_reply / (d_ur + 1.0) AS ur_mean_reply_count,
+      |  (abs(reply_count - t_reply / (d_seg + 1.0))
+      |   + CASE WHEN d_seg > 0 THEN abs(nx_reply - t_reply / (d_seg + 1.0)) ELSE 0.0 END)
+      |    / (d_seg + 1.0) AS reply_count_mad,
+      |  (abs(reply_count - ur_t_reply / (d_ur + 1.0))
+      |   + CASE WHEN d_ur > 0 THEN abs(nx_reply - ur_t_reply / (d_ur + 1.0)) ELSE 0.0 END)
+      |    / (d_ur + 1.0) AS ur_reply_count_mad,
+      |  t_quote / (d_seg + 1.0) AS mean_quote_count,
+      |  ur_t_quote / (d_ur + 1.0) AS ur_mean_quote_count,
+      |  (abs(quote_count - t_quote / (d_seg + 1.0))
+      |   + CASE WHEN d_seg > 0 THEN abs(nx_quote - t_quote / (d_seg + 1.0)) ELSE 0.0 END)
+      |    / (d_seg + 1.0) AS quote_count_mad,
+      |  (abs(quote_count - ur_t_quote / (d_ur + 1.0))
+      |   + CASE WHEN d_ur > 0 THEN abs(nx_quote - ur_t_quote / (d_ur + 1.0)) ELSE 0.0 END)
+      |    / (d_ur + 1.0) AS ur_quote_count_mad,
+      |  t_like / (d_seg + 1.0) AS mean_like_count,
+      |  ur_t_like / (d_ur + 1.0) AS ur_mean_like_count,
+      |  (abs(like_count - t_like / (d_seg + 1.0))
+      |   + CASE WHEN d_seg > 0 THEN abs(nx_like - t_like / (d_seg + 1.0)) ELSE 0.0 END)
+      |    / (d_seg + 1.0) AS like_count_mad,
+      |  (abs(like_count - ur_t_like / (d_ur + 1.0))
+      |   + CASE WHEN d_ur > 0 THEN abs(nx_like - ur_t_like / (d_ur + 1.0)) ELSE 0.0 END)
+      |    / (d_ur + 1.0) AS ur_like_count_mad,
+      |  t_retweet / (d_seg + 1.0) AS mean_retweet_count,
+      |  ur_t_retweet / (d_ur + 1.0) AS ur_mean_retweet_count,
+      |  (abs(retweet_count - t_retweet / (d_seg + 1.0))
+      |   + CASE WHEN d_seg > 0 THEN abs(nx_retweet - t_retweet / (d_seg + 1.0)) ELSE 0.0 END)
+      |    / (d_seg + 1.0) AS retweet_count_mad,
+      |  (abs(retweet_count - ur_t_retweet / (d_ur + 1.0))
+      |   + CASE WHEN d_ur > 0 THEN abs(nx_retweet - ur_t_retweet / (d_ur + 1.0)) ELSE 0.0 END)
+      |    / (d_ur + 1.0) AS ur_retweet_count_mad
+      |FROM stats""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── J3/J4: iterative closure to forest roots (pointer jumping) ─────
@@ -103,109 +211,17 @@ object GraphQueries {
     // (3_create_tweet_stats_i.py) via groupByKey+flatMapGroups; the chain
     // instance makes every formula window-expressible for the oracle.
     "q23_tree_stats" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val input = eventsAsTweets(s, dir).select(
-          col("tweet_id"), col("author_id"), col("in_reply_to"),
-          col("retweet_of"), col("quotes"),
-          col("reply_count"), col("quote_count"), col("like_count"),
-          col("retweet_count"), col("user_id").as("group_id")).as[TreeInput]
-        TreeStats.compute(input).toDF()
-      },
-      oracleBase +
-        """, stats AS (
-          |  SELECT *,
-          |    coalesce(sum(is_flag) OVER schain, 0) AS ur_leaf,
-          |    coalesce(sum(is_flag * idx) OVER schain, 0) AS sum_flag_idx,
-          |    sum(reply_count) OVER sseg_incl AS t_reply,
-          |    sum(quote_count) OVER sseg_incl AS t_quote,
-          |    sum(like_count) OVER sseg_incl AS t_like,
-          |    sum(retweet_count) OVER sseg_incl AS t_retweet,
-          |    count(DISTINCT author_id) OVER sseg_incl AS t_auth,
-          |    sum(reply_count) OVER schain_incl AS ur_t_reply,
-          |    sum(quote_count) OVER schain_incl AS ur_t_quote,
-          |    sum(like_count) OVER schain_incl AS ur_t_like,
-          |    sum(retweet_count) OVER schain_incl AS ur_t_retweet,
-          |    count(DISTINCT author_id) OVER schain_incl AS ur_t_auth,
-          |    lead(reply_count) OVER wc AS nx_reply,
-          |    lead(quote_count) OVER wc AS nx_quote,
-          |    lead(like_count) OVER wc AS nx_like,
-          |    lead(retweet_count) OVER wc AS nx_retweet,
-          |    lead(d_seg) OVER wc AS nx_d_seg
-          |  FROM flags
-          |  WINDOW
-          |    wc AS (PARTITION BY user_id ORDER BY idx),
-          |    schain AS (PARTITION BY user_id ORDER BY idx
-          |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
-          |    schain_incl AS (PARTITION BY user_id ORDER BY idx
-          |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
-          |    sseg_incl AS (PARTITION BY user_id, seg_id ORDER BY idx
-          |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-          |)
-          |SELECT
-          |  tweet_id,
-          |  cast(CASE WHEN d_seg > 0 THEN 1 ELSE 0 END AS BIGINT) AS children,
-          |  cast(CASE WHEN d_ur > 0 THEN 1 ELSE 0 END AS BIGINT) AS ur_children,
-          |  cast(d_seg AS BIGINT) AS descendants,
-          |  cast(d_ur AS BIGINT) AS ur_descendants,
-          |  cast(CASE WHEN d_seg > 0 THEN 1 ELSE 0 END AS BIGINT) AS leaf_descendants,
-          |  cast(ur_leaf AS BIGINT) AS ur_leaf_descendants,
-          |  cast(d_seg AS BIGINT) AS max_depth,
-          |  cast(d_ur AS BIGINT) AS ur_max_depth,
-          |  cast(t_auth AS BIGINT) AS t_authors,
-          |  cast(ur_t_auth AS BIGINT) AS ur_t_authors,
-          |  cast(t_reply AS BIGINT) AS t_reply_count,
-          |  cast(ur_t_reply AS BIGINT) AS ur_t_reply_count,
-          |  cast(t_quote AS BIGINT) AS t_quote_count,
-          |  cast(ur_t_quote AS BIGINT) AS ur_t_quote_count,
-          |  cast(t_like AS BIGINT) AS t_like_count,
-          |  cast(ur_t_like AS BIGINT) AS ur_t_like_count,
-          |  cast(t_retweet AS BIGINT) AS t_retweet_count,
-          |  cast(ur_t_retweet AS BIGINT) AS ur_t_retweet_count,
-          |  d_seg / (1.0 + d_seg - CASE WHEN d_seg > 0 THEN 1 ELSE 0 END) AS branching_factor,
-          |  d_ur / (1.0 + d_ur - ur_leaf) AS ur_branching_factor,
-          |  CASE WHEN d_seg > 0 THEN cast(d_seg - 1 AS DOUBLE) ELSE 0.0 END AS mean_depth,
-          |  CASE WHEN ur_leaf > 0
-          |       THEN cast(sum_flag_idx - ur_leaf * (idx + 1) AS DOUBLE) / ur_leaf
-          |       ELSE 0.0 END AS ur_mean_depth,
-          |  0.0 AS depth_mad,
-          |  CASE WHEN d_ur > 0
-          |       THEN abs(cast(sum_flag_idx - ur_leaf * (idx + 1) AS DOUBLE) / ur_leaf
-          |                - nx_d_seg)
-          |       ELSE 0.0 END AS ur_depth_mad,
-          |  t_reply / (d_seg + 1.0) AS mean_reply_count,
-          |  ur_t_reply / (d_ur + 1.0) AS ur_mean_reply_count,
-          |  (abs(reply_count - t_reply / (d_seg + 1.0))
-          |   + CASE WHEN d_seg > 0 THEN abs(nx_reply - t_reply / (d_seg + 1.0)) ELSE 0.0 END)
-          |    / (d_seg + 1.0) AS reply_count_mad,
-          |  (abs(reply_count - ur_t_reply / (d_ur + 1.0))
-          |   + CASE WHEN d_ur > 0 THEN abs(nx_reply - ur_t_reply / (d_ur + 1.0)) ELSE 0.0 END)
-          |    / (d_ur + 1.0) AS ur_reply_count_mad,
-          |  t_quote / (d_seg + 1.0) AS mean_quote_count,
-          |  ur_t_quote / (d_ur + 1.0) AS ur_mean_quote_count,
-          |  (abs(quote_count - t_quote / (d_seg + 1.0))
-          |   + CASE WHEN d_seg > 0 THEN abs(nx_quote - t_quote / (d_seg + 1.0)) ELSE 0.0 END)
-          |    / (d_seg + 1.0) AS quote_count_mad,
-          |  (abs(quote_count - ur_t_quote / (d_ur + 1.0))
-          |   + CASE WHEN d_ur > 0 THEN abs(nx_quote - ur_t_quote / (d_ur + 1.0)) ELSE 0.0 END)
-          |    / (d_ur + 1.0) AS ur_quote_count_mad,
-          |  t_like / (d_seg + 1.0) AS mean_like_count,
-          |  ur_t_like / (d_ur + 1.0) AS ur_mean_like_count,
-          |  (abs(like_count - t_like / (d_seg + 1.0))
-          |   + CASE WHEN d_seg > 0 THEN abs(nx_like - t_like / (d_seg + 1.0)) ELSE 0.0 END)
-          |    / (d_seg + 1.0) AS like_count_mad,
-          |  (abs(like_count - ur_t_like / (d_ur + 1.0))
-          |   + CASE WHEN d_ur > 0 THEN abs(nx_like - ur_t_like / (d_ur + 1.0)) ELSE 0.0 END)
-          |    / (d_ur + 1.0) AS ur_like_count_mad,
-          |  t_retweet / (d_seg + 1.0) AS mean_retweet_count,
-          |  ur_t_retweet / (d_ur + 1.0) AS ur_mean_retweet_count,
-          |  (abs(retweet_count - t_retweet / (d_seg + 1.0))
-          |   + CASE WHEN d_seg > 0 THEN abs(nx_retweet - t_retweet / (d_seg + 1.0)) ELSE 0.0 END)
-          |    / (d_seg + 1.0) AS retweet_count_mad,
-          |  (abs(retweet_count - ur_t_retweet / (d_ur + 1.0))
-          |   + CASE WHEN d_ur > 0 THEN abs(nx_retweet - ur_t_retweet / (d_ur + 1.0)) ELSE 0.0 END)
-          |    / (d_ur + 1.0) AS ur_retweet_count_mad
-          |FROM stats""".stripMargin),
+      (s, dir) => TreeStats.compute(treeInput(s, dir)).toDF(),
+      treeStatsOracle),
+
+    // ── A4 escape hatch: same 41 columns via the relational formulation
+    // (pointer-doubled path pairs + shuffled aggregates — the bounded-
+    // task-memory path for mega-conversations), against the SAME oracle
+    // as q23: the two formulations must agree bit-for-bit on chains.
+    "q58_tree_stats_iterative" -> Q(
+      (s, dir) => TreeStatsIterative.compute(treeInput(s, dir)).toDF(),
+      treeStatsOracle),
+
 
     // ── P13: singleton constant-projection fast path ───────────────────
     // (3_create_tweet_stats_i.py:304-352). Grouping here is per

@@ -1,0 +1,296 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Pathological-skew escape hatch for the tree-statistics stage.
+  *
+  * [[TreeStats.compute]] builds each conversation's forest inside one
+  * aggregation buffer (~72 B/node), so a single viral mega-conversation
+  * (10⁷+ tweets) concentrates gigabytes in one task. This variant
+  * re-expresses the same 41-column semantics
+  * (`code/create-db/3_create_tweet_stats_i.py:64-221`) as pure relational
+  * algebra, so every step is an ordinary shuffled join/aggregate with
+  * spill — task memory stays bounded no matter how large one group gets:
+  *
+  *  1. ancestor/descendant path pairs by pointer doubling — round i
+  *     extends the exact-2^i jump table through all known ≤2^i paths, so
+  *     every pair is produced exactly once and convergence takes
+  *     O(log depth) self-joins (same recurrence as
+  *     [[graft.graph.Closure.resolveRoots]]);
+  *  2. one hash aggregate over the pairs computes every transitive stat
+  *     closed-form: descendants/t_X as sums, t_authors as exact distinct,
+  *     max_depth as max(rel_depth), and the memoized-branch quirk
+  *     sum_depth = Σ_leaf (rel_depth − 1) (a leaf at depth d contributes
+  *     d−1, `3_create_tweet_stats_i.py:110`);
+  *  3. the MAD stats touch self + DIRECT children only (`:166-178`), so
+  *     one more edge join against the parent's subtree means finishes the
+  *     row. `ur_depth_mad` deviates against the children's PLAIN
+  *     max_depth exactly like the reference (`:145`).
+  *
+  * Pair volume is O(nodes × avg depth) — distributed and spillable, the
+  * right trade for the wide-and-shallow shape real viral conversations
+  * have. (A 10⁷-node chain would make the closure quadratic; depth
+  * pathology stays on the in-memory path, which handles it in O(n).)
+  *
+  * Deviation (documented): cycles — impossible in real reply trees,
+  * unguarded in the reference, deterministically broken by
+  * [[TreeStats.processGroup]] — here just stop extending at `maxIter`
+  * doublings, so cycle members would see truncated-path stats. Inputs are
+  * assumed acyclic like the reference's.
+  */
+object TreeStatsIterative {
+
+  /** Iterative-join formulation over the whole input. Semantics equal to
+    * [[TreeStats.compute]] on acyclic input (long stats exactly; MAD
+    * doubles up to float summation order, which groupBy sums don't fix).
+    */
+  def compute(tweets: Dataset[TreeInput], maxIter: Int = 30): Dataset[TreeStatsRow] = {
+    val spark = tweets.sparkSession
+    import spark.implicits._
+
+    // one parent edge per node, reply > retweet > quote precedence
+    // (3_create_tweet_stats_i.py:235-240); parents referenced but absent
+    // from the data act as placeholder roots (never emitted), which falls
+    // out for free here: absent ids get no self-pair and no node row.
+    val nodes = tweets.toDF().select(
+      col("tweet_id").as("id"), col("author_id"),
+      col("reply_count"), col("quote_count"),
+      col("like_count"), col("retweet_count"),
+      when(col("in_reply_to").isNotNull, col("in_reply_to"))
+        .otherwise(coalesce(col("retweet_of"), col("quotes"))).as("parent"),
+      col("in_reply_to").isNotNull.as("is_reply_edge"))
+
+    val edges = nodes.where(col("parent").isNotNull)
+      .select(col("id").as("d"), col("parent").as("a"),
+        lit(1L).as("depth"), col("is_reply_edge").as("plain"))
+
+    // direct-children tallies; every child is a present row by construction
+    val childTally = edges.groupBy(col("a").as("id"))
+      .agg(sum(when(col("plain"), 1L).otherwise(0L)).as("n_reply_children"),
+        count(lit(1)).as("n_all_children"))
+
+    val flagged = nodes.join(childTally, Seq("id"), "left")
+      .na.fill(0L, Seq("n_reply_children", "n_all_children"))
+      // plain leaf = no reply children (`combine`'s leafInit); the ur leaf
+      // test depends on the node's OWN edge type: reply children count as
+      // ur-leaves when they have no reply children, ur children only when
+      // they have no children at all (`3_create_tweet_stats_i.py:75-87`)
+      .withColumn("plain_leaf", col("n_reply_children") === 0)
+      .withColumn("ur_leaf_flag",
+        when(col("parent").isNull, lit(false))
+          .when(col("is_reply_edge"), col("n_reply_children") === 0)
+          .otherwise(col("n_all_children") === 0))
+
+    // ── 1. path pairs by doubling ─────────────────────────────────────
+    // parts(k) holds pairs of depth in ((2^(k-1)), 2^k]; jumps = exact-2^i
+    // ancestor pointers. New pairs (2^i, 2^(i+1)] decompose uniquely as
+    // exact-2^i jump + known ≤2^i path, so no dedup pass is ever needed.
+    // Same-lineage checkpoint unions trip Catalyst's union constraint
+    // rewrite (see Closure.resolveRootsFrontier), so constraint
+    // propagation is off for the loop.
+    val confKey = "spark.sql.constraintPropagation.enabled"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    val pairs =
+      try {
+        var parts: List[DataFrame] = List(edges.localCheckpoint(true))
+        var jumps = parts.head
+        var iter = 0
+        var more = !jumps.isEmpty
+        while (more && iter < maxIter) {
+          val known = parts.map(_.toDF("d", "a", "depth", "plain")).reduce(_ unionByName _)
+          val ext = jumps.as("j")
+            .join(known.as("p"), col("j.a") === col("p.d"))
+            .select(col("j.d").as("d"), col("p.a").as("a"),
+              (col("j.depth") + col("p.depth")).as("depth"),
+              (col("j.plain") && col("p.plain")).as("plain"))
+            .localCheckpoint(false)
+          more = ext.limit(1).count() > 0
+          if (more) {
+            parts ::= ext
+            jumps = jumps.as("x")
+              .join(jumps.as("y"), col("x.a") === col("y.d"))
+              .select(col("x.d").as("d"), col("y.a").as("a"),
+                (col("x.depth") + col("y.depth")).as("depth"),
+                (col("x.plain") && col("y.plain")).as("plain"))
+              .localCheckpoint(false)
+          }
+          iter += 1
+        }
+        parts.map(_.toDF("d", "a", "depth", "plain")).reduce(_ unionByName _)
+      } finally prevConf match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+
+    // self-pairs make every present node its own depth-0 "descendant" so
+    // t_X start at own counts and author sets include the node itself
+    val allPairs = pairs.unionByName(
+      flagged.select(col("id").as("d"), col("id").as("a"),
+        lit(0L).as("depth"), lit(true).as("plain")))
+
+    // ── 2. one aggregate for every transitive stat ────────────────────
+    val descSide = flagged.select(col("id").as("d"),
+      col("author_id").as("d_author"),
+      col("reply_count").as("d_reply"), col("quote_count").as("d_quote"),
+      col("like_count").as("d_like"), col("retweet_count").as("d_retweet"),
+      col("plain_leaf").as("d_plain_leaf"), col("ur_leaf_flag").as("d_ur_leaf"))
+
+    val isDesc = col("depth") > 0
+    val subtree = allPairs.join(descSide, Seq("d"))
+      .groupBy(col("a").as("id"))
+      .agg(
+        count(when(col("plain") && isDesc, 1)).as("descendants"),
+        count(when(isDesc, 1)).as("ur_descendants"),
+        count(when(col("plain") && isDesc && col("d_plain_leaf"), 1)).as("leaf_descendants"),
+        count(when(isDesc && col("d_ur_leaf"), 1)).as("ur_leaf_descendants"),
+        max(when(col("plain"), col("depth"))).as("max_depth"),
+        max(col("depth")).as("ur_max_depth"),
+        sum(when(col("plain") && isDesc && col("d_plain_leaf"), col("depth") - 1L))
+          .as("sum_depth"),
+        sum(when(isDesc && col("d_ur_leaf"), col("depth") - 1L)).as("ur_sum_depth"),
+        countDistinct(when(col("plain"), col("d_author"))).as("t_authors"),
+        countDistinct(col("d_author")).as("ur_t_authors"),
+        sum(when(col("plain"), col("d_reply")).otherwise(0L)).as("t_reply_count"),
+        sum(col("d_reply")).as("ur_t_reply_count"),
+        sum(when(col("plain"), col("d_quote")).otherwise(0L)).as("t_quote_count"),
+        sum(col("d_quote")).as("ur_t_quote_count"),
+        sum(when(col("plain"), col("d_like")).otherwise(0L)).as("t_like_count"),
+        sum(col("d_like")).as("ur_t_like_count"),
+        sum(when(col("plain"), col("d_retweet")).otherwise(0L)).as("t_retweet_count"),
+        sum(col("d_retweet")).as("ur_t_retweet_count"))
+      .na.fill(0L, Seq("sum_depth", "ur_sum_depth"))
+      .localCheckpoint(false) // consumed twice: parent means + final emit
+
+    // subtree means as the reference normalizes them (`:200-221`)
+    val means = subtree.select(col("id").as("p_id"),
+      (when(col("leaf_descendants") =!= 0,
+        col("sum_depth").cast("double") / col("leaf_descendants"))
+        .otherwise(0.0)).as("p_mean_depth"),
+      (when(col("ur_leaf_descendants") =!= 0,
+        col("ur_sum_depth").cast("double") / col("ur_leaf_descendants"))
+        .otherwise(0.0)).as("p_ur_mean_depth"),
+      (col("t_reply_count") / (col("descendants") + lit(1.0))).as("p_mean_reply"),
+      (col("t_quote_count") / (col("descendants") + lit(1.0))).as("p_mean_quote"),
+      (col("t_like_count") / (col("descendants") + lit(1.0))).as("p_mean_like"),
+      (col("t_retweet_count") / (col("descendants") + lit(1.0))).as("p_mean_retweet"),
+      (col("ur_t_reply_count") / (col("ur_descendants") + lit(1.0))).as("p_ur_mean_reply"),
+      (col("ur_t_quote_count") / (col("ur_descendants") + lit(1.0))).as("p_ur_mean_quote"),
+      (col("ur_t_like_count") / (col("ur_descendants") + lit(1.0))).as("p_ur_mean_like"),
+      (col("ur_t_retweet_count") / (col("ur_descendants") + lit(1.0))).as("p_ur_mean_retweet"))
+
+    // ── 3. direct-children MAD terms against the parent's means ───────
+    val childRows = nodes.where(col("parent").isNotNull)
+      .select(col("id").as("c_id"), col("parent").as("p_id"),
+        col("is_reply_edge").as("c_is_reply"),
+        col("reply_count").as("c_reply"), col("quote_count").as("c_quote"),
+        col("like_count").as("c_like"), col("retweet_count").as("c_retweet"))
+      // every present node appears in `subtree` via its self-pair, so this
+      // inner join keeps all child rows; max_depth is the child's PLAIN
+      // max depth, used by BOTH depth MADs (the reference's `:145` quirk)
+      .join(subtree.select(col("id").as("c_id"), col("max_depth").as("c_max_depth")), Seq("c_id"))
+      .join(means, Seq("p_id"))
+
+    val madAgg = childRows.groupBy(col("p_id").as("id"))
+      .agg(
+        sum(when(col("c_is_reply"), abs(col("p_mean_depth") - col("c_max_depth")))
+          .otherwise(0.0)).as("mad_depth_sum"),
+        sum(abs(col("p_ur_mean_depth") - col("c_max_depth"))).as("ur_mad_depth_sum"),
+        sum(when(col("c_is_reply"), abs(col("c_reply") - col("p_mean_reply")))
+          .otherwise(0.0)).as("mad_reply_c"),
+        sum(abs(col("c_reply") - col("p_ur_mean_reply"))).as("ur_mad_reply_c"),
+        sum(when(col("c_is_reply"), abs(col("c_quote") - col("p_mean_quote")))
+          .otherwise(0.0)).as("mad_quote_c"),
+        sum(abs(col("c_quote") - col("p_ur_mean_quote"))).as("ur_mad_quote_c"),
+        sum(when(col("c_is_reply"), abs(col("c_like") - col("p_mean_like")))
+          .otherwise(0.0)).as("mad_like_c"),
+        sum(abs(col("c_like") - col("p_ur_mean_like"))).as("ur_mad_like_c"),
+        sum(when(col("c_is_reply"), abs(col("c_retweet") - col("p_mean_retweet")))
+          .otherwise(0.0)).as("mad_retweet_c"),
+        sum(abs(col("c_retweet") - col("p_ur_mean_retweet"))).as("ur_mad_retweet_c"))
+
+    // ── assemble the 41-column row ────────────────────────────────────
+    val d1 = col("descendants") + lit(1.0)
+    val urD1 = col("ur_descendants") + lit(1.0)
+    def madOf(metric: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+      (abs(col(metric + "_count") - col("p_mean_" + metric))
+        + coalesce(col("mad_" + metric + "_c"), lit(0.0))) / d1,
+      (abs(col(metric + "_count") - col("p_ur_mean_" + metric))
+        + coalesce(col("ur_mad_" + metric + "_c"), lit(0.0))) / urD1)
+    val (madReply, urMadReply) = madOf("reply")
+    val (madQuote, urMadQuote) = madOf("quote")
+    val (madLike, urMadLike) = madOf("like")
+    val (madRetweet, urMadRetweet) = madOf("retweet")
+
+    flagged
+      .join(subtree, Seq("id"))
+      .join(means.withColumnRenamed("p_id", "id"), Seq("id"))
+      .join(madAgg, Seq("id"), "left")
+      .select(
+        col("id").as("tweet_id"),
+        col("n_reply_children").as("children"),
+        col("n_all_children").as("ur_children"),
+        col("descendants"), col("ur_descendants"),
+        col("leaf_descendants"), col("ur_leaf_descendants"),
+        col("max_depth"), col("ur_max_depth"),
+        col("t_authors"), col("ur_t_authors"),
+        col("t_reply_count"), col("ur_t_reply_count"),
+        col("t_quote_count"), col("ur_t_quote_count"),
+        col("t_like_count"), col("ur_t_like_count"),
+        col("t_retweet_count"), col("ur_t_retweet_count"),
+        (col("descendants").cast("double")
+          / (lit(1L) + col("descendants") - col("leaf_descendants")))
+          .as("branching_factor"),
+        (col("ur_descendants").cast("double")
+          / (lit(1L) + col("ur_descendants") - col("ur_leaf_descendants")))
+          .as("ur_branching_factor"),
+        col("p_mean_depth").as("mean_depth"),
+        col("p_ur_mean_depth").as("ur_mean_depth"),
+        when(col("leaf_descendants") =!= 0,
+          coalesce(col("mad_depth_sum"), lit(0.0)) / col("n_reply_children"))
+          .otherwise(0.0).as("depth_mad"),
+        when(col("ur_leaf_descendants") =!= 0,
+          coalesce(col("ur_mad_depth_sum"), lit(0.0)) / col("n_all_children"))
+          .otherwise(0.0).as("ur_depth_mad"),
+        col("p_mean_reply").as("mean_reply_count"),
+        col("p_ur_mean_reply").as("ur_mean_reply_count"),
+        madReply.as("reply_count_mad"), urMadReply.as("ur_reply_count_mad"),
+        col("p_mean_quote").as("mean_quote_count"),
+        col("p_ur_mean_quote").as("ur_mean_quote_count"),
+        madQuote.as("quote_count_mad"), urMadQuote.as("ur_quote_count_mad"),
+        col("p_mean_like").as("mean_like_count"),
+        col("p_ur_mean_like").as("ur_mean_like_count"),
+        madLike.as("like_count_mad"), urMadLike.as("ur_like_count_mad"),
+        col("p_mean_retweet").as("mean_retweet_count"),
+        col("p_ur_mean_retweet").as("ur_mean_retweet_count"),
+        madRetweet.as("retweet_count_mad"), urMadRetweet.as("ur_retweet_count_mad"))
+      .as[TreeStatsRow]
+  }
+
+  /** Skew router: groups up to `threshold` rows take the in-memory
+    * aggregate ([[TreeStats.compute]] — one task per conversation, the
+    * fast path for the realistic size distribution); larger groups are
+    * diverted to the relational formulation. The big-group id list is
+    * outlier-sized by definition, so both side-splits are broadcast
+    * semi/anti joins — the fact table shuffles only inside the two
+    * compute paths themselves.
+    */
+  def computeHybrid(tweets: Dataset[TreeInput], threshold: Long = 2000000L,
+                    maxIter: Int = 30): Dataset[TreeStatsRow] = {
+    val spark = tweets.sparkSession
+    import spark.implicits._
+    val big = broadcast(
+      tweets.groupBy(col("group_id")).count()
+        .where(col("count") > threshold)
+        .select(col("group_id").as("_big_gid")))
+    if (big.isEmpty) TreeStats.compute(tweets)
+    else {
+      val bigRows = tweets.join(big, tweets("group_id") === col("_big_gid"), "left_semi")
+        .as[TreeInput]
+      val smallRows = tweets.join(big, tweets("group_id") === col("_big_gid"), "left_anti")
+        .as[TreeInput]
+      TreeStats.compute(smallRows).unionByName(compute(bigRows, maxIter))
+    }
+  }
+}

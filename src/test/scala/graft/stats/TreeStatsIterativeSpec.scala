@@ -1,0 +1,156 @@
+package graft.stats
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Parity + bounded-memory coverage for the relational tree-statistics
+  * escape hatch: the iterative-join formulation must agree with the
+  * in-memory aggregate on every acyclic shape (longs exactly, MAD doubles
+  * to float-summation tolerance), and a mega-group must flow through it
+  * as ordinary shuffled aggregates rather than one giant task buffer.
+  *
+  * Default mega-group size is 10^6 to keep CI latency sane on a noisy
+  * sandbox; GRAFT_STRESS_N overrides (validated manually at 10^7 — see
+  * the timing note in PLANS.md).
+  */
+class TreeStatsIterativeSpec extends SparkSuite {
+
+  private def row(id: Long, reply: Option[Long] = None, rt: Option[Long] = None,
+                  q: Option[Long] = None, author: Long = 0,
+                  counts: (Long, Long, Long, Long) = (0, 0, 0, 0),
+                  group: Long = 1): TreeInput =
+    TreeInput(id, author, reply, rt, q, counts._1, counts._2, counts._3, counts._4, group)
+
+  private val longCols = Seq("children", "ur_children", "descendants",
+    "ur_descendants", "leaf_descendants", "ur_leaf_descendants", "max_depth",
+    "ur_max_depth", "t_authors", "ur_t_authors", "t_reply_count",
+    "ur_t_reply_count", "t_quote_count", "ur_t_quote_count", "t_like_count",
+    "ur_t_like_count", "t_retweet_count", "ur_t_retweet_count")
+  private val doubleCols = Seq("branching_factor", "ur_branching_factor",
+    "mean_depth", "ur_mean_depth", "depth_mad", "ur_depth_mad",
+    "mean_reply_count", "ur_mean_reply_count", "reply_count_mad",
+    "ur_reply_count_mad", "mean_quote_count", "ur_mean_quote_count",
+    "quote_count_mad", "ur_quote_count_mad", "mean_like_count",
+    "ur_mean_like_count", "like_count_mad", "ur_like_count_mad",
+    "mean_retweet_count", "ur_mean_retweet_count", "retweet_count_mad",
+    "ur_retweet_count_mad")
+
+  /** Distributed comparison (no driver collect): full outer join on
+    * tweet_id, then one predicate over all 41 columns. */
+  private def assertSame(got: Dataset[TreeStatsRow], want: Dataset[TreeStatsRow]): Unit = {
+    val j = got.toDF().as("a")
+      .join(want.toDF().as("b"), col("a.tweet_id") === col("b.tweet_id"), "full")
+    val missing: Column = col("a.tweet_id").isNull || col("b.tweet_id").isNull
+    val longBad = longCols.map(c => col(s"a.$c") =!= col(s"b.$c")).reduce(_ || _)
+    val dblBad = doubleCols.map { c =>
+      abs(col(s"a.$c") - col(s"b.$c")) >
+        lit(1e-9) * greatest(lit(1.0), abs(col(s"b.$c")))
+    }.reduce(_ || _)
+    val bad = j.where(missing || longBad || dblBad)
+    assert(bad.isEmpty, s"diverging rows:\n${bad.limit(5).collect().mkString("\n")}")
+  }
+
+  test("random cross-linked forests: iterative == in-memory aggregate") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val rows = (1 to 400).map { i =>
+      val group = i % 16
+      val pool = (1 until i).filter(j => j % 16 == group)
+      val parent =
+        if (pool.nonEmpty && rnd.nextDouble() < 0.8)
+          Some(pool(rnd.nextInt(pool.size)).toLong)
+        else if (rnd.nextDouble() < 0.1) Some(900000L + rnd.nextInt(3)) // absent parent
+        else None
+      val kind = rnd.nextInt(3)
+      row(i,
+        reply = if (kind == 0) parent else None,
+        rt = if (kind == 1) parent else None,
+        q = if (kind == 2) parent else None,
+        author = rnd.nextInt(6),
+        counts = (rnd.nextInt(5), rnd.nextInt(5), rnd.nextInt(5), rnd.nextInt(5)),
+        group = group)
+    }
+    val ds = spark.createDataset(rows).repartition(8)
+    assertSame(TreeStatsIterative.compute(ds), TreeStats.compute(ds))
+  }
+
+  test("deep chain crosses many doubling rounds") {
+    import spark.implicits._
+    // depth 300 → 9 doublings; mixes reply and ur edges along the chain
+    val rows = (1 to 300).map { i =>
+      val parent = if (i == 1) None else Some((i - 1).toLong)
+      row(i,
+        reply = if (i % 4 != 0) parent else None,
+        q = if (i % 4 == 0) parent else None,
+        author = i % 7, counts = (i % 3, i % 5, i % 2, i % 4))
+    }
+    val ds = spark.createDataset(rows)
+    assertSame(TreeStatsIterative.compute(ds), TreeStats.compute(ds))
+  }
+
+  test("hybrid router: big groups take the relational path, output unchanged") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    // group sizes 10..80 with threshold 40 → both paths exercised
+    val rows = (0 until 8).flatMap { g =>
+      val size = 10 * (g + 1)
+      (1 to size).map { i =>
+        val id = g * 1000 + i
+        val parent = if (i == 1) None else Some((g * 1000 + 1 + rnd.nextInt(i - 1)).toLong)
+        val kind = rnd.nextInt(3)
+        row(id,
+          reply = if (kind != 2) parent else None,
+          q = if (kind == 2) parent else None,
+          author = rnd.nextInt(4),
+          counts = (rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3)),
+          group = g)
+      }
+    }
+    val ds = spark.createDataset(rows)
+    assertSame(TreeStatsIterative.computeHybrid(ds, threshold = 40),
+      TreeStats.compute(ds))
+    // threshold above every group size → pure in-memory path, same result
+    assertSame(TreeStatsIterative.computeHybrid(ds, threshold = 10000),
+      TreeStats.compute(ds))
+  }
+
+  test("wide shallow mega-group flows through bounded shuffled aggregates") {
+    import spark.implicits._
+    val n = sys.env.getOrElse("GRAFT_STRESS_N", "1000000").toInt
+    // 16-ary tree: parent(id) = id/16 (0 = root marker → none); depth ~
+    // log16(n); edge type deterministic so results are reproducible
+    val ds = spark.range(1, n + 1).select(
+      col("id").as("tweet_id"),
+      (col("id") % 1000).as("author_id"),
+      when(col("id") > 15 && col("id") % 3 =!= 0, expr("id DIV 16")).as("in_reply_to"),
+      when(col("id") > 15 && col("id") % 3 === 0, expr("id DIV 16")).as("retweet_of"),
+      lit(null).cast("long").as("quotes"),
+      (col("id") % 7).as("reply_count"),
+      (col("id") % 5).as("quote_count"),
+      (col("id") % 11).as("like_count"),
+      (col("id") % 3).as("retweet_count"),
+      lit(1L).as("group_id")).as[TreeInput]
+    val out = TreeStatsIterative.compute(ds)
+    val agg = out.agg(
+      count(lit(1)).as("rows"),
+      sum(col("ur_descendants")).as("sum_ur_desc"),
+      max(col("ur_max_depth")).as("deepest")).head()
+    assert(agg.getLong(0) == n.toLong)
+    // every non-root node (ids 16..n) is an ur-descendant of each of its
+    // ancestors: sum over nodes of ur_descendants == sum over non-roots
+    // of their ancestor-chain length (ids 1..15 are isolated roots)
+    def chainLen(id: Long): Long = {
+      var d = 0L; var x = id
+      while (x >= 16) { x = x / 16; d += 1 }
+      d
+    }
+    val expectedPairs = (16 to n).map(i => chainLen(i.toLong)).sum
+    assert(agg.getLong(1) == expectedPairs)
+    // depth is monotone in id, so the deepest node is the largest id
+    assert(agg.getLong(2) == chainLen(n.toLong))
+  }
+}
