@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongDot, Md5Prefix64, RollingFingerprint}
+import graft.functions.{ByteDot, LongDot, Md5Prefix64, RollingFingerprint}
 
 /** Library entry point for the SQL surface: the custom codegen
   * expressions as SQL-callable functions.
@@ -51,6 +51,8 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("long_dot"), info("long_dot", classOf[LongDot]),
       arity("long_dot", 2)(exprs => LongDot(exprs.head, exprs(1)))),
+    (FunctionIdentifier("byte_dot"), info("byte_dot", classOf[ByteDot]),
+      arity("byte_dot", 2)(exprs => ByteDot(exprs.head, exprs(1)))),
     (FunctionIdentifier("md5_prefix64"), info("md5_prefix64", classOf[Md5Prefix64]),
       arity("md5_prefix64", 1)(exprs => Md5Prefix64(exprs.head))),
     (FunctionIdentifier("rolling_fp"), info("rolling_fp", classOf[RollingFingerprint]),

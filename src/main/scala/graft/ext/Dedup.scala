@@ -74,6 +74,49 @@ object Dedup {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] for eval sets too large to broadcast as a hash
+    * relation: the eval shingle dictionary is folded into a BLOOM FILTER
+    * (Spark's own `BloomFilterAggregate`, the runtime-filter machinery,
+    * here used as a first-class operator), which costs bits-per-item
+    * instead of hashed-relation bytes. The corpus index is prefiltered
+    * by `might_contain` under the one-row broadcast — still no corpus
+    * shuffle — and only the SURVIVORS (true hits + the fpp tail) take
+    * the exact shuffled semi-join that removes false positives. Output
+    * is therefore EXACTLY [[decontaminate]]'s (same oracle); the bloom
+    * only prunes where the exact join must look.
+    */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    val spark = docs.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "scala_udf")
+    val evalSh = shingleIndex(evalDocs, n).select(col("sh")).distinct()
+    // the aggregation is distributed (partial blooms merged); the final
+    // sketch (numBits/8 bytes) is pulled to the driver and embedded as a
+    // constant — might_contain requires a foldable filter, and a
+    // bits-sized literal IS the broadcast (same pattern as
+    // DataFrameStatFunctions.bloomFilter)
+    val bf = evalSh.agg(call_function("graft_bloom_agg",
+        xxhash64(col("sh")), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val candidates = shingleIndex(docs, n)
+      .where(call_function("graft_bloom_contains", lit(bf), xxhash64(col("sh"))))
+      .select(col("doc_id"), col("sh"))
+    val confirmed = candidates.hint("shuffle_hash")
+      .join(evalSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(confirmed, Seq("doc_id"), "left_anti")
+  }
+
   /** Stop-shingle document-frequency cap. A shingle shared by more than
     * this many documents is corpus boilerplate; its inverted-index bucket
     * would contribute df² candidate pairs (one hot shingle = one

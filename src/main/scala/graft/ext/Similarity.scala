@@ -214,6 +214,56 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Int8-quantized top-k: shortlist by int8 codes, exact rerank.
+    *
+    * The memory-bound ANN architecture at 100 TB: each vector is coded
+    * to `array<tinyint>` with a per-vector max-abs scale (code_i =
+    * round(x_i / s · 127)), so the scoring scan streams 1 byte per
+    * dimension — 8× less than the exact int-thousandths form — and the
+    * kernel is the codegen'd [[graft.functions.ByteDot]] primitive loop.
+    * Ranking proxy: dot(cq, cv) · s_v / ‖v‖ (the query-side factors are
+    * rank-invariant per query). The top-`shortlist` candidates per query
+    * then fetch their FULL-precision vectors (an equi-join that shuffles
+    * only shortlist×queries rows, never the corpus) and exact-rerank
+    * with the same integer cosine as [[bruteForceTopK]] — identical
+    * scores, so the final top-k equals brute force whenever the
+    * shortlist covers it (the standard SCaNN/FAISS rescoring contract;
+    * q59 proves equality on the fixture against q35's oracle).
+    */
+  def int8TopK(embeddings: DataFrame, nQueries: Int, k: Int,
+               shortlist: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ByteDot.register(embeddings.sparkSession)
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val coded = e
+      .withColumn("_mx", array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+      .withColumn("code",
+        transform(col("embedding"), x => round(x.cast("double") / col("_mx") * 127).cast("byte")))
+    // codes-only relation — the bytes the shortlist scan actually streams
+    val codes = coded.select(col("vec_id"), col("code"),
+      (col("_mx") / col("norm")).as("_rescale"))
+    val queries = broadcast(coded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code")))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val short = codes.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        call_function("byte_dot", col("q_code"), col("code")).cast("double") * col("_rescale"))
+      .withColumn("_srn", row_number().over(wS))
+      .where(col("_srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank: full-precision vectors fetched for shortlist rows only
+    val full = e.select(col("vec_id"), col("q"), col("norm"))
+    val qFull = broadcast(e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qn")))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    short.join(full, Seq("vec_id"))
+      .join(qFull, Seq("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** IVF-style top-k. Centroids = the first nCentroids vectors — a
     * deterministic stand-in for a k-means codebook (the fixture has no
     * training step; swapping in k-means centroids changes only the

@@ -47,6 +47,31 @@ object ExtQueries {
        |          GROUP BY 1, 2)
        |""".stripMargin
 
+  /** Decontamination oracle (eval = every 97th doc, 3-gram shingles) —
+    * shared by the broadcast-dictionary path (q54) and the bloom path
+    * (q61), which must agree exactly. */
+  private val decontaminateSql = shingleBase3 +
+    """, ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh))
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin
+
+  /** Brute-force cosine top-k (nQueries=8, k=5) — the oracle for the
+    * exact baseline (q35) and the int8-rescored path (q59). */
+  private val annTopKSql =
+    """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
+      |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+      |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+      |scored AS (
+      |  SELECT qs.vec_id AS q_id, e.vec_id,
+      |    list_dot_product(qs.q, e.q)
+      |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e.q, e.q))) AS cos
+      |  FROM e qs JOIN e ON qs.vec_id < 8 AND e.vec_id != qs.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""".stripMargin
+
   /** Brute-force quantized cosine pairs at tau=0.40 — the oracle for
     * BOTH the exact baseline (q34) and the LSH-pruned path (q46). */
   private val cosineAllPairsSql =
@@ -194,18 +219,15 @@ object ExtQueries {
     // ── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q35_ann_bruteforce" -> Q(
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
-      """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
-        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
-        |scored AS (
-        |  SELECT qs.vec_id AS q_id, e.vec_id,
-        |    list_dot_product(qs.q, e.q)
-        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e.q, e.q))) AS cos
-        |  FROM e qs JOIN e ON qs.vec_id < 8 AND e.vec_id != qs.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""".stripMargin),
+      annTopKSql),
+
+    // ── int8-quantized shortlist + exact rerank == brute force ─────────
+    // Same oracle as q35: the codes-only shortlist (ByteDot kernel, 8×
+    // fewer scan bytes) plus full-precision rerank must reproduce the
+    // exact top-k on the fixture — the rescoring contract, verified.
+    "q59_ann_int8" -> Q(
+      (s, dir) => Similarity.int8TopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
+      annTopKSql),
 
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
@@ -281,11 +303,42 @@ object ExtQueries {
         Dedup.decontaminate(docs, docs.where(col("doc_id") % 97 === 0), n = 3)
           .select("doc_id", "lang")
       },
-      shingleBase3 +
-        """, ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-          |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh))
-          |SELECT doc_id, lang FROM documents
-          |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+      decontaminateSql),
+
+    // ── bloom-filter decontamination == broadcast-dictionary path ──────
+    // Same oracle as q54: the bloom prefilter + exact confirm join must
+    // drop exactly the same documents (false positives removed by the
+    // confirm, false negatives impossible by bloom contract).
+    "q61_decontaminate_bloom" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminateBloom(docs, docs.where(col("doc_id") % 97 === 0), n = 3,
+          expectedItems = 100000L, numBits = 800000L)
+          .select("doc_id", "lang")
+      },
+      decontaminateSql),
+
+    // ── as-of join (point-in-time-correct enrichment) ──────────────────
+    // Latest per-user marker event at-or-before each event's timestamp;
+    // DuckDB's native ASOF LEFT JOIN is the oracle, so the union+window
+    // formulation's inclusive backward semantics are verified exactly
+    // (matched rows AND the 15%% of rows before any marker → NULLs).
+    "q60_asof_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val markers = Tables.events(s, dir)
+          .where(col("event_id") % 10 === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(org.apache.spark.sql.functions.max(col("event_id")).as("mark_id"))
+          .select(col("user_id"), col("ts").as("mark_ts"), col("mark_id"))
+        graft.ext.AsOfJoin.backward(ev, markers, Seq("user_id"), "ts", "mark_ts")
+          .select("event_id", "user_id", "mark_id", "mark_ts")
+      },
+      """WITH m AS (SELECT user_id, ts AS mark_ts, max(event_id) AS mark_id
+        |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, m.mark_id, m.mark_ts
+        |FROM events l ASOF LEFT JOIN m
+        |  ON l.user_id = m.user_id AND l.ts >= m.mark_ts""".stripMargin),
 
     // ── intra-document repetition score (Gopher-style quality filter) ──
     "q55_repetition" -> Q(

@@ -95,4 +95,24 @@ class PlanSpec extends SparkSuite {
     assert(exchangeAt >= 0 && exchangeAt < partialAt,
       s"partial_min is not below the hash exchange — the n×k join output would shuffle:\n$plan")
   }
+
+  test("q60: as-of join plan has NO join operator at all — union + one keyed window") {
+    val plan = planOf("q60_asof_join")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("q59: int8 shortlist prunes via rank-limit pushdown; queries broadcast; ByteDot kernel in use") {
+    val plan = planOf("q59_ann_int8")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("byte_dot"), s"shortlist must score with the ByteDot kernel:\n$plan")
+  }
+
+  test("q61: bloom prefilter reaches the corpus side as a plain Filter; confirm join is shuffled, no cartesian") {
+    val plan = planOf("q61_decontaminate_bloom")
+    assert(plan.contains("might_contain"), s"bloom filter absent from the corpus scan side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

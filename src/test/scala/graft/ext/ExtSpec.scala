@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.Random
+
 import graft.SparkSuite
 
 class ExtSpec extends SparkSuite {
@@ -166,6 +168,44 @@ class ExtSpec extends SparkSuite {
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
     val got = df.selectExpr("long_dot(a, b)").as[Long].head()
     assert(got == 1 * 4 + 2 * 5 + 3 * 6)
+  }
+
+  test("byte_dot matches integer arithmetic incl. negative codes and extremes") {
+    graft.functions.ByteDot.register(spark)
+    // Seq[Byte] → array<tinyint> (Array[Byte] would encode as binary)
+    val a = Seq[Byte](127, -128, 5, 0)
+    val b = Seq[Byte](-128, -128, 7, 99)
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.selectExpr("byte_dot(a, b)").as[Long].head()
+    assert(got == 127L * -128 + (-128L * -128) + 5L * 7 + 0L)
+    // null propagation
+    val n = Seq((Option.empty[Seq[Byte]], Option(b))).toDF("a", "b")
+      .selectExpr("byte_dot(a, b)").as[Option[Long]].head()
+    assert(n.isEmpty)
+  }
+
+  test("int8 shortlist + exact rerank equals brute-force top-k on random vectors") {
+    val rnd = new Random(77)
+    val vs = (0L until 200L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vs, nQueries = 8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val quant = Similarity.int8TopK(vs, nQueries = 8, k = 5, shortlist = 32)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(quant == exact)
+  }
+
+  test("bloom decontamination equals the broadcast-dictionary path") {
+    val rnd = new Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val d = (1L to 300L).map(i =>
+      (i, Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" "))).toDF("doc_id", "text")
+    val eval = d.where($"doc_id" % 11 === 0)
+    val a = Dedup.decontaminate(d, eval, n = 3).select("doc_id").as[Long].collect().toSet
+    // tiny bloom → real false positives → the exact confirm join must fix them
+    val b = Dedup.decontaminateBloom(d, eval, n = 3,
+      expectedItems = 100L, numBits = 256L).select("doc_id").as[Long].collect().toSet
+    assert(b == a)
   }
 
   test("clusterPairsBy keeps the highest-quality member, min id on ties") {
