@@ -94,31 +94,42 @@ object TreeStatsIterative {
     spark.conf.set(confKey, "false")
     val pairs =
       try {
+        // extend(J, K): paths J-then-K — J is an exact-2^i jump table, K
+        // all known ≤2^i paths, so the result covers (2^i, 2^(i+1)]
+        // uniquely (a path of length L in that range decomposes exactly
+        // once as 2^i + (L − 2^i)).
+        def extend(j: DataFrame, k: DataFrame): DataFrame = j.as("j")
+          .join(k.as("p"), col("j.a") === col("p.d"))
+          .select(col("j.d").as("d"), col("p.a").as("a"),
+            (col("j.depth") + col("p.depth")).as("depth"),
+            (col("j.plain") && col("p.plain")).as("plain"))
+        def norm(df: DataFrame): DataFrame = df.toDF("d", "a", "depth", "plain")
         var parts: List[DataFrame] = List(edges.localCheckpoint(true))
         var jumps = parts.head
         var iter = 0
         var more = !jumps.isEmpty
+        // TWO doublings per materialized round (same trick as
+        // Closure.resolveRoots): the convergence probe on extB is the one
+        // job that materializes extA, jumps2 and extB together, so the
+        // fixed per-job cost (scheduling, checkpoint, probe action) is
+        // paid half as often — at fixture scale that fixed cost IS the
+        // runtime. If extB is empty, extA (possibly non-empty) still
+        // completes the closure: no path exceeds 2^(i+1).
         while (more && iter < maxIter) {
-          val known = parts.map(_.toDF("d", "a", "depth", "plain")).reduce(_ unionByName _)
-          val ext = jumps.as("j")
-            .join(known.as("p"), col("j.a") === col("p.d"))
-            .select(col("j.d").as("d"), col("p.a").as("a"),
-              (col("j.depth") + col("p.depth")).as("depth"),
-              (col("j.plain") && col("p.plain")).as("plain"))
-            .localCheckpoint(false)
-          more = ext.limit(1).count() > 0
+          val known = parts.map(norm).reduce(_ unionByName _)
+          val extA = extend(jumps, known).localCheckpoint(false)
+          val jumps2 = extend(jumps, jumps).localCheckpoint(false)
+          val extB = extend(jumps2, known.unionByName(norm(extA))).localCheckpoint(false)
+          more = extB.limit(1).count() > 0
           if (more) {
-            parts ::= ext
-            jumps = jumps.as("x")
-              .join(jumps.as("y"), col("x.a") === col("y.d"))
-              .select(col("x.d").as("d"), col("y.a").as("a"),
-                (col("x.depth") + col("y.depth")).as("depth"),
-                (col("x.plain") && col("y.plain")).as("plain"))
-              .localCheckpoint(false)
+            parts = extB :: extA :: parts
+            jumps = extend(jumps2, jumps2).localCheckpoint(false)
+          } else {
+            parts ::= extA // may be empty; harmless in the final union
           }
           iter += 1
         }
-        parts.map(_.toDF("d", "a", "depth", "plain")).reduce(_ unionByName _)
+        parts.map(norm).reduce(_ unionByName _)
       } finally prevConf match {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
