@@ -107,6 +107,91 @@ object TextAnalysis {
         (col("top_rep").cast("double") / col("n_grams")).as("rep_ratio"))
   }
 
+  /** PII patterns: (name, regex, replacement token). Regexes restrict to
+    * syntax with identical semantics in Java regex and RE2 (so the
+    * DuckDB oracle behaves the same): character classes, bounded
+    * repetition, ASCII word boundary. Scrub order is list order: each
+    * pattern runs over the previous pattern's output, so an earlier
+    * redaction can consume text a later pattern would have matched.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}", "<PHONE>"))
+
+  /** PII redaction (pre-training scrub): replaces email / IPv4 / intl
+    * phone patterns with typed placeholder tokens and reports per-kind
+    * match counts (counted on the ORIGINAL text, each pattern
+    * independently — the audit number, not the replacement number).
+    * Pure projection, zero shuffles; regexes evaluate inside codegen.
+    */
+  def scrubPii(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      regexp_count(text, lit(re)).cast("long").as(s"n_$name") }
+    val cleaned = PiiPatterns.foldLeft(text) { case (t, (_, re, tok)) =>
+      regexp_replace(t, re, tok) }
+    docs.select(col("doc_id") +: counts :+ cleaned.as("clean_text"): _*)
+  }
+
+  /** Overlapping fixed-size token-window chunking (context-window
+    * splitting for embedding / training): chunk c starts at token
+    * offset c·stride (0-based chunk ids), covers `chunkSize` tokens,
+    * and the final chunk is truncated at the document end. Every token
+    * position belongs to ≥ 1 chunk; consecutive chunks overlap by
+    * chunkSize − stride tokens.
+    *
+    * Pure per-row explode (narrow, zero shuffles): a doc's chunks are
+    * computed from its own token array. Output order/ids deterministic.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("col"), lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), size(col("t")) - col("col") + 1)
+          .cast("long").as("chunk_tok"))
+  }
+
+  /** Corpus-bigram affinity score (an n-gram-LM proxy for perplexity
+    * filtering): for each in-document bigram (w1, w2), the scaled
+    * conditional probability (count(w1,w2)·10⁶) div count(w1·) — exact
+    * integer — summed per document; `affinity` = the mean, in [0, 1].
+    * Low affinity = the document's word transitions are unusual for the
+    * corpus (gibberish, wrong-language, boilerplate soup).
+    *
+    * Scale shape: the bigram/left-unigram count relations are corpus-
+    * sized, so both enrichment joins are shuffled equi-joins on the gram
+    * keys (partial-aggregated map-side); nothing driver-sized. Documents
+    * with < 2 tokens have no bigrams and are dropped.
+    */
+  def bigramAffinity(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), expr("(c2 * 1000000L) div c1").as("p_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p"),
+        (col("sum_p").cast("double") / col("n_bigrams") / 1e6).as("affinity"))
+  }
+
   // hash constants live on the Expression (single source of truth);
   // aliased here because the generated DuckDB oracle SQL reads them
   val FpBase: Long = graft.functions.RollingFingerprint.Base

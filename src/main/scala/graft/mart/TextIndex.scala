@@ -42,4 +42,56 @@ object TextIndex {
       .agg(countDistinct(col("token")).as("_nt"), sum(col("tf")).as("hits"))
       .where(col("_nt") === terms.size)
       .select(col("doc_id"), col("hits"))
+
+  /** tf·idf-ranked disjunctive search (the `MATCH ... AGAINST` relevance
+    * mode): docs containing ANY query term, scored by
+    * Σ_terms tf · ((N·1000) div df) and ranked top-k.
+    *
+    * The idf is the integer-scaled rarity weight (N = corpus document
+    * count, df = docs containing the term, both derived from the index
+    * itself) — scoring is exact long arithmetic, so ranking is
+    * deterministic under any partitioning and SQL-reproducible. The
+    * probe touches only the query terms' postings (pushed to the scan on
+    * a [[persist]]ed mart); df/N are aggregates OF THE POSTINGS/index,
+    * never a corpus rescan, and the final top-k is a rank-limit
+    * (TakeOrdered — per-partition heads, no global sort materialized).
+    */
+  def rankedSearch(index: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val postings = index.where(col("token").isin(terms: _*))
+    val docFreq = postings.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = index.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = postings
+      .join(broadcast(docFreq), "token")
+      .join(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * expr("(n_docs * 1000L) div df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    // rank assignment over the ≤ topK surviving rows — bounded input,
+    // the single-partition window is deliberate
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Tokenizer-vocabulary induction: corpus token frequencies pruned to
+    * `minCount` and capped at the `maxSize` most frequent, with dense
+    * 0-based ids in (count desc, token) order — the "train a vocab over
+    * the cleaned corpus" step of an LLM data pipeline.
+    *
+    * Scale shape: one hash aggregate over the index (partial counts
+    * map-side), then a rank-limit top-`maxSize` (TakeOrdered — no global
+    * sort). Id assignment windows over ≤ maxSize rows, which is bounded
+    * by construction (a vocabulary is driver-sized; the corpus is not).
+    */
+  def vocabulary(index: DataFrame, minCount: Long, maxSize: Int): DataFrame =
+    index.groupBy(col("token"))
+      .agg(sum(col("tf")).as("count"))
+      .where(col("count") >= minCount)
+      .orderBy(col("count").desc, col("token"))
+      .limit(maxSize)
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("count").desc, col("token"))) - 1).cast("long"))
 }

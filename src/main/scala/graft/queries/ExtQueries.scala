@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
-import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Sampling, SeqPack, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
@@ -515,5 +515,130 @@ object ExtQueries {
         |       ELSE unicode(substr(text, 1, 1)) % 65536 END AS BIGINT) AS luma,
         |  16 + 8 * (8 + length(text) % 16) * (4 + doc_id % 8) AS n_bytes
         |FROM documents""".stripMargin),
+
+    // ── range (interval-containment) join ──────────────────────────────
+    // Every event matched to every 2-hour marker span covering it, per
+    // user. The Spark side buckets time into the join key (pairs meet
+    // exactly once — no post-join quadratic filter, no dedup); DuckDB's
+    // native range join is the oracle, so the bucketed rewrite's
+    // inclusive-boundary semantics are verified exactly.
+    "q62_range_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val spans = Tables.events(s, dir)
+          .where(col("event_id") % 20 === 0)
+          .select(col("event_id").as("span_id"), col("user_id"),
+            col("ts").as("span_start"),
+            org.apache.spark.sql.functions.expr("ts + INTERVAL 2 HOURS").as("span_end"))
+        RangeJoin.pointInInterval(ev, spans, Seq("user_id"), "ts",
+            "span_start", "span_end", bucketSeconds = 7200L)
+          .select("event_id", "user_id", "span_id", "span_start", "span_end")
+      },
+      """WITH m AS (SELECT event_id AS span_id, user_id, ts AS span_start,
+        |            ts + INTERVAL 2 HOUR AS span_end
+        |           FROM events WHERE event_id % 20 = 0)
+        |SELECT e.event_id, e.user_id, m.span_id, m.span_start, m.span_end
+        |FROM events e JOIN m ON e.user_id = m.user_id
+        |  AND e.ts >= m.span_start AND e.ts <= m.span_end""".stripMargin),
+
+    // ── tf·idf-ranked disjunctive text search ──────────────────────────
+    // Integer-scaled idf ((N·1000) div df) keeps scoring exact, so the
+    // ranking is deterministic and SQL-reproducible.
+    "q63_ranked_search" -> Q(
+      (s, dir) => graft.mart.TextIndex.rankedSearch(
+        graft.mart.TextIndex.build(Tables.documents(s, dir)),
+        Seq("spark", "join", "scan"), topK = 20),
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ti
+        |       WHERE token IN ('spark', 'join', 'scan') GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ti),
+        |scored AS (
+        |  SELECT doc_id, cast(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score
+        |  FROM ti JOIN df USING (token) CROSS JOIN n
+        |  GROUP BY doc_id),
+        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score,
+        |       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM top""".stripMargin),
+
+    // ── PII redaction (pre-training scrub) ─────────────────────────────
+    // The fixture corpus carries no PII, so deterministic synthetic PII
+    // is injected first (email + IP + phone per doc) and the scrub must
+    // find and redact it; patterns are interpolated from the SAME Scala
+    // constants the engine uses, so the two sides cannot drift.
+    "q64_pii_scrub" -> Q(
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 or +1555000"), col("doc_id").cast("string")).as("text"))
+        TextAnalysis.scrubPii(injected)
+      },
+      {
+        val inj = "text || ' reach user' || cast(doc_id AS VARCHAR)" +
+          " || '@example.com via 10.0.' || cast(doc_id % 256 AS VARCHAR)" +
+          " || '.7 or +1555000' || cast(doc_id AS VARCHAR)"
+        val counts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+          s"cast(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_$name" }
+          .mkString(",\n  ")
+        val cleaned = TextAnalysis.PiiPatterns.foldLeft("t") { case (e, (_, re, tok)) =>
+          s"regexp_replace($e, '$re', '$tok', 'g')" }
+        s"""WITH inj AS (SELECT doc_id, $inj AS t FROM documents)
+           |SELECT doc_id,
+           |  $counts,
+           |  $cleaned AS clean_text
+           |FROM inj""".stripMargin
+      }),
+
+    // ── tokenizer-vocabulary induction ─────────────────────────────────
+    "q66_vocabulary" -> Q(
+      (s, dir) => graft.mart.TextIndex.vocabulary(
+        graft.mart.TextIndex.build(Tables.documents(s, dir)),
+        minCount = 10L, maxSize = 64),
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |vc AS (SELECT token, cast(sum(tf) AS BIGINT) AS count FROM ti
+        |       GROUP BY token HAVING sum(tf) >= 10
+        |       ORDER BY count DESC, token LIMIT 64)
+        |SELECT token, count,
+        |       cast(row_number() OVER (ORDER BY count DESC, token) - 1 AS BIGINT) AS token_id
+        |FROM vc""".stripMargin),
+
+    // ── corpus-bigram affinity (n-gram-LM perplexity proxy) ────────────
+    "q67_bigram_lm" -> Q(
+      (s, dir) => TextAnalysis.bigramAffinity(Tables.documents(s, dir)),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT doc_id, (c2.c2 * 1000000) // c1.c1 AS p_scaled
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+        |               cast(sum(p_scaled) AS BIGINT) AS sum_p
+        |        FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_p,
+        |       cast(sum_p AS DOUBLE) / n_bigrams / 1000000.0 AS affinity
+        |FROM agg""".stripMargin),
+
+    // ── overlapping token-window chunking ──────────────────────────────
+    "q68_doc_chunks" -> Q(
+      (s, dir) => TextAnalysis.chunk(Tables.documents(s, dir),
+        chunkSize = 32, stride = 24),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s FROM toks)
+        |SELECT doc_id, cast((s - 1) // 24 AS BIGINT) AS chunk_id,
+        |       array_to_string(t[s:s+31], ' ') AS chunk_text,
+        |       cast(least(32, len(t) - s + 1) AS BIGINT) AS chunk_tok
+        |FROM st""".stripMargin),
   )
 }

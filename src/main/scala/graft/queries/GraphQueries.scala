@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.graph.Closure
+import graft.graph.{Closure, PageRank}
 import graft.stats.{TreeInput, TreeStats, TreeStatsIterative}
 import graft.util.Tables
 
@@ -184,6 +184,40 @@ object GraphQueries {
       |    / (d_ur + 1.0) AS ur_retweet_count_mad
       |FROM stats""".stripMargin
 
+  /** q65 oracle: the exact-integer PageRank recurrence unrolled to
+    * `iters` CTEs, generated from the SAME constants the engine uses
+    * (same anti-drift design as the k-means oracle). `//` is DuckDB
+    * floor division — identical to Spark's `div` on the non-negative
+    * operands here; sums of BIGINT (DuckDB HUGEINT) are cast back.
+    */
+  private def pageRankOracleSql(iters: Int, scale: Long,
+                                dampNum: Long, dampDen: Long): String = {
+    val base = scale * (dampDen - dampNum) / dampDen
+    val head =
+      s"""WITH edges AS (
+         |  SELECT parent AS src, event_id AS dst FROM (
+         |    SELECT event_id,
+         |           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS parent
+         |    FROM events)
+         |  WHERE parent IS NOT NULL),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT id, cast($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.id,
+         |         cast($base + coalesce(sum((r.r * $dampNum) // ($dampDen * o.od)), 0) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN r${i - 1} r ON r.id = e.src
+         |  LEFT JOIN outdeg o ON o.src = e.src
+         |  GROUP BY n.id)""".stripMargin
+    }.mkString
+    head + iterCtes + s"\nSELECT id AS event_id, r AS rank_scaled FROM r$iters"
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── J3/J4: iterative closure to forest roots (pointer jumping) ─────
@@ -206,6 +240,21 @@ object GraphQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |) WHERE rn > 1""".stripMargin),
+
+    // ── graph centrality: exact-integer damped PageRank ────────────────
+    // Same per-user chain edges as q22; the engine runs the generic
+    // iterative join/aggregate loop, the oracle replays the identical
+    // integer recurrence unrolled (generated from the same constants).
+    "q65_pagerank" -> Q(
+      (s, dir) => {
+        val edges = Tables.events(s, dir)
+          .withColumn("parent", lag(col("event_id"), 1).over(chainW))
+          .where(col("parent").isNotNull)
+          .select(col("parent").as("src"), col("event_id").as("dst"))
+        PageRank.run(edges, iters = 3)
+          .select(col("id").as("event_id"), col("r").as("rank_scaled"))
+      },
+      pageRankOracleSql(iters = 3, scale = 1000000L, dampNum = 17L, dampDen = 20L)),
 
     // ── A4/A5/A6: the full 41-column per-tweet tree statistics ─────────
     // (3_create_tweet_stats_i.py) via groupByKey+flatMapGroups; the chain

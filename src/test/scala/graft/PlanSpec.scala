@@ -115,4 +115,29 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("might_contain"), s"bloom filter absent from the corpus scan side:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q62: range join is a bucketed EQUI-join — the containment predicate never drives a cartesian") {
+    val plan = planOf("q62_range_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q64/q68: pii scrub and chunking are pure narrow projections — zero exchanges") {
+    Seq("q64_pii_scrub", "q68_doc_chunks").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+  }
+
+  test("q63/q66: ranked search and vocabulary cut top-k via TakeOrdered, never a global sort") {
+    Seq("q63_ranked_search", "q66_vocabulary").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q:\n$plan")
+    }
+  }
+
+  test("q65: pagerank iterations are equi-joins only — no cartesian, no nested loop") {
+    val plan = planOf("q65_pagerank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

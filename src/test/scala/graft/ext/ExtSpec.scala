@@ -289,4 +289,52 @@ class ExtSpec extends SparkSuite {
     assert(out(1L)._3 > 0.5)
     assert(out(2L)._2 == 1 && out(2L)._3 < 0.2)  // every gram unique
   }
+
+  test("pii scrub redacts emails, ips, phones and counts each kind") {
+    val d = Seq(
+      (1L, "mail a.b@x.io and c@y.org ip 10.0.0.1 call +123456789 done"),
+      (2L, "no pii here"),
+      (3L, "edge user@10.0.0.1 stays one EMAIL")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 ==
+      "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> done")
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here")))
+    // user@10.0.0.1 is NOT an email (no alphabetic TLD): the ip pass
+    // redacts the address part, the email count stays 0
+    assert(out(3L)._4 == "edge user@<IP> stays one EMAIL")
+    assert(out(3L)._1 == 0 && out(3L)._2 == 1)
+  }
+
+  test("chunking covers every token with the stated overlap; short docs one chunk") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // starts at 1,4,7,10 → 4 chunks
+    assert(out((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(out((1L, 1L)) == (("t4 t5 t6 t7", 4L)))
+    assert(out((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(out((1L, 3L)) == (("t10", 1L)))          // truncated tail
+    assert(out((2L, 0L)) == (("a b", 2L)))
+    assert(!out.contains((2L, 1L)))
+  }
+
+  test("bigram affinity: repeated corpus phrase scores 1, rare transitions score low") {
+    val d = Seq(
+      (1L, "to be or"),
+      (2L, "to be or"),
+      (3L, "to go"),
+      (4L, "x")).toDF("doc_id", "text") // <2 tokens → dropped
+    val out = TextAnalysis.bigramAffinity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // c1(to)=3, c2(to,be)=2, c2(be,or)=2=c1(be), c2(to,go)=1
+    val pToBe = 2L * 1000000L / 3L
+    assert(out(1L) == ((2L, pToBe + 1000000L, (pToBe + 1000000L) / 2.0 / 1e6)))
+    assert(out(3L)._2 == 1000000L / 3L)
+    assert(!out.contains(4L))
+  }
 }

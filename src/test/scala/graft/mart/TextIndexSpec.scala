@@ -28,6 +28,37 @@ class TextIndexSpec extends SparkSuite {
     assert(hits == Map(1L -> 3L)) // doc 1: spark×2 + join×1
   }
 
+  test("ranked search scores tf·idf with the exact integer idf and ranks deterministically") {
+    // corpus: 4 docs. df(spark)=2, df(join)=2, df(scan)=1; N=4
+    // idf = (N*1000) div df → spark/join 2000, scan 4000
+    val got = TextIndex.rankedSearch(TextIndex.build(docs),
+      Seq("spark", "join", "scan"), topK = 10)
+      .as[(Long, Long, Long)].collect().toList
+    val want = List(
+      (1L, 2L * 2000 + 1L * 2000, 1L), // spark×2 + join×1 = 6000
+      (3L, 1L * 2000 + 1L * 4000, 2L), // spark×1 + scan×1 = 6000, id tiebreak
+      (2L, 1L * 2000, 3L))             // join×1
+    assert(got == want)
+  }
+
+  test("ranked search topK truncates below the cut") {
+    val got = TextIndex.rankedSearch(TextIndex.build(docs),
+      Seq("spark", "join", "scan"), topK = 1)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got.map(_._1) == List(1L) && got.head._3 == 1L)
+  }
+
+  test("vocabulary prunes by minCount, caps size, assigns dense ids in rank order") {
+    val many = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "a b c e")
+    ).toDF("doc_id", "text")
+    val vocab = TextIndex.vocabulary(TextIndex.build(many), minCount = 2L, maxSize = 2)
+      .as[(String, Long, Long)].collect().toList
+    // counts: a=5 b=4 c=3 d=1 e=1 → minCount 2 keeps a,b,c; cap 2 keeps a,b
+    assert(vocab == List(("a", 5L, 0L), ("b", 4L, 1L)))
+  }
+
   test("persisted mart answers searches with a token-pushed scan") {
     val path = Files.createTempDirectory("text_index").toString + "/idx"
     TextIndex.persist(TextIndex.build(docs), path)
