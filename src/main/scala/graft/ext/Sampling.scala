@@ -56,4 +56,15 @@ object Sampling {
     ratePct.foldLeft(defaultPct.toString) { case (acc, (v, p)) =>
       s"(CASE WHEN $stratumExpr = '$v' THEN $p ELSE $acc END)"
     }
+
+  /** Keeps each row with probability `weightPct`/100 where the weight is
+    * any per-row integer expression in [0, 100] (quality score, length
+    * tier, source trust) — importance sampling with the same
+    * deterministic-hash contract as the other samplers: per-row stable
+    * under any subset/partitioning, reproducible cross-engine. Rows at
+    * weight 100 always survive; weight 0 never does. Pure narrow
+    * filter, zero shuffles. */
+  def weightedSample(df: DataFrame, idCol: String, weightPct: Column,
+                     salt: String = "weight"): DataFrame =
+    df.where(bucket(df, col(idCol), salt) < weightPct)
 }

@@ -630,6 +630,42 @@ object ExtQueries {
         |       cast(sum_p AS DOUBLE) / n_bigrams / 1000000.0 AS affinity
         |FROM agg""".stripMargin),
 
+    // ── length-weighted importance sampling ────────────────────────────
+    // Keep probability proportional to document length (capped at 100%):
+    // the "sample long documents preferentially" rebalancing step, with
+    // the deterministic-hash contract shared by q51/q52.
+    "q69_weighted_sample" -> Q(
+      (s, dir) => Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          org.apache.spark.sql.functions.least(lit(100),
+            org.apache.spark.sql.functions.expr("n_chars div 20")))
+        .select("doc_id", "lang", "n_chars"),
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.bucketSql("doc_id", "weight")}
+         |    < least(100, n_chars // 20)""".stripMargin),
+
+    // ── deterministically salted skew join == plain join ───────────────
+    // The salt must be semantically invisible: the salted big-side join
+    // (hot keys spread over `factor` sub-keys, small side replicated)
+    // aggregates to EXACTLY the plain-join oracle. This is the explicit
+    // escape hatch for skew beyond what AQE's split handles.
+    "q70_salted_join" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.util.Scale.saltedJoin(li, ord, "okey", factor = 4)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |       cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin),
+
     // ── overlapping token-window chunking ──────────────────────────────
     "q68_doc_chunks" -> Q(
       (s, dir) => TextAnalysis.chunk(Tables.documents(s, dir),

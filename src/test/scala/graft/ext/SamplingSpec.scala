@@ -44,4 +44,20 @@ class SamplingSpec extends SparkSuite {
     val ids2 = kept2.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids != ids2)
   }
+
+  test("weighted sample: weight 100 always keeps, 0 never, mid-weights scale") {
+    import org.apache.spark.sql.functions._
+    val weighted = docs.withColumn("w",
+      when($"doc_id" % 4 === 0, 100).when($"doc_id" % 4 === 1, 0).otherwise(30))
+    val kept = Sampling.weightedSample(weighted, "doc_id", col("w"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert((0L until 2000L by 4).forall(kept.contains))       // w=100
+    assert((1L until 2000L by 4).forall(id => !kept.contains(id))) // w=0
+    val mid = kept.count(_ % 4 >= 2)
+    assert(mid > 200 && mid < 400, s"~30% of 1000 expected, got $mid")
+    // subset stability: same contract as the other samplers
+    val sub = Sampling.weightedSample(weighted.where($"doc_id" < 500),
+      "doc_id", col("w")).collect().map(_.getLong(0)).toSet
+    assert(sub == kept.filter(_ < 500))
+  }
 }
