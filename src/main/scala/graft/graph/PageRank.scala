@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   * dropped (not redistributed) — the standard simplification; document
   * rank ORDER is unaffected on graphs where dangling nodes are leaves.
   *
-  * Spark-first shape (100 TB): nodes/edges/out-degrees are computed once
-  * and localCheckpoint'd (reused every round without re-scanning the
-  * source); each iteration is one equi-join on `src` (ranks are
-  * pre-partitioned by the join key from the previous round's aggregate)
-  * + one partial-aggregated shuffle on `dst` + one left join back to the
-  * node set. Lineage is truncated per round, so plan cost is O(1) per
-  * iteration, same discipline as [[Closure]].
+  * Spark-first shape (100 TB): the static relations are prepared ONCE —
+  * out-degrees folded into the edge list, the result hash-partitioned
+  * and sorted by `src`, the node set left partitioned by `id` from its
+  * distinct — and localCheckpoint'd. `LogicalRDD` preserves the
+  * partitioning and ordering across the checkpoint, so every
+  * iteration's rank join reuses it: ranks arrive partitioned by `id`
+  * (= the join key) from the previous round's node join, and the ONLY
+  * exchange per iteration is the partial-aggregated in-mass shuffle on
+  * `dst` (asserted in PageRankSpec). The edge relation — the 100 TB
+  * side — is never re-shuffled and never re-sorted after round 0.
+  * Lineage is truncated per round, so plan cost is O(1) per iteration,
+  * same discipline as [[Closure]].
   */
 object PageRank {
 
@@ -38,19 +43,51 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L,
           dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    // AQE off for the loop: AdaptiveSparkPlanExec does not surface its
+    // final plan's outputPartitioning, so a checkpoint taken under AQE
+    // captures UnknownPartitioning and every round silently re-shuffles
+    // the static sides. These per-round plans are hand-shaped (explicit
+    // layout, partial-aggregated shuffle), so AQE has nothing to add.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try runLoop(edges, iters, scale, dampNum, dampDen)
+    finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  private def runLoop(edges: DataFrame, iters: Int, scale: Long,
+                      dampNum: Long, dampDen: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // contribution edges: out-degree folded in once, laid out by the
+    // per-iteration join key — iterations probe it in place. The
+    // partition count is EXPLICIT: an AQE-coalesced layout would not
+    // co-partition with later exchanges and the reuse would silently
+    // turn back into a per-round shuffle of the big side.
+    val eod = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(nPart, col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint(true)
+    // same explicit layout for the node set, on its join key
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .repartition(nPart, col("id"))
+      .dropDuplicates("id")
+      .sortWithinPartitions(col("id"))
       .localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
 
     var ranks = nodes.select(col("id"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      val inMass = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+    for (i <- 1 to iters) {
+      val inMass = eod
+        .join(ranks, eod("src") === ranks("id"))
         .select(col("dst"),
           expr(s"(r * ${dampNum}L) div (${dampDen}L * od)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
@@ -58,7 +95,10 @@ object PageRank {
         .join(inMass, nodes("id") === inMass("dst"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("r"))
-        .localCheckpoint(false)
+      // the final round's result goes straight to the caller — only
+      // rounds that feed another iteration need their lineage cut (and
+      // leaving the last plan intact lets tests assert its shape)
+      if (i < iters) ranks = ranks.localCheckpoint(false)
     }
     ranks
   }

@@ -62,4 +62,19 @@ class PageRankSpec extends SparkSuite {
     val edges = Seq((1L, 2L), (3L, 2L))
     assert(run(edges, 0).values.toSet == Set(Scale))
   }
+
+  test("per-iteration plan reuses the static layout: the big sides never re-shuffle or re-sort") {
+    val edges = (1 to 400).map(i => ((i % 50).toLong, (i % 97 + 50).toLong))
+    val plan = PageRank.run(edges.toDF("src", "dst"), iters = 2)
+      .queryExecution.executedPlan.toString
+    // the static relations (edges+outdeg laid out by src, nodes by id)
+    // come out of their checkpoints partitioned and sorted on the join
+    // keys — no round may shuffle or sort them again; the only
+    // remaining hash exchange is the contribution aggregate on dst
+    assert(!plan.contains("Exchange hashpartitioning(src"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(id"), plan)
+    assert(!plan.contains("Sort [src"), plan)
+    assert(!plan.contains("Sort [id"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
