@@ -149,6 +149,21 @@ object TreeStatsIterative {
       col("plain_leaf").as("d_plain_leaf"), col("ur_leaf_flag").as("d_ur_leaf"))
 
     val isDesc = col("depth") > 0
+    // exact distinct authors via an explicit two-level aggregate: a
+    // single agg with two countDistinct would plan an Expand that
+    // triples EVERY pair row through the exchange — on the pair
+    // relation (the largest intermediate, O(nodes × depth)) that 3× is
+    // the dominant shuffle at scale. (a, author) collapses map-side
+    // first, so the second shuffle carries one row per distinct pair.
+    // (Assumes non-null author_id, like the reference and TreeStats'
+    // long-keyed sets — a null author would count here, not be skipped.)
+    val authorCounts = allPairs
+      .join(descSide.select(col("d"), col("d_author")), Seq("d"))
+      .groupBy(col("a"), col("d_author"))
+      .agg(max(when(col("plain"), 1L).otherwise(0L)).as("has_plain"))
+      .groupBy(col("a").as("id"))
+      .agg(sum(col("has_plain")).as("t_authors"),
+        count(lit(1)).as("ur_t_authors"))
     val subtree = allPairs.join(descSide, Seq("d"))
       .groupBy(col("a").as("id"))
       .agg(
@@ -161,8 +176,6 @@ object TreeStatsIterative {
         sum(when(col("plain") && isDesc && col("d_plain_leaf"), col("depth") - 1L))
           .as("sum_depth"),
         sum(when(isDesc && col("d_ur_leaf"), col("depth") - 1L)).as("ur_sum_depth"),
-        countDistinct(when(col("plain"), col("d_author"))).as("t_authors"),
-        countDistinct(col("d_author")).as("ur_t_authors"),
         sum(when(col("plain"), col("d_reply")).otherwise(0L)).as("t_reply_count"),
         sum(col("d_reply")).as("ur_t_reply_count"),
         sum(when(col("plain"), col("d_quote")).otherwise(0L)).as("t_quote_count"),
@@ -172,6 +185,8 @@ object TreeStatsIterative {
         sum(when(col("plain"), col("d_retweet")).otherwise(0L)).as("t_retweet_count"),
         sum(col("d_retweet")).as("ur_t_retweet_count"))
       .na.fill(0L, Seq("sum_depth", "ur_sum_depth"))
+      // every id has a self-pair, so both aggregates cover the same keys
+      .join(authorCounts, Seq("id"))
       .localCheckpoint(false) // consumed twice: parent means + final emit
 
     // subtree means as the reference normalizes them (`:200-221`)
