@@ -26,11 +26,12 @@ object TextIndex {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
-  /** Materialize the index clustered by token (K8/K9 layout: columnar,
-    * co-located postings, min/max-prunable). */
-  def persist(index: DataFrame, path: String): Unit =
-    index.repartition(col("token"))
-      .sortWithinPartitions(col("token"), col("doc_id"))
+  /** Materialize an index clustered by its term column (K8/K9 layout:
+    * columnar, co-located postings, min/max-prunable) — `token` for
+    * [[build]], `tri` for [[trigramIndex]]. */
+  def persist(index: DataFrame, path: String, cluster: String = "token"): Unit =
+    index.repartition(col(cluster))
+      .sortWithinPartitions(col(cluster), col("doc_id"))
       .write.mode("overwrite").parquet(path)
 
   /** Docs containing ALL `terms`, with total hit count — the
@@ -73,6 +74,49 @@ object TextIndex {
     scored.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Character-trigram index: (tri, doc_id) distinct pairs — the infix-
+    * search companion to the token index (a token index cannot answer
+    * `LIKE '%substr%'`; a trigram index can, because every document
+    * containing a needle contains every trigram of the needle). Same
+    * K8/K9 persistence story as [[build]]: cluster by `tri` via
+    * [[persist]] (rename token→tri) for min/max-prunable probes. */
+  def trigramIndex(docs: DataFrame): DataFrame =
+    docs
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("tri"))
+
+  /** Exact substring search driven by the trigram index: candidate docs
+    * must contain ALL of the needle's distinct trigrams (a conjunctive
+    * index probe, never a corpus text scan), then the needle itself is
+    * confirmed against the candidates' text only. Emits
+    * (doc_id, hits = occurrence count). Requires needle length ≥ 3 —
+    * shorter needles have no trigram and would need a full scan.
+    *
+    * Scale shape: the probe touches |needle| postings lists; the
+    * confirm joins the candidate id set (semi-join-sized) back to the
+    * corpus — selectivity comes from the rarest trigram, exactly like
+    * a database trigram index (pg_trgm).
+    */
+  def substringSearch(triIndex: DataFrame, docs: DataFrame,
+                      needle: String): DataFrame = {
+    require(needle.length >= 3, "needle must be at least 3 chars")
+    val tris = needle.sliding(3).toSeq.distinct
+    val candidates = triIndex.where(col("tri").isin(tris: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_nt"))
+      .where(col("_nt") === tris.size)
+      .select(col("doc_id"))
+    docs.join(candidates, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        ((length(col("text"))
+          - length(call_function("replace", col("text"), lit(needle), lit(""))))
+          / needle.length).cast("long").as("hits"))
+      .where(col("hits") > 0)
   }
 
   /** Tokenizer-vocabulary induction: corpus token frequencies pruned to

@@ -666,6 +666,41 @@ object ExtQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin),
 
+    // ── trigram-index substring search (LIKE '%needle%' via index) ─────
+    // Candidates from a conjunctive trigram probe, needle confirmed on
+    // candidates only; oracle is the direct corpus scan — the index path
+    // must find exactly the scan's matches.
+    "q71_substring_search" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.mart.TextIndex.substringSearch(
+          graft.mart.TextIndex.trigramIndex(docs), docs, "spark join")
+      },
+      """SELECT doc_id,
+        |  (length(text) - length(replace(text, 'spark join', ''))) // 10 AS hits
+        |FROM documents WHERE contains(text, 'spark join')""".stripMargin),
+
+    // ── per-stratum winsorization (outlier clipping at p99) ────────────
+    "q72_winsorize" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("text"), " "))
+            .cast("long").as("n_tok"))
+        val p99 = toks.groupBy(col("lang"))
+          .agg(org.apache.spark.sql.functions.expr("percentile(n_tok, 0.99)").as("p99"))
+        toks.join(org.apache.spark.sql.functions.broadcast(p99), "lang")
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            org.apache.spark.sql.functions.least(
+              col("n_tok").cast("double"), col("p99")).as("n_tok_clip"))
+      },
+      """WITH t AS (SELECT doc_id, lang,
+        |             cast(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |p AS (SELECT lang, quantile_cont(n_tok, 0.99) AS p99 FROM t GROUP BY lang)
+        |SELECT doc_id, t.lang, n_tok, least(cast(n_tok AS DOUBLE), p99) AS n_tok_clip
+        |FROM t JOIN p USING (lang)""".stripMargin),
+
     // ── overlapping token-window chunking ──────────────────────────────
     "q68_doc_chunks" -> Q(
       (s, dir) => TextAnalysis.chunk(Tables.documents(s, dir),

@@ -59,6 +59,35 @@ class TextIndexSpec extends SparkSuite {
     assert(vocab == List(("a", 5L, 0L), ("b", 4L, 1L)))
   }
 
+  test("trigram substring search equals a direct contains() scan") {
+    val corpus = Seq(
+      (1L, "spark joins the batch"),           // 1: "spark joins" ⊃ needle
+      (2L, "sparkling spark join spark join"), // 2 occurrences
+      (3L, "park join"),                       // shares trigrams, no match
+      (4L, "spa rk join")                      // broken by the space
+    ).toDF("doc_id", "text")
+    val got = TextIndex.substringSearch(
+      TextIndex.trigramIndex(corpus), corpus, "spark join")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+    // boundary: needle shorter than a trigram is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.substringSearch(TextIndex.trigramIndex(corpus), corpus, "sp")
+    }
+    assert(e.getMessage.contains("3"))
+  }
+
+  test("persisted trigram index answers probes with a tri-pushed scan") {
+    val corpus = Seq((1L, "spark join here"), (2L, "nothing else")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("tri_index").toString + "/idx"
+    TextIndex.persist(TextIndex.trigramIndex(corpus), path, cluster = "tri")
+    val reread = spark.read.parquet(path)
+    val q = TextIndex.substringSearch(reread, corpus, "spark join")
+    assert(q.as[(Long, Long)].collect().toMap == Map(1L -> 1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("In(tri,"), plan)
+  }
+
   test("persisted mart answers searches with a token-pushed scan") {
     val path = Files.createTempDirectory("text_index").toString + "/idx"
     TextIndex.persist(TextIndex.build(docs), path)
