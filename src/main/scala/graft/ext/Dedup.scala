@@ -205,17 +205,47 @@ object Dedup {
     * consecutive minhashes). Returns (doc_a, doc_b, n_bands) where
     * n_bands is the number of colliding bands.
     */
-  def minhashCandidates(docs: DataFrame, n: Int): DataFrame = {
+  /** (doc_id, band, m0, m1) LSH band relation of [[minhashSignatures]] —
+    * the collision key for banding joins. */
+  def minhashBands(docs: DataFrame, n: Int): DataFrame = {
     val sig = minhashSignatures(docs, n)
     val bandStructs = (0 until MinhashBands).map(b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"), col(s"mh${2 * b + 1}").as("m1")))
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
+  }
+
+  def minhashCandidates(docs: DataFrame, n: Int): DataFrame = {
+    val bands = minhashBands(docs, n)
     bands.as("a").join(bands.as("b"), Seq("band", "m0", "m1"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental dedup: clean a NEW batch against an EXISTING corpus —
+    * the shape every continuously-ingesting training pipeline needs
+    * (yesterday's corpus is fixed; today's crawl must not re-add what is
+    * already there, exactly or nearly). Two anti-join tiers:
+    *
+    *  1. exact — batch rows whose content hash exists in the corpus;
+    *  2. near — surviving batch rows sharing ANY minhash LSH band with a
+    *     corpus row.
+    *
+    * Both tiers are equi-joins keyed on hash/band — batch×corpus work is
+    * proportional to collisions, never |batch|·|corpus|, and the corpus
+    * side is only ever scanned, not rewritten. Returns the batch rows
+    * that survive both tiers.
+    */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("_h")).distinct()
+    val exactKept = newDocs.withColumn("_h", md5(col("text")))
+      .join(corpusHashes, Seq("_h"), "left_anti").drop("_h")
+    val collided = minhashBands(exactKept, n)
+      .join(minhashBands(corpus, n), Seq("band", "m0", "m1"), "left_semi")
+      .select(col("doc_id")).distinct()
+    exactKept.join(collided, Seq("doc_id"), "left_anti")
   }
 
   /** Cluster ANY near-dup pair relation over a universe of ids:

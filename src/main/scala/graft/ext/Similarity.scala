@@ -320,4 +320,22 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** Element-wise mean pooling of embeddings per group (centroid
+    * features, label prototypes, chunk→document pooling). Emitted in
+    * EXPLODED scalar form — (group, pos, n_vecs, sum_q, mean_q) — so the
+    * aggregation is a plain (group, pos) hash aggregate with map-side
+    * partial sums: no array-typed aggregation state, no
+    * order-of-summation nondeterminism (quantized longs sum exactly;
+    * the mean is one final division). Rebuilding an array column is one
+    * sort_array(collect_list) per group downstream if needed.
+    */
+  def meanPool(embeddings: DataFrame, groupCol: String): DataFrame =
+    graft.util.Scale.widen(embeddings)
+      .select(col(groupCol), posexplode(quantize(col("embedding"))))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("col")).as("sum_q"))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
 }

@@ -158,6 +158,20 @@ object TextAnalysis {
           .cast("long").as("chunk_tok"))
   }
 
+  /** Inverse of [[chunk]] for non-overlapping chunks (stride ==
+    * chunkSize): reassembles each document's chunks in chunk_id order —
+    * the "stitch model outputs back into documents" step. One hash
+    * aggregate; per-group state is the document's own chunk list.
+    * Roundtrip law (tested + oracle-verified):
+    * reassemble(chunk(docs, s, s)) == docs.
+    */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("text"))
+
   /** Corpus-bigram affinity score (an n-gram-LM proxy for perplexity
     * filtering): for each in-document bigram (w1, w2), the scaled
     * conditional probability (count(w1,w2)·10⁶) div count(w1·) — exact

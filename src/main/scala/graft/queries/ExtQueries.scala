@@ -90,6 +90,19 @@ object ExtQueries {
   private val StratRates: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
 
+  /** Minhash signature + LSH band CTEs over `sh` (continuation of a
+    * shingle base), generated from the engine's own constants — shared
+    * by q32 (in-corpus banding) and q73 (batch-vs-corpus banding). */
+  private val minhashBandsSql: String =
+    ", mh AS (SELECT doc_id, " +
+      (0 until Dedup.MinhashK).map(i =>
+        s"min(${sqlHash64(s"'$i:' || sh")}) AS mh$i").mkString(", ") +
+      " FROM sh GROUP BY doc_id),\n" +
+      "bands AS (" +
+      (0 until Dedup.MinhashBands).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1 FROM mh")
+        .mkString(" UNION ALL ") + ")\n"
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── exact dedup: content-hash groupBy, first-wins ──────────────────
@@ -116,18 +129,33 @@ object ExtQueries {
     // ── MinHash + LSH banding candidates ───────────────────────────────
     "q32_dedup_minhash_lsh" -> Q(
       (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), n = 3),
-      shingleBase3 +
-        ", mh AS (SELECT doc_id, " +
-        (0 until Dedup.MinhashK).map(i =>
-          s"min(${sqlHash64(s"'$i:' || sh")}) AS mh$i").mkString(", ") +
-        " FROM sh GROUP BY doc_id),\n" +
-        "bands AS (" +
-        (0 until Dedup.MinhashBands).map(b =>
-          s"SELECT doc_id, $b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1 FROM mh")
-          .mkString(" UNION ALL ") + ")\n" +
+      shingleBase3 + minhashBandsSql +
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
           |FROM bands a JOIN bands b USING (band, m0, m1)
           |WHERE a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin),
+
+    // ── incremental dedup: new batch vs existing corpus ────────────────
+    // Batch = every 7th-residue-3 doc, corpus = the rest; the batch
+    // survives only if its content hash AND all its LSH bands miss the
+    // corpus. Continuous-ingestion shape: the corpus is probed, never
+    // rewritten.
+    "q73_dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupAgainst(
+          docs.where(col("doc_id") % 7 === 3),
+          docs.where(col("doc_id") % 7 =!= 3), n = 3)
+          .select("doc_id", "lang")
+      },
+      shingleBase3 + minhashBandsSql +
+        """, newdocs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 3),
+          |corphash AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
+          |exact_kept AS (SELECT doc_id, lang FROM newdocs
+          |               WHERE md5(text) NOT IN (SELECT h FROM corphash)),
+          |coll AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b USING (band, m0, m1)
+          |         WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3)
+          |SELECT doc_id, lang FROM exact_kept
+          |WHERE doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin),
 
     // ── end-to-end near-dedup: pairs → connected components → clusters ─
     "q45_dedup_clusters" -> Q(
@@ -700,6 +728,83 @@ object ExtQueries {
         |p AS (SELECT lang, quantile_cont(n_tok, 0.99) AS p99 FROM t GROUP BY lang)
         |SELECT doc_id, t.lang, n_tok, least(cast(n_tok AS DOUBLE), p99) AS n_tok_clip
         |FROM t JOIN p USING (lang)""".stripMargin),
+
+    // ── composite corpus-cleaning pipeline ─────────────────────────────
+    // The operators composed the way a real pre-training run chains
+    // them: language-consistency (q37) ∧ min length (q38) ∧ low
+    // repetition (q55) ∧ decontaminated (q54). Each stage is the SAME
+    // function the standalone query registers — the oracle recomputes
+    // all four predicates and must agree on the surviving set.
+    "q74_clean_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val langOk = TextAnalysis.langId(docs)
+          .where(col("is_match")).select("doc_id")
+        val longEnough = TextAnalysis.qualityScore(docs)
+          .where(col("n_tokens") >= 25).select("doc_id")
+        val lowRep = TextAnalysis.repetitionScore(docs, n = 2)
+          .where(col("rep_ratio") < 0.05).select("doc_id")
+        Dedup.decontaminate(docs, docs.where(col("doc_id") % 97 === 0), n = 3)
+          .join(langOk, Seq("doc_id"), "left_semi")
+          .join(longEnough, Seq("doc_id"), "left_semi")
+          .join(lowRep, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang")
+      },
+      {
+        def occ(w: String) =
+          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+          case ((bl, bs), lang) =>
+            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+              s"greatest($bs, sc_$lang)")
+        }._1
+        shingleBase3 +
+          s""", ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+             |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)),
+             |langok AS (SELECT doc_id FROM
+             |  (SELECT doc_id, lang, text, $scores FROM documents)
+             |  WHERE $guess = lang),
+             |longok AS (SELECT doc_id FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 25),
+             |reps AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+             |  (SELECT doc_id, g, count(*) AS c FROM
+             |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+             |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+             |                 FROM documents) WHERE len(t) >= 2))
+             |   GROUP BY 1, 2) GROUP BY doc_id),
+             |repok AS (SELECT doc_id FROM reps WHERE rep_ratio < 0.05)
+             |SELECT doc_id, lang FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+             |  AND doc_id IN (SELECT doc_id FROM langok)
+             |  AND doc_id IN (SELECT doc_id FROM longok)
+             |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin
+      }),
+
+    // ── label-prototype mean pooling (exploded scalar form) ────────────
+    "q75_embedding_pool" -> Q(
+      (s, dir) => Similarity.meanPool(Tables.embeddings(s, dir), "label"),
+      """SELECT label, cast(i - 1 AS BIGINT) AS pos,
+        |  count(*) AS n_vecs,
+        |  cast(sum(cast(round(embedding[i]::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  cast(sum(cast(round(embedding[i]::DOUBLE * 1000) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS mean_q
+        |FROM (SELECT label, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i""".stripMargin),
+
+    // ── chunk → document reassembly (roundtrip law) ────────────────────
+    // chunk(stride == size) followed by reassemble must reproduce the
+    // corpus text EXACTLY — the oracle is simply the documents table.
+    "q76_chunk_roundtrip" -> Q(
+      (s, dir) => TextAnalysis.reassemble(
+        TextAnalysis.chunk(Tables.documents(s, dir), chunkSize = 16, stride = 16)),
+      "SELECT doc_id, text FROM documents"),
 
     // ── overlapping token-window chunking ──────────────────────────────
     "q68_doc_chunks" -> Q(

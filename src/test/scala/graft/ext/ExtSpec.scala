@@ -323,6 +323,45 @@ class ExtSpec extends SparkSuite {
     assert(!out.contains((2L, 1L)))
   }
 
+  test("incremental dedup drops exact and near corpus matches, keeps fresh docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content about spark queries")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (11L, "oh the quick brown fox jumps over the lazy dog today"), // near dup: shares 2 LSH bands (precomputed)
+      (12L, "entirely novel text with no overlap whatsoever anywhere else")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(10L))
+    assert(!kept.contains(11L))
+    assert(kept == Set(12L))
+  }
+
+  test("mean pooling: exploded sums and means match hand arithmetic") {
+    val e = Seq(
+      (1L, Array(1.0f, -0.5f), 7),
+      (2L, Array(0.0f, 0.25f), 7),
+      (3L, Array(1.0f, 1.0f), 8)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.meanPool(e, "label").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got((7, 0L)) == ((2L, 1000L, 500.0)))   // (1000 + 0)/2
+    assert(got((7, 1L)) == ((2L, -250L, -125.0)))  // (-500 + 250)/2
+    assert(got((8, 0L)) == ((1L, 1000L, 1000.0)))
+  }
+
+  test("chunk → reassemble roundtrips exactly for non-overlapping chunks") {
+    val d = Seq(
+      (1L, (1 to 23).map(i => s"w$i").mkString(" ")),
+      (2L, "short"),
+      (3L, "")).toDF("doc_id", "text")
+    val back = TextAnalysis.reassemble(TextAnalysis.chunk(d, 4, 4))
+      .as[(Long, String)].collect().toMap
+    val want = d.as[(Long, String)].collect().toMap
+    assert(back == want)
+  }
+
   test("bigram affinity: repeated corpus phrase scores 1, rare transitions score low") {
     val d = Seq(
       (1L, "to be or"),
