@@ -140,4 +140,24 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("q65_pagerank")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q71: substring search confirms on a semi-joined candidate set, no cartesian") {
+    val plan = planOf("q71_substring_search")
+    assert(plan.contains("LeftSemi"), s"confirm must semi-join candidates:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q73: incremental dedup is anti-joins over hash/band keys, no cartesian") {
+    val plan = planOf("q73_dedup_incremental")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q75: mean pooling partial-aggregates map-side below its exchange") {
+    val plan = planOf("q75_embedding_pool")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    val partialAt = plan.indexOf("partial_count")
+    assert(partialAt >= 0 && exchangeAt >= 0 && exchangeAt < partialAt,
+      s"exploded rows must partial-aggregate before shuffling:\n$plan")
+  }
 }
