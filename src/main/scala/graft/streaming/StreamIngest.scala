@@ -142,6 +142,17 @@ object StreamIngest {
       }
   }
 
+  /** Stream-static enrichment join — the streaming analog of J9
+    * (broadcast dimension join): each micro-batch left-joins the static
+    * (or slowly-changing, re-read per batch) dimension with NO
+    * stream-side state and no stream shuffle; the dim broadcasts per
+    * batch. This is how a streaming ingest attaches user/profile
+    * attributes at 100 TB — the fact stream stays append-only and
+    * partition-local.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Event-time windowed aggregation with watermark (late data beyond
     * 10 minutes dropped) — the streaming form of EventWindows.tumbling.
     */

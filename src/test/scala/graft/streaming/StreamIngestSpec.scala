@@ -131,6 +131,27 @@ class StreamIngestSpec extends SparkSuite {
     assert(last == UserSessionUpdate(1L, sessions = 2L, events = 3L))
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("stream_e").toString
+    Files.write(java.nio.file.Paths.get(s"$src/a.json"),
+      (1 to 12).map(i => eventJson(i, i % 4)).mkString("\n").getBytes)
+    val dim = Seq((0L, "free"), (1L, "pro"), (2L, "team")).toDF("user_id", "tier")
+    val stream = spark.readStream.schema(StreamIngest.eventSchema).json(src)
+    val q = StreamIngest.enriched(stream, dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from enrich_out").collect().toSet
+    val batch = StreamIngest.enriched(
+        spark.read.schema(StreamIngest.eventSchema).json(src), dim, "user_id")
+      .select("event_id", "user_id", "tier").collect().toSet
+    assert(streamed == batch)
+    // user 3 has no dim row — left join keeps it with a null tier
+    assert(streamed.exists(r => r.getLong(1) == 3L && r.isNullAt(2)))
+  }
+
   test("streaming windowed aggregation matches batch window boundaries") {
     val src = Files.createTempDirectory("stream_w").toString
     Files.write(java.nio.file.Paths.get(s"$src/a.json"),
