@@ -29,16 +29,21 @@ object ConnectedComponents {
       .withColumn("lab", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = labels.isEmpty
-    while (!converged && iter < maxIter) {
-      // neighbor labels + the node's own row; the own row alone carries
-      // `own`, so after the min-aggregate `lab < own` marks a change —
-      // counting those is the convergence probe AND the materializing
-      // job for the lazy checkpoint (one job per iteration total)
-      val next = sym.join(labels, sym("b") === labels("id"))
+    // one propagation step; the node's own row alone carries `own`
+    // (= its label BEFORE the step), so `lab < own` marks a change
+    def prop(l: DataFrame): DataFrame =
+      sym.join(l, sym("b") === l("id"))
         .select(sym("a").as("id"), col("lab"), lit(null).cast("long").as("own"))
-        .union(labels.select(col("id"), col("lab"), col("lab").as("own")))
+        .union(l.select(col("id"), col("lab"), col("lab").as("own")))
         .groupBy(col("id")).agg(min(col("lab")).as("lab"), min(col("own")).as("own"))
-        .localCheckpoint(false)
+    while (!converged && iter < maxIter) {
+      // TWO propagations per materialized job (the Closure trick): the
+      // convergence probe on the second step is the one job that
+      // materializes both. `own` is the label entering step 2, so
+      // changed==0 means step 2 was a no-op — and a no-op step proves
+      // its INPUT was already the fixpoint, so stopping here is exact
+      // even when step 1 still changed labels.
+      val next = prop(prop(labels).drop("own")).localCheckpoint(false)
       val changed = next.agg(count(when(col("lab") < col("own"), 1))).head().getLong(0)
       converged = changed == 0L
       labels = next.drop("own")
