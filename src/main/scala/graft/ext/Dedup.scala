@@ -248,6 +248,37 @@ object Dedup {
     exactKept.join(collided, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact Hamming near-dup pairs over [[simhash]] fingerprints, as an
+    * equi-join: the 16-bit fingerprint splits into 4 nibble bands, and
+    * by pigeonhole any pair within Hamming distance 3 (< band count)
+    * agrees on at least one whole band — so the band join generates a
+    * candidate SUPERSET and `bit_count(xor)` filters it to exactly the
+    * pairs a brute-force all-pairs scan would emit (the q77 oracle IS
+    * that brute force). Fingerprints ride through the band join, so no
+    * rescore join is needed. Candidate volume is sum-of-band-bucket²,
+    * the same scale economics as the MinHash bands.
+    */
+  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = 4
+    require(maxDist < nBands, s"pigeonhole guarantee needs maxDist < $nBands")
+    val sh = simhash(docs).localCheckpoint(false)
+    val nibbles = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("v")))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(nibbles: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    bands.as("x").join(bands.as("y"), Seq("band", "v"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(ha ^ hb) AS BIGINT)").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Cluster ANY near-dup pair relation over a universe of ids:
     * connected components → (doc_id, canonical_id, cluster_size). The
     * canonical survivor is the minimum id of each cluster (first-wins,

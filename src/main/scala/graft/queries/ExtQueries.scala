@@ -90,6 +90,21 @@ object ExtQueries {
   private val StratRates: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
 
+  /** SimHash fingerprint CTEs ending in `s(doc_id, simhash)`, generated
+    * from the engine's constants — shared by q33 (fingerprints) and q77
+    * (Hamming pairs over them). */
+  private val simhashSql: String =
+    "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + " AS h FROM (" +
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
+      "bits AS (SELECT doc_id, " +
+      (0 until Dedup.SimhashBits).map(j =>
+        s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+      " FROM tok GROUP BY doc_id),\n" +
+      "s AS (SELECT doc_id, cast(" +
+      (0 until Dedup.SimhashBits).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT) AS simhash FROM bits)\n"
+
   /** Minhash signature + LSH band CTEs over `sh` (continuation of a
     * shingle base), generated from the engine's own constants — shared
     * by q32 (in-corpus banding) and q73 (batch-vs-corpus banding). */
@@ -220,16 +235,37 @@ object ExtQueries {
     // ── SimHash fingerprints ───────────────────────────────────────────
     "q33_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
-      "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + " AS h FROM (" +
-        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
-        "bits AS (SELECT doc_id, " +
-        (0 until Dedup.SimhashBits).map(j =>
-          s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
-        " FROM tok GROUP BY doc_id)\n" +
-        "SELECT doc_id, cast(" +
-        (0 until Dedup.SimhashBits).map(j =>
-          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
-        " AS BIGINT) AS simhash FROM bits"),
+      simhashSql + "SELECT doc_id, simhash FROM s"),
+
+    // ── exact Hamming near-dup pairs over SimHash (pigeonhole bands) ───
+    // The engine's banded equi-join must emit EXACTLY the brute-force
+    // all-pairs result — the oracle is that brute force, so the
+    // pigeonhole candidate guarantee is hash-verified.
+    "q77_simhash_hamming" -> Q(
+      (s, dir) => Dedup.simhashHammingPairs(Tables.documents(s, dir), maxDist = 3),
+      simhashSql +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    // ── per-group top-k (rank-limit pushdown per stratum) ──────────────
+    "q78_group_topk" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select("lang", "doc_id", "n_chars", "rank")
+      },
+      """SELECT lang, doc_id, n_chars, cast(rank AS BIGINT) AS rank FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) WHERE rank <= 5""".stripMargin),
 
     // ── embedding-cosine near-dup pairs (quantized-exact scores) ───────
     "q34_embed_cosine_dup" -> Q(

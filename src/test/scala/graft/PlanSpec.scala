@@ -153,6 +153,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q77: simhash hamming pairs stay on the banded equi-join — no cartesian") {
+    val plan = planOf("q77_simhash_hamming")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q78: per-group top-k uses rank-limit pushdown") {
+    assert(planOf("q78_group_topk").contains("WindowGroupLimit"))
+  }
+
   test("q75: mean pooling partial-aggregates map-side below its exchange") {
     val plan = planOf("q75_embedding_pool")
     val exchangeAt = plan.indexOf("Exchange hashpartitioning")

@@ -323,6 +323,23 @@ class ExtSpec extends SparkSuite {
     assert(!out.contains((2L, 1L)))
   }
 
+  test("simhash hamming pairs: banded join equals brute-force all-pairs") {
+    val rnd = new scala.util.Random(61)
+    val words = (0 until 12).map(i => s"w$i")
+    val d = (1L to 60L).map(i =>
+      (i, (0 until 15).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      dist = java.lang.Long.bitCount(fps(a) ^ fps(b)) if dist <= 3
+    } yield (a, b, dist.toLong)).toSet
+    val got = Dedup.simhashHammingPairs(d, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture must actually exercise the filter
+  }
+
   test("incremental dedup drops exact and near corpus matches, keeps fresh docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
