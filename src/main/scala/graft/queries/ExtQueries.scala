@@ -249,6 +249,79 @@ object ExtQueries {
           |FROM s a JOIN s b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
+    // ── z-order box query (superset prefilter + exact refilter) ────────
+    // The z-range [z(x0,y0), z(x1,y1)] is a candidate superset of the
+    // box (what a z-sorted layout answers from min/max stats); the
+    // exact box predicate refilters, so the result must equal the
+    // oracle's direct scan. z is emitted so the interleave arithmetic
+    // itself is hash-verified against the generated SQL form.
+    "q79_zorder_box" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        graft.util.ZOrder.boxFilter(li,
+            col("l_partkey").bitwiseAND(lit(65535L)),
+            col("l_suppkey").bitwiseAND(lit(65535L)),
+            x0 = 100L, x1 = 300L, y0 = 10L, y1 = 50L)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.util.ZOrder.zValue(
+              col("l_partkey").bitwiseAND(lit(65535L)),
+              col("l_suppkey").bitwiseAND(lit(65535L))).as("z"))
+      },
+      s"""SELECT l_orderkey, l_linenumber,
+         |  cast(${graft.util.ZOrder.zValueSql("(l_partkey & 65535)", "(l_suppkey & 65535)")} AS BIGINT) AS z
+         |FROM lineitem
+         |WHERE (l_partkey & 65535) BETWEEN 100 AND 300
+         |  AND (l_suppkey & 65535) BETWEEN 10 AND 50""".stripMargin),
+
+    // ── pivot (crosstab): per-source language histogram ────────────────
+    "q80_pivot" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L, Seq("en", "de", "es", "fr", "zh")),
+      """SELECT source,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'fr') AS fr,
+        |  count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin),
+
+    // ── rollup with grouping flags (subtotal lattice) ──────────────────
+    "q81_rollup" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            col("l_quantity").cast("long")).as("sum_qty"),
+          org.apache.spark.sql.functions.expr(
+            "cast(grouping(l_returnflag) AS BIGINT)").as("g_flag"),
+          org.apache.spark.sql.functions.expr(
+            "cast(grouping(l_linestatus) AS BIGINT)").as("g_status")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  cast(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  cast(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+
+    // ── set operations: INTERSECT / EXCEPT with provenance tag ─────────
+    "q82_setops" -> Q(
+      (s, dir) => {
+        val heavy = Tables.lineitem(s, dir)
+          .where(col("l_quantity") > 45).select(col("l_suppkey").as("k"))
+        val nearby = Tables.supplier(s, dir)
+          .where(col("s_nationkey") < 5).select(col("s_suppkey").as("k"))
+        heavy.intersect(nearby).select(lit("both").as("tag"), col("k"))
+          .unionAll(heavy.except(nearby).select(lit("only_heavy").as("tag"), col("k")))
+      },
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+        |b AS (SELECT s_suppkey AS k FROM supplier WHERE s_nationkey < 5)
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'only_heavy' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""".stripMargin),
+
     // ── per-group top-k (rank-limit pushdown per stratum) ──────────────
     "q78_group_topk" -> Q(
       (s, dir) => {

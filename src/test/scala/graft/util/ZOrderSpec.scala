@@ -1,0 +1,60 @@
+package graft.util
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Z-order curve: interleave parity between the driver-side and column
+  * forms, the box-superset law on random data, and pushdown of the
+  * z-range onto a z-sorted parquet layout. */
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("column zValue equals the driver-side zOf on random pairs") {
+    val rnd = new Random(71)
+    val rows = (1 to 500).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ZOrder.zOf(x, y), s"($x, $y)") }
+    // bit-interleave sanity: x=all-ones fills the even bit positions
+    assert(ZOrder.zOf(0xFFFFL, 0L) == 0x55555555L)
+    assert(ZOrder.zOf(0L, 0xFFFFL) == 0xAAAAAAAAL)
+  }
+
+  test("boxFilter equals the direct box scan for random boxes") {
+    val rnd = new Random(73)
+    val df = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "x", "y")
+    for (_ <- 1 to 5) {
+      val (x0, y0) = (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong)
+      val (x1, y1) = (x0 + rnd.nextInt(200), y0 + rnd.nextInt(200))
+      val got = ZOrder.boxFilter(df, col("x"), col("y"), x0, x1, y0, y1)
+        .select("id").as[Long].collect().toSet
+      val want = df.where(col("x").between(x0, x1) && col("y").between(y0, y1))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"box [$x0,$x1]x[$y0,$y1]")
+    }
+  }
+
+  test("z-sorted layout: the z-range reaches the parquet scan as pushed filters") {
+    val rnd = new Random(79)
+    val df = (1 to 5000).map(i =>
+      (i.toLong, rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    ZOrder.writeZOrdered(df, col("x"), col("y"), path)
+    val reread = spark.read.parquet(path)
+    val q = reread.where(col("z").between(
+        ZOrder.zOf(100, 100), ZOrder.zOf(400, 400)))
+      .where(col("x").between(100, 400) && col("y").between(100, 400))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(z,") && plan.contains("LessThanOrEqual(z,"),
+      s"z-range must push to the scan for row-group pruning:\n$plan")
+    val want = df.where(col("x").between(100, 400) && col("y").between(100, 400)).count()
+    assert(q.count() == want)
+  }
+}
