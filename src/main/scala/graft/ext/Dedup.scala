@@ -256,7 +256,11 @@ object Dedup {
     * pairs a brute-force all-pairs scan would emit (the q77 oracle IS
     * that brute force). Fingerprints ride through the band join, so no
     * rescore join is needed. Candidate volume is sum-of-band-bucket²,
-    * the same scale economics as the MinHash bands.
+    * the same scale economics as the MinHash bands — governed by
+    * [[SimhashBits]]: the fixture's 16-bit space keeps the generated
+    * oracle SQL manageable but saturates quickly (2¹⁶ buckets); a
+    * production corpus wants 64-bit fingerprints with 16-bit bands,
+    * which is the same code with two constants changed.
     */
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = 4
@@ -269,14 +273,17 @@ object Dedup {
       explode(array(nibbles: _*)).as("bv"))
       .select(col("doc_id"), col("simhash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
+    // Hamming filter BEFORE the dedup aggregate: a candidate pair
+    // appears once per shared band (≤ nBands times), but only ~1% of
+    // random pairs survive the distance cut — filtering first shrinks
+    // the distinct's shuffle input by that factor, and the filter is
+    // evaluated inside the join's codegen stage.
     bands.as("x").join(bands.as("y"), Seq("band", "v"))
       .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(ha ^ hb) AS BIGINT)").as("dist"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("dist"))
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Cluster ANY near-dup pair relation over a universe of ids:
