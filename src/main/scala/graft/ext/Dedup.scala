@@ -99,7 +99,11 @@ object Dedup {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1)),
       "scala_udf")
+    // materialized once: the dictionary feeds BOTH the bloom aggregate
+    // (an immediate driver action) and the exact confirm join — without
+    // the checkpoint the full eval shingling would run twice
     val evalSh = shingleIndex(evalDocs, n).select(col("sh")).distinct()
+      .localCheckpoint(true)
     // the aggregation is distributed (partial blooms merged); the final
     // sketch (numBits/8 bytes) is pulled to the driver and embedded as a
     // constant — might_contain requires a foldable filter, and a

@@ -306,17 +306,18 @@ object TreeStatsIterative {
                     maxIter: Int = 30): Dataset[TreeStatsRow] = {
     val spark = tweets.sparkSession
     import spark.implicits._
-    val big = broadcast(
-      tweets.groupBy(col("group_id")).count()
-        .where(col("count") > threshold)
-        .select(col("group_id").as("_big_gid")))
-    if (big.isEmpty) TreeStats.compute(tweets)
+    // one sizing pass: the over-threshold id list is outlier-sized by
+    // definition, so it is collected once and both side-splits become
+    // literal isin filters — the probe and the two join branches would
+    // otherwise each re-run the full group-size aggregation
+    val bigIds = tweets.groupBy(col("group_id")).count()
+      .where(col("count") > threshold)
+      .select(col("group_id")).as[Long].collect()
+    if (bigIds.isEmpty) TreeStats.compute(tweets)
     else {
-      val bigRows = tweets.join(big, tweets("group_id") === col("_big_gid"), "left_semi")
-        .as[TreeInput]
-      val smallRows = tweets.join(big, tweets("group_id") === col("_big_gid"), "left_anti")
-        .as[TreeInput]
-      TreeStats.compute(smallRows).unionByName(compute(bigRows, maxIter))
+      val isBig = col("group_id").isin(bigIds.toIndexedSeq: _*)
+      TreeStats.compute(tweets.where(!isBig).as[TreeInput])
+        .unionByName(compute(tweets.where(isBig).as[TreeInput], maxIter))
     }
   }
 }

@@ -36,8 +36,10 @@ object GenGoldenPipeline {
       val (n, h) = PageCorpus.tableHash(df)
       s"$name,$n,$h"
     }
+    // relative to the sbt working directory (the repo root), not a
+    // machine-specific absolute path
     Files.writeString(
-      Paths.get("/root/repo/src/test/resources/golden_pipeline_hashes.txt"),
+      Paths.get("src/test/resources/golden_pipeline_hashes.txt"),
       lines.mkString("", "\n", "\n"))
     lines.foreach(println)
     spark.stop()

@@ -213,13 +213,26 @@ object PageCorpus {
   }
 
   /** Order-independent canonical table hash: xxhash64 per row over all
-    * columns (file-path columns reduced to basenames), XOR-folded. */
+    * columns (file-path columns reduced to basenames), summed with
+    * 64-bit wraparound. Sum, not XOR: an XOR fold cancels even
+    * multiplicities (swapping a duplicated row X for a duplicated row Y
+    * leaves count and XOR unchanged), so it is blind to exactly the
+    * duplicate-shaped regressions a dedup pipeline must catch. */
   def tableHash(df: DataFrame): (Long, Long) = {
     val cols = df.columns.toSeq.map { c =>
       if (c == "src_file") regexp_extract(col(c), "[^/]+$", 0).as(c) else col(c)
     }
+    // sum into raw 64-bit lanes: cast through unsigned-wrap semantics by
+    // summing mod 2^64 via two 32-bit halves (Spark's sum on LONG throws
+    // on overflow under ANSI; split-lane sums cannot overflow a long)
     val r = df.select(xxhash64(cols: _*).as("h"))
-      .agg(count(lit(1)), expr("bit_xor(h)")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      .select(
+        shiftrightunsigned(col("h"), 32).as("hi"),
+        col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+      .agg(count(lit(1)), sum(col("hi")), sum(col("lo"))).head()
+    val n = r.getLong(0)
+    val hi = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val lo = if (r.isNullAt(2)) 0L else r.getLong(2)
+    (n, (hi << 32) + lo) // wraps mod 2^64 like an unsigned sum of h
   }
 }
