@@ -322,6 +322,83 @@ object ExtQueries {
         |UNION ALL
         |SELECT 'only_heavy' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""".stripMargin),
 
+    // ── full outer join (both sides preserved) ─────────────────────────
+    // Customers vs order-holders: customers without orders AND order
+    // keys without a customer row both survive with nulls.
+    "q83_full_outer" -> Q(
+      (s, dir) => {
+        val custSpend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_orders"))
+        val names = Tables.customer(s, dir)
+          .where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("custkey"), col("c_name"))
+        names.join(custSpend, Seq("custkey"), "full_outer")
+          .select(col("custkey"), col("c_name"), col("n_orders"))
+      },
+      """SELECT coalesce(n.custkey, o.custkey) AS custkey, n.c_name, o.n_orders
+        |FROM (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 3 = 0) n
+        |FULL OUTER JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+        |                 FROM orders GROUP BY 1) o
+        |USING (custkey)""".stripMargin),
+
+    // ── deliberate cross join (bounded dimension lattice) ──────────────
+    "q84_cross_join" -> Q(
+      (s, dir) => Tables.region(s, dir).select(col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(col("n_name"), col("n_nationkey")))
+        .select(col("r_name"), col("n_name"), col("n_nationkey")),
+      """SELECT r_name, n_name, n_nationkey FROM region CROSS JOIN nation""".stripMargin),
+
+    // ── explode_outer: unnest that PRESERVES empty rows ────────────────
+    // Tokens longer than 7 chars per doc; docs with none survive with a
+    // null token — the left-outer lateral-view semantic q11's plain
+    // explode (inner) does not have.
+    "q85_explode_outer" -> Q(
+      (s, dir) => {
+        val toks = org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(col("text"), " "),
+          t => org.apache.spark.sql.functions.length(t) > 7)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.explode_outer(toks).as("long_token"))
+      },
+      """SELECT doc_id, u.long_token
+        |FROM documents LEFT JOIN LATERAL (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                            t -> length(t) > 7)) AS long_token
+        |) u ON true""".stripMargin),
+
+    // ── null-safe equality join (<=>) ──────────────────────────────────
+    // Per-user chain edges where BOTH null parents match a null-keyed
+    // dimension row — IS NOT DISTINCT FROM semantics, which a plain
+    // equi-join drops.
+    "q86_nullsafe_join" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val withParent = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("parent_bucket",
+            org.apache.spark.sql.functions.lag(col("event_id") % 10, 1).over(w))
+        import s.implicits._
+        val dim: Seq[(java.lang.Long, String)] =
+          (0L to 9L).map(b => (java.lang.Long.valueOf(b), s"bucket$b")) :+
+            ((null.asInstanceOf[java.lang.Long], "root"))
+        val dimDf = dim.toDF("parent_bucket", "bucket_name")
+        withParent.join(dimDf,
+            withParent("parent_bucket") <=> dimDf("parent_bucket"))
+          .select(col("event_id"), withParent("parent_bucket"), col("bucket_name"))
+      },
+      """WITH e AS (SELECT event_id,
+        |             lag(event_id % 10) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) AS parent_bucket
+        |           FROM events),
+        |d AS (SELECT unnest(range(0, 10)) AS parent_bucket,
+        |             'bucket' || cast(unnest(range(0, 10)) AS VARCHAR) AS bucket_name
+        |      UNION ALL SELECT NULL, 'root')
+        |SELECT e.event_id, e.parent_bucket, d.bucket_name
+        |FROM e JOIN d ON e.parent_bucket IS NOT DISTINCT FROM d.parent_bucket""".stripMargin),
+
     // ── per-group top-k (rank-limit pushdown per stratum) ──────────────
     "q78_group_topk" -> Q(
       (s, dir) => {
