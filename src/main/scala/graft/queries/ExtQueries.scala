@@ -399,6 +399,54 @@ object ExtQueries {
         |SELECT e.event_id, e.parent_bucket, d.bucket_name
         |FROM e JOIN d ON e.parent_bucket IS NOT DISTINCT FROM d.parent_bucket""".stripMargin),
 
+    // ── RANGE-frame window (event-time trailing hour, not row count) ───
+    // The frame is bounded by the ORDER value (seconds), so rows with
+    // sparse/dense timestamps aggregate over a true time horizon — the
+    // semantic ROWS frames (q26) cannot express.
+    "q87_range_window" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_timestamp(col("ts")).as("tsec"),
+          org.apache.spark.sql.functions.expr(
+            "cast(round(value * 100) AS BIGINT)").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsec"))
+          .rangeBetween(-3600L, 0L)
+        ev.select(col("event_id"), col("user_id"), col("tsec"),
+          org.apache.spark.sql.functions.sum(col("cents")).over(w).as("hour_cents"),
+          org.apache.spark.sql.functions.count(lit(1)).over(w).as("hour_n"))
+      },
+      """SELECT event_id, user_id,
+        |  epoch_us(date_trunc('second', ts)) // 1000000 AS tsec,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS hour_cents,
+        |  cast(count(*) OVER w AS BIGINT) AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(date_trunc('second', ts)) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // ── ntile quartiles per stratum ────────────────────────────────────
+    "q88_ntile" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+          org.apache.spark.sql.functions.ntile(4).over(w).cast("long").as("quartile"))
+      },
+      """SELECT doc_id, lang, n_chars,
+        |  cast(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        |FROM documents""".stripMargin),
+
+    // ── JSON path extraction from a string column ──────────────────────
+    "q89_json_extract" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          org.apache.spark.sql.functions.get_json_object(col("props"), "$.k")
+            .cast("long").as("k"))
+        .where(col("k") % 7 === 0),
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events WHERE json_extract_string(props, '$.k')::BIGINT % 7 = 0""".stripMargin),
+
     // ── per-group top-k (rank-limit pushdown per stratum) ──────────────
     "q78_group_topk" -> Q(
       (s, dir) => {
