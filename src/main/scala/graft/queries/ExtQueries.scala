@@ -447,6 +447,54 @@ object ExtQueries {
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
         |FROM events WHERE json_extract_string(props, '$.k')::BIGINT % 7 = 0""".stripMargin),
 
+    // ── ordered funnel (view → click → purchase) ───────────────────────
+    // Product-analytics staple: per user, the earliest 'view', the
+    // earliest 'click' strictly AFTER it, the earliest 'purchase'
+    // strictly after that — sequential dependencies expressed as three
+    // window passes over ONE user_id exchange (each step's predicate
+    // references the previous step's column; a null upstream step nulls
+    // the comparison and the whole chain, matching the oracle's
+    // join-chain formulation exactly).
+    "q90_funnel" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{min => fmin, when => fwhen}
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1",
+            fmin(fwhen(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            fmin(fwhen(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            fmin(fwhen(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+          .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+          .select(col("user_id"),
+            fwhen(col("t3").isNotNull, 3L)
+              .when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L)
+              .otherwise(0L).as("funnel_depth"),
+            col("t1"), col("t2"), col("t3"))
+      },
+      """WITH s1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |            FROM events GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  cast(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth,
+        |  s1.t1, s2.t2, s3.t3
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin),
+
     // ── per-group top-k (rank-limit pushdown per stratum) ──────────────
     "q78_group_topk" -> Q(
       (s, dir) => {
