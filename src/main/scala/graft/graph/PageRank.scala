@@ -49,20 +49,48 @@ object PageRank {
     // captures UnknownPartitioning and every round silently re-shuffles
     // the static sides. These per-round plans are hand-shaped (explicit
     // layout, partial-aggregated shuffle), so AQE has nothing to add.
+    // size the loop's parallelism to the data (AQE is off inside, so
+    // nothing coalesces for us): ~1M edge-rows per partition, capped by
+    // the session's shuffle parallelism — at cluster scale the cap
+    // binds, at fixture scale the loop stops paying full-width fixed
+    // costs per round for kilobyte stages. The count is one scan of the
+    // edge source, paid once before the loop's O(iters) reuse. Floor 2,
+    // not 1: a one-partition layout is captured as SinglePartition,
+    // which EnsureRequirements refuses to treat as co-partitioned for a
+    // shuffle join — it would re-exchange BOTH sides every round.
+    val nPart = math.max(2, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (edges.count() / 1000000L).toInt + 1))
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.getOption(aqeKey)
+    val prevPart = spark.conf.getOption(partKey)
     spark.conf.set(aqeKey, "false")
-    try runLoop(edges, iters, scale, dampNum, dampDen)
-    finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    // shuffle.partitions = nPart for the loop, so the per-round
+    // aggregate exchange co-partitions with the checkpointed layout
+    spark.conf.set(partKey, nPart.toString)
+    try {
+      val ranks = runLoop(edges, iters, scale, dampNum, dampDen, nPart)
+      // pin the final round's physical plan NOW, while the loop confs
+      // are still in force — planning is lazy, and a plan built after
+      // the restore below would re-introduce conf-width exchanges
+      // against the nPart-wide checkpointed layout
+      ranks.queryExecution.executedPlan
+      ranks
+    } finally {
+      (prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }): Unit
+      prevPart match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
+      }
     }
   }
 
   private def runLoop(edges: DataFrame, iters: Int, scale: Long,
-                      dampNum: Long, dampDen: Long): DataFrame = {
-    val spark = edges.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
+                      dampNum: Long, dampDen: Long, nPart: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     // contribution edges: out-degree folded in once, laid out by the
