@@ -49,18 +49,22 @@ object PageRank {
     // captures UnknownPartitioning and every round silently re-shuffles
     // the static sides. These per-round plans are hand-shaped (explicit
     // layout, partial-aggregated shuffle), so AQE has nothing to add.
+    // The edge lineage (often a window/join chain) is materialized ONCE
+    // here; the sizing count below and every derivation in the loop
+    // (eod, out-degrees, node set) read the cached relation instead of
+    // re-executing the upstream plan.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     // size the loop's parallelism to the data (AQE is off inside, so
     // nothing coalesces for us): ~1M edge-rows per partition, capped by
     // the session's shuffle parallelism — at cluster scale the cap
     // binds, at fixture scale the loop stops paying full-width fixed
-    // costs per round for kilobyte stages. The count is one scan of the
-    // edge source, paid once before the loop's O(iters) reuse. Floor 2,
-    // not 1: a one-partition layout is captured as SinglePartition,
-    // which EnsureRequirements refuses to treat as co-partitioned for a
+    // costs per round for kilobyte stages. Floor 2, not 1: a
+    // one-partition layout is captured as SinglePartition, which
+    // EnsureRequirements refuses to treat as co-partitioned for a
     // shuffle join — it would re-exchange BOTH sides every round.
     val nPart = math.max(2, math.min(
       spark.sessionState.conf.numShufflePartitions,
-      (edges.count() / 1000000L).toInt + 1))
+      (e.count() / 1000000L).toInt + 1))
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.getOption(aqeKey)
@@ -70,7 +74,7 @@ object PageRank {
     // aggregate exchange co-partitions with the checkpointed layout
     spark.conf.set(partKey, nPart.toString)
     try {
-      val ranks = runLoop(edges, iters, scale, dampNum, dampDen, nPart)
+      val ranks = runLoop(e, iters, scale, dampNum, dampDen, nPart)
       // pin the final round's physical plan NOW, while the loop confs
       // are still in force — planning is lazy, and a plan built after
       // the restore below would re-introduce conf-width exchanges
@@ -89,9 +93,9 @@ object PageRank {
     }
   }
 
-  private def runLoop(edges: DataFrame, iters: Int, scale: Long,
+  /** `e` must be a materialized (checkpointed) (src, dst) relation. */
+  private def runLoop(e: DataFrame, iters: Int, scale: Long,
                       dampNum: Long, dampDen: Long, nPart: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     // contribution edges: out-degree folded in once, laid out by the
     // per-iteration join key — iterations probe it in place. The

@@ -298,9 +298,9 @@ object TreeStatsIterative {
     * aggregate ([[TreeStats.compute]] — one task per conversation, the
     * fast path for the realistic size distribution); larger groups are
     * diverted to the relational formulation. The big-group id list is
-    * outlier-sized by definition, so both side-splits are broadcast
-    * semi/anti joins — the fact table shuffles only inside the two
-    * compute paths themselves.
+    * outlier-sized by definition, so it is collected once and both
+    * side-splits are literal `isin` filters — the fact table shuffles
+    * only inside the two compute paths themselves.
     */
   def computeHybrid(tweets: Dataset[TreeInput], threshold: Long = 2000000L,
                     maxIter: Int = 30): Dataset[TreeStatsRow] = {
