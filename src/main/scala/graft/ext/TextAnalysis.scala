@@ -26,20 +26,26 @@ object TextAnalysis {
   def occurrences(text: Column, w: String): Column =
     (length(text) - length(call_function("replace", text, lit(w), lit("")))) / w.length
 
+  /** argmax-of-marker-scores language guess as a pure expression —
+    * fold keeps (bestLang, bestScore); strict > so earlier-listed
+    * languages win ties. */
+  def langGuessExpr(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) =>
+      (lang, ws.map(w => occurrences(text, w)).reduce(_ + _))
+    }
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }._1
+  }
+
   /** Language-ID: argmax of summed marker-word occurrences, first-listed
     * language wins ties. Emits (doc_id, lang_guess, lang, is_match).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scores = LangMarkers.map { case (lang, ws) =>
-      (lang, ws.map(w => occurrences(col("text"), w)).reduce(_ + _))
-    }
-    // fold: keep (bestLang, bestScore), strict > so earlier langs win ties
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    docs.select(col("doc_id"), best._1.as("lang_guess"), col("lang"),
-      (best._1 === col("lang")).as("is_match"))
+    val guess = langGuessExpr(col("text"))
+    docs.select(col("doc_id"), guess.as("lang_guess"), col("lang"),
+      (guess === col("lang")).as("is_match"))
   }
 
   val Stopwords: Seq[String] = Seq("the", "a", "data", "key", "value")
@@ -156,6 +162,45 @@ object TextAnalysis {
         array_join(slice(col("t"), col("col"), lit(chunkSize)), " ").as("chunk_text"),
         least(lit(chunkSize), size(col("t")) - col("col") + 1)
           .cast("long").as("chunk_tok"))
+  }
+
+  /** ALL per-row cleaning signals in ONE corpus scan: language guess,
+    * token count, and the repetition stats — each identical to its
+    * standalone operator ([[langId]], [[qualityScore]]'s token count,
+    * [[repetitionScore]]), but computed in a single projection. The
+    * standalone operators semi-joined together scan the corpus once PER
+    * PREDICATE (Catalyst cannot fuse projections across joins); at
+    * 100 TB the quality-filter pass must read each document exactly
+    * once, which is this shape. Docs with fewer than `repN` tokens get
+    * n_grams = 0 and a null rep_ratio (the standalone repetition
+    * operator drops them instead).
+    */
+  def cleanSignals(docs: DataFrame, repN: Int = 2): DataFrame = {
+    // grams materialized as an attribute before the fold — same
+    // re-evaluation rule as repetitionScore
+    val withGrams = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+        when(size(col("toks")) >= repN,
+          sort_array(transform(sequence(lit(0), size(col("toks")) - repN),
+            i => array_join(slice(col("toks"), i + 1, lit(repN)), " "))))
+          .otherwise(array()).as("grams"))
+    def run(acc: Column, g: Column) =
+      when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+    val topRep = aggregate(col("grams"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => struct(g.as("prev"), run(acc, g).as("run"),
+        greatest(acc.getField("best"), run(acc, g)).as("best")),
+      acc => acc.getField("best"))
+    withGrams.select(
+      col("doc_id"), col("lang"),
+      langGuessExpr(col("text")).as("lang_guess"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(col("grams")).cast("long").as("n_grams"),
+      topRep.as("top_rep"),
+      when(size(col("grams")) > 0,
+        topRep.cast("double") / size(col("grams"))).as("rep_ratio"))
   }
 
   /** Inverse of [[chunk]] for non-overlapping chunks (stride ==

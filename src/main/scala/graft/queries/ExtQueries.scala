@@ -90,6 +90,44 @@ object ExtQueries {
   private val StratRates: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
 
+  /** Cleaning-pipeline oracle (lang-consistency ∧ min-length ∧
+    * low-repetition ∧ decontaminated) — shared by the composed form
+    * (q74) and the fused single-scan form (q91), which must agree. */
+  private lazy val cleanPipelineSql: String = {
+    def occ(w: String) =
+      s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+    val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+      case ((bl, bs), lang) =>
+        (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+          s"greatest($bs, sc_$lang)")
+    }._1
+    shingleBase3 +
+      s""", ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)),
+         |langok AS (SELECT doc_id FROM
+         |  (SELECT doc_id, lang, text, $scores FROM documents)
+         |  WHERE $guess = lang),
+         |longok AS (SELECT doc_id FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 25),
+         |reps AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+         |  (SELECT doc_id, g, count(*) AS c FROM
+         |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |                 FROM documents) WHERE len(t) >= 2))
+         |   GROUP BY 1, 2) GROUP BY doc_id),
+         |repok AS (SELECT doc_id FROM reps WHERE rep_ratio < 0.05)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND doc_id IN (SELECT doc_id FROM langok)
+         |  AND doc_id IN (SELECT doc_id FROM longok)
+         |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin
+  }
+
   /** SimHash fingerprint CTEs ending in `s(doc_id, simhash)`, generated
     * from the engine's constants — shared by q33 (fingerprints) and q77
     * (Hamming pairs over them). */
@@ -1032,40 +1070,24 @@ object ExtQueries {
           .join(lowRep, Seq("doc_id"), "left_semi")
           .select("doc_id", "lang")
       },
-      {
-        def occ(w: String) =
-          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
-        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
-          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
-        }.mkString(", ")
-        val langs = TextAnalysis.LangMarkers.map(_._1)
-        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
-          case ((bl, bs), lang) =>
-            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
-              s"greatest($bs, sc_$lang)")
-        }._1
-        shingleBase3 +
-          s""", ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-             |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)),
-             |langok AS (SELECT doc_id FROM
-             |  (SELECT doc_id, lang, text, $scores FROM documents)
-             |  WHERE $guess = lang),
-             |longok AS (SELECT doc_id FROM documents
-             |           WHERE len(string_split(text, ' ')) >= 25),
-             |reps AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
-             |  (SELECT doc_id, g, count(*) AS c FROM
-             |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-             |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-             |           FROM (SELECT doc_id, string_split(text, ' ') AS t
-             |                 FROM documents) WHERE len(t) >= 2))
-             |   GROUP BY 1, 2) GROUP BY doc_id),
-             |repok AS (SELECT doc_id FROM reps WHERE rep_ratio < 0.05)
-             |SELECT doc_id, lang FROM documents
-             |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-             |  AND doc_id IN (SELECT doc_id FROM langok)
-             |  AND doc_id IN (SELECT doc_id FROM longok)
-             |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin
-      }),
+      cleanPipelineSql),
+
+    // ── fused cleaning pipeline == the composed one (scale path) ───────
+    // Same oracle as q74: all per-row predicates computed in ONE corpus
+    // scan (cleanSignals) instead of one scan per standalone operator —
+    // the driver itself verifies the fusion loses nothing.
+    "q91_clean_fused" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pass = TextAnalysis.cleanSignals(docs)
+          .where(col("lang_guess") === col("lang") &&
+            col("n_tokens") >= 25 && col("rep_ratio") < 0.05)
+          .select("doc_id")
+        Dedup.decontaminate(docs, docs.where(col("doc_id") % 97 === 0), n = 3)
+          .join(pass, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang")
+      },
+      cleanPipelineSql),
 
     // ── label-prototype mean pooling (exploded scalar form) ────────────
     "q75_embedding_pool" -> Q(

@@ -379,6 +379,34 @@ class ExtSpec extends SparkSuite {
     assert(back == want)
   }
 
+  test("cleanSignals fuses the standalone operators' values exactly") {
+    val d = Seq(
+      (1L, "en", "the table row " * 10 + "end"),
+      (2L, "de", "spam ham spam ham spam ham"),
+      (3L, "fr", "le"),           // 1 token: no grams
+      (4L, "zh", "zh batch stream zh batch stream extra words here")
+    ).toDF("doc_id", "lang", "text")
+    val fused = TextAnalysis.cleanSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lang = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rep = TextAnalysis.repetitionScore(d, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      assert(fused(id).getAs[String]("lang_guess") == lang(id), s"doc $id lang")
+      assert(fused(id).getAs[Long]("n_tokens") == qual(id), s"doc $id tokens")
+    }
+    for (id <- Seq(1L, 2L, 4L)) { // doc 3 has no grams → dropped by standalone
+      val (ng, tr, rr) = rep(id)
+      assert(fused(id).getAs[Long]("n_grams") == ng, s"doc $id n_grams")
+      assert(fused(id).getAs[Long]("top_rep") == tr, s"doc $id top_rep")
+      assert(fused(id).getAs[Double]("rep_ratio") == rr, s"doc $id rep_ratio")
+    }
+    assert(fused(3L).getAs[Long]("n_grams") == 0L && fused(3L).isNullAt(6))
+  }
+
   test("bigram affinity: repeated corpus phrase scores 1, rare transitions score low") {
     val d = Seq(
       (1L, "to be or"),
