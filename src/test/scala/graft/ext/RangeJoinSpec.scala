@@ -60,6 +60,15 @@ class RangeJoinSpec extends SparkSuite {
       assert(run(pts(prows), ivs(irows), width) == want, s"width=$width")
   }
 
+  test("empty sides yield empty results, no crash") {
+    val p = pts(Seq((1L, "a", 100L)))
+    val i = ivs(Seq((1L, "a", 0L, 200L)))
+    val emptyP = pts(Seq.empty)
+    val emptyI = ivs(Seq.empty)
+    assert(RangeJoin.pointInInterval(emptyP, i, Seq("k"), "pt", "s", "e", 60L).count() == 0)
+    assert(RangeJoin.pointInInterval(p, emptyI, Seq("k"), "pt", "s", "e", 60L).count() == 0)
+  }
+
   test("colliding interval column names are rejected loudly") {
     val p = pts(Seq((1L, "a", 1L)))
     val bad = ivs(Seq((1L, "a", 0L, 2L))).withColumnRenamed("iid", "pid")

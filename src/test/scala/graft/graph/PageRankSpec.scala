@@ -63,6 +63,11 @@ class PageRankSpec extends SparkSuite {
     assert(run(edges, 0).values.toSet == Set(Scale))
   }
 
+  test("empty edge list yields an empty result, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(empty, 3).count() == 0L)
+  }
+
   test("per-iteration plan reuses the static layout: the big sides never re-shuffle or re-sort") {
     val edges = (1 to 400).map(i => ((i % 50).toLong, (i % 97 + 50).toLong))
     val plan = PageRank.run(edges.toDF("src", "dst"), iters = 2)

@@ -41,6 +41,11 @@ class TextIndexSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("ranked search with no matching terms is empty, no crash") {
+    assert(TextIndex.rankedSearch(TextIndex.build(docs),
+      Seq("absent", "tokens"), topK = 5).count() == 0)
+  }
+
   test("ranked search topK truncates below the cut") {
     val got = TextIndex.rankedSearch(TextIndex.build(docs),
       Seq("spark", "join", "scan"), topK = 1)
