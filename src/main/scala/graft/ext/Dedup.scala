@@ -29,6 +29,10 @@ object Dedup {
   /** The same hash via built-ins — the form the DuckDB oracle mirrors. */
   def hash64Spec(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Second INDEPENDENT 60-bit hash stream (md5 of a prefixed copy) for
+    * fingerprint widths beyond one hash's 60 bits. */
+  def hash64b(c: Column): Column = hash64(concat(lit("#"), c))
+
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
     * array column. The tokens must be a plain attribute, not an inline
     * `split(...)` expression: a lambda body re-evaluates its non-attribute
@@ -253,28 +257,37 @@ object Dedup {
   }
 
   /** Exact Hamming near-dup pairs over [[simhash]] fingerprints, as an
-    * equi-join: the 16-bit fingerprint splits into 4 nibble bands, and
-    * by pigeonhole any pair within Hamming distance 3 (< band count)
-    * agrees on at least one whole band — so the band join generates a
-    * candidate SUPERSET and `bit_count(xor)` filters it to exactly the
-    * pairs a brute-force all-pairs scan would emit (the q77 oracle IS
-    * that brute force). Fingerprints ride through the band join, so no
-    * rescore join is needed. Candidate volume is sum-of-band-bucket²,
-    * the same scale economics as the MinHash bands — governed by
-    * [[SimhashBits]]: the fixture's 16-bit space keeps the generated
-    * oracle SQL manageable but saturates quickly (2¹⁶ buckets); a
-    * production corpus wants 64-bit fingerprints with 16-bit bands,
-    * which is the same code with two constants changed.
+    * equi-join: the `bits`-wide fingerprint splits into `nBands` equal
+    * bands, and by pigeonhole any pair within Hamming distance
+    * maxDist (< band count) agrees on at least one whole band — so the
+    * band join generates a candidate SUPERSET and `bit_count(xor)`
+    * filters it to exactly the pairs a brute-force all-pairs scan would
+    * emit (the q77/q92 oracles ARE that brute force). Fingerprints ride
+    * through the band join, so no rescore join is needed. Candidate
+    * volume is sum-of-band-bucket², the same scale economics as the
+    * MinHash bands.
+    *
+    * Width presets: the 16-bit/4-nibble default keeps the generated
+    * oracle SQL small for the fixture queries but saturates quickly
+    * (2¹⁶ buckets can't separate a large corpus — every pair collides
+    * somewhere). The PRODUCTION preset is bits=64, nBands=4 (16-bit
+    * bands, registered as q92): 2⁶⁴ fingerprint space, so surviving
+    * pairs are true near-dups, and each band's 2¹⁶-value domain still
+    * spreads the band join evenly at corpus scale.
     */
-  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val nBands = 4
+  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
+                          bits: Int = SimhashBits, nBands: Int = 4): DataFrame = {
     require(maxDist < nBands, s"pigeonhole guarantee needs maxDist < $nBands")
-    val sh = simhash(docs).localCheckpoint(false)
-    val nibbles = (0 until nBands).map(b =>
+    require(bits % nBands == 0, s"bits=$bits must split into $nBands equal bands")
+    val bw = bits / nBands
+    require(bw < 63, s"band width $bw too wide for a long mask")
+    val mask = (1L << bw) - 1
+    val sh = simhash(docs, bits).localCheckpoint(false)
+    val bandVals = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("v")))
+        shiftright(col("simhash"), bw * b).bitwiseAND(lit(mask)).as("v")))
     val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array(nibbles: _*)).as("bv"))
+      explode(array(bandVals: _*)).as("bv"))
       .select(col("doc_id"), col("simhash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
     // Hamming filter BEFORE the dedup aggregate: a candidate pair
@@ -355,16 +368,32 @@ object Dedup {
   /** SimHash fingerprint over word tokens (with multiplicity): bit j of
     * the fingerprint is set iff sum over tokens of (+1/-1 for bit j of
     * the token hash) is positive.
+    *
+    * Widths up to 64 are supported: bits 0–59 read the primary 60-bit
+    * md5 hash, bits 60+ read the independent [[hash64b]] stream (one
+    * extra md5 per token, only computed when needed). Bit 63's weight is
+    * `1L << 63` = Long.MinValue — the two's-complement bit pattern is
+    * exactly the intended bit, and the left-fold sum cannot overflow
+    * even under ANSI mode (the positive terms total ≤ 2⁶³−1 before the
+    * single negative term is added; the DuckDB oracle sums in hugeint
+    * and casts back, landing on the same signed value).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1, 64]")
     graft.functions.Md5Prefix64.register(docs.sparkSession)
-    val tok = docs
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), hash64(col("token")).as("h"))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    val tok =
+      if (bits > 60)
+        toks.select(col("doc_id"), hash64(col("token")).as("h"),
+          hash64b(col("token")).as("h2"))
+      else toks.select(col("doc_id"), hash64(col("token")).as("h"))
+    def bitOf(j: Int): Column =
+      if (j < 60) shiftright(col("h"), j).bitwiseAND(lit(1L))
+      else shiftright(col("h2"), j - 60).bitwiseAND(lit(1L))
+    val bitSums = (0 until bits).map(j => sum(bitOf(j) * 2 - 1).as(s"s$j"))
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits)
+    val fp = (0 until bits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), fp.as("simhash"))

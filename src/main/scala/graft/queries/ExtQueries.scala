@@ -129,19 +129,25 @@ object ExtQueries {
   }
 
   /** SimHash fingerprint CTEs ending in `s(doc_id, simhash)`, generated
-    * from the engine's constants — shared by q33 (fingerprints) and q77
-    * (Hamming pairs over them). */
-  private val simhashSql: String =
-    "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + " AS h FROM (" +
+    * from the engine's constants at a given width — shared by q33/q77
+    * (fixture 16-bit) and q92 (production 64-bit). Bits 60+ read the
+    * second md5 stream, mirroring `Dedup.hash64b`. */
+  private def simhashSqlFor(bits: Int): String = {
+    val h2 = if (bits > 60) ", " + sqlHash64("'#' || token") + " AS h2" else ""
+    def bitExpr(j: Int) = if (j < 60) s"((h >> $j) & 1)" else s"((h2 >> ${j - 60}) & 1)"
+    "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + s" AS h$h2 FROM (" +
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
       "bits AS (SELECT doc_id, " +
-      (0 until Dedup.SimhashBits).map(j =>
-        s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+      (0 until bits).map(j =>
+        s"sum((${bitExpr(j)}) * 2 - 1) AS s$j").mkString(", ") +
       " FROM tok GROUP BY doc_id),\n" +
       "s AS (SELECT doc_id, cast(" +
-      (0 until Dedup.SimhashBits).map(j =>
+      (0 until bits).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
       " AS BIGINT) AS simhash FROM bits)\n"
+  }
+
+  private val simhashSql: String = simhashSqlFor(Dedup.SimhashBits)
 
   /** Minhash signature + LSH band CTEs over `sh` (continuation of a
     * shingle base), generated from the engine's own constants — shared
@@ -282,6 +288,22 @@ object ExtQueries {
     "q77_simhash_hamming" -> Q(
       (s, dir) => Dedup.simhashHammingPairs(Tables.documents(s, dir), maxDist = 3),
       simhashSql +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    // ── production-width SimHash: 64-bit fingerprints, 16-bit bands ────
+    // Same banded plan as q77 with the width constants a production
+    // corpus needs: 2⁶⁴ fingerprint space doesn't saturate, so the
+    // surviving pairs are TRUE near-dups (the 16-bit fixture emits
+    // millions of coincidental ones at sf0.1). The oracle is again the
+    // brute force all-pairs scan, so the pigeonhole band guarantee is
+    // hash-verified at full width, including the sign bit (bit 63).
+    "q92_simhash_wide" -> Q(
+      (s, dir) => Dedup.simhashHammingPairs(Tables.documents(s, dir),
+        maxDist = 3, bits = 64, nBands = 4),
+      simhashSqlFor(64) +
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
           |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -340,6 +340,35 @@ class ExtSpec extends SparkSuite {
     assert(want.nonEmpty) // the fixture must actually exercise the filter
   }
 
+  test("64-bit simhash: banded join equals brute force; sign bit exercised") {
+    val rnd = new scala.util.Random(62)
+    val words = (0 until 10).map(i => s"w$i")
+    // near-identical pairs (one word changed) so some TRUE near-dups
+    // survive at 64-bit width, plus unrelated docs that must not pair
+    val bases = (0 until 20).map(_ =>
+      (0 until 20).map(_ => words(rnd.nextInt(words.size))))
+    val d = bases.zipWithIndex.flatMap { case (t, i) =>
+      val mutated = t.updated(3, words((t(3).drop(1).toInt + 1) % words.size))
+      Seq((2L * i, t.mkString(" ")), (2L * i + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val fps = Dedup.simhash(d, bits = 64).as[(Long, Long)].collect().toMap
+    // 64-bit fingerprints must actually populate the high bits (the
+    // second hash stream) — otherwise the width is fictional
+    assert(fps.values.exists(v => (v >>> 60) != 0L))
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      dist = java.lang.Long.bitCount(fps(a) ^ fps(b)) if dist <= 3
+    } yield (a, b, dist.toLong)).toSet
+    val got = Dedup.simhashHammingPairs(d, maxDist = 3, bits = 64, nBands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the wide space must separate what 16 bits cannot: strictly fewer
+    // surviving pairs than the saturated fixture width on the same docs
+    val got16 = Dedup.simhashHammingPairs(d, maxDist = 3).count()
+    assert(got.size < got16)
+  }
+
   test("incremental dedup drops exact and near corpus matches, keeps fresh docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
