@@ -218,6 +218,43 @@ object GraphQueries {
     head + iterCtes + s"\nSELECT id AS event_id, r AS rank_scaled FROM r$iters"
   }
 
+  /** q93 oracle: the q65 recurrence amended with textbook sink-mass
+    * redistribution — per iteration, D = Σ r over nodes with no
+    * out-edge, and every node additionally receives
+    * (D·dampNum) // (dampDen·N). Generated from the same constants. */
+  private def pageRankDanglingOracleSql(iters: Int, scale: Long,
+                                        dampNum: Long, dampDen: Long): String = {
+    val base = scale * (dampDen - dampNum) / dampDen
+    val head =
+      s"""WITH edges AS (
+         |  SELECT parent AS src, event_id AS dst FROM (
+         |    SELECT event_id,
+         |           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS parent
+         |    FROM events)
+         |  WHERE parent IS NOT NULL),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)),
+         |r0 AS (SELECT id, cast($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+         |        WHERE id IN (SELECT id FROM dang)),
+         |r$i AS (
+         |  SELECT n.id,
+         |         cast($base + coalesce(sum((r.r * $dampNum) // ($dampDen * o.od)), 0)
+         |              + (SELECT (dm * $dampNum) // ($dampDen * (SELECT count(*) FROM nodes))
+         |                 FROM d$i) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN r${i - 1} r ON r.id = e.src
+         |  LEFT JOIN outdeg o ON o.src = e.src
+         |  GROUP BY n.id)""".stripMargin
+    }.mkString
+    head + iterCtes + s"\nSELECT id AS event_id, r AS rank_scaled FROM r$iters"
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── J3/J4: iterative closure to forest roots (pointer jumping) ─────
@@ -255,6 +292,21 @@ object GraphQueries {
           .select(col("id").as("event_id"), col("r").as("rank_scaled"))
       },
       pageRankOracleSql(iters = 3, scale = 1000000L, dampNum = 17L, dampDen = 20L)),
+
+    // ── PageRank with sink-mass redistribution ─────────────────────────
+    // Same chain edges; every chain tail is a sink, so the redistributed
+    // share is live from round 1. The oracle unrolls the amended
+    // recurrence (per-round sink-mass CTE + uniform integer share).
+    "q93_pagerank_dangling" -> Q(
+      (s, dir) => {
+        val edges = Tables.events(s, dir)
+          .withColumn("parent", lag(col("event_id"), 1).over(chainW))
+          .where(col("parent").isNotNull)
+          .select(col("parent").as("src"), col("event_id").as("dst"))
+        PageRank.run(edges, iters = 3, redistributeDangling = true)
+          .select(col("id").as("event_id"), col("r").as("rank_scaled"))
+      },
+      pageRankDanglingOracleSql(iters = 3, scale = 1000000L, dampNum = 17L, dampDen = 20L)),
 
     // ── A4/A5/A6: the full 41-column per-tweet tree statistics ─────────
     // (3_create_tweet_stats_i.py) via groupByKey+flatMapGroups; the chain
