@@ -24,8 +24,15 @@ object GraphQueries {
   private def chainW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
   /** events → tweet-shaped rows (tweet_id, author_id, parent edges,
-    * engagement counts, group/root ids). */
-  def eventsAsTweets(s: SparkSession, dir: String): DataFrame =
+    * engagement counts, group/root ids). `dayChains` restarts the chain
+    * at each calendar day — MANY SHALLOW trees (the shape real
+    * conversation corpora have) instead of one deep chain per user. */
+  def eventsAsTweets(s: SparkSession, dir: String,
+                     dayChains: Boolean = false): DataFrame = {
+    val w = if (dayChains)
+      Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("tweet_id"))
+    else tweetChainW
     Tables.events(s, dir)
       .select(
         col("event_id").as("tweet_id"),
@@ -35,11 +42,12 @@ object GraphQueries {
         (col("event_id") % 11).as("like_count"),
         (col("event_id") % 3).as("retweet_count"),
         col("user_id"), col("ts"))
-      .withColumn("parent", lag(col("tweet_id"), 1).over(tweetChainW))
+      .withColumn("parent", lag(col("tweet_id"), 1).over(w))
       .withColumn("is_q", col("parent").isNotNull && col("tweet_id") % 3 === 0)
       .withColumn("in_reply_to", when(!col("is_q"), col("parent")))
       .withColumn("quotes", when(col("is_q"), col("parent")))
       .withColumn("retweet_of", lit(null).cast("long"))
+  }
 
   private def tweetChainW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tweet_id"))
 
@@ -77,9 +85,10 @@ object GraphQueries {
       |)""".stripMargin
 
   /** Shared q23/q58 input: tweet-shaped chain rows typed as TreeInput. */
-  private def treeInput(s: SparkSession, dir: String): Dataset[TreeInput] = {
+  private def treeInput(s: SparkSession, dir: String,
+                        dayChains: Boolean = false): Dataset[TreeInput] = {
     import s.implicits._
-    eventsAsTweets(s, dir).select(
+    eventsAsTweets(s, dir, dayChains).select(
       col("tweet_id"), col("author_id"), col("in_reply_to"),
       col("retweet_of"), col("quotes"),
       col("reply_count"), col("quote_count"), col("like_count"),
@@ -183,6 +192,17 @@ object GraphQueries {
       |   + CASE WHEN d_ur > 0 THEN abs(nx_retweet - ur_t_retweet / (d_ur + 1.0)) ELSE 0.0 END)
       |    / (d_ur + 1.0) AS ur_retweet_count_mad
       |FROM stats""".stripMargin
+
+  /** [[treeStatsOracle]] with the chain partition key extended by the
+    * calendar day — the SAME generated formulas over per-(user, day)
+    * chains, q58's wide/shallow fixture. Transforming the shared oracle
+    * string keeps the two shapes drift-free by construction: every
+    * `PARTITION BY user_id[, seg_id]` gains `, dt`. */
+  private val treeStatsOracleDay: String =
+    treeStatsOracle
+      .replace("FROM events", "FROM (SELECT *, CAST(ts AS DATE) AS dt FROM events)")
+      .replace("user_id,\n", "user_id, dt,\n")
+      .replace("PARTITION BY user_id", "PARTITION BY user_id, dt")
 
   /** q65 oracle: the exact-integer PageRank recurrence unrolled to
     * `iters` CTEs, generated from the SAME constants the engine uses
@@ -317,11 +337,16 @@ object GraphQueries {
 
     // ── A4 escape hatch: same 41 columns via the relational formulation
     // (pointer-doubled path pairs + shuffled aggregates — the bounded-
-    // task-memory path for mega-conversations), against the SAME oracle
-    // as q23: the two formulations must agree bit-for-bit on chains.
+    // task-memory path for mega-conversations). Fixture is the
+    // WIDE/SHALLOW per-(user, day) chain shape — the formulation's
+    // actual production target (pair volume O(nodes × avg depth)); the
+    // deep-chain pathology it deliberately does NOT optimize for stays
+    // proven by the TreeStatsIterativeSpec chain cross-checks. Oracle is
+    // the q23 oracle with the day folded into the partition key — same
+    // generated formulas, so the two formulations still can't drift.
     "q58_tree_stats_iterative" -> Q(
-      (s, dir) => TreeStatsIterative.compute(treeInput(s, dir)).toDF(),
-      treeStatsOracle),
+      (s, dir) => TreeStatsIterative.compute(treeInput(s, dir, dayChains = true)).toDF(),
+      treeStatsOracleDay),
 
 
     // ── P13: singleton constant-projection fast path ───────────────────

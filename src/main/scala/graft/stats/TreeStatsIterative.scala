@@ -44,6 +44,19 @@ object TreeStatsIterative {
   /** Iterative-join formulation over the whole input. Semantics equal to
     * [[TreeStats.compute]] on acyclic input (long stats exactly; MAD
     * doubles up to float summation order, which groupBy sums don't fix).
+    *
+    * Parallelism is sized to the data, same discipline as
+    * [[graft.graph.PageRank]]: this formulation is ~10 shuffled stages,
+    * and running each at full conf width for a small input pays fixed
+    * task/stage costs that dominate the runtime (measured ~2× at
+    * sf0.1). The node relation is materialized once, counted, and —
+    * when the sized width is below the session's — the whole body runs
+    * under a narrowed `spark.sql.shuffle.partitions` with the result
+    * eagerly materialized before the conf is restored (a lazy plan
+    * would be re-planned at conf width by the caller; eager is safe
+    * here because the narrow regime only triggers when the data is
+    * small). At cluster scale the sizing caps at the session width and
+    * the method is exactly the lazy full-width plan.
     */
   def compute(tweets: Dataset[TreeInput], maxIter: Int = 30): Dataset[TreeStatsRow] = {
     val spark = tweets.sparkSession
@@ -53,6 +66,9 @@ object TreeStatsIterative {
     // (3_create_tweet_stats_i.py:235-240); parents referenced but absent
     // from the data act as placeholder roots (never emitted), which falls
     // out for free here: absent ids get no self-pair and no node row.
+    // Materialized once: every downstream relation (edges, tallies,
+    // flags, the final assembly) re-reads this instead of re-running the
+    // upstream lineage, and the count sizes the stage width.
     val nodes = tweets.toDF().select(
       col("tweet_id").as("id"), col("author_id"),
       col("reply_count"), col("quote_count"),
@@ -60,6 +76,31 @@ object TreeStatsIterative {
       when(col("in_reply_to").isNotNull, col("in_reply_to"))
         .otherwise(coalesce(col("retweet_of"), col("quotes"))).as("parent"),
       col("in_reply_to").isNotNull.as("is_reply_edge"))
+      .localCheckpoint(true)
+
+    val confW = spark.sessionState.conf.numShufflePartitions
+    val nPart = math.max(2, math.min(confW, (nodes.count() / 1000000L).toInt + 1))
+    if (nPart >= confW) computeFrom(nodes, maxIter)
+    else {
+      val partKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(partKey)
+      spark.conf.set(partKey, nPart.toString)
+      // coalesce (no shuffle) so the NARROW stages reading the
+      // checkpoint run at the sized width too, not the ambient one
+      try computeFrom(nodes.coalesce(nPart), maxIter).toDF()
+        .localCheckpoint(true).as[TreeStatsRow]
+      finally prev match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
+      }
+    }
+  }
+
+  /** The formulation body over a MATERIALIZED node relation. */
+  private def computeFrom(nodesCk: DataFrame, maxIter: Int): Dataset[TreeStatsRow] = {
+    val spark = nodesCk.sparkSession
+    import spark.implicits._
+    val nodes = nodesCk
 
     val edges = nodes.where(col("parent").isNotNull)
       .select(col("id").as("d"), col("parent").as("a"),
@@ -104,10 +145,21 @@ object TreeStatsIterative {
             (col("j.depth") + col("p.depth")).as("depth"),
             (col("j.plain") && col("p.plain")).as("plain"))
         def norm(df: DataFrame): DataFrame = df.toDF("d", "a", "depth", "plain")
-        var parts: List[DataFrame] = List(edges.localCheckpoint(true))
-        var jumps = parts.head
+        // edges is a one-hop narrow derivation of the already-
+        // materialized node relation — re-reading it per extend is a
+        // cheap map over the checkpoint, no extra materialization job.
+        // The loop is SEEDED with the depth-2 paths (lazy checkpoint,
+        // materialized inside round 1's probe job): known coverage
+        // after round i is 2·4^i instead of 4^i, which drops one
+        // materialized round for typical depth ranges — at fixture
+        // scale the per-round fixed cost is the runtime (invariant
+        // intact: jumps=exact-2 with known ≤2 decomposes (2,4]
+        // uniquely, exactly like the unseeded first round).
+        val d2 = extend(edges, edges).localCheckpoint(false)
+        var parts: List[DataFrame] = List(d2, edges)
+        var jumps = d2
         var iter = 0
-        var more = !jumps.isEmpty
+        var more = !edges.isEmpty
         // TWO doublings per materialized round (same trick as
         // Closure.resolveRoots): the convergence probe on extB is the one
         // job that materializes extA, jumps2 and extB together, so the
