@@ -1036,6 +1036,33 @@ object ExtQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin),
 
+    // ── bucketed co-located fact-fact join == plain join ───────────────
+    // Both sides written ONCE as bucketed+sorted tables on the join key,
+    // then joined bucket-to-bucket with NO exchange on either side
+    // (PlanSpec-asserted) — the single biggest shuffle saver for
+    // repeated fact-fact joins at 100 TB: the layout cost is paid once,
+    // every subsequent join on the key is exchange-free. Same oracle as
+    // q70 (the plain join): bucketing must be semantically invisible.
+    "q94_bucketed_join" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.util.Scale.writeBucketed(li, "graft_q94_li", "okey", buckets = 8)
+        graft.util.Scale.writeBucketed(ord, "graft_q94_ord", "okey", buckets = 8)
+        s.table("graft_q94_li").join(s.table("graft_q94_ord"), "okey")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |       cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin),
+
     // ── trigram-index substring search (LIKE '%needle%' via index) ─────
     // Candidates from a conjunctive trigram probe, needle confirmed on
     // candidates only; oracle is the direct corpus scan — the index path

@@ -12,13 +12,27 @@ object Scale {
     * way on the join key co-locate: the join reads bucket i against
     * bucket i with NO exchange on either side — the Spark analog of the
     * reference pre-sorting its Aria tables on the index key
-    * (`1_initial_load.py:184-185`). Verified plan-level in ScaleSpec.
+    * (`1_initial_load.py:184-185`). Verified plan-level in ScaleSpec and
+    * driver-gated end-to-end by q94 (hash-equal to the plain join, no
+    * exchange under the join).
+    *
+    * A fresh session's in-memory catalog doesn't know about managed-
+    * table directories a PREVIOUS session left in the warehouse, so
+    * `mode(overwrite)` alone fails with LOCATION_ALREADY_EXISTS; the
+    * table is dropped and its leftover location cleared first.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Widen a narrow input for CPU-heavy fan-out work (signature
     * projections, shingling): when the source has fewer partitions than

@@ -47,6 +47,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q94: bucketed co-located join shuffles NEITHER side (only the final agg exchanges)") {
+    // pin SMJ so the co-location claim is actually exercised (at this
+    // fixture scale AQE would broadcast the small side and prove nothing)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = planOf("q94_bucketed_join")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(okey"), plan)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q31/q45: capped jaccard plans carry no cartesian join") {
     Seq("q31_dedup_ngram_jaccard", "q45_dedup_clusters").foreach { q =>
       val plan = planOf(q)
