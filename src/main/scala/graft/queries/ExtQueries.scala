@@ -333,6 +333,34 @@ object ExtQueries {
          |WHERE (l_partkey & 65535) BETWEEN 100 AND 300
          |  AND (l_suppkey & 65535) BETWEEN 10 AND 50""".stripMargin),
 
+    // ── 3-d z-order box with per-dim bit budgets ───────────────────────
+    // Layout tuning at 100 TB wants 3-4 clustered dimensions with a
+    // coarse one spending fewer curve bits (here 16/12/8): the n-dim
+    // level-order interleave keeps z monotone per coordinate, so the
+    // same superset-prefilter + exact-refilter pattern as q79 applies.
+    // z is emitted so the full interleave arithmetic is hash-verified
+    // against the SQL generated from the same layout definition.
+    "q95_zorder_box3" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val dims = Seq(
+          (col("l_partkey").bitwiseAND(lit(65535L)), 100L, 300L),
+          (col("l_suppkey").bitwiseAND(lit(4095L)), 10L, 50L),
+          (col("l_orderkey").bitwiseAND(lit(255L)), 32L, 160L))
+        val budgets = Seq(16, 12, 8)
+        graft.util.ZOrder.boxFilterN(li, dims, budgets)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.util.ZOrder.zValueN(dims.map(_._1), budgets).as("z"))
+      },
+      s"""SELECT l_orderkey, l_linenumber,
+         |  cast(${graft.util.ZOrder.zValueSqlN(
+               Seq("(l_partkey & 65535)", "(l_suppkey & 4095)", "(l_orderkey & 255)"),
+               Seq(16, 12, 8))} AS BIGINT) AS z
+         |FROM lineitem
+         |WHERE (l_partkey & 65535) BETWEEN 100 AND 300
+         |  AND (l_suppkey & 4095) BETWEEN 10 AND 50
+         |  AND (l_orderkey & 255) BETWEEN 32 AND 160""".stripMargin),
+
     // ── pivot (crosstab): per-source language histogram ────────────────
     "q80_pivot" -> Q(
       (s, dir) => Tables.documents(s, dir)

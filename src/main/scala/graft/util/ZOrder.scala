@@ -3,61 +3,123 @@ package graft.util
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) curve utilities: interleave the bits of two
-  * dimension keys so that rows close in BOTH dimensions are close in
-  * the one-dimensional sort order. Writing a table sorted by z-value
+/** Z-order (Morton) curve utilities: interleave the bits of n dimension
+  * keys so that rows close in EVERY dimension are close in the
+  * one-dimensional sort order. Writing a table sorted by z-value
   * clusters multi-dimensional locality into parquet row groups, so a
-  * box predicate on (x, y) prunes via min/max statistics on a single
-  * column — the layout trick Delta's OPTIMIZE ZORDER and Iceberg's
-  * sort orders use, here as a plain column expression.
+  * box predicate on the dimensions prunes via min/max statistics on a
+  * single column — the layout trick Delta's OPTIMIZE ZORDER and
+  * Iceberg's sort orders use, here as a plain column expression.
   *
-  * Query pattern (the superset property, verified by q79's oracle and
-  * ZOrderSpec): for a box [x0,x1]×[y0,y1], every row in the box has
-  * z ∈ [z(x0,y0), z(x1,y1)] — the z-range scan is a candidate SUPERSET
-  * (min/max-prunable on sorted files) and the exact box predicate
-  * refilters it, so results equal the direct scan exactly.
+  * Dimensions carry PER-DIM BIT BUDGETS: a coarse dimension (language,
+  * source) spends fewer bits than a fine one (time, user), which keeps
+  * the total within one long while spending curve resolution where the
+  * data has it. Equal budgets give the classic round-robin Morton
+  * layout; the level-order interleave (at level j, every dim with
+  * budget > j contributes its j-th bit, in dim order) preserves the
+  * per-dimension bit order, so z is monotone in each coordinate with
+  * the others fixed — which is exactly what the box-superset law needs.
+  *
+  * Query pattern (the superset property, verified by q79/q95's oracles
+  * and ZOrderSpec): for a box ∏[lo_k, hi_k], every row in the box has
+  * z ∈ [z(lo_1..lo_n), z(hi_1..hi_n)] — the z-range scan is a candidate
+  * SUPERSET (min/max-prunable on sorted files) and the exact box
+  * predicate refilters it, so results equal the direct scan exactly.
   *
   * Exact integer arithmetic (shift/mask/add over disjoint bits), so any
-  * SQL engine reproduces z-values bit-for-bit via [[zValueSql]],
+  * SQL engine reproduces z-values bit-for-bit via [[zValueSqlN]],
   * generated from the same constants.
   */
 object ZOrder {
 
-  /** Bit-interleaved z-value of two non-negative keys, `bits` bits
-    * each: bit j of x lands at position 2j, bit j of y at 2j+1.
-    * Callers must mask inputs to `bits` (e.g. `x.bitwiseAND(lit(mask))`)
-    * — higher bits would alias. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31)
-    (0 until bits).flatMap { j =>
-      Seq(shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j),
-        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1))
+  /** (dim index, source bit, destination position) for each interleaved
+    * bit — the ONE definition of the curve layout; the column, SQL and
+    * driver forms all read it, so they cannot drift. */
+  private def layout(budgets: Seq[Int]): Seq[(Int, Int, Int)] = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"every dimension needs a positive bit budget: $budgets")
+    val total = budgets.sum
+    require(total <= 62, s"total z bits $total exceed a positive long (62)")
+    val buf = Seq.newBuilder[(Int, Int, Int)]
+    var p = 0
+    for (j <- 0 until budgets.max; k <- budgets.indices if budgets(k) > j) {
+      buf += ((k, j, p))
+      p += 1
+    }
+    buf.result()
+  }
+
+  /** Interleaved z-value of n non-negative keys with per-dim budgets.
+    * Callers must mask inputs to their budgets (e.g.
+    * `x.bitwiseAND(lit(mask))`) — higher bits would alias; use
+    * [[boxFilterN]] for queries, which enforces the bounds. */
+  def zValueN(dims: Seq[Column], budgets: Seq[Int]): Column = {
+    require(dims.size == budgets.size, "one budget per dimension")
+    layout(budgets).map { case (k, j, p) =>
+      shiftleft(shiftright(dims(k), j).bitwiseAND(lit(1L)), p)
     }.reduce(_ + _) // disjoint bit positions: + == bitwise or
   }
 
   /** The identical expression in portable SQL — oracle building block. */
-  def zValueSql(x: String, y: String, bits: Int = 16): String =
-    (0 until bits).flatMap { j =>
-      Seq(s"((($x >> $j) & 1) << ${2 * j})",
-        s"((($y >> $j) & 1) << ${2 * j + 1})")
+  def zValueSqlN(dims: Seq[String], budgets: Seq[Int]): String = {
+    require(dims.size == budgets.size, "one budget per dimension")
+    layout(budgets).map { case (k, j, p) =>
+      s"(((${dims(k)} >> $j) & 1) << $p)"
     }.mkString(" + ")
+  }
+
+  /** Driver-side z-value (bounds for [[boxFilterN]]'s range). */
+  def zOfN(vals: Seq[Long], budgets: Seq[Int]): Long = {
+    require(vals.size == budgets.size, "one budget per dimension")
+    layout(budgets).map { case (k, j, p) =>
+      ((vals(k) >> j) & 1L) << p
+    }.sum
+  }
 
   /** Box query through the z-curve: z-range prefilter (the part a
-    * z-sorted layout answers from min/max stats) + exact refilter. */
+    * z-sorted layout answers from min/max stats) + exact refilter.
+    * `dims` is (column, lo, hi) per dimension. Bounds MUST fit the
+    * budget — [[zOfN]] would silently drop higher bits and the z-range
+    * would stop being a superset of the box, silently missing rows —
+    * so they are validated here, not assumed.
+    */
+  def boxFilterN(df: DataFrame, dims: Seq[(Column, Long, Long)],
+                 budgets: Seq[Int]): DataFrame = {
+    require(dims.size == budgets.size, "one budget per dimension")
+    dims.zip(budgets).zipWithIndex.foreach { case (((_, lo, hi), b), k) =>
+      require(lo >= 0 && lo <= hi && hi < (1L << b),
+        s"dim $k bounds [$lo, $hi] outside [0, 2^$b)")
+    }
+    val z = zValueN(dims.map(_._1), budgets)
+    df.where(z.between(
+        lit(zOfN(dims.map(_._2), budgets)), lit(zOfN(dims.map(_._3), budgets))))
+      .where(dims.map { case (c, lo, hi) => c.between(lo, hi) }.reduce(_ && _))
+  }
+
+  // ── 2-d forms (budgets (bits, bits) of the n-dim layout: x bits land
+  //    at even positions, y at odd — the classic Morton interleave) ────
+
+  /** Bit-interleaved z-value of two non-negative keys, `bits` bits
+    * each. Callers must mask inputs to `bits`. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31)
+    zValueN(Seq(x, y), Seq(bits, bits))
+  }
+
+  /** The identical expression in portable SQL — oracle building block. */
+  def zValueSql(x: String, y: String, bits: Int = 16): String =
+    zValueSqlN(Seq(x, y), Seq(bits, bits))
+
+  /** Box query through the z-curve; bounds validated against `bits`
+    * (see [[boxFilterN]]). */
   def boxFilter(df: DataFrame, x: Column, y: Column,
                 x0: Long, x1: Long, y0: Long, y1: Long,
-                bits: Int = 16): DataFrame = {
-    val z = zValue(x, y, bits)
-    df.where(z.between(
-        lit(zOf(x0, y0, bits)), lit(zOf(x1, y1, bits))))
-      .where(x.between(x0, x1) && y.between(y0, y1))
-  }
+                bits: Int = 16): DataFrame =
+    boxFilterN(df, Seq((x, x0, x1), (y, y0, y1)), Seq(bits, bits))
 
   /** Driver-side z-value (bounds for [[boxFilter]]'s range). */
   def zOf(x: Long, y: Long, bits: Int = 16): Long =
-    (0 until bits).map { j =>
-      (((x >> j) & 1L) << (2 * j)) + (((y >> j) & 1L) << (2 * j + 1))
-    }.sum
+    zOfN(Seq(x, y), Seq(bits, bits))
 
   /** Lay a table out along the z-curve: range-partitioned and sorted by
     * z, so each output file covers a compact z-interval and box queries

@@ -40,6 +40,53 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("n-dim: column zValueN equals driver-side zOfN under heterogeneous budgets") {
+    val rnd = new Random(83)
+    val budgets = Seq(16, 12, 8)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 8).toLong))
+    val got = rows.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), budgets).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, w, z) =>
+      assert(z == ZOrder.zOfN(Seq(x, y, w), budgets), s"($x, $y, $w)")
+    }
+    // level-order layout sanity: equal budgets reproduce 2-d Morton
+    assert(ZOrder.zOfN(Seq(0xFFFFL, 0L), Seq(16, 16)) == 0x55555555L)
+    // all-ones in every dim fills all budgeted positions contiguously
+    assert(ZOrder.zOfN(Seq(0xFFFFL, 0xFFFL, 0xFFL), budgets) == (1L << 36) - 1)
+  }
+
+  test("3-d boxFilterN equals the direct box scan for random boxes") {
+    val rnd = new Random(89)
+    val budgets = Seq(10, 10, 6)
+    val df = (1 to 3000).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(64).toLong))
+      .toDF("id", "x", "y", "w")
+    for (_ <- 1 to 5) {
+      val (x0, y0, w0) = (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong, rnd.nextInt(40).toLong)
+      val (x1, y1, w1) = (x0 + rnd.nextInt(200), y0 + rnd.nextInt(200), w0 + rnd.nextInt(24))
+      val got = ZOrder.boxFilterN(df,
+          Seq((col("x"), x0, x1), (col("y"), y0, y1), (col("w"), w0, w1)), budgets)
+        .select("id").as[Long].collect().toSet
+      val want = df.where(col("x").between(x0, x1) && col("y").between(y0, y1)
+          && col("w").between(w0, w1))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"box [$x0,$x1]x[$y0,$y1]x[$w0,$w1]")
+    }
+  }
+
+  test("boxFilter rejects bounds that overflow the bit budget (silent row loss otherwise)") {
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      ZOrder.boxFilter(df, col("x"), col("y"), 0L, 70000L, 0L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.boxFilterN(df, Seq((col("x"), -1L, 5L)), Seq(8))
+    }
+  }
+
   test("z-sorted layout: the z-range reaches the parquet scan as pushed filters") {
     val rnd = new Random(79)
     val df = (1 to 5000).map(i =>
