@@ -88,6 +88,50 @@ object StreamIngest {
       }
       .start()
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Continuous NEAR-dedup ingest: every micro-batch is cleaned against
+    * the corpus written so far — exact content hash, then MinHash LSH
+    * band collisions, via [[graft.ext.Dedup.dedupAgainst]] — before
+    * appending. The corpus side is PROBED (two anti-join tiers keyed on
+    * content hash / band signature), never rewritten, so per-batch cost
+    * scales with the batch and its collisions, not corpus lifetime.
+    *
+    * Replay contract: a replayed batch's rows carry the same text as
+    * their already-appended copies, so the exact tier suppresses them —
+    * at-least-once delivery still lands exactly-once in the corpus, and
+    * the same mechanism now also drops NEAR-duplicates of anything ever
+    * written (the capability q73 provides in batch, composed into the
+    * stream). Within one micro-batch, rows are deduped exactly on text
+    * (first-wins by doc_id); intra-batch near-dup clustering stays a
+    * batch-operator concern ([[graft.ext.Dedup.nearDupClusters]]) —
+    * micro-batches are small, so cross-batch probing is where the
+    * contract matters.
+    */
+  def ingestNearDedup(spark: SparkSession, srcDir: String, checkpointDir: String,
+                      outDir: String, n: Int = 3): StreamingQuery =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.where(col("text").isNotNull)
+          .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        // only a missing path means "first batch" — same failure
+        // discipline as notYetWritten: any other read error must fail
+        // the batch rather than skip the dedup contract
+        val corpus =
+          try Some(batch.sparkSession.read.parquet(outDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val cleaned = corpus match {
+          case Some(c) => graft.ext.Dedup.dedupAgainst(fresh, c, n)
+          case None => fresh
+        }
+        cleaned.write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Watermark-scoped alternative to [[ingest]]: the dedup window is
     * EXPLICIT and watermark-driven instead of implicit-by-partitioning.
     * `dropDuplicatesWithinWatermark` keeps each event_id in the state

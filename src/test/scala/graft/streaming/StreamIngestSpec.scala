@@ -58,6 +58,52 @@ class StreamIngestSpec extends SparkSuite {
     assert(pf.findFirstIn(plan).isDefined, s"no dt partition pruning in:\n$plan")
   }
 
+  test("streaming near-dedup: later micro-batches drop exact AND near corpus matches; parity with batch dedupAgainst") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("nd_src").toString
+    val chk = Files.createTempDirectory("nd_chk").toString
+    val out = Files.createTempDirectory("nd_out").toString + "/corpus"
+    def docJson(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    def run(): Unit = {
+      val q = StreamIngest.ingestNearDedup(spark, src, chk, out, n = 3)
+      q.processAllAvailable(); q.stop()
+    }
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "completely different corpus content about spark queries"
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(docJson(1, t1), docJson(2, t2)).mkString("\n").getBytes)
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // batch 2: an exact dup, a NEAR dup (shares LSH bands with t1), a fresh doc
+    val near = s"oh $t1"
+    val fresh = "entirely novel text with no overlap whatsoever anywhere else"
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(docJson(10, t1), docJson(11, near), docJson(12, fresh)).mkString("\n").getBytes)
+    run()
+    val ids = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 12L), "exact and near dups must be dropped")
+
+    // stream == batch parity: the same micro-batch cleaned by the batch
+    // operator against the same pre-batch corpus keeps exactly doc 12
+    val batchKept = graft.ext.Dedup.dedupAgainst(
+        Seq((10L, t1), (11L, near), (12L, fresh)).toDF("doc_id", "text"),
+        Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(batchKept == Seq(12L))
+
+    // batch 3: a replay-shaped re-send of doc 12's text under a new id
+    // collides with its own appended copy — still exactly-once
+    Files.write(java.nio.file.Paths.get(s"$src/b3.json"),
+      Seq(docJson(20, fresh), docJson(21, "some genuinely new third batch material here")).mkString("\n").getBytes)
+    run()
+    val ids3 = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids3 == Seq(1L, 2L, 12L, 21L))
+  }
+
   test("watermark-scoped dedup: suppresses in-window duplicates (cross-date too), re-admits after eviction") {
     val src = Files.createTempDirectory("wm_src").toString
     val chk = Files.createTempDirectory("wm_chk").toString
