@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   * have. (A 10⁷-node chain would make the closure quadratic; depth
   * pathology stays on the in-memory path, which handles it in O(n).)
   *
-  * Deviation (documented): cycles — impossible in real reply trees,
-  * unguarded in the reference, deterministically broken by
-  * [[TreeStats.processGroup]] — here just stop extending at `maxIter`
-  * doublings, so cycle members would see truncated-path stats. Inputs are
-  * assumed acyclic like the reference's.
+  * Cycles — impossible in real reply trees, unguarded in the reference,
+  * deterministically broken by [[TreeStats.processGroup]] — FAIL LOUDLY
+  * here: the doubling loop's convergence probe doubles as a cycle
+  * detector (a depth>0 self-pair can only come from a cycle, and cycle
+  * wraps keep the frontier non-empty until one appears), so
+  * constructible-but-invalid input raises instead of returning
+  * truncated-path stats that silently disagree with the in-memory
+  * formulation. Spec-pinned in TreeStatsIterativeSpec.
   */
 object TreeStatsIterative {
 
@@ -70,7 +73,17 @@ object TreeStatsIterative {
     // flags, the final assembly) re-reads this instead of re-running the
     // upstream lineage, and the count sizes the stage width.
     val nodes = tweets.toDF().select(
-      col("tweet_id").as("id"), col("author_id"),
+      col("tweet_id").as("id"),
+      // non-null author ENFORCED, not assumed: the two-level author
+      // aggregate would count a null author as its own group where
+      // countDistinct (and TreeStats' long-keyed sets) skip nulls —
+      // fail loudly at the boundary instead of silently drifting.
+      // TreeInput declares author_id: Long, but DataFrame-level callers
+      // can still smuggle a null through; coalesce short-circuits, so
+      // the error expression never evaluates on valid rows.
+      coalesce(col("author_id"),
+        raise_error(concat(lit("TreeStatsIterative: null author_id for tweet "),
+          col("tweet_id").cast("string")))).as("author_id"),
       col("reply_count"), col("quote_count"),
       col("like_count"), col("retweet_count"),
       when(col("in_reply_to").isNotNull, col("in_reply_to"))
@@ -172,7 +185,22 @@ object TreeStatsIterative {
           val extA = extend(jumps, known).localCheckpoint(false)
           val jumps2 = extend(jumps, jumps).localCheckpoint(false)
           val extB = extend(jumps2, known.unionByName(norm(extA))).localCheckpoint(false)
-          more = extB.limit(1).count() > 0
+          // ONE aggregate probe materializes the round and doubles as
+          // the cycle guard: each node carries at most one parent, so
+          // the graph is a forest plus possible cycles, and a
+          // (d == a, depth > 0) self-pair can ONLY come from a cycle.
+          // Cycle wraps generate paths at every depth, so a cyclic
+          // input keeps extB non-empty and self-pairs land in it within
+          // O(log cycle-length) rounds — detection is guaranteed before
+          // any silent truncation could return wrong stats.
+          val probe = extB.agg(count(lit(1)).as("n"),
+            max(when(col("d") === col("a"), 1).otherwise(0)).as("cyc")).head()
+          if (!probe.isNullAt(1) && probe.getInt(1) == 1)
+            throw new IllegalStateException(
+              "TreeStatsIterative: cycle detected in parent pointers — " +
+                "impossible in real reply trees; route this group through " +
+                "TreeStats.compute, which breaks cycles deterministically")
+          more = probe.getLong(0) > 0
           if (more) {
             parts = extB :: extA :: parts
             jumps = extend(jumps2, jumps2).localCheckpoint(false)
@@ -366,10 +394,26 @@ object TreeStatsIterative {
       .where(col("count") > threshold)
       .select(col("group_id")).as[Long].collect()
     if (bigIds.isEmpty) TreeStats.compute(tweets)
-    else {
+    else if (bigIds.length <= MaxInlineIds) {
       val isBig = col("group_id").isin(bigIds.toIndexedSeq: _*)
       TreeStats.compute(tweets.where(!isBig).as[TreeInput])
         .unionByName(compute(tweets.where(isBig).as[TreeInput], maxIter))
+    } else {
+      // outlier assumption violated (low threshold / adversarial data):
+      // a huge literal In() would blow past codegen and plan-size
+      // limits, so degrade gracefully to broadcast semi/anti joins
+      // against the already-collected id list
+      import org.apache.spark.sql.functions.broadcast
+      val ids = broadcast(bigIds.toIndexedSeq.toDF("group_id"))
+      TreeStats.compute(
+          tweets.join(ids, Seq("group_id"), "left_anti").as[TreeInput])
+        .unionByName(compute(
+          tweets.join(ids, Seq("group_id"), "left_semi").as[TreeInput], maxIter))
     }
   }
+
+  /** Above this many over-threshold group ids, [[computeHybrid]] swaps
+    * its literal `isin` side-splits for broadcast semi/anti joins — an
+    * In() list this long stresses codegen and plan size for no gain. */
+  val MaxInlineIds = 2048
 }

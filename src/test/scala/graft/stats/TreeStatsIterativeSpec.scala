@@ -118,6 +118,57 @@ class TreeStatsIterativeSpec extends SparkSuite {
       TreeStats.compute(ds))
   }
 
+  test("cyclic parent pointers fail loudly; the in-memory path breaks them deterministically") {
+    import spark.implicits._
+    // 3-cycle plus a tail hanging off it — constructible, impossible in
+    // the domain. The relational path must REFUSE (truncated-path stats
+    // would silently disagree); the in-memory path's deterministic
+    // cycle-break keeps working.
+    val rows = Seq(
+      row(1, reply = Some(3)),
+      row(2, reply = Some(1)),
+      row(3, reply = Some(2)),
+      row(4, reply = Some(1))) // tail into the cycle
+    val ds = spark.createDataset(rows)
+    val e = intercept[IllegalStateException] {
+      TreeStatsIterative.compute(ds).toDF().count()
+    }
+    assert(e.getMessage.contains("cycle detected"), e.getMessage)
+    assert(TreeStats.compute(ds).toDF().count() == 4L)
+  }
+
+  test("null author_id raises at the boundary instead of silently drifting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(7L), None: Option[Long], 1L),
+      (2L, None: Option[Long], Some(1L), 1L)) // null author on row 2
+      .toDF("tweet_id", "author_id", "in_reply_to", "group_id")
+      .select(col("tweet_id"), col("author_id").as("author_id"),
+        col("in_reply_to"),
+        lit(null).cast("long").as("retweet_of"), lit(null).cast("long").as("quotes"),
+        lit(0L).as("reply_count"), lit(0L).as("quote_count"),
+        lit(0L).as("like_count"), lit(0L).as("retweet_count"), col("group_id"))
+    val e = intercept[Exception] {
+      TreeStatsIterative.compute(df.as[TreeInput]).toDF().count()
+    }
+    assert(e.getMessage.contains("null author_id"), e.getMessage)
+  }
+
+  test("hybrid router: over-threshold id list beyond the inline cap takes the broadcast-join split") {
+    import spark.implicits._
+    // 3000 two-row groups with threshold 1: every group is "big", far
+    // past MaxInlineIds — the router must degrade to broadcast
+    // semi/anti joins and still agree with the in-memory aggregate
+    assert(3000 > TreeStatsIterative.MaxInlineIds)
+    val rows = (0 until 3000).flatMap { g =>
+      Seq(row(g * 10L + 1, group = g, author = g % 5),
+        row(g * 10L + 2, reply = Some(g * 10L + 1), group = g, author = g % 3))
+    }
+    val ds = spark.createDataset(rows)
+    assertSame(TreeStatsIterative.computeHybrid(ds, threshold = 1),
+      TreeStats.compute(ds))
+  }
+
   test("wide shallow mega-group flows through bounded shuffled aggregates") {
     import spark.implicits._
     val n = sys.env.getOrElse("GRAFT_STRESS_N", "1000000").toInt
