@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * list — the clustering step that turns near-duplicate PAIRS (Jaccard /
   * LSH / cosine joins) into dedup groups with one canonical survivor.
   *
-  * Each iteration every node takes the minimum label among itself and
-  * its neighbors; fixpoint in O(component diameter) iterations. Near-dup
+  * Each propagation step every node takes the minimum label among
+  * itself and its neighbors; fixpoint in O(component diameter) steps,
+  * batched TWO steps per materialized job (so `maxIter` counts JOBS —
+  * up to 2·maxIter propagations). Near-dup
   * components are dense and tiny (diameter ≤ 3-4), so this converges in
   * a few shuffles even at 100 TB — no GraphX dependency, plain
   * DataFrame joins, lineage cut per iteration like [[Closure]].
@@ -20,7 +22,9 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** edges: (a, b) undirected pairs. Returns (id, component) for every
-    * endpoint, where component = the minimum id in the component. */
+    * endpoint, where component = the minimum id in the component.
+    * `maxIter` caps MATERIALIZED JOBS, each of which runs two
+    * propagation steps — the default 50 covers diameters up to 100. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -51,8 +55,9 @@ object ConnectedComponents {
     }
     if (!converged && iter >= maxIter)
       System.err.println(
-        s"[ConnectedComponents] iteration cap $maxIter hit before convergence — " +
-          "labels for components with diameter > cap are not minimal")
+        s"[ConnectedComponents] job cap $maxIter (= ${2 * maxIter} propagation steps) " +
+          s"hit before convergence — labels for components with diameter > ${2 * maxIter} " +
+          "are not minimal")
     labels.withColumnRenamed("lab", "component")
   }
 }
