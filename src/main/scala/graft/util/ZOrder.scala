@@ -121,14 +121,20 @@ object ZOrder {
   def zOf(x: Long, y: Long, bits: Int = 16): Long =
     zOfN(Seq(x, y), Seq(bits, bits))
 
-  /** Lay a table out along the z-curve: range-partitioned and sorted by
-    * z, so each output file covers a compact z-interval and box queries
-    * prune whole files/row-groups on the z column's min/max. */
-  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
-                    bits: Int = 16): Unit = {
-    val withZ = df.withColumn("z", zValue(x, y, bits))
+  /** Lay a table out along the n-dim z-curve: range-partitioned and
+    * sorted by z, so each output file covers a compact z-interval and
+    * box queries prune whole files/row-groups on the z column's
+    * min/max. */
+  def writeZOrderedN(df: DataFrame, dims: Seq[Column], budgets: Seq[Int],
+                     path: String): Unit = {
+    val withZ = df.withColumn("z", zValueN(dims, budgets))
     withZ.repartitionByRange(col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
   }
+
+  /** 2-d [[writeZOrderedN]]. */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+                    bits: Int = 16): Unit =
+    writeZOrderedN(df, Seq(x, y), Seq(bits, bits), path)
 }

@@ -87,6 +87,31 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("3-d z-sorted layout: the z-range prunes and the box result matches the direct scan") {
+    val rnd = new Random(97)
+    val budgets = Seq(10, 10, 6)
+    val df = (1 to 5000).map(i =>
+      (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong, rnd.nextInt(64).toLong))
+      .toDF("id", "x", "y", "w")
+    val path = java.nio.file.Files.createTempDirectory("zorder3").toString + "/t"
+    ZOrder.writeZOrderedN(df, Seq(col("x"), col("y"), col("w")), budgets, path)
+    val reread = spark.read.parquet(path)
+    val (lo, hi) = (Seq(100L, 100L, 8L), Seq(500L, 500L, 40L))
+    val q = reread.where(col("z").between(
+        ZOrder.zOfN(lo, budgets), ZOrder.zOfN(hi, budgets)))
+      .where(col("x").between(lo(0), hi(0)) && col("y").between(lo(1), hi(1))
+        && col("w").between(lo(2), hi(2)))
+    val plan = q.queryExecution.executedPlan.toString
+    // PushedFilters renders truncated with this many predicates, so
+    // assert the lower bound there and both bounds on the Filter node
+    assert(plan.contains("GreaterThanOrEqual(z,"),
+      s"z-range must push to the scan for row-group pruning:\n$plan")
+    assert("z#\\d+L <= ".r.findFirstIn(plan).isDefined, plan)
+    val want = df.where(col("x").between(lo(0), hi(0)) && col("y").between(lo(1), hi(1))
+      && col("w").between(lo(2), hi(2))).count()
+    assert(q.count() == want)
+  }
+
   test("z-sorted layout: the z-range reaches the parquet scan as pushed filters") {
     val rnd = new Random(79)
     val df = (1 to 5000).map(i =>
