@@ -963,6 +963,38 @@ object ExtQueries {
         |       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM top""".stripMargin),
 
+    // ── BM25-ranked search (saturated, length-normalized relevance) ────
+    // q63's scoring upgraded to the ranking function IR actually uses,
+    // kept exact-integer (k1=6/5, b=3/4 folded into one floor division
+    // per term — see TextIndex.bm25Search's spec). The oracle replays
+    // the identical integer formula, so saturation and length
+    // normalization are hash-verified, not approximated.
+    "q96_bm25_search" -> Q(
+      (s, dir) => graft.mart.TextIndex.bm25Search(
+        graft.mart.TextIndex.build(Tables.documents(s, dir)),
+        Seq("spark", "join", "scan"), topK = 20),
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM ti GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n_docs,
+        |              cast(sum(tf) AS BIGINT) AS tl FROM ti),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ti
+        |       WHERE token IN ('spark', 'join', 'scan') GROUP BY 1),
+        |scored AS (
+        |  SELECT ti.doc_id,
+        |         cast(sum((((n_docs * 1000) // df) * 22 * tf * ((10 * tl) // n_docs))
+        |              // (10 * ((10 * tl) // n_docs) * tf
+        |                  + 3 * ((10 * tl) // n_docs) + 90 * dl.dl)) AS BIGINT) AS score
+        |  FROM ti JOIN df USING (token) JOIN dl ON dl.doc_id = ti.doc_id CROSS JOIN st
+        |  GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score,
+        |       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM top""".stripMargin),
+
     // ── PII redaction (pre-training scrub) ─────────────────────────────
     // The fixture corpus carries no PII, so deterministic synthetic PII
     // is injected first (email + IP + phone per doc) and the scrub must

@@ -53,6 +53,39 @@ class TextIndexSpec extends SparkSuite {
     assert(got.map(_._1) == List(1L) && got.head._3 == 1L)
   }
 
+  test("bm25: integer formula matches a driver-side evaluation; length norm + saturation behave") {
+    // d1: term once, short; d2: term once, LONG; d3: term many times, short
+    val d = Seq(
+      (1L, "needle alpha beta"),
+      (2L, "needle " + Seq.fill(37)("filler").mkString(" ")),
+      (3L, Seq.fill(8)("needle").mkString(" ") + " gamma"),
+      (4L, "unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val idx = TextIndex.build(d)
+    val got = TextIndex.bm25Search(idx, Seq("needle"), topK = 10)
+      .as[(Long, Long, Long)].collect().toList
+
+    // driver-side replay of the exact spec
+    val tfs = Map(1L -> 1L, 2L -> 1L, 3L -> 8L)
+    val dls = Map(1L -> 3L, 2L -> 38L, 3L -> 9L, 4L -> 3L)
+    val n = 4L; val tl = dls.values.sum; val a = (10L * tl) / n
+    val idf = (n * 1000L) / 3L // df(needle) = 3
+    def score(id: Long) = {
+      val tf = tfs(id); val dl = dls(id)
+      (idf * 22L * tf * a) / (10L * a * tf + 3L * a + 90L * dl)
+    }
+    val want = tfs.keys.map(id => (id, score(id)))
+      .toList.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1L) }
+    assert(got == want)
+    // length normalization: equal tf, longer doc scores strictly lower
+    assert(score(1L) > score(2L))
+    // saturation: 8× the tf yields far less than 8× the score
+    assert(score(3L) < 8L * score(1L))
+    // but more evidence still ranks higher
+    assert(score(3L) > score(1L))
+  }
+
   test("vocabulary prunes by minCount, caps size, assigns dense ids in rank order") {
     val many = Seq(
       (1L, "a a a a b b b c c d"),
