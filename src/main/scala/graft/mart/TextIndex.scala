@@ -128,6 +128,34 @@ object TextIndex {
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard
+    * way hybrid search combines heterogeneous rankers (BM25 + vector
+    * ANN, or any (doc_id, rank) relations): each list contributes
+    * 1/(kRrf + rank) per document and the fused score sums the
+    * contributions, so agreement across rankers beats a high rank in
+    * one. Kept exact-integer (contribution = SCALE div (kRrf + rank),
+    * SCALE = 10⁶) so fusion is deterministic and SQL-reproducible.
+    *
+    * Scale shape: a unionByName of the (already top-k-bounded) input
+    * lists, one hash aggregate on doc_id, then a rank-limit — each
+    * input is ≤ its own topK rows, so the fusion stage is query-sized
+    * regardless of corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty && kRrf >= 0)
+    val fused = rankings
+      .map(_.select(col("doc_id"),
+        expr(s"1000000L div (${kRrf}L + rank)").as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(topK)
+    fused.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Character-trigram index: (tri, doc_id) distinct pairs — the infix-
     * search companion to the token index (a token index cannot answer
     * `LIKE '%substr%'`; a trigram index can, because every document

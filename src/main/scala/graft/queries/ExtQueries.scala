@@ -394,6 +394,24 @@ object ExtQueries {
         |  cast(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
 
+    // ── cube (full subtotal lattice, completing q81's rollup) ──────────
+    "q97_cube" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            col("l_quantity").cast("long")).as("sum_qty"),
+          org.apache.spark.sql.functions.expr(
+            "cast(grouping(l_returnflag) AS BIGINT)").as("g_flag"),
+          org.apache.spark.sql.functions.expr(
+            "cast(grouping(l_linestatus) AS BIGINT)").as("g_status")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  cast(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  cast(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+
     // ── set operations: INTERSECT / EXCEPT with provenance tag ─────────
     "q82_setops" -> Q(
       (s, dir) => {
@@ -994,6 +1012,54 @@ object ExtQueries {
         |SELECT doc_id, score,
         |       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM top""".stripMargin),
+
+    // ── reciprocal-rank fusion (hybrid retrieval) ──────────────────────
+    // The standard combiner for heterogeneous rankers: q63's tf-idf
+    // list and q96's BM25 list fused by Σ 10⁶ div (60 + rank).
+    // Exact-integer throughout, so the full two-ranker + fusion
+    // pipeline hash-matches the oracle's replay of both scorings.
+    "q98_rrf_fusion" -> Q(
+      (s, dir) => {
+        val idx = graft.mart.TextIndex.build(Tables.documents(s, dir))
+        val terms = Seq("spark", "join", "scan")
+        graft.mart.TextIndex.rrfFuse(Seq(
+          graft.mart.TextIndex.rankedSearch(idx, terms, topK = 20),
+          graft.mart.TextIndex.bm25Search(idx, terms, topK = 20)),
+          kRrf = 60, topK = 20)
+      },
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ti),
+        |tdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM ti
+        |        WHERE token IN ('spark', 'join', 'scan') GROUP BY 1),
+        |tscored AS (
+        |  SELECT doc_id, cast(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score
+        |  FROM ti JOIN tdf USING (token) CROSS JOIN n GROUP BY doc_id),
+        |ttop AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |         FROM (SELECT * FROM tscored ORDER BY score DESC, doc_id LIMIT 20)),
+        |dl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM ti GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n_docs,
+        |              cast(sum(tf) AS BIGINT) AS tl FROM ti),
+        |bscored AS (
+        |  SELECT ti.doc_id,
+        |         cast(sum((((st.n_docs * 1000) // tdf.df) * 22 * tf * ((10 * tl) // st.n_docs))
+        |              // (10 * ((10 * tl) // st.n_docs) * tf
+        |                  + 3 * ((10 * tl) // st.n_docs) + 90 * dl.dl)) AS BIGINT) AS score
+        |  FROM ti JOIN tdf USING (token) JOIN dl ON dl.doc_id = ti.doc_id CROSS JOIN st
+        |  GROUP BY 1),
+        |btop AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |         FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT 20)),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM ttop
+        |      UNION ALL SELECT doc_id, 1000000 // (60 + rank) AS c FROM btop),
+        |f AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS rrf_score,
+        |             count(*) AS n_lists FROM u GROUP BY 1),
+        |ftop AS (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, rrf_score, n_lists,
+        |       cast(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        |FROM ftop""".stripMargin),
 
     // ── PII redaction (pre-training scrub) ─────────────────────────────
     // The fixture corpus carries no PII, so deterministic synthetic PII

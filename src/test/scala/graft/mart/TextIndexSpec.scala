@@ -86,6 +86,22 @@ class TextIndexSpec extends SparkSuite {
     assert(score(3L) > score(1L))
   }
 
+  test("rrf fusion: agreement across rankers beats a single high rank; exact contributions") {
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+    val got = TextIndex.rrfFuse(Seq(l1, l2), kRrf = 60, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toList
+    def c(r: Long) = 1000000L / (60L + r)
+    val want = List(
+      (20L, c(2) + c(1), 2L), (30L, c(3) + c(2), 2L),
+      (10L, c(1), 1L), (40L, c(3), 1L))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, s, n), i) => (id, s, n, i + 1L) }
+    assert(got == want)
+    // consensus (ranks 2+1) outranks a lone rank-1
+    assert(got.head._1 == 20L)
+  }
+
   test("vocabulary prunes by minCount, caps size, assigns dense ids in rank order") {
     val many = Seq(
       (1L, "a a a a b b b c c d"),
