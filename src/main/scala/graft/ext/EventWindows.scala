@@ -33,4 +33,36 @@ object EventWindows {
       .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"), col("cents"))
+
+  /** Resample to a dense daily grid with forward-fill — the time-series
+    * gap-fill every analytics stack needs (a day with no events still
+    * gets a row, carrying the last observed value): per user, the grid
+    * spans [min day, max day] via `sequence` + explode, observed days
+    * left-join on, and `last(_, ignoreNulls)` carries counts forward.
+    * Gaps are flagged so downstream can distinguish observed zeros from
+    * filled ones. Exact long counts — no FP in the fill.
+    *
+    * Scale shape: the per-user aggregate is map-side partial; the grid
+    * explode is bounded by each user's date SPAN (grid rows, not event
+    * rows); the fill window partitions by user — one exchange on
+    * user_id shared by grid, join, and window. At 100 TB the span
+    * bound matters: a year-long user is 365 grid rows regardless of
+    * event count.
+    */
+  def resampleDailyFfill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("dt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("dt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "dt"), "left")
+      .select(col("user_id"), col("dt"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_filled"),
+        col("n").isNull.as("is_gap"))
+  }
 }

@@ -894,6 +894,26 @@ object ExtQueries {
         |  count(*) AS n, cast(sum(cents) AS BIGINT) AS cents
         |FROM g GROUP BY user_id, sid""".stripMargin),
 
+    // ── daily resample + forward-fill (time-series gap fill) ───────────
+    // Dense per-user daily grid over each user's observed span; days
+    // with no events get a row carrying the last observed count, with
+    // the gap flagged. The oracle replays grid generation and the
+    // IGNORE NULLS carry-forward, so fill semantics are hash-verified.
+    "q99_resample_ffill" -> Q(
+      (s, dir) => EventWindows.resampleDailyFfill(Tables.events(s, dir)),
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS dt, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(dt) AS d0, max(dt) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dt
+        |         FROM bounds),
+        |j AS (SELECT g.user_id, g.dt, d.n FROM grid g
+        |      LEFT JOIN daily d ON d.user_id = g.user_id AND d.dt = g.dt)
+        |SELECT user_id, dt,
+        |       cast(last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY dt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_filled,
+        |       n IS NULL AS is_gap
+        |FROM j""".stripMargin),
+
     // ── inverted-index text-search mart (FULLTEXT analog) ──────────────
     "q47_text_index" -> Q(
       (s, dir) => graft.mart.TextIndex.build(Tables.documents(s, dir)),

@@ -7,6 +7,24 @@ import graft.SparkSuite
 class ExtSpec extends SparkSuite {
   import spark.implicits._
 
+  test("daily resample: gaps get forward-filled rows, observed days keep their counts") {
+    import org.apache.spark.sql.functions.col
+    def ev(id: Long, user: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), user, "click", 1.0, "{}")
+    // user 1 active days 1 and 4 (two events day 1); user 2 a single day
+    val events = Seq(ev(1, 1, 1), ev(2, 1, 1), ev(3, 1, 4), ev(4, 2, 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventWindows.resampleDailyFfill(events)
+      .select(col("user_id"), col("dt").cast("string"), col("n_filled"), col("is_gap"))
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-03-01", 2L, false),
+      (1L, "2024-03-02", 2L, true),  // filled from day 1
+      (1L, "2024-03-03", 2L, true),
+      (1L, "2024-03-04", 1L, false),
+      (2L, "2024-03-07", 1L, false)))
+  }
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
