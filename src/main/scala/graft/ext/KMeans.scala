@@ -96,6 +96,16 @@ object KMeans {
     cents
   }
 
+  /** ([[fit]]'s centroids, final assignment) off one persisted vector
+    * relation — for consumers that need BOTH the codebook and the codes
+    * (product quantization reads centroid vectors at scoring time). */
+  def fitCluster(embeddings: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val v = persistedVecs(embeddings)
+    val cents = fitVecs(v, k, iters)
+    v.unpersist(blocking = false)
+    (cents, assignAgainst(v, cents, k).select(col("vec_id"), col("cluster")))
+  }
+
   /** (vec_id, cluster): final assignment against [[fit]]'s centroids —
     * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -114,33 +124,90 @@ object KMeans {
     * (exact integer dot products are representable in doubles, so
     * list_dot_product round-trips exactly). Generated from the same
     * constants as the Spark plan to prevent drift. */
-  private def assignCteSql(k: Int, cents: String): String = {
+  private def assignCteSql(k: Int, cents: String, vName: String = "v"): String = {
     val ldp = "list_dot_product"
     def distSql(q: String, cv: String) =
       s"cast($ldp($q, $q) + $ldp($cv, $cv) - 2 * $ldp($q, $cv) AS BIGINT)"
     s"""SELECT vec_id, q, min(${distSql("v.q", "c.cvec")} * $k + c.c_id) % $k AS cluster
-       |  FROM v, $cents c GROUP BY vec_id, q""".stripMargin
+       |  FROM $vName v, $cents c GROUP BY vec_id, q""".stripMargin
   }
 
   /** The shared CTE chain `v, c0, a0, s0, u0, c1, … c{iters}` that
-    * reproduces [[fit]] in DuckDB (composable: [[clusterOracleSql]] and
-    * the IVF-over-trained-codebook oracle both build on it). */
-  private[ext] def fitCtesSql(k: Int, iters: Int, dim: Int): String = {
+    * reproduces [[fit]] in DuckDB (composable: [[clusterOracleSql]],
+    * the IVF-over-trained-codebook oracle, and [[pqOracleSql]]'s
+    * per-subspace chains all build on it). `sfx` suffixes every CTE
+    * name so several chains can share one WITH; `vSql` overrides the
+    * vector source (e.g. a subvector slice of a shared base CTE). */
+  private[ext] def fitCtesSql(k: Int, iters: Int, dim: Int,
+                              sfx: String = "", vSql: Option[String] = None): String = {
     val iterCtes = (0 until iters).map { i =>
       // integer sums are exact in DOUBLE (values far below 2^53); cast
       // back to BIGINT before // so both engines truncate toward zero
-      s"""a$i AS (${assignCteSql(k, s"c$i")}),
-         |s$i AS (SELECT cluster, i AS pos, cast(sum(q[i]) AS BIGINT) AS s, count(*) AS n
-         |  FROM a$i, range(1, ${dim + 1}) t(i) GROUP BY cluster, i),
-         |u$i AS (SELECT cluster, list(s // n ORDER BY pos) AS cvec FROM s$i GROUP BY cluster),
-         |c${i + 1} AS (SELECT c.c_id, coalesce(u.cvec, c.cvec) AS cvec
-         |  FROM c$i c LEFT JOIN u$i u ON u.cluster = c.c_id)""".stripMargin
+      s"""a$i$sfx AS (${assignCteSql(k, s"c$i$sfx", s"v$sfx")}),
+         |s$i$sfx AS (SELECT cluster, i AS pos, cast(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$i$sfx, range(1, ${dim + 1}) t(i) GROUP BY cluster, i),
+         |u$i$sfx AS (SELECT cluster, list(s // n ORDER BY pos) AS cvec FROM s$i$sfx GROUP BY cluster),
+         |c${i + 1}$sfx AS (SELECT c.c_id, coalesce(u.cvec, c.cvec) AS cvec
+         |  FROM c$i$sfx c LEFT JOIN u$i$sfx u ON u.cluster = c.c_id)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id,
-       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, q AS cvec FROM v WHERE vec_id < $k),
+    val vBody = vSql.getOrElse(
+      s"""SELECT vec_id,
+         |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+         |  FROM embeddings""".stripMargin)
+    s"""v$sfx AS ($vBody),
+       |c0$sfx AS (SELECT vec_id AS c_id, q AS cvec FROM v$sfx WHERE vec_id < $k),
        |$iterCtes""".stripMargin
+  }
+
+  /** DuckDB oracle for [[Similarity.pqTopK]] — the FULL algorithm
+    * replayed: per-subspace k-means chains over slices of a shared
+    * norm-filtered base, final assignment codes, the ADC lookup table,
+    * the approx-dot shortlist (same tie-breaks), and the exact cosine
+    * rerank. Because the oracle mirrors the shortlist itself, equality
+    * holds at ANY corpus scale regardless of PQ recall — what is
+    * verified is the compression arithmetic, bit for bit. */
+  def pqOracleSql(dim: Int, nQueries: Int, topK: Int,
+                  m: Int, kSub: Int, iters: Int, shortlist: Int): String = {
+    val subDim = dim / m
+    def lo(i: Int) = i * subDim + 1
+    def hi(i: Int) = i * subDim + subDim
+    val chains = (0 until m).map { i =>
+      fitCtesSql(kSub, iters, subDim, sfx = s"_$i",
+        vSql = Some(s"SELECT vec_id, q[${lo(i)}:${hi(i)}] AS q FROM eb"))
+    }.mkString(",\n")
+    val codeCtes = (0 until m).map { i =>
+      s"codes_$i AS (${assignCteSql(kSub, s"c$iters" + s"_$i", s"v_$i")})"
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(i =>
+      s"SELECT vec_id, $i AS m, cluster FROM codes_$i").mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(i =>
+      s"""SELECT q.vec_id AS q_id, $i AS m, c.c_id,
+         |  cast(list_dot_product(q.q[${lo(i)}:${hi(i)}], c.cvec) AS BIGINT) AS d
+         |  FROM eb q, c${iters}_$i c WHERE q.vec_id < $nQueries""".stripMargin)
+      .mkString(" UNION ALL ")
+    val cos =
+      "list_dot_product(qv.q, xv.q) / (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(xv.q, xv.q)))"
+    s"""WITH eb AS (SELECT vec_id, q FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+       |$chains,
+       |$codeCtes,
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion),
+       |approx AS (
+       |  SELECT l.q_id, c.vec_id, cast(sum(l.d) AS BIGINT) AS approx
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.cluster
+       |  WHERE c.vec_id != l.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS srn
+       |    FROM approx) WHERE srn <= $shortlist),
+       |scored AS (
+       |  SELECT s.q_id, s.vec_id, $cos AS cos
+       |  FROM short s JOIN eb qv ON qv.vec_id = s.q_id JOIN eb xv ON xv.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
   def clusterOracleSql(k: Int, iters: Int, dim: Int): String =

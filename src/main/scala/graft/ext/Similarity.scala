@@ -264,6 +264,82 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Product-quantization top-k: PQ-coded ADC shortlist, exact rerank.
+    *
+    * The compressed-codebook ANN architecture (FAISS IVFPQ's PQ half):
+    * the vector space splits into `m` subspaces of dim/m dimensions;
+    * each subspace trains its own `kSub`-centroid codebook
+    * ([[KMeans]] — deterministic Lloyd's, exact integer arithmetic),
+    * and a vector's code is its per-subspace nearest-centroid ids —
+    * m·log2(kSub) bits per vector (here 4 codes of 16 ⇒ 2 bytes vs 256
+    * bytes of floats). Scoring is asymmetric distance computation: per
+    * query, a lookup table of dot(q_sub, centroid) for every
+    * (subspace, centroid) — m·kSub entries, broadcast — and a
+    * candidate's approximate dot is the sum of its m table hits; no
+    * per-pair vector arithmetic at all. The top-`shortlist` candidates
+    * fetch full-precision vectors (shortlist×queries rows, never the
+    * corpus) and exact-rerank with the same integer cosine as
+    * [[bruteForceTopK]] — the SCaNN/FAISS rescoring contract: emitted
+    * scores are exact, and the top-k equals brute force whenever the
+    * shortlist covers it. The q100 oracle replays the FULL algorithm
+    * ([[KMeans.pqOracleSql]]), so the compression arithmetic is
+    * hash-verified independently of data-dependent recall.
+    *
+    * Scale shape: codebook training touches corpus×kSub per subspace
+    * under a broadcast with map-side argmin collapse (see [[KMeans]]);
+    * the ADC scan is codes ⋈ broadcast LUT — linear in corpus size with
+    * map-side partial sums; everything downstream is query-sized.
+    */
+  def pqTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
+             m: Int = 4, kSub: Int = 16, iters: Int = 1,
+             shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val e = prepared(embeddings).where(col("norm") > 0)
+    // per-subspace codebooks + codes; quantize∘slice == slice∘quantize
+    // (elementwise), so KMeans' internal quantization matches the
+    // query-side subvector slices below
+    val parts = (0 until m).map { i =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
+      val (cents, codes) = KMeans.fitCluster(sub, kSub, iters)
+      (cents.withColumn("m", lit(i)), codes.withColumn("m", lit(i)))
+    }
+    val cents = parts.map(_._1).reduce(_ unionByName _) // m·kSub rows
+    val codes = parts.map(_._2).reduce(_ unionByName _) // corpus×m rows
+    val qsubs = (0 until m).map(i =>
+      e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), lit(i).as("m"),
+          slice(col("q"), i * subDim + 1, subDim).as("qv")))
+      .reduce(_ unionByName _)
+    // ADC lookup table: every (query, subspace, centroid) dot — exact
+    // integers, m·kSub·nQueries rows, broadcast
+    val lut = broadcast(qsubs.join(cents, Seq("m"))
+      .select(col("q_id"), col("m"), col("c_id"),
+        dotL(col("qv"), col("cvec")).as("d")))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val short = codes
+      .join(lut, codes("m") === lut("m") && codes("cluster") === lut("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("approx"))
+      .withColumn("_srn", row_number().over(wS))
+      .where(col("_srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank: full-precision vectors fetched for shortlist rows only
+    val full = e.select(col("vec_id"), col("q"), col("norm"))
+    val qFull = broadcast(e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qn")))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    short.join(full, Seq("vec_id"))
+      .join(qFull, Seq("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** IVF-style top-k. Centroids = the first nCentroids vectors — a
     * deterministic stand-in for a k-means codebook (the fixture has no
     * training step; swapping in k-means centroids changes only the

@@ -645,6 +645,22 @@ object ExtQueries {
       (s, dir) => Similarity.int8TopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
       annTopKSql),
 
+    // ── PQ-coded ADC top-k (compressed-codebook ANN), exact rerank ─────
+    // 4 subspaces × 16 k-means centroids: 2 bytes of code per vector,
+    // ADC scoring from a broadcast lookup table, exact rerank of the
+    // shortlist. The oracle replays the FULL algorithm (per-subspace
+    // Lloyd chains, codes, LUT, shortlist, rerank) generated from the
+    // same constants — the fixture embeddings are near-random, so
+    // recall-vs-brute-force is a property of the DATA, while the
+    // compression arithmetic itself is what must (and does) match
+    // bit-for-bit at any scale. The int8 path (q59) keeps the
+    // equals-brute-force contract where quantization error is small.
+    "q100_ann_pq" -> Q(
+      (s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), dim = 64,
+        nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1, shortlist = 64),
+      KMeans.pqOracleSql(dim = 64, nQueries = 8, topK = 5,
+        m = 4, kSub = 16, iters = 1, shortlist = 64)),
+
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),
