@@ -106,6 +106,56 @@ object KMeans {
     (cents, assignAgainst(v, cents, k).select(col("vec_id"), col("cluster")))
   }
 
+  /** Multi-codebook Lloyd's for product quantization: trains ALL
+    * subspace codebooks simultaneously — the subspace id `m` rides the
+    * grouping keys, so each round is ONE assignment pass and ONE update
+    * pass over the (vec_id, m, q) relation instead of one training run
+    * per subspace (m× fewer jobs and scans; the arithmetic per
+    * subspace is IDENTICAL to [[fit]], since every aggregate and the
+    * argmin are keyed by m — the per-subspace oracle chains verify
+    * exactly this equivalence).
+    *
+    * @param v0 (vec_id, m, q) QUANTIZED subvectors, m in [0, nSub)
+    * @return (cents (m, c_id, cvec, cc), codes (vec_id, m, cluster))
+    */
+  private[ext] def fitClusterMulti(v0: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val v = v0
+      .withColumn("xx", Similarity.dotL(col("q"), col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("q"),
+          ((col("xx") + col("cc") - Similarity.dotL(col("q"), col("cvec")) * 2)
+            * k + col("c_id")).as("enc"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(first(col("q")).as("q"), min(col("enc")).as("enc"))
+        .withColumn("cluster", col("enc") % k)
+        .drop("enc")
+    var cents = v.where(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("c_id"), col("q").as("cvec"), col("xx").as("cc"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val upd = assign(cents)
+        .select(col("m"), col("cluster"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("m"), col("cluster"), col("pos"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("m"), col("cluster"), col("pos"), expr("s div cnt").as("mean"))
+        .groupBy(col("m"), col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean")).as("cvec"))
+        .select(col("m").as("u_m"), col("cluster"), col("cvec").as("u_cvec"))
+      cents = cents.select(col("m"), col("c_id"), col("cvec").as("cv0"))
+        .join(upd, col("m") === col("u_m") && col("c_id") === col("cluster"), "left")
+        .select(col("m"), col("c_id"),
+          coalesce(col("u_cvec"), col("cv0")).as("cvec"))
+        .withColumn("cc", Similarity.dotL(col("cvec"), col("cvec")))
+        .localCheckpoint(true)
+    }
+    val codes = assign(cents).select(col("vec_id"), col("m"), col("cluster"))
+    v.unpersist(blocking = false)
+    (cents, codes)
+  }
+
   /** (vec_id, cluster): final assignment against [[fit]]'s centroids —
     * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -297,17 +297,16 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val e = prepared(embeddings).where(col("norm") > 0)
-    // per-subspace codebooks + codes; quantize∘slice == slice∘quantize
-    // (elementwise), so KMeans' internal quantization matches the
-    // query-side subvector slices below
-    val parts = (0 until m).map { i =>
-      val sub = e.select(col("vec_id"),
-        slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
-      val (cents, codes) = KMeans.fitCluster(sub, kSub, iters)
-      (cents.withColumn("m", lit(i)), codes.withColumn("m", lit(i)))
-    }
-    val cents = parts.map(_._1).reduce(_ unionByName _) // m·kSub rows
-    val codes = parts.map(_._2).reduce(_ unionByName _) // corpus×m rows
+    // all subspace codebooks train in ONE Lloyd pass per round: the
+    // (vec_id, m, subvector) relation keys every aggregate by m, so
+    // adding subspaces adds rows, not training runs (slice∘quantize ==
+    // quantize∘slice, so these subvectors are exactly what independent
+    // per-subspace training would see)
+    val subVecs = (0 until m).map(i =>
+      e.select(col("vec_id"), lit(i).as("m"),
+        slice(col("q"), i * subDim + 1, subDim).as("q")))
+      .reduce(_ unionByName _)
+    val (cents, codes) = KMeans.fitClusterMulti(subVecs, kSub, iters)
     val qsubs = (0 until m).map(i =>
       e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), lit(i).as("m"),
