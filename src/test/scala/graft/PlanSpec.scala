@@ -143,6 +143,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q96/q98: BM25 and RRF fusion cut top-k via TakeOrdered, never a global sort") {
+    Seq("q96_bm25_search", "q98_rrf_fusion").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q:\n$plan")
+    }
+  }
+
+  test("q100: PQ plan is equi-joins with a broadcast LUT — no cartesian anywhere") {
+    val plan = planOf("q100_ann_pq")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q63/q66: ranked search and vocabulary cut top-k via TakeOrdered, never a global sort") {
     Seq("q63_ranked_search", "q66_vocabulary").foreach { q =>
       val plan = planOf(q)
