@@ -7,6 +7,16 @@ import graft.SparkSuite
 class ExtSpec extends SparkSuite {
   import spark.implicits._
 
+  test("empty inputs: resample, wide simhash pairs, and PQ top-k stay empty, no crash") {
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventWindows.resampleDailyFfill(noEvents).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.simhashHammingPairs(noDocs, maxDist = 3, bits = 64, nBands = 4).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqTopK(noVecs, dim = 64, nQueries = 4, k = 3).count() == 0)
+  }
+
   test("daily resample: gaps get forward-filled rows, observed days keep their counts") {
     import org.apache.spark.sql.functions.col
     def ev(id: Long, user: Long, day: Int) =

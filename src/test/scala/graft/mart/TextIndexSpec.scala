@@ -102,6 +102,17 @@ class TextIndexSpec extends SparkSuite {
     assert(got.head._1 == 20L)
   }
 
+  test("bm25 with absent terms and rrf over an empty list are empty, no crash") {
+    assert(TextIndex.bm25Search(TextIndex.build(docs),
+      Seq("absent", "tokens"), topK = 5).count() == 0)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    val l1 = Seq((10L, 1L)).toDF("doc_id", "rank")
+    val fused = TextIndex.rrfFuse(Seq(l1, empty), kRrf = 60, topK = 5)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(fused == List((10L, 1000000L / 61L, 1L, 1L)))
+    assert(TextIndex.rrfFuse(Seq(empty), topK = 5).count() == 0)
+  }
+
   test("vocabulary prunes by minCount, caps size, assigns dense ids in rank order") {
     val many = Seq(
       (1L, "a a a a b b b c c d"),
