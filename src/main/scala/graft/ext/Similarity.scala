@@ -339,6 +339,120 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** IVFPQ top-k — the full FAISS-style composition of the two verified
+    * halves: IVF coarse bucketing ([[ivfTopK]] / q36/q50) and PQ codes +
+    * ADC ([[pqTopK]] / q100). This is the architecture a 100 TB vector
+    * corpus actually deploys: the inverted file bounds WHICH vectors are
+    * scored (only `nprobe` buckets per query), the product quantizer
+    * bounds WHAT is read per scored vector (m·log2(kSub) bits of code,
+    * no float vectors), and the exact rerank restores true scores on the
+    * shortlist.
+    *
+    * Steps, all exact integer arithmetic (the q101 oracle replays every
+    * one, so the composition is hash-verified end-to-end):
+    *  1. coarse codebook: [[KMeans.fitCluster]] over the norm-filtered
+    *     corpus — `nCoarse` centroids by exact integer squared-Euclidean
+    *     Lloyd's (the FAISS coarse-assignment metric), yielding one
+    *     bucket id per vector;
+    *  2. residual encode: r = q − centroid(bucket), elementwise long
+    *     subtraction (`zip_with` — codegen'd). PQ on RESIDUALS is the
+    *     defining IVFPQ trick: residuals concentrate near 0, so the same
+    *     kSub centroids quantize them far better than raw vectors;
+    *  3. PQ codebooks: [[KMeans.fitClusterMulti]] on the m residual
+    *     subspaces — ONE Lloyd pass trains all m codebooks;
+    *  4. query probes: each query ranks coarse centroids by the SAME
+    *     integer squared-Euclidean metric (tie: centroid id) and probes
+    *     its `nprobe` nearest buckets; the per-(query, bucket) constant
+    *     dot(q, centroid) rides along;
+    *  5. ADC: dot(q, v) ≈ dot(q, c_b) + Σ_m LUT[m, code_v[m]] where
+    *     LUT[m, c] = dot(q_sub_m, pqCentroid(m, c)) — the LUT is
+    *     m·kSub·nQueries rows, broadcast; candidates come from the
+    *     bucket equi-join (probed buckets only — the IVF win), their
+    *     codes from a vec_id equi-join, so the scored row count is
+    *     candidates×m and no vector arithmetic happens per pair;
+    *  6. exact rerank of the top-`shortlist` per query, identical to
+    *     [[bruteForceTopK]]'s cosine — emitted scores are exact.
+    *
+    * Scale shape: training is broadcast-argmin (see [[KMeans]]); the
+    * encode step materializes the coded corpus once (the FAISS "add"
+    * phase — at production this relation IS the persisted index);
+    * probing and scoring are equi-joins with map-side partial sums; the
+    * only data-sized exchanges carry one row per vector (assignment) and
+    * candidates×m rows (ADC), both bounded by nprobe/kSub knobs.
+    */
+  def ivfpqTopK(embeddings: DataFrame, dim: Int, nCoarse: Int, nQueries: Int,
+                k: Int, m: Int = 4, kSub: Int = 16, iters: Int = 1,
+                nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val e = prepared(embeddings).where(col("norm") > 0)
+    // 1. coarse codebook + one bucket id per vector (integer-L2 argmin)
+    val (coarseCents, coarseCodes) = KMeans.fitCluster(e, nCoarse, iters)
+    // 2. residual encode — materialized once: every downstream consumer
+    //    (m subspace slices, the candidate join) reads this relation, and
+    //    at production it is the persisted index artifact
+    val encoded = e.select(col("vec_id"), col("q"))
+      .join(coarseCodes, "vec_id")
+      .join(broadcast(coarseCents.select(col("c_id").as("cluster"), col("cvec"))),
+        "cluster")
+      .select(col("vec_id"), col("cluster").as("bucket"),
+        zip_with(col("q"), col("cvec"), (x, y) => x - y).as("r"))
+      .localCheckpoint(true)
+    // 3. PQ codebooks over residual subspaces — one Lloyd pass trains all m
+    val subVecs = (0 until m).map(i =>
+      encoded.select(col("vec_id"), lit(i).as("m"),
+        slice(col("r"), i * subDim + 1, subDim).as("q")))
+      .reduce(_ unionByName _)
+    val (pqCents, pqCodes) = KMeans.fitClusterMulti(subVecs, kSub, iters)
+    // 4. probe lists: nprobe nearest coarse centroids per query, same
+    //    integer-L2 order as assignment; dot(q, centroid) rides along
+    val qv = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        dotL(col("q"), col("q")).as("qxx"))
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+    val probes = broadcast(qv.crossJoin(broadcast(coarseCents))
+      .withColumn("dist",
+        col("qxx") + col("cc") - dotL(col("qq"), col("cvec")) * 2)
+      .withColumn("prn", row_number().over(wP))
+      .where(col("prn") <= nprobe)
+      .select(col("q_id"), col("c_id").as("bucket"),
+        dotL(col("qq"), col("cvec")).as("qc")))
+    // 5. ADC: broadcast LUT of per-subspace residual dots, candidates
+    //    from the probed-bucket equi-join, approx = qc + Σ_m LUT hits
+    val qsubs = (0 until m).map(i =>
+      qv.select(col("q_id"), lit(i).as("m"),
+        slice(col("qq"), i * subDim + 1, subDim).as("qs")))
+      .reduce(_ unionByName _)
+    val lut = broadcast(qsubs.join(pqCents, Seq("m"))
+      .select(col("q_id").as("l_qid"), col("m").as("l_m"),
+        col("c_id").as("l_cid"), dotL(col("qs"), col("cvec")).as("d")))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val short = encoded.select(col("vec_id"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(pqCodes, Seq("vec_id"))
+      .join(lut, col("q_id") === col("l_qid") && col("m") === col("l_m")
+        && col("cluster") === col("l_cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("qc")).as("qc"), sum(col("d")).as("rd"))
+      .withColumn("approx", col("qc") + col("rd"))
+      .withColumn("_srn", row_number().over(wS))
+      .where(col("_srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // 6. exact rerank: full-precision vectors fetched for shortlist rows only
+    val full = e.select(col("vec_id"), col("q"), col("norm"))
+    val qFull = broadcast(e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qn")))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    short.join(full, Seq("vec_id"))
+      .join(qFull, Seq("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("qn"), col("q"), col("norm")))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** IVF-style top-k. Centroids = the first nCentroids vectors — a
     * deterministic stand-in for a k-means codebook (the fixture has no
     * training step; swapping in k-means centroids changes only the

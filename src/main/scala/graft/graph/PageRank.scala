@@ -57,11 +57,23 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L,
           dampNum: Long = 17L, dampDen: Long = 20L,
-          redistributeDangling: Boolean = false): DataFrame =
+          redistributeDangling: Boolean = false): DataFrame = {
+    validate(iters, scale, dampNum, dampDen)
     withLoopConfs(edges) { (spark, e, nPart) =>
       runLoop(e, iters, scale, dampNum, dampDen, nPart, redistributeDangling)
         .localCheckpoint(true)
     }
+  }
+
+  /** Fail fast on parameters that would otherwise corrupt silently:
+    * dampDen <= dampNum makes the teleport base negative, scale <= 0
+    * zeroes every rank, and a negative iteration count is a caller bug.
+    * (Integer div never raises on these — the loop would just produce
+    * garbage ranks, so the contract is enforced here.) */
+  private def validate(iters: Int, scale: Long, dampNum: Long, dampDen: Long): Unit =
+    require(iters >= 0 && scale > 0 && dampNum > 0 && dampDen > dampNum,
+      s"PageRank: need iters >= 0, scale > 0, 0 < dampNum < dampDen; " +
+        s"got iters=$iters scale=$scale damp=$dampNum/$dampDen")
 
   /** [[run]] without the final materialization: pins the last round's
     * physical plan (still under the loop confs) but returns it LAZY, so
@@ -69,13 +81,15 @@ object PageRank {
     * callers use [[run]]. */
   private[graph] def runRaw(edges: DataFrame, iters: Int, scale: Long = 1000000L,
                             dampNum: Long = 17L, dampDen: Long = 20L,
-                            redistributeDangling: Boolean = false): DataFrame =
+                            redistributeDangling: Boolean = false): DataFrame = {
+    validate(iters, scale, dampNum, dampDen)
     withLoopConfs(edges) { (spark, e, nPart) =>
       val ranks = runLoop(e, iters, scale, dampNum, dampDen, nPart, redistributeDangling)
       // planning is lazy — force it inside the conf scope
       ranks.queryExecution.executedPlan
       ranks
     }
+  }
 
   /** Materializes the edge relation, sizes the loop parallelism, and
     * runs `body` with AQE off and `spark.sql.shuffle.partitions` pinned

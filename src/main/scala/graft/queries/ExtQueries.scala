@@ -661,6 +661,23 @@ object ExtQueries {
       KMeans.pqOracleSql(dim = 64, nQueries = 8, topK = 5,
         m = 4, kSub = 16, iters = 1, shortlist = 64)),
 
+    // ── IVFPQ: coarse buckets + residual PQ + ADC + exact rerank ───────
+    // The composition of the two verified halves (IVF q36/q50, PQ q100)
+    // into the architecture a 100 TB vector corpus deploys: the inverted
+    // file bounds WHICH vectors are scored (nprobe buckets), the product
+    // quantizer bounds WHAT is read per candidate (2 bytes of code), the
+    // rerank restores exact scores. The oracle replays the FULL pipeline
+    // — coarse Lloyd chain, residual encode, per-subspace residual
+    // chains, probe lists, ADC, shortlist, rerank — from the same
+    // constants, so the composition arithmetic is hash-verified
+    // independent of data-dependent recall (same contract as q100).
+    "q101_ann_ivfpq" -> Q(
+      (s, dir) => Similarity.ivfpqTopK(Tables.embeddings(s, dir), dim = 64,
+        nCoarse = 8, nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1,
+        nprobe = 2, shortlist = 32),
+      KMeans.ivfpqOracleSql(dim = 64, nCoarse = 8, nQueries = 8, topK = 5,
+        m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
+
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),

@@ -95,6 +95,11 @@ object TreeStatsIterative {
     val nPart = math.max(2, math.min(confW, (nodes.count() / 1000000L).toInt + 1))
     if (nPart >= confW) computeFrom(nodes, maxIter)
     else {
+      // spark.sql.shuffle.partitions is SESSION-global: pinning it for
+      // the duration of compute assumes no concurrent queries share this
+      // SparkSession (same single-query assumption as PageRank's
+      // withLoopConfs). Concurrent callers should isolate via
+      // spark.newSession(), which clones confs but shares the catalog.
       val partKey = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(partKey)
       spark.conf.set(partKey, nPart.toString)

@@ -46,6 +46,18 @@ object StreamIngest {
     * under a DIFFERENT ts date is treated as a new event — the same
     * bounded-lateness contract the watermark gives windowed aggs.
     */
+  /** The parquet relation at `dir`, or None when the directory does not
+    * exist yet (first batch). Existence is asked of the FILESYSTEM, not
+    * inferred from AnalysisException: a broad catch would also swallow
+    * analysis failures on an existing-but-broken sink (empty dir, schema
+    * drift) and silently skip the dedup contract — those must propagate.
+    */
+  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
   def notYetWritten(batch: DataFrame, outDir: String): DataFrame = {
     val fresh = batch.dropDuplicates("event_id")
       .withColumn("dt", to_date(col("ts")))
@@ -60,14 +72,12 @@ object StreamIngest {
       val in = col("dt").isin(realDts.toIndexedSeq: _*)
       if (nullDt.nonEmpty) in || col("dt").isNull else in
     }
-    // only a missing path (AnalysisException) means "first batch" — any
-    // other read failure (corrupt file, transient FS error) must fail
-    // the batch, not silently skip the dedup that provides the
-    // exactly-once contract
-    val existing =
-      try Some(batch.sparkSession.read.parquet(outDir)
-        .where(dtFilter).select("event_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // only a missing sink directory means "first batch" — any read
+    // failure on an EXISTING path (corrupt file, schema error, transient
+    // FS error) must fail the batch, not silently skip the dedup that
+    // provides the exactly-once contract
+    val existing = readIfExists(batch.sparkSession, outDir)
+      .map(_.where(dtFilter).select("event_id"))
     existing match {
       case Some(e) => fresh.join(e, Seq("event_id"), "left_anti")
       case None => fresh
@@ -118,12 +128,11 @@ object StreamIngest {
         val fresh = batch.where(col("text").isNotNull)
           .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), col("text"))
-        // only a missing path means "first batch" — same failure
-        // discipline as notYetWritten: any other read error must fail
-        // the batch rather than skip the dedup contract
-        val corpus =
-          try Some(batch.sparkSession.read.parquet(outDir))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        // only a missing sink directory means "first batch" — same
+        // failure discipline as notYetWritten: any read error on an
+        // existing path must fail the batch rather than skip the dedup
+        // contract
+        val corpus = readIfExists(batch.sparkSession, outDir)
         val cleaned = corpus match {
           case Some(c) => graft.ext.Dedup.dedupAgainst(fresh, c, n)
           case None => fresh

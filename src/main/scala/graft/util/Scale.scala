@@ -18,17 +18,32 @@ object Scale {
     *
     * A fresh session's in-memory catalog doesn't know about managed-
     * table directories a PREVIOUS session left in the warehouse, so
-    * `mode(overwrite)` alone fails with LOCATION_ALREADY_EXISTS; the
-    * table is dropped and its leftover location cleared first.
+    * `mode(overwrite)` alone fails with LOCATION_ALREADY_EXISTS. The
+    * cleanup is deliberately narrow: only a SIMPLE table name in the
+    * current database is accepted, and the default warehouse location is
+    * deleted ONLY when the catalog had no table registered there — i.e.
+    * the directory is an orphan from a dead session. A table the catalog
+    * DID know about is handled by DROP's own semantics (managed data
+    * deleted, external data preserved), so an external table whose data
+    * happens to live at that path is never clobbered.
+    *
+    * Production callers own table lifecycle; this drop-and-recreate is
+    * the fixture/driver-gate convenience (q94), not a managed-catalog
+    * protocol.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed requires a simple unqualified table name, got '$table'")
     val spark = df.sparkSession
+    val knownToCatalog = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(loc, true)
+    if (!knownToCatalog) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)

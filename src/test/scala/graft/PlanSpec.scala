@@ -156,6 +156,12 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q101: IVFPQ plan is equi-joins with broadcast probes/LUT — no cartesian anywhere") {
+    val plan = planOf("q101_ann_ivfpq")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q63/q66: ranked search and vocabulary cut top-k via TakeOrdered, never a global sort") {
     Seq("q63_ranked_search", "q66_vocabulary").foreach { q =>
       val plan = planOf(q)

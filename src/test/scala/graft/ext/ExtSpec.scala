@@ -15,6 +15,8 @@ class ExtSpec extends SparkSuite {
     assert(Dedup.simhashHammingPairs(noDocs, maxDist = 3, bits = 64, nBands = 4).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqTopK(noVecs, dim = 64, nQueries = 4, k = 3).count() == 0)
+    assert(Similarity.ivfpqTopK(noVecs, dim = 64, nCoarse = 4, nQueries = 4, k = 3)
+      .count() == 0)
   }
 
   test("daily resample: gaps get forward-filled rows, observed days keep their counts") {
@@ -221,6 +223,68 @@ class ExtSpec extends SparkSuite {
     val quant = Similarity.int8TopK(vs, nQueries = 8, k = 5, shortlist = 32)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(quant == exact)
+  }
+
+  /** Clustered ANN corpus: 8 unit-ish base directions (dim 16), 200
+    * vectors = base + small jitter. PQ/IVF recall floors are properties
+    * of DATA STRUCTURE — on uniform-random vectors quantized codes carry
+    * little signal (the q100/q101 oracles verify arithmetic instead), so
+    * the recall specs run on a corpus with real cluster structure, the
+    * shape production embeddings have. */
+  private lazy val clusteredVecs = {
+    val rnd = new Random(101)
+    val bases = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    (0L until 200L).map { i =>
+      val b = bases(rnd.nextInt(8))
+      (i, b.map(x => (x + (rnd.nextDouble() - 0.5) * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pq shortlist recall@k: above floor at registered params, monotone in shortlist, exact at full coverage") {
+    val truth = Similarity.bruteForceTopK(clusteredVecs, nQueries = 8, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def got(shortlist: Int) =
+      Similarity.pqTopK(clusteredVecs, dim = 16, nQueries = 8, k = 5,
+        m = 4, kSub = 16, iters = 1, shortlist = shortlist)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (truth intersect s).size.toDouble / truth.size
+    val r16 = recall(got(16))
+    val r64 = recall(got(64))
+    // the ADC ranking is fixed, so a larger shortlist is a superset of a
+    // smaller one → recall is monotone by construction; this catches a
+    // future edit breaking that (e.g. a nondeterministic tie-break)
+    assert(r64 >= r16, f"recall not monotone: r16=$r16%.3f r64=$r64%.3f")
+    // floor at the q100-registered shortlist on clustered data — catches
+    // silent codebook degradation (e.g. a broken Lloyd update)
+    assert(r64 >= 0.8, f"pq recall@5 $r64%.3f below floor 0.8")
+    // shortlist covering the corpus → rerank sees everything → brute force
+    val full = Similarity.pqTopK(clusteredVecs, dim = 16, nQueries = 8, k = 5,
+      m = 4, kSub = 16, iters = 1, shortlist = 200)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(clusteredVecs, nQueries = 8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("ivfpq recall monotone in nprobe; all buckets + full shortlist equals brute force") {
+    val truth = Similarity.bruteForceTopK(clusteredVecs, nQueries = 8, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def got(nprobe: Int, shortlist: Int = 64) =
+      Similarity.ivfpqTopK(clusteredVecs, dim = 16, nCoarse = 4, nQueries = 8,
+        k = 5, m = 4, kSub = 16, iters = 1, nprobe = nprobe, shortlist = shortlist)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val r1 = (truth intersect got(1)).size
+    val r2 = (truth intersect got(2)).size
+    assert(r2 >= r1, s"recall not monotone in nprobe: $r1 -> $r2")
+    // nprobe = nCoarse probes every bucket and shortlist covers the
+    // corpus → the ADC layer prunes nothing → exact rerank reproduces
+    // brute force bit-for-bit (rows, scores, ranks)
+    val all = Similarity.ivfpqTopK(clusteredVecs, dim = 16, nCoarse = 4, nQueries = 8,
+      k = 5, m = 4, kSub = 16, iters = 1, nprobe = 4, shortlist = 200)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(clusteredVecs, nQueries = 8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(all == exact)
   }
 
   test("bloom decontamination equals the broadcast-dictionary path") {
