@@ -276,19 +276,37 @@ object Dedup {
     * spreads the band join evenly at corpus scale.
     */
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
-                          bits: Int = SimhashBits, nBands: Int = 4): DataFrame = {
+                          bits: Int = SimhashBits, nBands: Int = 4): DataFrame =
+    fingerprintHammingPairs(
+      simhash(docs, bits).withColumnRenamed("simhash", "fp"),
+      maxDist, bits, nBands)
+
+  /** The banded Hamming pair join over an ARBITRARY fingerprint relation
+    * `fps` = (doc_id, fp) with fp a ≤64-bit long — the machinery behind
+    * [[simhashHammingPairs]] (text SimHash, q33/q77/q92), reused
+    * verbatim by the perceptual image-dHash path
+    * ([[graft.ext.Multimodal.imageDupPairs]], q102). Emits
+    * (doc_a, doc_b, dist) for every pair within `maxDist`, exactly as
+    * brute force would (pigeonhole: maxDist < nBands ⇒ any such pair
+    * shares a whole band; `bit_count(xor)` then filters the candidate
+    * superset exactly). Fingerprints ride through the band join — no
+    * rescore join; the Hamming filter runs inside the join's codegen
+    * stage, BEFORE the pair-dedup aggregate.
+    */
+  def fingerprintHammingPairs(fps: DataFrame, maxDist: Int,
+                              bits: Int, nBands: Int): DataFrame = {
     require(maxDist < nBands, s"pigeonhole guarantee needs maxDist < $nBands")
     require(bits % nBands == 0, s"bits=$bits must split into $nBands equal bands")
     val bw = bits / nBands
     require(bw < 63, s"band width $bw too wide for a long mask")
     val mask = (1L << bw) - 1
-    val sh = simhash(docs, bits).localCheckpoint(false)
+    val sh = fps.select(col("doc_id"), col("fp")).localCheckpoint(false)
     val bandVals = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), bw * b).bitwiseAND(lit(mask)).as("v")))
-    val bands = sh.select(col("doc_id"), col("simhash"),
+        shiftright(col("fp"), bw * b).bitwiseAND(lit(mask)).as("v")))
+    val bands = sh.select(col("doc_id"), col("fp"),
       explode(array(bandVals: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("fp"),
         col("bv.band").as("band"), col("bv.v").as("v"))
     // Hamming filter BEFORE the dedup aggregate: a candidate pair
     // appears once per shared band (≤ nBands times), but only ~1% of
@@ -298,7 +316,7 @@ object Dedup {
     bands.as("x").join(bands.as("y"), Seq("band", "v"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("cast(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("dist"))
+        expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
   }

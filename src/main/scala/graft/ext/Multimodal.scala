@@ -91,4 +91,119 @@ object Multimodal {
   /** Full pipeline: docs → farbfeld binary → decoded feature table. */
   def mediaFeatures(docs: DataFrame): DataFrame =
     decodeFarbfeld(encodeFarbfeld(docs)).toDF()
+
+  /** dHash grid: 9 sample columns × [[DhashRows]] rows → 8×8 = 64
+    * difference bits. The classic perceptual-hash geometry. */
+  val DhashCols = 9
+  val DhashRows = 8
+
+  /** 64-bit perceptual dHash (difference hash) over the DECODED farbfeld
+    * pixels — the standard image near-dup fingerprint: sample the image
+    * down to a [[DhashCols]]×[[DhashRows]] luma grid (nearest-neighbor
+    * point sampling at integer coordinates x = gx·w div 9,
+    * y = gy·h div 8 — deterministic integer arithmetic, no float
+    * resampling), then bit (gy·8 + gx) is set iff
+    * grid(gx,gy) < grid(gx+1,gy). Comparing NEIGHBORING samples makes
+    * the hash invariant to global brightness shifts and robust to
+    * rescaling — the property that makes dHash a near-dup fingerprint
+    * rather than a checksum. Luma = the 16-bit red channel (grayscale
+    * blobs; a color codec would mix r/g/b here).
+    *
+    * Runs in the decode `mapPartitions` (binary codec — the justified
+    * exception, same as [[decodeFarbfeld]]); everything downstream of
+    * the (doc_id, fp) relation is relational. Bit 63 uses `1L << 63` =
+    * Long.MinValue — the two's-complement pattern IS the intended bit,
+    * same convention as `Dedup.simhash`.
+    */
+  def dhash64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bb = ByteBuffer.wrap(r.media)
+      val magic = new Array[Byte](8)
+      bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic),
+        s"doc ${r.doc_id}: not a farbfeld blob")
+      val w = bb.getInt
+      val h = bb.getInt
+      def luma(x: Int, y: Int): Int =
+        bb.getShort(16 + 8 * (y * w + x)) & 0xffff
+      var fp = 0L
+      var gy = 0
+      while (gy < DhashRows) {
+        val y = gy * h / DhashRows
+        var gx = 0
+        while (gx < DhashCols - 1) {
+          if (luma(gx * w / DhashCols, y) < luma((gx + 1) * w / DhashCols, y))
+            fp |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      (r.doc_id, fp)
+    }).toDF("doc_id", "fp")
+  }
+
+  /** Perceptual image near-dup pairs: encode → decode+dHash → the SAME
+    * banded Hamming machinery as text SimHash
+    * ([[Dedup.fingerprintHammingPairs]]) — (doc_a, doc_b, dist) for
+    * every image pair within `maxDist` bits, exactly as brute force
+    * (pigeonhole guarantee). At 100 TB the blobs stay columnar and only
+    * the 8-byte fingerprints enter the band join.
+    *
+    * Threshold/banding tradeoff (inherent to banded Hamming, not this
+    * implementation): production image dedup uses TIGHT thresholds
+    * (maxDist 3–7 of 64 ⇒ 16/8-bit bands, strong candidate pruning —
+    * same economics as q92's text preset). A LOOSE threshold needs
+    * nBands > maxDist, so bands get narrow and prune little — q103
+    * registers maxDist=12/nBands=16 because the fixture's images are
+    * synthetic codepoint noise whose nearest pairs sit at distance ~9;
+    * the banding is still exact (pigeonhole holds at any width), it
+    * just prunes less at thresholds that loose. */
+  def imageDupPairs(docs: DataFrame, maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    Dedup.fingerprintHammingPairs(dhash64(encodeFarbfeld(docs)),
+      maxDist, bits = 64, nBands = nBands)
+
+  /** The `hashes` replay shared by [[dhashOracleSql]] and
+    * [[imageDupPairsOracleSql]] — grid sampling + difference bits +
+    * signed-64 bit sum, generated from the same constants as the Scala
+    * decode path. */
+  private def dhashCtes: String = {
+    val gc = DhashCols
+    val gr = DhashRows
+    s"""dims AS (SELECT doc_id, text, length(text) AS ncp,
+       |    (8 + length(text) % 16) AS w, (4 + doc_id % 8) AS h FROM documents),
+       |grid AS (SELECT doc_id, gx, gy,
+       |    CASE WHEN ncp = 0 THEN 0 ELSE
+       |      unicode(substr(text,
+       |        ((((gy * h) // $gr) * w + ((gx * w) // $gc)) % ncp) + 1, 1)) % 65536
+       |    END AS luma
+       |  FROM dims, range(0, $gc) tx(gx), range(0, $gr) ty(gy)),
+       |bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS pos
+       |  FROM grid a JOIN grid b
+       |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < ${gc - 1} AND a.luma < b.luma),
+       |hashes AS (SELECT d.doc_id,
+       |    coalesce(cast(sum(CASE WHEN pos = 63 THEN -9223372036854775808
+       |                           ELSE (1::BIGINT << pos) END) AS BIGINT), 0) AS fp
+       |  FROM dims d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[dhash64]]∘[[encodeFarbfeld]] over `documents`:
+    * every fingerprint reproduced bit-for-bit from the text (the
+    * farbfeld pixel at index j is codepoint(j mod ncp) mod 2¹⁶ by
+    * [[encodeFarbfeld]]'s construction, so the sampled luma grid is
+    * derivable without parsing binary). */
+  def dhashOracleSql: String =
+    s"""WITH $dhashCtes
+       |SELECT doc_id, fp FROM hashes""".stripMargin
+
+  /** DuckDB oracle for [[imageDupPairs]]: the [[dhashCtes]] replay, then
+    * brute-force all pairs on `bit_count(xor)` — the same
+    * banded-vs-brute-force contract as q77/q92. */
+  def imageDupPairsOracleSql(maxDist: Int): String =
+    s"""WITH $dhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  cast(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 }

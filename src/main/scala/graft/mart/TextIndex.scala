@@ -90,10 +90,17 @@ object TextIndex {
     *
     * which is idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) scaled
     * through by 10·A — the textbook BM25 term, floor-divided once per
-    * term. Long-range bound: the numerator stays under 2⁶³ for corpora
-    * to ~10⁷ docs at these scales; a larger corpus drops the idf scale
-    * (or widens to DECIMAL) — the FORMULA is the contract, verified by
-    * the q96 oracle generated from the same constants.
+    * term. The per-term products (idf·22·tf·A, 10·A·tf) are computed in
+    * DECIMAL(38,0): long arithmetic overflows silently past ~10⁷ docs
+    * at these idf/len scales, while 38 digits hold any physical corpus
+    * (idf ≤ 10³·N, tf ≤ TL, A ≤ 10·TL/N ⇒ the product is maximized by
+    * one giant doc, ≈ 22·10³·N·TL·(10·TL/N) ≈ 10³⁷ even at TL = 10¹⁶
+    * tokens — a 100 TB corpus in one document). The floor DIVISION
+    * result is long again (`div` on decimals yields BIGINT), so the
+    * emitted score type and every downstream shape are unchanged — the
+    * FORMULA is the contract, verified by the q96 oracle generated from
+    * the same constants, and the overflow regime by a BigInt-replay spec
+    * (TextIndexSpec) on a corpus long arithmetic cannot score.
     *
     * Scale shape: doc lengths are one hash aggregate of the index
     * (map-side partials); the probe touches only the query terms'
@@ -118,7 +125,9 @@ object TextIndex {
       .withColumn("a", expr("(10L * tl) div n_docs"))
       .groupBy(col("doc_id"))
       .agg(sum(expr(
-        "(idf * 22L * tf * a) div (10L * a * tf + 3L * a + 90L * dl)")).as("score"))
+        """(cast(idf AS DECIMAL(38,0)) * 22 * tf * a)
+          | div (cast(10 AS DECIMAL(38,0)) * a * tf + 3 * a + 90 * dl)""".stripMargin))
+        .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
     // rank assignment over the ≤ topK surviving rows — bounded input,

@@ -678,6 +678,30 @@ object ExtQueries {
       KMeans.ivfpqOracleSql(dim = 64, nCoarse = 8, nQueries = 8, topK = 5,
         m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
 
+    // ── perceptual image fingerprint: farbfeld decode → 64-bit dHash ───
+    // The multimodal column gets the near-dup treatment text already
+    // has: REAL pixel decode → 9×8 nearest-neighbor luma grid → 64-bit
+    // difference hash. The oracle replays encode→sample→hash from the
+    // text (the pixel stream is deterministic in it), so EVERY
+    // fingerprint is verified bit-for-bit — the strong arithmetic gate
+    // (the q33 pattern; pairs are q103).
+    "q102_image_dhash" -> Q(
+      (s, dir) => Multimodal.dhash64(
+        Multimodal.encodeFarbfeld(Tables.documents(s, dir))),
+      Multimodal.dhashOracleSql),
+
+    // ── perceptual image dedup: dHash → banded Hamming pair join ───────
+    // The dHash relation fed through the SAME band machinery as q92
+    // (fingerprintHammingPairs), vs a brute-force bit_count(xor) oracle
+    // — banded == brute force, the q77/q92 contract. maxDist=12 because
+    // the fixture's images are synthetic codepoint noise (nearest real
+    // pairs at distance ~9); production thresholds are 3–7 with wider
+    // bands — see the imageDupPairs scaladoc for the tradeoff.
+    "q103_image_dedup" -> Q(
+      (s, dir) => Multimodal.imageDupPairs(Tables.documents(s, dir),
+        maxDist = 12, nBands = 16),
+      Multimodal.imageDupPairsOracleSql(maxDist = 12)),
+
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),

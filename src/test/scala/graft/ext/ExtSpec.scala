@@ -359,6 +359,55 @@ class ExtSpec extends SparkSuite {
     assert(out(8L).getAs[Long]("width") == 8 + 6 % 16)      // 6 codepoints, not 7 UTF-16 units
   }
 
+  /** Hand-built farbfeld blob with fully controlled pixels — the dHash
+    * specs plant REAL image structure (near-dups, brightness shifts,
+    * upscales), which the text-derived fixture images (codepoint noise)
+    * cannot provide. */
+  private def ffBlob(docId: Long, w: Int, h: Int, luma: (Int, Int) => Int): MediaRow = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 * w * h)
+    bb.put("farbfeld".getBytes("US-ASCII")).putInt(w).putInt(h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = luma(x, y) & 0xffff
+      bb.putShort(v.toShort).putShort(v.toShort).putShort(v.toShort)
+      bb.putShort(0xffff.toShort)
+    }
+    MediaRow(docId, bb.array(), "image/farbfeld")
+  }
+
+  test("dhash: perceptual invariances hold and banded pairs equal brute-force bit_count(xor)") {
+    // 18×8 base: sampling positions are exact (w divisible by 9), so the
+    // perturbation / brightness / upscale relationships are precise
+    def base(x: Int, y: Int) = (x * 37 + y * 11) % 256
+    val media = Seq(
+      ffBlob(0L, 18, 8, base),
+      // one SAMPLED pixel perturbed → flips exactly the two comparisons
+      // that read it → Hamming distance 2
+      ffBlob(1L, 18, 8, (x, y) => if (x == 8 && y == 3) base(x, y) + 512 else base(x, y)),
+      // global brightness shift → every comparison unchanged → distance 0
+      ffBlob(2L, 18, 8, (x, y) => base(x, y) + 500),
+      // 2× nearest-neighbor upscale → same samples → distance 0
+      ffBlob(3L, 36, 16, (x, y) => base(x / 2, y / 2)),
+      // unrelated pattern → far from everything
+      ffBlob(4L, 18, 8, (x, y) => (x * 53 + y * 29) % 251)
+    ).toDS()
+    val fps = Multimodal.dhash64(media)
+    val hash = fps.as[(Long, Long)].collect().toMap
+    assert(hash(2L) == hash(0L)) // brightness invariance
+    assert(hash(3L) == hash(0L)) // scale invariance
+    assert(java.lang.Long.bitCount(hash(0L) ^ hash(1L)) == 2)
+    assert(java.lang.Long.bitCount(hash(0L) ^ hash(4L)) > 3)
+    // pair parity: the banded join must emit EXACTLY the brute-force
+    // pairs (ids and distances) — the pigeonhole contract
+    val brute = (for {
+      (a, fa) <- hash; (b, fb) <- hash if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Dedup.fingerprintHammingPairs(fps, maxDist = 3, bits = 64, nBands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.contains((0L, 1L, 2L))) // the fixture bites
+  }
+
   test("decontaminate drops eval docs and any doc sharing an n-gram with them") {
     // doc 3 shares "quick brown fox" with eval doc 1; doc 4 is clean
     val eval = docs.where($"doc_id" === 1)

@@ -86,6 +86,39 @@ class TextIndexSpec extends SparkSuite {
     assert(score(3L) > score(1L))
   }
 
+  test("bm25 past the long bound: DECIMAL widening reproduces exact BigInt scores, no silent overflow") {
+    // token frequencies sized so the per-term product idf·22·tf·A lands
+    // near 10³⁴ — far past 2⁶³, where the old long formula wrapped
+    // SILENTLY. bm25Search takes the index relation directly, so the
+    // pathological corpus is three synthetic posting rows, not 10⁷ docs.
+    val idx = Seq(
+      (1L, "needle", 100000000000000L), // 10^14
+      (1L, "hay", 200000000000000L),
+      (2L, "needle", 50000000000000L),
+      (3L, "hay", 300000000000000L)
+    ).toDF("doc_id", "token", "tf")
+    val got = TextIndex.bm25Search(idx, Seq("needle"), topK = 10)
+      .as[(Long, Long, Long)].collect().toList
+
+    // exact replay in BigInt — the arithmetic the engine must reproduce
+    val tfs = Map(1L -> BigInt("100000000000000"), 2L -> BigInt("50000000000000"))
+    val dls = Map(1L -> BigInt("300000000000000"), 2L -> BigInt("50000000000000"))
+    val n = BigInt(3)
+    val tl = BigInt("650000000000000") // corpus token total
+    val a = (BigInt(10) * tl) / n
+    val idf = (n * 1000) / 2 // df(needle) = 2
+    def score(id: Long): BigInt = {
+      val tf = tfs(id); val dl = dls(id)
+      (idf * 22 * tf * a) / (BigInt(10) * a * tf + 3 * a + 90 * dl)
+    }
+    // the fixture bites: the numerator really is beyond the long range
+    assert(idf * 22 * tfs(1L) * a > BigInt(Long.MaxValue))
+    val want = tfs.keys.map(id => (id, score(id).toLong)).toList
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1L) }
+    assert(got == want)
+  }
+
   test("rrf fusion: agreement across rankers beats a single high rank; exact contributions") {
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
     val l2 = Seq((20L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rank")
