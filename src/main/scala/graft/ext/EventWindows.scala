@@ -48,15 +48,29 @@ object EventWindows {
     * user_id shared by grid, join, and window. At 100 TB the span
     * bound matters: a year-long user is 365 grid rows regardless of
     * event count.
+    *
+    * Dirty-timestamp guard: the span bound is only a bound if the data
+    * is sane — ONE corrupt epoch-zero timestamp would give that user a
+    * ~20k-row grid (and a year-9999 one a 3M-row grid). Any user whose
+    * span exceeds `maxSpanDays` fails LOUDLY (raise_error inside the
+    * grid projection) rather than silently exploding the output;
+    * callers with legitimately longer histories raise the knob, callers
+    * with dirty data clamp upstream. Default 3653 days = ten years.
     */
-  def resampleDailyFfill(events: DataFrame): DataFrame = {
+  def resampleDailyFfill(events: DataFrame, maxSpanDays: Int = 3653): DataFrame = {
     val daily = events
       .groupBy(col("user_id"), to_date(col("ts")).as("dt"))
       .agg(count(lit(1)).as("n"))
     val grid = daily.groupBy(col("user_id"))
       .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
       .select(col("user_id"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("dt"))
+        explode(when(datediff(col("d1"), col("d0")) <= maxSpanDays,
+          expr("sequence(d0, d1, interval 1 day)"))
+          .otherwise(raise_error(concat(
+            lit("resampleDailyFfill: user "), col("user_id").cast("string"),
+            lit(" spans "), datediff(col("d1"), col("d0")).cast("string"),
+            lit(s" days > maxSpanDays=$maxSpanDays — dirty timestamp? " +
+              "Clamp upstream or raise the knob."))))).as("dt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("dt"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -38,12 +38,26 @@ object Sinks {
     * (the analog of the reference's composite B-tree indexes). `format`
     * accepts any Spark batch format — parquet (default) and orc keep the
     * columnar-mart contract; csv/json are interchange escapes.
+    *
+    * File-size control: `files > 0` consolidates the write to that many
+    * tasks (repartitioned on the partition columns when present, so
+    * each hive-partition directory gets files from few tasks instead of
+    * one sliver per upstream task — the small-file-soup knob at
+    * cluster widths); `maxRecordsPerFile > 0` caps file size the other
+    * way. Defaults (0) keep Spark's session behavior.
     */
   def mart(df: DataFrame, dir: String, partitionCols: Seq[String] = Nil,
-           sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
+           sortCols: Seq[String] = Nil, format: String = "parquet",
+           files: Int = 0, maxRecordsPerFile: Long = 0): Unit = {
+    val sized =
+      if (files <= 0) df
+      else if (partitionCols.nonEmpty)
+        df.repartition(files, partitionCols.map(col): _*)
+      else df.repartition(files)
     val sorted = if (sortCols.nonEmpty)
-      df.sortWithinPartitions(sortCols.map(col): _*) else df
+      sized.sortWithinPartitions(sortCols.map(col): _*) else sized
     val w = sorted.write.mode("overwrite").format(format)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     (if (format == "csv") pw.option("header", "true") else pw).save(dir)
   }

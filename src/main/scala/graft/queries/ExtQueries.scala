@@ -702,6 +702,21 @@ object ExtQueries {
         maxDist = 12, nBands = 16),
       Multimodal.imageDupPairsOracleSql(maxDist = 12)),
 
+    // ── sketch-shaped rollup, EXACT form (approx twins spec-gated) ─────
+    // Distinct users + value percentiles per event type — the rollup a
+    // 100 TB pipeline runs with approx_count_distinct/approx_percentile
+    // (graft.ext.Approx documents the per-operator opt-in rule). DuckDB
+    // can't hash-match sketch internals, so the REGISTERED form is
+    // exact; ApproxSpec pins the sketch twins within their configured
+    // rsd / rank-accuracy bounds against this same relation.
+    "q104_sketch_rollup" -> Q(
+      (s, dir) => graft.ext.Approx.sketchRollup(Tables.events(s, dir)),
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n,
+        |  quantile_cont(cents, 0.5) AS p50, quantile_cont(cents, 0.99) AS p99
+        |FROM (SELECT event_type, user_id,
+        |        cast(round(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY event_type""".stripMargin),
+
     // ── IVF-bucketed top-k (ANN scale path, nprobe=1) ──────────────────
     "q36_ann_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, nQueries = 8, k = 3),

@@ -81,8 +81,24 @@ object Scale {
     * rows spread across `factor` sub-keys via a content hash (no rand()
     * — results stay reproducible), the small side replicates `factor`
     * times. One hot key becomes `factor` shuffle partitions instead of
-    * one straggler task. AQE's skew-join split handles moderate skew on
-    * its own; this is the explicit tool for the pathological tail.
+    * one straggler task.
+    *
+    * When to salt vs when to let AQE's skew-join split handle it
+    * (ScaleSpec pins both behaviors on the q70-shaped fixture):
+    *  - PLAIN shuffle join, batch, moderate-to-heavy skew → do nothing:
+    *    AQE splits the oversized partition at runtime (the spec lowers
+    *    the skew thresholds and asserts the split appears). Prefer this
+    *    — it's adaptive and free.
+    *  - AGGREGATE-AFTER-JOIN on the hot key → salt: AQE can split the
+    *    join's reader, but a downstream groupBy(key) re-shuffles the hot
+    *    key into one partition again; with the salt in place the partial
+    *    aggregate runs on (key, salt) and only `factor` pre-aggregated
+    *    rows meet at the final key exchange.
+    *  - BUCKETED / co-located layouts ([[writeBucketed]]) → salt if the
+    *    bucket layout is skewed: there is no exchange in the plan for
+    *    AQE to re-read, so a hot bucket is a straggler AQE cannot touch.
+    *  - Plans with AQE off (the iterative-loop discipline in
+    *    graft.graph/stats) → salt; nothing adapts at runtime there.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {

@@ -124,17 +124,31 @@ object ZOrder {
   /** Lay a table out along the n-dim z-curve: range-partitioned and
     * sorted by z, so each output file covers a compact z-interval and
     * box queries prune whole files/row-groups on the z column's
-    * min/max. */
+    * min/max.
+    *
+    * File-size control — pruning only pays if files are WORTH pruning:
+    * `files > 0` pins the range-partition count (one file per
+    * partition), the knob that stops a wide session (or a 1000-executor
+    * cluster) from shattering a modest table into thousands of
+    * KB-sized files whose open/footer cost dwarfs the pruned reads;
+    * `maxRecordsPerFile > 0` caps the other direction, re-splitting any
+    * oversized range so single files stay row-group-sized. Defaults (0)
+    * keep Spark's session behavior. */
   def writeZOrderedN(df: DataFrame, dims: Seq[Column], budgets: Seq[Int],
-                     path: String): Unit = {
+                     path: String, files: Int = 0,
+                     maxRecordsPerFile: Long = 0): Unit = {
     val withZ = df.withColumn("z", zValueN(dims, budgets))
-    withZ.repartitionByRange(col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(path)
+    val ranged = if (files > 0) withZ.repartitionByRange(files, col("z"))
+                 else withZ.repartitionByRange(col("z"))
+    ranged.sortWithinPartitions(col("z"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
   }
 
   /** 2-d [[writeZOrderedN]]. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
-                    bits: Int = 16): Unit =
-    writeZOrderedN(df, Seq(x, y), Seq(bits, bits), path)
+                    bits: Int = 16, files: Int = 0,
+                    maxRecordsPerFile: Long = 0): Unit =
+    writeZOrderedN(df, Seq(x, y), Seq(bits, bits), path, files, maxRecordsPerFile)
 }

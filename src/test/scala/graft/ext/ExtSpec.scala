@@ -37,6 +37,22 @@ class ExtSpec extends SparkSuite {
       (2L, "2024-03-07", 1L, false)))
   }
 
+  test("resample: a dirty epoch-zero timestamp fails loudly instead of exploding the grid") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 1L, "click", 1.0, "{}"),
+      // corrupt row: epoch zero → a ~19.8k-day span for user 1
+      (2L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 12:00:00"), 2L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      EventWindows.resampleDailyFfill(events).count()
+    }
+    assert(e.getMessage.contains("maxSpanDays"), e.getMessage)
+    // an explicitly raised knob admits the span again — caller's choice
+    assert(EventWindows.resampleDailyFfill(events, maxSpanDays = 20000)
+      .where($"user_id" === 1L).count() > 19000)
+  }
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1

@@ -42,6 +42,27 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("mart sink file count responds to the files / maxRecordsPerFile knobs") {
+    import java.nio.file.Files
+    def parquetFiles(dir: java.io.File): Int =
+      Option(dir.listFiles()).getOrElse(Array.empty).count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val df = (1 to 1000).map(i => (i.toLong, i % 2, s"v$i")).toDF("k", "p", "s")
+    // unpartitioned: consolidate to exactly 3 files
+    val flat = Files.createTempDirectory("mart_files").toString + "/t"
+    graft.ingest.Sinks.mart(df, flat, sortCols = Seq("k"), files = 3)
+    assert(parquetFiles(new java.io.File(flat)) == 3)
+    // hive-partitioned: files land per partition dir, capped per file
+    val part = Files.createTempDirectory("mart_part_files").toString + "/t"
+    graft.ingest.Sinks.mart(df, part, partitionCols = Seq("p"),
+      files = 4, maxRecordsPerFile = 100)
+    val dirs = new java.io.File(part).listFiles().filter(_.getName.startsWith("p="))
+    assert(dirs.length == 2)
+    // 500 rows per partition value, ≤100/file → ≥5 files each
+    dirs.foreach(d => assert(parquetFiles(d) >= 5, d.toString))
+    assert(spark.read.parquet(part).count() == 1000)
+  }
+
   test("widen repartitions a narrow leaf up to numShufflePartitions") {
     val narrow = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
     val p = spark.sessionState.conf.numShufflePartitions
@@ -60,6 +81,38 @@ class ScaleSpec extends SparkSuite {
       case a: AdaptiveSparkPlanExec =>
         assert(!a.isFinalPlan, "widen forced adaptive plan finalization (stage execution)")
       case other => fail(s"expected an AQE-wrapped plan, got ${other.nodeName}")
+    }
+  }
+
+  test("AQE splits the skewed plain join at lowered thresholds (the no-salt path)") {
+    // the q70 skew shape, scaled so the hot key's partition crosses a
+    // lowered skew threshold: AQE must split it — the documented rule
+    // (saltedJoin scaladoc) is that the explicit salt is only for the
+    // cases AQE can't reach (agg-after-join, bucketed layouts, AQE off)
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = (1 to 20000)
+        .map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, s"payload_value_$i"))
+        .toDF("k", "v")
+      val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+      val joined = big.join(small, "k").select("k", "v", "name")
+      // collect() (NOT count(), which runs a derived plan) finalizes
+      // THIS dataset's adaptive plan; ≥18000 rows = the hot key joined
+      assert(joined.collect().length >= 18000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"),
+        s"AQE did not mark/split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -129,4 +129,23 @@ class ZOrderSpec extends SparkSuite {
     val want = df.where(col("x").between(100, 400) && col("y").between(100, 400)).count()
     assert(q.count() == want)
   }
+
+  test("layout writer file count responds to the files / maxRecordsPerFile knobs") {
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val rnd = new Random(80)
+    val df = (1 to 1000).map(i =>
+      (i.toLong, rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zorder_files").toString
+    // consolidate: exactly 2 range partitions → 2 files
+    ZOrder.writeZOrdered(df, col("x"), col("y"), s"$base/two", files = 2)
+    assert(parquetFiles(s"$base/two") == 2)
+    // cap: 2 partitions × ≤100 records/file → ≥10 files, rows intact
+    ZOrder.writeZOrdered(df, col("x"), col("y"), s"$base/cap",
+      files = 2, maxRecordsPerFile = 100)
+    assert(parquetFiles(s"$base/cap") >= 10)
+    assert(spark.read.parquet(s"$base/cap").count() == 1000)
+  }
 }
