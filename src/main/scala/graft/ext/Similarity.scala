@@ -383,15 +383,27 @@ object Similarity {
   def ivfpqTopK(embeddings: DataFrame, dim: Int, nCoarse: Int, nQueries: Int,
                 k: Int, m: Int = 4, kSub: Int = 16, iters: Int = 1,
                 nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val (coarseCents, pqCents, codes) = ivfpqEncode(e, dim, nCoarse, m, kSub, iters)
+    ivfpqProbe(e, coarseCents, pqCents, codes, dim, m, nQueries, k, nprobe, shortlist)
+  }
+
+  /** IVFPQ steps 1–3 (train + encode) over a [[prepared]] norm-filtered
+    * relation: coarse codebook, residual PQ codebooks, and the coded
+    * corpus — `codes` = (vec_id, bucket, m, cluster), the per-subspace
+    * long form of "2 bytes per vector + its inverted-file bucket".
+    * @return (coarseCents (c_id, cvec, cc), pqCents (m, c_id, cvec, cc),
+    *         codes) */
+  private def ivfpqEncode(e: DataFrame, dim: Int, nCoarse: Int,
+                          m: Int, kSub: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
-    val e = prepared(embeddings).where(col("norm") > 0)
     // 1. coarse codebook + one bucket id per vector (integer-L2 argmin)
     val (coarseCents, coarseCodes) = KMeans.fitCluster(e, nCoarse, iters)
     // 2. residual encode — materialized once: every downstream consumer
-    //    (m subspace slices, the candidate join) reads this relation, and
-    //    at production it is the persisted index artifact
+    //    (m subspace slices, the code relation) reads it, and at
+    //    production it feeds the persisted index artifact
     val encoded = e.select(col("vec_id"), col("q"))
       .join(coarseCodes, "vec_id")
       .join(broadcast(coarseCents.select(col("c_id").as("cluster"), col("cvec"))),
@@ -405,6 +417,22 @@ object Similarity {
         slice(col("r"), i * subDim + 1, subDim).as("q")))
       .reduce(_ unionByName _)
     val (pqCents, pqCodes) = KMeans.fitClusterMulti(subVecs, kSub, iters)
+    val codes = pqCodes.join(encoded.select(col("vec_id"), col("bucket")), "vec_id")
+    (coarseCents, pqCents, codes)
+  }
+
+  /** IVFPQ steps 4–6 (probe + ADC + rerank) against trained/loaded index
+    * relations — shared by the in-memory path ([[ivfpqTopK]]) and the
+    * persisted-index path ([[ivfpqTopKFromIndex]]), so the two cannot
+    * drift. `e` provides queries AND the full-precision rerank vectors
+    * (the index stores only codes — the FAISS convention; refine reads
+    * the corpus). */
+  private def ivfpqProbe(e: DataFrame, coarseCents: DataFrame,
+                         pqCents: DataFrame, codes: DataFrame,
+                         dim: Int, m: Int, nQueries: Int, k: Int,
+                         nprobe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
     // 4. probe lists: nprobe nearest coarse centroids per query, same
     //    integer-L2 order as assignment; dot(q, centroid) rides along
     val qv = e.where(col("vec_id") < nQueries)
@@ -428,10 +456,9 @@ object Similarity {
       .select(col("q_id").as("l_qid"), col("m").as("l_m"),
         col("c_id").as("l_cid"), dotL(col("qs"), col("cvec")).as("d")))
     val wS = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
-    val short = encoded.select(col("vec_id"), col("bucket"))
+    val short = codes
       .join(probes, Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .join(pqCodes, Seq("vec_id"))
       .join(lut, col("q_id") === col("l_qid") && col("m") === col("l_m")
         && col("cluster") === col("l_cid"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -451,6 +478,59 @@ object Similarity {
       .withColumn("rank", row_number().over(wK).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Train an IVFPQ index ONCE and persist its artifacts — the
+    * production deploy shape (FAISS train/add vs search): codebooks are
+    * kilobytes of parquet, and the coded corpus (2 bytes of PQ code per
+    * vector + its bucket) is written PARTITIONED BY BUCKET, so a probe
+    * reads only nprobe/nCoarse of the index via parquet partition
+    * pruning — the I/O analog of the inverted file. Layout:
+    * `path/coarse`, `path/pq`, `path/codes/bucket=N/`. */
+  def buildIvfpqIndex(embeddings: DataFrame, dim: Int, nCoarse: Int,
+                      m: Int = 4, kSub: Int = 16, iters: Int = 1,
+                      path: String = null): Unit = {
+    require(path != null, "buildIvfpqIndex needs a target path")
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val (coarseCents, pqCents, codes) = ivfpqEncode(e, dim, nCoarse, m, kSub, iters)
+    coarseCents.write.mode("overwrite").parquet(s"$path/coarse")
+    pqCents.write.mode("overwrite").parquet(s"$path/pq")
+    codes.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
+  /** Probe a [[buildIvfpqIndex]] artifact: identical results to
+    * [[ivfpqTopK]] at the same parameters (training is deterministic and
+    * the probe logic is the SAME code), but the corpus-sized work reads
+    * the persisted codes with the probed buckets pushed down as
+    * PARTITION FILTERS — the driver-side probe-list collect is
+    * nQueries×nprobe rows (metadata-sized, same discipline as
+    * StreamIngest's date collect). `embeddings` supplies queries and the
+    * full-precision rerank side. */
+  def ivfpqTopKFromIndex(path: String, embeddings: DataFrame, dim: Int,
+                         nQueries: Int, k: Int, m: Int = 4,
+                         nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val coarseCents = spark.read.parquet(s"$path/coarse")
+    val pqCents = spark.read.parquet(s"$path/pq")
+    // probed buckets as LITERALS so the codes scan partition-prunes;
+    // recomputing the tiny probe ranking here costs one broadcast of a
+    // k-row centroid table
+    val qv = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        dotL(col("q"), col("q")).as("qxx"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+    val probedBuckets = qv.crossJoin(broadcast(coarseCents))
+      .withColumn("dist",
+        col("qxx") + col("cc") - dotL(col("qq"), col("cvec")) * 2)
+      .withColumn("prn", row_number().over(wP))
+      .where(col("prn") <= nprobe)
+      .select(col("c_id")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("bucket").isin(probedBuckets.toIndexedSeq: _*))
+    ivfpqProbe(e, coarseCents, pqCents, codes, dim, m, nQueries, k, nprobe, shortlist)
   }
 
   /** IVF-style top-k. Centroids = the first nCentroids vectors — a

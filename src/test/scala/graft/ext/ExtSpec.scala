@@ -197,6 +197,25 @@ class ExtSpec extends SparkSuite {
     assert(g2 == truth)
   }
 
+  test("persisted IVFPQ index probes equal the in-memory path, codes scan partition-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
+    Similarity.buildIvfpqIndex(clusteredVecs, dim = 16, nCoarse = 4,
+      m = 4, kSub = 16, iters = 1, path = path)
+    val fromIdx = Similarity.ivfpqTopKFromIndex(path, clusteredVecs, dim = 16,
+      nQueries = 8, k = 5, m = 4, nprobe = 2, shortlist = 64)
+    val inMem = Similarity.ivfpqTopK(clusteredVecs, dim = 16, nCoarse = 4,
+      nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 64)
+    // training is deterministic and the probe logic is shared code, so
+    // the persisted path must reproduce the in-memory results exactly
+    assert(fromIdx.as[(Long, Long, Double, Long)].collect().toSet ==
+      inMem.as[(Long, Long, Double, Long)].collect().toSet)
+    // the probed buckets reach the codes scan as PARTITION filters —
+    // the I/O analog of the inverted file: nprobe/nCoarse of the index read
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probed buckets did not partition-prune the codes scan:\n$plan")
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
