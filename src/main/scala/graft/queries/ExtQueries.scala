@@ -702,6 +702,26 @@ object ExtQueries {
         maxDist = 12, nBands = 16),
       Multimodal.imageDupPairsOracleSql(maxDist = 12)),
 
+    // ── IVFPQ via the PERSISTED index (train/add → probe round-trip) ───
+    // q101's parameters through the production deploy path: codebooks +
+    // bucket-partitioned codes written to parquet in-query (the q94
+    // write-the-layout-in-query pattern), then probed with the buckets
+    // pushed down as partition filters. SAME oracle as q101 — the
+    // persistence round-trip must be semantically invisible, and the
+    // driver now gates that end-to-end.
+    "q105_ann_ivfpq_index" -> Q(
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+        val emb = Tables.embeddings(s, dir)
+        Similarity.buildIvfpqIndex(emb, dim = 64, nCoarse = 8,
+          m = 4, kSub = 16, iters = 1, path = path)
+        Similarity.ivfpqTopKFromIndex(path, emb, dim = 64,
+          nQueries = 8, k = 5, m = 4, nprobe = 2, shortlist = 32)
+      },
+      KMeans.ivfpqOracleSql(dim = 64, nCoarse = 8, nQueries = 8, topK = 5,
+        m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
+
     // ── sketch-shaped rollup, EXACT form (approx twins spec-gated) ─────
     // Distinct users + value percentiles per event type — the rollup a
     // 100 TB pipeline runs with approx_count_distinct/approx_percentile

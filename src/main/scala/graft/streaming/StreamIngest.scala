@@ -215,4 +215,35 @@ object StreamIngest {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Stream-stream INNER join with event-time bounds — the attribution
+    * shape (a click joined to any purchase by the same user within
+    * `windowMinutes`). Both sides carry a watermark and the join
+    * condition bounds event time on BOTH sides, which is exactly what
+    * Structured Streaming needs to evict buffered rows: a click's state
+    * lives until the watermark passes click_ts + window, a purchase's
+    * until its own ts — state is O(events within lateness + window),
+    * never unbounded.
+    *
+    * Unified-API contract: the SAME function body runs in batch (both
+    * inputs plain DataFrames — watermarks are no-ops there) and in
+    * streaming; the spec's parity assertion replays identical events
+    * through both and requires identical output, so the streaming
+    * state machine is verified against the declarative join semantics.
+    * Late data beyond `lateness` is dropped — the §2.8 bounded-lateness
+    * contract, same as every watermark operator.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      lateness: String = "1 hour",
+                      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness).alias("c")
+    val b = purchases.withWatermark("ts", lateness).alias("b")
+    c.join(b, expr(
+        s"""c.user_id = b.user_id AND
+           |b.ts >= c.ts AND
+           |b.ts <= c.ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("c.event_id").as("click_id"), col("b.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("b.ts").as("purchase_ts"))
+  }
 }

@@ -198,6 +198,41 @@ class StreamIngestSpec extends SparkSuite {
     assert(streamed.exists(r => r.getLong(1) == 3L && r.isNullAt(2)))
   }
 
+  test("stream-stream attribution join equals batch; matches cross micro-batches; window bound holds") {
+    val cdir = Files.createTempDirectory("stream_clicks").toString
+    val bdir = Files.createTempDirectory("stream_buys").toString
+    def ev(id: Long, user: Long, minute: Int): String =
+      s"""{"event_id": $id, "ts": "2024-01-01T10:${"%02d".format(minute)}:00.000Z", "user_id": $user, "event_type": "e", "value": 1.0, "props": "{}"}"""
+    // batch 1: clicks for users 1 and 2; user 1 purchases in-window
+    Files.write(java.nio.file.Paths.get(s"$cdir/a.json"),
+      Seq(ev(1, 1, 0), ev(2, 2, 0)).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$bdir/a.json"),
+      Seq(ev(101, 1, 10)).mkString("\n").getBytes)
+    val clicks = spark.readStream.schema(StreamIngest.eventSchema).json(cdir)
+    val buys = spark.readStream.schema(StreamIngest.eventSchema).json(bdir)
+    val q = StreamIngest.attributionJoin(clicks, buys)
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: user 2's purchase arrives a MICRO-BATCH later but inside
+    // the event-time window (buffered click state must match it); user
+    // 1's second purchase is outside the 30-minute window
+    Files.write(java.nio.file.Paths.get(s"$bdir/b.json"),
+      Seq(ev(102, 2, 20), ev(103, 1, 45)).mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unified API: the same function over batch reads is the oracle
+    val batch = StreamIngest.attributionJoin(
+        spark.read.schema(StreamIngest.eventSchema).json(cdir),
+        spark.read.schema(StreamIngest.eventSchema).json(bdir))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 101L), (2L, 102L))) // 103 outside the window
+  }
+
   test("streaming windowed aggregation matches batch window boundaries") {
     val src = Files.createTempDirectory("stream_w").toString
     Files.write(java.nio.file.Paths.get(s"$src/a.json"),
