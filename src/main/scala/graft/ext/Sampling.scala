@@ -15,16 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** bucket in [0, 100): hash64("salt:id") % 100 (hash is 60-bit
-    * non-negative, so % is safe in both engines). */
-  def bucket(df: DataFrame, id: Column, salt: String): Column = {
+  /** Salted 60-bit row hash — the shared primitive: non-negative, so
+    * modulo and ordering behave identically in both engines. */
+  def rowHash(df: DataFrame, id: Column, salt: String): Column = {
     graft.functions.Md5Prefix64.register(df.sparkSession)
-    Dedup.hash64(concat(lit(salt + ":"), id.cast("string"))) % 100
+    Dedup.hash64(concat(lit(salt + ":"), id.cast("string")))
   }
+
+  /** The identical hash in DuckDB SQL — oracle building block. */
+  def rowHashSql(idExpr: String, salt: String): String =
+    s"cast(concat('0x', substr(md5(concat('$salt:', cast($idExpr AS VARCHAR))), 1, 15)) AS BIGINT)"
+
+  /** bucket in [0, 100): hash64("salt:id") % 100. */
+  def bucket(df: DataFrame, id: Column, salt: String): Column =
+    rowHash(df, id, salt) % 100
 
   /** The identical bucket in DuckDB SQL — oracle building block. */
   def bucketSql(idExpr: String, salt: String): String =
-    s"cast(concat('0x', substr(md5(concat('$salt:', cast($idExpr AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+    s"${rowHashSql(idExpr, salt)} % 100"
 
   /** Adds a `split` column: 'train' for bucket < trainPct, 'val' for
     * the next valPct buckets, 'test' for the rest. */
@@ -67,4 +75,29 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightPct: Column,
                      salt: String = "weight"): DataFrame =
     df.where(bucket(df, col(idCol), salt) < weightPct)
+
+  /** Cap every group at EXACTLY `k` survivors (fewer only if the group
+    * is smaller), chosen deterministically: rows rank by their salted
+    * hash (ties broken on id) and the first k per group survive — the
+    * per-class balancing cap every training-data recipe has (e.g. "at
+    * most N documents per over-represented language"), where the RATE
+    * samplers above can only cap in expectation. Same cross-engine
+    * reproducibility contract: stable under any partitioning, any
+    * engine, any subset.
+    *
+    * Scale shape: one hash exchange on the group key for the rank
+    * window. An exact per-group k has no shuffle-free form, but the
+    * window's sort input can be pre-pruned map-side at high ratios by
+    * a bucket filter (keep ~2k expected first via [[bucket]], then
+    * rank) — composition left to callers because correctness of the
+    * prune depends on group-size floors only the caller knows. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  salt: String = "cap"): DataFrame = {
+    require(k >= 1, s"capPerGroup needs k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(rowHash(df, col(idCol), salt), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k).drop("_rk")
+  }
 }

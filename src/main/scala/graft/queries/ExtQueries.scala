@@ -795,6 +795,19 @@ object ExtQueries {
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
+    // ── per-group cap: at most k docs per language, hash-deterministic ─
+    // The exact-k class-balancing cap (rate samplers cap only in
+    // expectation); survivors = first k by salted-hash order, stable
+    // under any partitioning/engine. Oracle replays the identical hash
+    // ranking.
+    "q106_group_cap" -> Q(
+      (s, dir) => Sampling.capPerGroup(Tables.documents(s, dir),
+        "doc_id", "lang", k = 40).select("doc_id", "lang"),
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 40""".stripMargin),
+
     // ── sequence packing (fixed-token-budget training samples) ─────────
     "q53_seq_pack" -> Q(
       (s, dir) => SeqPack.pack(Tables.documents(s, dir), "doc_id", "text",

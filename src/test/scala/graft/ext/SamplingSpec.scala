@@ -45,6 +45,23 @@ class SamplingSpec extends SparkSuite {
     assert(ids != ids2)
   }
 
+  test("capPerGroup keeps exactly k per large group, all of small groups, stable under repartition") {
+    // en: 1200 docs, de/fr: 400 each — cap at 500: en capped exactly,
+    // de/fr untouched
+    val capped = Sampling.capPerGroup(docs, "doc_id", "lang", k = 500)
+    val sizes = capped.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("en" -> 500L, "de" -> 400L, "fr" -> 400L))
+    // deterministic: same survivors regardless of physical layout
+    val again = Sampling.capPerGroup(docs.repartition(7), "doc_id", "lang", k = 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // a different salt draws a genuinely different sample
+    val other = Sampling.capPerGroup(docs, "doc_id", "lang", k = 500, salt = "cap2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != again)
+  }
+
   test("weighted sample: weight 100 always keeps, 0 never, mid-weights scale") {
     import org.apache.spark.sql.functions._
     val weighted = docs.withColumn("w",
