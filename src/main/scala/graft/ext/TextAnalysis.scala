@@ -278,4 +278,66 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("fp.fp_min").as("fp_min"), col("fp.n_grams").as("n_grams"))
   }
+
+  /** Maximal EXACT shared token spans across documents — the
+    * exact-substring-dedup primitive (the published recipe: find
+    * ≥ k-token substrings repeated across a corpus and cut them; cf.
+    * suffix-array dedup in the training-data-dedup literature, here as
+    * a distributed fingerprint join instead of a suffix array):
+    *
+    *  1. every doc explodes into positioned token k-grams (narrow,
+    *     zero-exchange projection), each hashed to the shared 60-bit
+    *     md5 prefix;
+    *  2. grams occurring in more than `maxDf` docs are dropped — the
+    *     stop-phrase cap, same economics as [[Dedup.ngramJaccardPairs]]
+    *     (bounds every join bucket, so candidate volume is
+    *     df-capped × positions, never corpus²);
+    *  3. docs sharing a (capped) gram join on the hash, yielding
+    *     positioned hits (doc_a, doc_b, pos_a, pos_b);
+    *  4. hits on the same DIAGONAL (pos_a − pos_b) with consecutive
+    *     positions are one shared region: the gaps-and-islands trick
+    *     (pos_a − row_number over the diagonal) labels each maximal
+    *     run, and one aggregate emits (start_a, start_b, len_tokens =
+    *     run + k − 1).
+    *
+    * Output spans are maximal per diagonal and ≥ k tokens by
+    * construction. Identity is by 60-bit gram hash (both engines replay
+    * the same arithmetic, so the q107 oracle is exact); a true-text
+    * confirm pass would carry gram strings through the join — callers
+    * needing it re-read the k-gram at (doc, start) and compare, one
+    * point lookup per emitted span.
+    */
+  def sharedSpans(docs: DataFrame, k: Int = 8,
+                  maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val t = split(col("text"), " ")
+    val grams = docs.where(size(t) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(t) - k),
+        i => struct(i.as("pos"),
+          array_join(slice(t, i + 1, lit(k)), " ").as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        Dedup.hash64(col("g.gram")).as("gh"))
+    val cold = grams.join(
+      grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") <= maxDf).select(col("gh")),
+      "gh")
+    val hits = cold.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(cold.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pos_b")),
+        "gh")
+      .where(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    hits.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"),
+        col("len_tokens").cast("long").as("len_tokens"))
+  }
 }

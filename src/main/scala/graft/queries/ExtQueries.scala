@@ -795,6 +795,38 @@ object ExtQueries {
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
+    // ── maximal exact shared token spans (substring-dedup primitive) ───
+    // The ≥k-token repeated-substring detector (distributed fingerprint
+    // join + diagonal islands instead of a suffix array): positioned
+    // token 8-grams, df-capped, hash-joined, merged into maximal spans
+    // per (pair, diagonal). Oracle replays gram hashing, the cap, the
+    // join, and the gaps-and-islands merge.
+    "q107_shared_spans" -> Q(
+      (s, dir) => TextAnalysis.sharedSpans(Tables.documents(s, dir), k = 8),
+      {
+        val k = 8
+        val maxDf = Dedup.DefaultMaxShingleDf
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |grams AS (SELECT doc_id, i - 1 AS pos,
+           |    ${sqlHash64(s"array_to_string(t[i:i+${k - 1}], ' ')")} AS gh
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
+           |        FROM toks WHERE len(t) >= $k)),
+           |cold AS (SELECT * FROM grams WHERE gh IN
+           |  (SELECT gh FROM grams GROUP BY gh
+           |   HAVING count(DISTINCT doc_id) <= $maxDf)),
+           |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, b.pos AS pos_b
+           |  FROM cold a JOIN cold b USING (gh) WHERE a.doc_id < b.doc_id),
+           |isl AS (SELECT *, pos_a - pos_b AS diag,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+           |                               ORDER BY pos_a) AS island
+           |  FROM hits)
+           |SELECT doc_a, doc_b, cast(min(pos_a) AS BIGINT) AS start_a,
+           |  cast(min(pos_b) AS BIGINT) AS start_b,
+           |  cast(max(pos_a) - min(pos_a) + $k AS BIGINT) AS len_tokens
+           |FROM isl GROUP BY doc_a, doc_b, diag, island""".stripMargin
+      }),
+
     // ── per-group cap: at most k docs per language, hash-deterministic ─
     // The exact-k class-balancing cap (rate samplers cap only in
     // expectation); survivors = first k by salted-hash order, stable

@@ -443,6 +443,29 @@ class ExtSpec extends SparkSuite {
     assert(brute.contains((0L, 1L, 2L))) // the fixture bites
   }
 
+  test("shared spans: repeated substrings merge into maximal spans at the right offsets") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val s2 = (1 to 8).map(i => s"x$i").mkString(" ")      // 8 shared tokens
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),            // shared at pos 2
+      (2L, s"$shared tail1 tail2"),                       // shared at pos 0
+      (3L, "unrelated words only nothing here repeats at all ever"),
+      (4L, s"$s2 filler $s2"),                            // two occurrences
+      (5L, s"pre $s2 post1 post2")                        // one occurrence
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.sharedSpans(d, k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the 12-token run collapses its 5 k-gram hits into ONE maximal span
+    val between12 = spans.filter(s => s._1 == 1L && s._2 == 2L)
+    assert(between12 == Set((1L, 2L, 2L, 0L, 12L)))
+    // doc 4's two occurrences are two diagonals → two spans against doc 5
+    val between45 = spans.filter(s => s._1 == 4L && s._2 == 5L)
+    assert(between45 == Set((4L, 5L, 0L, 1L, 8L), (4L, 5L, 9L, 1L, 8L)))
+    // nothing touches the unrelated doc; every span is >= k by construction
+    assert(!spans.exists(s => s._1 == 3L || s._2 == 3L))
+    assert(spans.forall(_._5 >= 8L))
+  }
+
   test("decontaminate drops eval docs and any doc sharing an n-gram with them") {
     // doc 3 shares "quick brown fox" with eval doc 1; doc 4 is clean
     val eval = docs.where($"doc_id" === 1)
