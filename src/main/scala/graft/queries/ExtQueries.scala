@@ -795,6 +795,74 @@ object ExtQueries {
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
+    // ── the END-TO-END data-prep composition (the engine's point) ──────
+    // Every prep stage, composed into ONE verified query: quality +
+    // language gate → exact first-wins dedup → eval decontamination →
+    // train-split assignment → per-language cap. Each stage is an
+    // already-verified operator (q38/q37, q30, q54, q51, q106); the
+    // composition is what a user's real pipeline runs, and the oracle
+    // chains the SAME generated fragments, so the driver hash-verifies
+    // the whole chain end-to-end.
+    "q108_prep_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+          .join(docs.select(col("doc_id"), col("text"),
+            TextAnalysis.langGuessExpr(col("text")).as("lang_guess")), "doc_id")
+          .where(col("quality_score") >= 0.55 && col("n_tokens") >= 20)
+        val survivors = Dedup.exact(scored.select("doc_id", "text"))
+          .select("doc_id")
+        val deduped = scored.join(survivors, "doc_id")
+        val cleaned = Dedup.decontaminate(deduped,
+          docs.where(col("doc_id") % 97 === 0), n = 3)
+        val train = Sampling.assignSplits(cleaned, "doc_id")
+          .where(col("split") === "train")
+        Sampling.capPerGroup(train, "doc_id", "lang_guess", k = 60)
+          .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+      },
+      {
+        def occ(w: String) =
+          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+          case ((bl, bs), lang) =>
+            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+              s"greatest($bs, sc_$lang)")
+        }._1
+        val stopSum = TextAnalysis.Stopwords
+          .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+        def sh3(src: String) =
+          s"""SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))""".stripMargin
+        s"""WITH q AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
+           |    (cast(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) * 0.1
+           |      + cast($stopSum AS DOUBLE) / len(t) AS quality_score
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+           |sc AS (SELECT doc_id, lang, text, $scores FROM documents),
+           |lg AS (SELECT doc_id, text, $guess AS lang_guess FROM sc),
+           |scored AS (SELECT lg.doc_id, lg.text, lg.lang_guess, q.n_tokens
+           |  FROM lg JOIN q USING (doc_id)
+           |  WHERE q.quality_score >= 0.55 AND q.n_tokens >= 20),
+           |surv AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+           |dd AS (SELECT * FROM scored WHERE doc_id IN (SELECT doc_id FROM surv)),
+           |evsh AS (SELECT DISTINCT sh FROM (
+           |  ${sh3("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})),
+           |ddsh AS (${sh3("dd")}),
+           |contam AS (SELECT DISTINCT doc_id FROM ddsh JOIN evsh USING (sh)),
+           |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |tr AS (SELECT * FROM clean WHERE ${Sampling.bucketSql("doc_id", "split")} < 80),
+           |capped AS (SELECT doc_id, lang_guess, n_tokens,
+           |    row_number() OVER (PARTITION BY lang_guess
+           |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
+           |  FROM tr)
+           |SELECT doc_id, lang_guess, n_tokens FROM capped WHERE rk <= 60""".stripMargin
+      }),
+
     // ── maximal exact shared token spans (substring-dedup primitive) ───
     // The ≥k-token repeated-substring detector (distributed fingerprint
     // join + diagonal islands instead of a suffix array): positioned
