@@ -162,6 +162,26 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q102: image dHash is a pure narrow pipeline — zero exchanges to the fingerprints") {
+    val plan = planOf("q102_image_dhash")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q106/q107/q108: round-5 relational ops stay equi-join-only") {
+    // q106: exactly the one hash exchange the rank window needs
+    val capPlan = planOf("q106_group_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(capPlan).size == 1, capPlan)
+    // q107: the gram join is an equi-join, never a cartesian
+    val spanPlan = planOf("q107_shared_spans")
+    assert(!spanPlan.contains("CartesianProduct")
+      && !spanPlan.contains("BroadcastNestedLoopJoin"), spanPlan)
+    // q108: the full prep chain composes without a cartesian; the
+    // decontamination dictionary arrives as a broadcast
+    val prepPlan = planOf("q108_prep_pipeline")
+    assert(!prepPlan.contains("CartesianProduct"), prepPlan)
+    assert(prepPlan.contains("BroadcastHashJoin"), prepPlan)
+  }
+
   test("q63/q66: ranked search and vocabulary cut top-k via TakeOrdered, never a global sort") {
     Seq("q63_ranked_search", "q66_vocabulary").foreach { q =>
       val plan = planOf(q)

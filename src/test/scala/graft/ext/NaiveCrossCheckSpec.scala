@@ -92,6 +92,53 @@ class NaiveCrossCheckSpec extends SparkSuite {
     }
   }
 
+  // ── shared spans ───────────────────────────────────────────────────
+
+  /** Reference: maximal matching-token runs ≥ k per (pair, diagonal) —
+    * the definition sharedSpans' gram-join + islands merge must equal. */
+  private def naiveSpans(docs: Seq[(Long, Array[String])], k: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      d <- -(tb.length - 1) to (ta.length - 1)
+    } {
+      var i = math.max(0, d)
+      val end = math.min(ta.length, tb.length + d)
+      while (i < end) {
+        if (ta(i) == tb(i - d)) {
+          var j = i
+          while (j < end && ta(j) == tb(j - d)) j += 1
+          if (j - i >= k) out += ((ida, idb, i.toLong, (i - d).toLong, (j - i).toLong))
+          i = j
+        } else i += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("sharedSpans matches the naive maximal-run reference on random small-vocab docs") {
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(300 + seed)
+      val phrase = Array.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size)))
+      val docs = (0L until 10L).map { i =>
+        // small vocab → incidental runs; half the docs embed a shared
+        // phrase at a random offset → guaranteed long spans too
+        val base = Array.fill(15 + rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+        val toks = if (i % 2 == 0) {
+          val at = rnd.nextInt(base.length)
+          base.take(at) ++ phrase ++ base.drop(at)
+        } else base
+        i -> toks
+      }
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = TextAnalysis.sharedSpans(df, k = 4, maxDf = Int.MaxValue)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == naiveSpans(docs, k = 4), s"seed=$seed")
+    }
+  }
+
   test("capped jaccard emits a subset of the uncapped pairs with identical scores") {
     val words = Vector("w1", "w2", "w3", "boiler", "plate")
     val rnd = new Random(7)
