@@ -156,6 +156,32 @@ object KMeans {
     (cents, codes)
   }
 
+  /** Assignment against a FROZEN codebook (no training) — the
+    * index-add path: new vectors join an existing [[fit]] codebook
+    * without touching it. `vecs` = (vec_id, q) quantized; `cents` =
+    * (c_id, cvec, cc) with c_id in [0, k). Same exact-integer argmin
+    * and tie-break as training-time assignment (shared code). */
+  def assignTo(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    assignAgainst(vecs.withColumn("xx", Similarity.dotL(col("q"), col("q"))),
+      cents, k)
+      .select(col("vec_id"), col("cluster"))
+
+  /** [[assignTo]] for a multi-subspace codebook (`m` rides the keys):
+    * `subVecs` = (vec_id, m, q); `cents` = (m, c_id, cvec, cc). Returns
+    * (vec_id, m, cluster) — the PQ codes of new vectors under frozen
+    * per-subspace codebooks. */
+  def assignToMulti(subVecs: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    subVecs
+      .withColumn("xx", Similarity.dotL(col("q"), col("q")))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        ((col("xx") + col("cc") - Similarity.dotL(col("q"), col("cvec")) * 2)
+          * k + col("c_id")).as("enc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("enc")).as("enc"))
+      .withColumn("cluster", col("enc") % k)
+      .select(col("vec_id"), col("m"), col("cluster"))
+
   /** (vec_id, cluster): final assignment against [[fit]]'s centroids —
     * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -498,6 +498,49 @@ object Similarity {
     codes.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
   }
 
+  /** Incrementally ADD vectors to a [[buildIvfpqIndex]] artifact — the
+    * streaming-ingest path (FAISS `add` on a trained index): the
+    * persisted codebooks are FROZEN (kilobytes, broadcast), each new
+    * vector coarse-assigns, residual-encodes, and PQ-assigns against
+    * them ([[KMeans.assignTo]]/[[assignToMulti]] — the same
+    * exact-integer argmin the trainer used), and the new codes APPEND
+    * to the bucket-partitioned codes relation (each micro-batch touches
+    * only the partitions its vectors land in). No retraining, no
+    * rewrite of existing codes; callers own vec_id uniqueness across
+    * batches, and codebook drift (when the corpus distribution moves)
+    * is handled by rebuilding the index — the standard operational
+    * contract. Composable into `foreachBatch` for continuous embedding
+    * ingest. */
+  def ivfpqIndexAdd(path: String, newVectors: DataFrame, dim: Int,
+                    m: Int = 4): Unit = {
+    val spark = newVectors.sparkSession
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val coarseCents = spark.read.parquet(s"$path/coarse")
+    val pqCents = spark.read.parquet(s"$path/pq")
+    // codebook sizes from the artifacts themselves (k rows; driver-side
+    // count of a kilobyte relation)
+    val nCoarse = coarseCents.count().toInt
+    val kSub = (pqCents.count() / m).toInt
+    val e = prepared(newVectors).where(col("norm") > 0)
+    val buckets = KMeans.assignTo(e.select(col("vec_id"), col("q")),
+      coarseCents, nCoarse)
+      .withColumnRenamed("cluster", "bucket")
+    val encoded = e.select(col("vec_id"), col("q"))
+      .join(buckets, "vec_id")
+      .join(broadcast(coarseCents.select(col("c_id").as("bucket"), col("cvec"))),
+        "bucket")
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("q"), col("cvec"), (x, y) => x - y).as("r"))
+    val subVecs = (0 until m).map(i =>
+      encoded.select(col("vec_id"), lit(i).as("m"),
+        slice(col("r"), i * subDim + 1, subDim).as("q")))
+      .reduce(_ unionByName _)
+    KMeans.assignToMulti(subVecs, pqCents, kSub)
+      .join(encoded.select(col("vec_id"), col("bucket")), "vec_id")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
   /** Probe a [[buildIvfpqIndex]] artifact: identical results to
     * [[ivfpqTopK]] at the same parameters (training is deterministic and
     * the probe logic is the SAME code), but the corpus-sized work reads

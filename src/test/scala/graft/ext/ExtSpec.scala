@@ -216,6 +216,48 @@ class ExtSpec extends SparkSuite {
       s"probed buckets did not partition-prune the codes scan:\n$plan")
   }
 
+  test("ivfpqIndexAdd appends codes for new vectors; pure-Scala argmin agrees with every code") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_add").toString + "/idx"
+    val a = clusteredVecs.where($"vec_id" < 120)
+    val b = clusteredVecs.where($"vec_id" >= 120)
+    Similarity.buildIvfpqIndex(a, dim = 16, nCoarse = 4,
+      m = 4, kSub = 16, iters = 1, path = path)
+    val before = spark.read.parquet(s"$path/codes").count()
+    Similarity.ivfpqIndexAdd(path, b, dim = 16, m = 4)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster", $"bucket".cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(codes.length == before + 80 * 4) // 80 new vectors × m codes
+
+    // independent reference: collect the (kilobyte) codebooks and the
+    // engine-quantized new vectors, recompute bucket + PQ codes with
+    // plain Scala integer argmin — frozen-codebook assignment verified
+    // against something that shares no code with the engine path
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .select($"c_id", $"cvec", $"cc")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val pq = spark.read.parquet(s"$path/pq")
+      .select($"m".cast("long"), $"c_id", $"cvec", $"cc")
+      .as[(Long, Long, Seq[Long], Long)].collect()
+    val qs = Similarity.prepared(b)
+      .select($"vec_id", $"q").as[(Long, Seq[Long])].collect().toMap
+    def dot(x: Seq[Long], y: Seq[Long]) = x.zip(y).map { case (u, v) => u * v }.sum
+    val got = codes.filter(_._1 >= 120)
+      .map { case (id, mm, cl, bk) => (id, mm) -> (cl, bk) }.toMap
+    for ((id, q) <- qs) {
+      val xx = dot(q, q)
+      val bucket = coarse.minBy { case (cid, cv, cc) => (xx + cc - 2 * dot(q, cv), cid) }._1
+      val r = q.zip(coarse(bucket.toInt)._2).map { case (x, y) => x - y }
+      for (m <- 0 until 4) {
+        val sub = r.slice(m * 4, m * 4 + 4)
+        val sxx = dot(sub, sub)
+        val code = pq.filter(_._1 == m)
+          .minBy { case (_, cid, cv, cc) => (sxx + cc - 2 * dot(sub, cv), cid) }._2
+        assert(got((id, m.toLong)) == (code, bucket), s"vec $id subspace $m")
+      }
+    }
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
