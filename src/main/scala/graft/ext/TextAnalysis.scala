@@ -307,6 +307,76 @@ object TextAnalysis {
     * needing it re-read the k-gram at (doc, start) and compare, one
     * point lookup per emitted span.
     */
+  /** Distributed BPE vocabulary training — the canonical subword-vocab
+    * induction step of every LLM preprocessing stack, as an iterative
+    * relational algorithm over the WORD HISTOGRAM (the classic
+    * formulation: merges operate on (word, count), so per-round cost is
+    * vocabulary-sized regardless of corpus size — at 100 TB the
+    * histogram aggregate is the only corpus-scale job, everything after
+    * is bounded by |vocab|):
+    *
+    *  per round r < nMerges:
+    *   1. adjacent symbol pairs of every word, weighted by word count —
+    *      one explode + hash aggregate (map-side partials);
+    *   2. best pair = max count, ties broken on (left, right) string
+    *      order — a driver-side head() of ONE row (the merge decision
+    *      IS driver state, same discipline as every trainer loop here);
+    *   3. apply the merge to every word's symbol array with a fold
+    *      (`aggregate` HOF — a left scan replacing [left, right] runs);
+    *      stop early when no pair repeats (freq < 2).
+    *
+    * Returns the merge table (rank, left, right, freq) — the vocab
+    * artifact a tokenizer consumes. Deterministic: counts are exact
+    * longs and the tie-break is total, so any engine/partitioning
+    * yields the identical table (NaiveCrossCheckSpec pins it against a
+    * textbook pure-Scala BPE). Not DuckDB-SQL-expressible as one query
+    * (the sequences thread through the merge loop), so q109 registers
+    * with the rows-only driver check and correctness rides the naive
+    * cross-check.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // split(w, "") keeps a trailing "" under Spark's limit=-1 — drop it
+      .select(col("n"), array_remove(split(col("w"), ""), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val pairs = words
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("n")).as("freq"))
+      val top = pairs.orderBy(col("freq").desc, col("l"), col("r")).head(1)
+      if (top.isEmpty || top.head.getAs[Long]("freq") < 2) done = true
+      else {
+        val (l, rr, f) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("freq"))
+        merges += ((r.toLong, l, rr, f))
+        // left-scan merge: append each symbol, collapsing a trailing
+        // [l, rr] into the merged token (matches the textbook greedy
+        // left-to-right application); symbols are SQL-escaped — corpus
+        // text can contain quotes
+        def esc(s: String) = s.replace("'", "''")
+        val merged = expr(
+          s"""aggregate(syms, cast(array() AS array<string>), (acc, x) ->
+             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' AND x = '${esc(rr)}'
+             |       THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + rr)}'))
+             |       ELSE concat(acc, array(x)) END)""".stripMargin)
+        words = words.select(col("n"), merged.as("syms")).localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
   def sharedSpans(docs: DataFrame, k: Int = 8,
                   maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

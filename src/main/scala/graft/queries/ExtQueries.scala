@@ -795,6 +795,18 @@ object ExtQueries {
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
+    // ── BPE vocabulary training (merge table after 30 rounds) ──────────
+    // The canonical subword-vocab induction, as iterative relational
+    // rounds over the WORD HISTOGRAM (per-round cost is vocab-sized,
+    // not corpus-sized). The merge loop threads transformed symbol
+    // arrays through driver-chosen merges, which one DuckDB query
+    // cannot replay — registered with the rows-only driver check;
+    // correctness rides the textbook pure-Scala cross-check
+    // (NaiveCrossCheckSpec) and determinism is total (exact counts,
+    // (freq desc, left, right) tie-break).
+    "q109_bpe_train" -> Q((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), nMerges = 30), None),
+
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +
     // language gate → exact first-wins dedup → eval decontamination →

@@ -139,6 +139,56 @@ class NaiveCrossCheckSpec extends SparkSuite {
     }
   }
 
+  // ── BPE training ───────────────────────────────────────────────────
+
+  /** Textbook BPE over a word histogram: count adjacent pairs weighted
+    * by word frequency, merge the (freq desc, left, right)-best pair
+    * with a greedy left scan, repeat. */
+  private def naiveBpe(words0: Map[String, Long], nMerges: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] =
+      words0.toSeq.map { case (w, n) => w.split("").toVector -> n }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0L
+    var done = false
+    while (r < nMerges && !done) {
+      val freqs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        freqs((syms(i), syms(i + 1))) += n
+      val best = freqs.toSeq.sortBy { case ((l, rr), f) => (-f, l, rr) }.headOption
+      best match {
+        case Some(((l, rr), f)) if f >= 2 =>
+          out += ((r, l, rr, f))
+          words = words.map { case (syms, n) =>
+            syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == rr)
+                acc.init :+ (l + rr)
+              else acc :+ x
+            } -> n
+          }
+        case _ => done = true
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches the textbook reference on random corpora, exactly and in order") {
+    val words = Vector("banana", "bandana", "ananas", "cabana", "nab", "ban")
+    for (seed <- 1 to 4) {
+      val rnd = new Random(500 + seed)
+      val docs = (0L until 40L).map { i =>
+        i -> Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val hist = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val got = TextAnalysis.bpeTrain(docs.toDF("doc_id", "text"), nMerges = 12)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      assert(got == naiveBpe(hist, 12), s"seed=$seed")
+    }
+  }
+
   test("capped jaccard emits a subset of the uncapped pairs with identical scores") {
     val words = Vector("w1", "w2", "w3", "boiler", "plate")
     val rnd = new Random(7)
