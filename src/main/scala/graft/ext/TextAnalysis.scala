@@ -377,6 +377,37 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** One greedy left-scan merge pass: collapse every [l, r] run in
+    * `arr` into the merged token — the Column-API form of the scan
+    * [[bpeTrain]] applies per round (shared semantics, two callers). */
+  private def scanMerge(arr: Column, l: String, r: String): Column =
+    aggregate(arr, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE ENCODE: segment text with a learned merge table ([[bpeTrain]]'s
+    * output, rank order) — the tokenizer's apply step. Per word: start
+    * from characters, apply each merge as a greedy left scan in rank
+    * order; pieces concatenate back to the exact word (lossless by
+    * construction — the scan only regroups, never rewrites).
+    *
+    * Scale shape: a pure narrow per-row expression tree (the merge
+    * table folds into |merges| nested codegen'd HOF scans at PLAN time
+    * — merges are driver-side vocab artifacts, exactly like the PQ
+    * codebooks); no shuffle, no state, composes into any projection.
+    * Emits (doc_id, n_pieces, pieces) with pieces "|"-joined.
+    */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val pieces = flatten(transform(split(col("text"), " "), w =>
+      merges.foldLeft(array_remove(split(w, ""), "")) {
+        case (acc, (l, r)) => scanMerge(acc, l, r)
+      }))
+    docs.select(col("doc_id"), pieces.as("p"))
+      .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
+        array_join(col("p"), "|").as("pieces"))
+  }
+
   def sharedSpans(docs: DataFrame, k: Int = 8,
                   maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -807,6 +807,20 @@ object ExtQueries {
     "q109_bpe_train" -> Q((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), nMerges = 30), None),
 
+    // ── BPE encode: segment the corpus with the learned merges ─────────
+    // Train (driver-side merge table, a vocab artifact like the PQ
+    // codebooks) then segment every document — a pure narrow expression
+    // tree, |merges| nested codegen scans, zero exchanges. Rows-only
+    // driver check; the naive reference pins exact pieces and the
+    // lossless-reconstruction law (NaiveCrossCheckSpec).
+    "q110_bpe_segment" -> Q((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(docs, nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegment(docs, merges)
+    }, None),
+
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +
     // language gate → exact first-wins dedup → eval decontamination →

@@ -189,6 +189,32 @@ class NaiveCrossCheckSpec extends SparkSuite {
     }
   }
 
+  test("bpeSegment matches naive application and reconstructs every word losslessly") {
+    val words = Vector("banana", "bandana", "ananas", "cabana", "nab", "ban")
+    val rnd = new Random(900)
+    val docs = (0L until 30L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val hist = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val merges = naiveBpe(hist, 10).map { case (_, l, r, _) => (l, r) }
+    def applyNaive(w: String): Vector[String] =
+      merges.foldLeft(w.split("").toVector) { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    val got = TextAnalysis.bpeSegment(docs.toDF("doc_id", "text"), merges)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    for ((id, text) <- docs) {
+      val pieces = text.split(" ").toVector.flatMap(applyNaive)
+      assert(got(id) == (pieces.length.toLong, pieces.mkString("|")), s"doc $id")
+      // lossless: pieces concatenate back to the original words
+      assert(pieces.mkString == text.replace(" ", ""), s"doc $id")
+    }
+  }
+
   test("capped jaccard emits a subset of the uncapped pairs with identical scores") {
     val words = Vector("w1", "w2", "w3", "boiler", "plate")
     val rnd = new Random(7)
