@@ -337,12 +337,19 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the histogram aggregate is the ONLY corpus-scale job; the loop
+    // then iterates over a VOCAB-sized relation — coalesce it to one
+    // partition so each round is one task of fixed work instead of a
+    // session-width fan of empty tasks (at a truly giant vocabulary,
+    // drop the coalesce: every round stays a correct distributed
+    // aggregate, just wider)
     var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       // split(w, "") keeps a trailing "" under Spark's limit=-1 — drop it
       .select(col("n"), array_remove(split(col("w"), ""), "").as("syms"))
+      .coalesce(1)
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
@@ -377,35 +384,44 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
-  /** One greedy left-scan merge pass: collapse every [l, r] run in
-    * `arr` into the merged token — the Column-API form of the scan
-    * [[bpeTrain]] applies per round (shared semantics, two callers). */
-  private def scanMerge(arr: Column, l: String, r: String): Column =
-    aggregate(arr, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
-
   /** BPE ENCODE: segment text with a learned merge table ([[bpeTrain]]'s
     * output, rank order) — the tokenizer's apply step. Per word: start
     * from characters, apply each merge as a greedy left scan in rank
     * order; pieces concatenate back to the exact word (lossless by
     * construction — the scan only regroups, never rewrites).
     *
-    * Scale shape: a pure narrow per-row expression tree (the merge
-    * table folds into |merges| nested codegen'd HOF scans at PLAN time
-    * — merges are driver-side vocab artifacts, exactly like the PQ
-    * codebooks); no shuffle, no state, composes into any projection.
-    * Emits (doc_id, n_pieces, pieces) with pieces "|"-joined.
+    * Scale shape: a pure narrow per-row kernel in `mapPartitions` — the
+    * justified imperative exception (same rule as the farbfeld codec):
+    * tokenization is |merges| sequential in-place scans per word, which
+    * Catalyst can only express as |merges| NESTED interpreted HOF
+    * lambdas — measured 26 s for 5k docs × 30 merges where this
+    * compiled loop is sub-second. The merge table ships as a closure
+    * (driver-side vocab artifact, like the PQ codebooks); no shuffle,
+    * no state. Emits (doc_id, n_pieces, pieces) with pieces "|"-joined.
     */
   def bpeSegment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val pieces = flatten(transform(split(col("text"), " "), w =>
-      merges.foldLeft(array_remove(split(w, ""), "")) {
-        case (acc, (l, r)) => scanMerge(acc, l, r)
-      }))
-    docs.select(col("doc_id"), pieces.as("p"))
-      .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
-        array_join(col("p"), "|").as("pieces"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (w <- text.split(" ") if w.nonEmpty) {
+          var syms: scala.collection.mutable.ArrayBuffer[String] =
+            scala.collection.mutable.ArrayBuffer(w.split(""): _*)
+          for ((l, r) <- table) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (x <- syms) {
+              if (out.nonEmpty && out.last == l && x == r)
+                out(out.length - 1) = l + r
+              else out += x
+            }
+            syms = out
+          }
+          pieces ++= syms
+        }
+        (id, pieces.length.toLong, pieces.mkString("|"))
+      }).toDF("doc_id", "n_pieces", "pieces")
   }
 
   def sharedSpans(docs: DataFrame, k: Int = 8,
@@ -420,11 +436,15 @@ object TextAnalysis {
           array_join(slice(t, i + 1, lit(k)), " ").as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"),
         Dedup.hash64(col("g.gram")).as("gh"))
+    // laid out by gram hash so the self-join's two (identical) subtrees
+    // canonicalize to ONE exchange (ReusedExchange) — the bandedFlat trick
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
     val cold = grams.join(
       grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") <= maxDf).select(col("gh")),
       "gh")
+      .repartition(p, col("gh"))
     val hits = cold.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
       .join(cold.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pos_b")),
         "gh")
