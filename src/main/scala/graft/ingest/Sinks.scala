@@ -33,6 +33,39 @@ object Sinks {
   def idList(df: DataFrame, idCol: String, dir: String): Unit =
     df.select(col(idCol).cast("string")).write.mode("overwrite").text(dir)
 
+  /** Compact a parquet directory that append-mode sinks have shattered
+    * into small files (streaming foreachBatch appends one-file-per-
+    * task-per-batch — after a day of micro-batches a 100 TB pipeline's
+    * sink is small-file soup that slows every scan by open/footer
+    * overhead). Rewrites the dir at `filesTarget` files (plus hive
+    * partition structure if `partitionCols` given, consolidated per
+    * partition), atomically-ish via a sibling temp dir + rename —
+    * readers see either the old layout or the new one, never a partial
+    * mix. Returns (filesBefore, filesAfter) for observability. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              filesTarget: Int, partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(path)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    fs.delete(tmp, true)
+    mart(spark.read.parquet(dir), tmp.toString,
+      partitionCols = partitionCols, files = filesTarget)
+    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"compact: could not stage $dir aside")
+    require(fs.rename(tmp, path), s"compact: could not move compacted dir into $dir")
+    fs.delete(old, true)
+    (before, countFiles(path))
+  }
+
   /** K7/K8: columnar mart write; optional hot-key partitioning and an
     * in-partition sort so parquet/orc min/max stats prune point lookups
     * (the analog of the reference's composite B-tree indexes). `format`

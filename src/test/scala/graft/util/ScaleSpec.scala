@@ -63,6 +63,19 @@ class ScaleSpec extends SparkSuite {
     assert(spark.read.parquet(part).count() == 1000)
   }
 
+  test("compact consolidates a shattered append sink, preserving rows exactly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compact").toString + "/sink"
+    // simulate many micro-batch appends → many small files
+    for (b <- 0 until 12)
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(2).write.mode("append").parquet(dir)
+    val wantRows = spark.read.parquet(dir).collect().toSet
+    val (before, after) = graft.ingest.Sinks.compact(spark, dir, filesTarget = 3)
+    assert(before >= 12 && after == 3, s"$before -> $after")
+    assert(spark.read.parquet(dir).collect().toSet == wantRows)
+  }
+
   test("widen repartitions a narrow leaf up to numShufflePartitions") {
     val narrow = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
     val p = spark.sessionState.conf.numShufflePartitions
