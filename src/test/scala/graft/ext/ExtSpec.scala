@@ -17,6 +17,15 @@ class ExtSpec extends SparkSuite {
     assert(Similarity.pqTopK(noVecs, dim = 64, nQueries = 4, k = 3).count() == 0)
     assert(Similarity.ivfpqTopK(noVecs, dim = 64, nCoarse = 4, nQueries = 4, k = 3)
       .count() == 0)
+    // round-5 ops: empty and degenerate inputs stay empty, no crash
+    assert(TextAnalysis.sharedSpans(noDocs, k = 8).count() == 0)
+    assert(TextAnalysis.bpeTrain(noDocs, nMerges = 5).count() == 0)
+    assert(TextAnalysis.bpeSegment(noDocs, Seq(("a", "b"))).count() == 0)
+    assert(Sampling.capPerGroup(noDocs.withColumnRenamed("text", "lang"),
+      "doc_id", "lang", k = 3).count() == 0)
+    // single-char words produce no BPE pairs → empty merge table
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tiny, nMerges = 5).count() == 0)
   }
 
   test("daily resample: gaps get forward-filled rows, observed days keep their counts") {

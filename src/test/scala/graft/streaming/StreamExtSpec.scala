@@ -53,4 +53,45 @@ class StreamExtSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed.size < 80)   // sampling really dropped rows
     assert(streamed == batch)
   }
+
+  test("continuous ANN ingest: foreachBatch(ivfpqIndexAdd) extends a deployed index per micro-batch") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def vec(): Array[Float] = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val seedVecs = (0L until 60L).map(i => (i, vec()))
+    // vector 99 = a jittered copy of vector 0 — after ingest it must
+    // surface as query 0's nearest neighbor through the PERSISTED index
+    val streamVecs = (60L until 99L).map(i => (i, vec())) :+
+      (99L, seedVecs.head._2.map(x => x + 0.01f))
+    val idx = Files.createTempDirectory("stream_ivfpq").toString + "/idx"
+    Similarity.buildIvfpqIndex(seedVecs.toDF("vec_id", "embedding"),
+      dim = 16, nCoarse = 4, m = 4, kSub = 16, iters = 1, path = idx)
+
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vecJson(id: Long, v: Array[Float]): String =
+      s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
+    val src = Files.createTempDirectory("stream_ivfpq_src").toString
+    val q = spark.readStream.schema(embSchema).json(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfpqIndexAdd(idx, batch, dim = 16, m = 4)
+      }.start()
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      streamVecs.take(20).map((vecJson _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable()
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      streamVecs.drop(20).map((vecJson _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 100L * 4) // seed 60 + streamed 40, m=4 codes each
+    val corpus = (seedVecs ++ streamVecs).toDF("vec_id", "embedding")
+    val top = Similarity.ivfpqTopKFromIndex(idx, corpus, dim = 16,
+      nQueries = 1, k = 3, m = 4, nprobe = 4, shortlist = 100)
+      .where($"q_id" === 0L && $"rank" === 1L)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(99L), s"streamed near-dup not found: ${top.toSeq}")
+  }
 }
