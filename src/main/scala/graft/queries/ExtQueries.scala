@@ -795,6 +795,18 @@ object ExtQueries {
          |WHERE ${Sampling.bucketSql("doc_id", "strat")}
          |    < ${Sampling.rateSql("lang", StratRates, 25)}""".stripMargin),
 
+    // ── audio modality: WAV decode → per-frame energy features ─────────
+    // The second real multimodal codec beside farbfeld (q44/q102):
+    // canonical RIFF/PCM blobs rendered from the text, parsed back
+    // (magic-checked little-endian header), and frame-level energies
+    // (Σ sample², exact longs) emitted relationally — the feature shape
+    // silence-trimming / activity-window pipelines consume. Oracle
+    // replays the sample stream from the text.
+    "q111_audio_frames" -> Q(
+      (s, dir) => Multimodal.wavFrameEnergies(
+        Multimodal.encodeWav(Tables.documents(s, dir)), frameLen = 25),
+      Multimodal.wavFramesOracleSql(frameLen = 25)),
+
     // ── BPE vocabulary training (merge table after 30 rounds) ──────────
     // The canonical subword-vocab induction, as iterative relational
     // rounds over the WORD HISTOGRAM (per-round cost is vocab-sized,

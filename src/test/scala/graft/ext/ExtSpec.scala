@@ -517,6 +517,33 @@ class ExtSpec extends SparkSuite {
     assert(spans.forall(_._5 >= 8L))
   }
 
+  test("wav codec: real RIFF header round-trips; frame energies match direct computation") {
+    val text = "abc"
+    val d = Seq((7L, text)).toDF("doc_id", "text")
+    val blob = Multimodal.encodeWav(d).collect().head.media
+    // the blob IS a canonical WAV: RIFF/WAVE magic, PCM, mono, 8 kHz, 16-bit
+    assert(new String(blob.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blob.slice(8, 16), "US-ASCII") == "WAVEfmt ")
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort(20) == 1 && bb.getShort(22) == 1)
+    assert(bb.getInt(24) == Multimodal.WavRate && bb.getShort(34) == 16)
+    val n = bb.getInt(40) / 2
+    assert(n == 100 + 7 % 50 && blob.length == 44 + 2 * n)
+    // frame energies equal a direct driver-side replay of the synth rule
+    val got = Multimodal.wavFrameEnergies(Multimodal.encodeWav(d), frameLen = 25)
+      .select("frame", "frame_n", "energy").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val samples = (0 until n).map(j => (text.codePointAt(j % 3) % 65536 - 32768).toLong)
+    val want = samples.grouped(25).zipWithIndex
+      .map { case (fr, f) => (f.toLong, fr.length.toLong, fr.map(s => s * s).sum) }
+      .toSeq
+    assert(got == want)
+    // malformed blobs fail loudly, same contract as the image decoder
+    val bad = Multimodal.encodeWav(d).map(r => r.copy(media = r.media.drop(4)))
+    val e = intercept[Exception] { Multimodal.wavFrameEnergies(bad).count() }
+    assert(e.getMessage.contains("RIFF"), e.getMessage)
+  }
+
   test("decontaminate drops eval docs and any doc sharing an n-gram with them") {
     // doc 3 shares "quick brown fox" with eval doc 1; doc 4 is clean
     val eval = docs.where($"doc_id" === 1)
