@@ -288,6 +288,92 @@ object Multimodal {
     }).toDF("doc_id", "sample_rate", "n_samples", "frame", "frame_n", "energy")
   }
 
+  // ── video modality: frame container + frame sampling ────────────────
+
+  /** Frames per document — deterministic like the other render rules. */
+  private[ext] def videoFrames(docId: Long): Int = (3 + docId % 4).toInt
+
+  /** documents → multi-frame video blobs: a minimal container (magic
+    * "gfv1", big-endian u32 frame count) holding CONCATENATED farbfeld
+    * frames — frame f is the document's image with every 16-bit channel
+    * offset by f (a deterministic "animation"), each frame a complete,
+    * independently-decodable farbfeld unit. Opaque binary column with
+    * typed metadata, exactly like image/audio. */
+  def encodeVideo(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val cps = text.codePoints().toArray
+        val (w, h) = renderDims(cps.length.toLong, docId)
+        val nf = videoFrames(docId)
+        val frameBytes = 16 + 8 * w * h
+        val bb = ByteBuffer.allocate(8 + nf * frameBytes)
+        bb.put("gfv1".getBytes("US-ASCII")).putInt(nf)
+        for (f <- 0 until nf) {
+          bb.put(Magic).putInt(w).putInt(h)
+          var j = 0
+          while (j < w * h) {
+            val base = if (cps.isEmpty) 0 else cps(j % cps.length) % 65536
+            val v = (base + f) % 65536
+            bb.putShort(v.toShort).putShort(v.toShort).putShort(v.toShort)
+            bb.putShort(0xffff.toShort)
+            j += 1
+          }
+        }
+        MediaRow(docId, bb.array(), "video/gfv1")
+      })
+  }
+
+  /** FRAME SAMPLING — the video analog of image decode: parse the
+    * container, decode every `everyK`-th frame (each a full farbfeld
+    * parse, magic-checked), and emit one feature row per sampled frame
+    * (doc_id, frame_idx, width, height, luma of the frame's first
+    * pixel). The pattern a video pipeline runs before any model sees
+    * pixels: blobs stay columnar, only sampled-frame features enter
+    * the relational plan. `mapPartitions` — binary codec, the
+    * justified exception. */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val bb = ByteBuffer.wrap(r.media)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(new String(magic, "US-ASCII") == "gfv1",
+        s"doc ${r.doc_id}: not a gfv1 container")
+      val nf = bb.getInt
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var f = 0
+      while (f < nf) {
+        val fm = new Array[Byte](8); bb.get(fm)
+        require(java.util.Arrays.equals(fm, Magic),
+          s"doc ${r.doc_id}: frame $f is not farbfeld")
+        val w = bb.getInt
+        val h = bb.getInt
+        if (f % everyK == 0) {
+          val luma = if (w * h > 0) (bb.getShort(bb.position()) & 0xffff).toLong else 0L
+          frames += ((r.doc_id, f.toLong, w.toLong, h.toLong, luma))
+        }
+        bb.position(bb.position() + 8 * w * h) // skip pixel payload
+        f += 1
+      }
+      frames
+    }).toDF("doc_id", "frame_idx", "width", "height", "luma")
+  }
+
+  /** DuckDB oracle for [[sampleFrames]]∘[[encodeVideo]] over
+    * `documents` — dims/frame-count/luma replayed from the text and
+    * the render rules. */
+  def frameSampleOracleSql(everyK: Int): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS ncp,
+       |    cast(8 + length(text) % 16 AS BIGINT) AS w,
+       |    cast(4 + doc_id % 8 AS BIGINT) AS h,
+       |    cast(3 + doc_id % 4 AS BIGINT) AS nf FROM documents)
+       |SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+       |  cast(((CASE WHEN ncp = 0 THEN 0
+       |              ELSE unicode(substr(text, 1, 1)) % 65536 END) + f) % 65536
+       |    AS BIGINT) AS luma
+       |FROM d, range(0, 8) t(f)
+       |WHERE f < nf AND f % $everyK = 0""".stripMargin
+
   /** DuckDB oracle for [[wavFrameEnergies]]∘[[encodeWav]] over
     * `documents`: the sample stream is deterministic in the text (like
     * [[dhashCtes]]), so frames replay via a range join + group-by —

@@ -807,6 +807,17 @@ object ExtQueries {
         Multimodal.encodeWav(Tables.documents(s, dir)), frameLen = 25),
       Multimodal.wavFramesOracleSql(frameLen = 25)),
 
+    // ── video modality: frame container → every-k frame sampling ───────
+    // Completes the image/audio/video triple: multi-frame containers of
+    // independently-decodable farbfeld frames, sampled every k frames
+    // into per-frame feature rows — blobs stay columnar, only sampled
+    // features enter the plan. Oracle replays dims/frame-count/luma
+    // from the render rules.
+    "q112_video_frame_sample" -> Q(
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.encodeVideo(Tables.documents(s, dir)), everyK = 2),
+      Multimodal.frameSampleOracleSql(everyK = 2)),
+
     // ── BPE vocabulary training (merge table after 30 rounds) ──────────
     // The canonical subword-vocab induction, as iterative relational
     // rounds over the WORD HISTOGRAM (per-round cost is vocab-sized,

@@ -544,6 +544,18 @@ class ExtSpec extends SparkSuite {
     assert(e.getMessage.contains("RIFF"), e.getMessage)
   }
 
+  test("video container: every-k sampling decodes the right frames and fails loudly when corrupt") {
+    val d = Seq((5L, "hello world")).toDF("doc_id", "text")
+    // doc 5: 11 codepoints → 19×9 frames, 3 + 5%4 = 4 frames; k=2 → frames 0, 2
+    val got = Multimodal.sampleFrames(Multimodal.encodeVideo(d), everyK = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val h = 'h'.toLong // first pixel base = codepoint of 'h', +frame offset
+    assert(got == Set((5L, 0L, 19L, 9L, h), (5L, 2L, 19L, 9L, h + 2)))
+    val bad = Multimodal.encodeVideo(d).map(r => r.copy(media = r.media.drop(2)))
+    val e = intercept[Exception] { Multimodal.sampleFrames(bad).count() }
+    assert(e.getMessage.contains("gfv1"), e.getMessage)
+  }
+
   test("decontaminate drops eval docs and any doc sharing an n-gram with them") {
     // doc 3 shares "quick brown fox" with eval doc 1; doc 4 is clean
     val eval = docs.where($"doc_id" === 1)
