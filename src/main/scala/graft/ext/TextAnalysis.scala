@@ -329,10 +329,8 @@ object TextAnalysis {
     * artifact a tokenizer consumes. Deterministic: counts are exact
     * longs and the tie-break is total, so any engine/partitioning
     * yields the identical table (NaiveCrossCheckSpec pins it against a
-    * textbook pure-Scala BPE). Not DuckDB-SQL-expressible as one query
-    * (the sequences thread through the merge loop), so q109 registers
-    * with the rows-only driver check and correctness rides the naive
-    * cross-check.
+    * textbook pure-Scala BPE, and [[bpeTrainOracleSql]] replays every
+    * training round in DuckDB for the driver gate).
     */
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -369,14 +367,16 @@ object TextAnalysis {
         merges += ((r.toLong, l, rr, f))
         // left-scan merge: append each symbol, collapsing a trailing
         // [l, rr] into the merged token (matches the textbook greedy
-        // left-to-right application); symbols are SQL-escaped — corpus
-        // text can contain quotes
-        def esc(s: String) = s.replace("'", "''")
-        val merged = expr(
-          s"""aggregate(syms, cast(array() AS array<string>), (acc, x) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' AND x = '${esc(rr)}'
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + rr)}'))
-             |       ELSE concat(acc, array(x)) END)""".stripMargin)
+        // left-to-right application). Typed HOF API — the symbols ride
+        // as lit() columns, so corpus text needs no SQL escaping at all
+        // (quotes, backslashes, anything).
+        val merged = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+            .otherwise(concat(acc, array(x))))
         words = words.select(col("n"), merged.as("syms")).localCheckpoint(true)
       }
       r += 1
@@ -422,6 +422,105 @@ object TextAnalysis {
         }
         (id, pieces.length.toLong, pieces.mkString("|"))
       }).toDF("doc_id", "n_pieces", "pieces")
+  }
+
+  // ── BPE DuckDB oracles: the training recurrence unrolled into CTEs ──
+  //
+  // The key identity that makes BPE SQL-expressible: the greedy
+  // left-to-right merge scan (collapse every [l, r] run, leftmost
+  // first, no re-merge of the token it just created — l+r never equals
+  // l since r is non-empty) is EXACTLY "replace the leftmost
+  // non-overlapping occurrences of the pair". So a word's symbol array
+  // rides as a delimited string — each symbol wrapped in chr(31)
+  // sentinels, i.e. [a,b] ⇒ ␟a␟␟b␟ — and one `replace(s, ␟l␟␟r␟,
+  // ␟lr␟)` applies a whole merge round: the doubled inner sentinel
+  // means adjacent matches can't share a boundary character, and
+  // symbols never contain chr(31), so matches align exactly with
+  // symbol pairs. Each round is then three CTEs: pair histogram
+  // (explode adjacent pairs weighted by word count), argmax with the
+  // (freq DESC, l, r) tie-break, and the replace; the merge decision
+  // feeds forward as scalar subqueries — the same round-unrolling
+  // discipline as KMeans.ivfpqOracleSql and the PageRank recurrence.
+  // MATERIALIZED is load-bearing twice over: it stops DuckDB's CTE
+  // inlining from going exponential in nMerges, and it keeps the
+  // parquet-backed `documents` view from being re-opened per round.
+  private val Sep = "chr(31)"
+  private val SepSep = s"$Sep||$Sep"
+
+  /** chr(31)-delimited character-split of a (SQL expression) string. */
+  private def delimSql(e: String): String =
+    s"$Sep||array_to_string(string_split($e, ''), $SepSep)||$Sep"
+
+  /** The shared training CTE chain: s0 (word histogram as delimited
+    * strings), then per round r: p{r} pair counts, b{r} best pair,
+    * s{r+1} merged histogram. b{r} is empty once training stops
+    * (freq < 2) — the CASE guard makes every later round a no-op,
+    * matching the Spark loop's early exit.
+    */
+  private def bpeTrainCtes(nMerges: Int): Seq[String] = {
+    val s0 =
+      s"""s0 AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n,
+         |  ${delimSql("w")} AS s
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    s0 +: (0 until nMerges).flatMap { r =>
+      Seq(
+        s"""p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
+           |  cast(sum(n) AS BIGINT) AS freq
+           |  FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+           |        FROM (SELECT n, string_split(trim(s, $Sep), $SepSep) AS syms
+           |              FROM s$r))
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$r AS MATERIALIZED (SELECT l, r, freq FROM p$r
+           |  WHERE freq >= 2 ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin,
+        s"""s${r + 1} AS MATERIALIZED (SELECT n, ${mergeRoundSql(r)} AS s
+           |  FROM s$r)""".stripMargin)
+    }
+  }
+
+  /** One merge round as a guarded replace over delimited string `s`. */
+  private def mergeRoundSql(r: Int): String =
+    s"""CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN s
+       |  ELSE replace(s, (SELECT $Sep||l||$SepSep||r||$Sep FROM b$r),
+       |                  (SELECT $Sep||l||r||$Sep FROM b$r)) END""".stripMargin
+
+  /** DuckDB oracle for [[bpeTrain]]: emits (rank, left, right, freq). */
+  def bpeTrainOracleSql(nMerges: Int): String = {
+    val union = (0 until nMerges).map { r =>
+      s"""SELECT cast($r AS BIGINT) AS "rank", l AS "left", r AS "right", freq FROM b$r"""
+    }.mkString("\nUNION ALL ")
+    s"WITH ${bpeTrainCtes(nMerges).mkString(",\n")}\nSELECT * FROM ($union)"
+  }
+
+  /** DuckDB oracle for [[bpeSegment]] over merges learned by
+    * [[bpeTrain]] on the same corpus: re-runs the training CTEs, then
+    * applies every round's replace to each word of each document in
+    * rank order and stitches pieces back in word order — emitting
+    * (doc_id, n_pieces, pieces) exactly like the Spark kernel.
+    */
+  def bpeSegmentOracleSql(nMerges: Int): String = {
+    val d0 =
+      s"""d0 AS MATERIALIZED (SELECT doc_id, wi, ${delimSql("w")} AS s
+         |  FROM (SELECT doc_id, t[i] AS w, i AS wi
+         |        FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |                    FROM documents)))
+         |  WHERE len(w) > 0)""".stripMargin
+    val rounds = (0 until nMerges).map { r =>
+      s"""d${r + 1} AS MATERIALIZED (SELECT doc_id, wi, ${mergeRoundSql(r)} AS s
+         |  FROM d$r)""".stripMargin
+    }
+    val agg =
+      s"""agg AS MATERIALIZED (SELECT doc_id, cast(sum(len(p)) AS BIGINT) AS n_pieces,
+         |  string_agg(array_to_string(p, '|'), '|' ORDER BY wi) AS pieces
+         |  FROM (SELECT doc_id, wi, string_split(trim(s, $Sep), $SepSep) AS p
+         |        FROM d$nMerges)
+         |  GROUP BY doc_id)""".stripMargin
+    val ctes = (bpeTrainCtes(nMerges) ++ (d0 +: rounds) :+ agg).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT d.doc_id, coalesce(a.n_pieces, cast(0 AS BIGINT)) AS n_pieces,
+       |       coalesce(a.pieces, '') AS pieces
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
   def sharedSpans(docs: DataFrame, k: Int = 8,

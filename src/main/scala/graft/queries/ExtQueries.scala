@@ -821,20 +821,23 @@ object ExtQueries {
     // ── BPE vocabulary training (merge table after 30 rounds) ──────────
     // The canonical subword-vocab induction, as iterative relational
     // rounds over the WORD HISTOGRAM (per-round cost is vocab-sized,
-    // not corpus-sized). The merge loop threads transformed symbol
-    // arrays through driver-chosen merges, which one DuckDB query
-    // cannot replay — registered with the rows-only driver check;
-    // correctness rides the textbook pure-Scala cross-check
-    // (NaiveCrossCheckSpec) and determinism is total (exact counts,
-    // (freq desc, left, right) tie-break).
+    // not corpus-sized). Driver-verified end to end: the oracle unrolls
+    // every training round into CTEs — pair histogram, (freq desc,
+    // left, right) argmax, and the merge applied as a sentinel-
+    // delimited string replace (see TextAnalysis.bpeTrainOracleSql for
+    // why replace IS the greedy scan) — the ivfpqOracleSql/PageRank
+    // round-unrolling discipline. NaiveCrossCheckSpec additionally pins
+    // the table against a textbook pure-Scala BPE.
     "q109_bpe_train" -> Q((s, dir) =>
-      TextAnalysis.bpeTrain(Tables.documents(s, dir), nMerges = 30), None),
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), nMerges = 30),
+      TextAnalysis.bpeTrainOracleSql(nMerges = 30)),
 
     // ── BPE encode: segment the corpus with the learned merges ─────────
     // Train (driver-side merge table, a vocab artifact like the PQ
-    // codebooks) then segment every document — a pure narrow expression
-    // tree, |merges| nested codegen scans, zero exchanges. Rows-only
-    // driver check; the naive reference pins exact pieces and the
+    // codebooks) then segment every document — a pure narrow compiled
+    // kernel, zero exchanges. The oracle re-derives the merge table via
+    // the same unrolled CTEs and replays segmentation per word in rank
+    // order; the naive reference additionally pins exact pieces and the
     // lossless-reconstruction law (NaiveCrossCheckSpec).
     "q110_bpe_segment" -> Q((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -842,7 +845,7 @@ object ExtQueries {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeSegment(docs, merges)
-    }, None),
+    }, TextAnalysis.bpeSegmentOracleSql(nMerges = 30)),
 
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +
