@@ -523,6 +523,40 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Exact substring-dedup REWRITE — consumes [[sharedSpans]] and
+    * actually removes the repeated text: for every maximal shared span,
+    * the occurrence in the LOWER doc_id survives (first-wins, the P7
+    * convention) and the higher doc's copy is cut; a doc's surviving
+    * tokens re-join into the rewritten text. Emits
+    * (doc_id, n_removed, text_clean) for every input doc — docs with no
+    * duplicated spans pass through byte-for-byte with n_removed = 0.
+    *
+    * Shape: the span relation groups into one small interval array per
+    * affected doc (bounded by the df cap's candidate economics — a doc
+    * can carry at most its-token-count intervals), which rides a LEFT
+    * join back onto the corpus; the rewrite is a positional `filter`
+    * HOF with an `exists` over that array — overlap between intervals
+    * needs no merge pass, coverage is just the disjunction. One
+    * shuffle beyond sharedSpans' own (the per-doc interval groupBy);
+    * the corpus-side join is doc_id-keyed.
+    */
+  def cutSharedSpans(docs: DataFrame, k: Int = 8,
+                     maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+    val cuts = sharedSpans(docs, k, maxDf)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("len_tokens")).as("e"))).as("ivs"))
+    val toks = split(col("text"), " ")
+    val ivs = coalesce(col("ivs"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(toks, (x, i) =>
+      !exists(ivs, iv => i >= iv.getField("s") && i < iv.getField("e")))
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("text_clean"))
+  }
+
   def sharedSpans(docs: DataFrame, k: Int = 8,
                   maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

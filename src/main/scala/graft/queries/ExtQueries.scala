@@ -18,6 +18,33 @@ object ExtQueries {
   private def sqlHash64(e: String): String =
     s"cast(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared-span CTE chain (TextAnalysis.sharedSpans' oracle): token
+    * grams → df cap → positioned self-join → diagonal gaps-and-islands →
+    * maximal spans. Ends with `toks` (doc_id, t) and `spans`
+    * (doc_a, doc_b, start_a, start_b, len_tokens) in scope — q107
+    * SELECTs spans directly, q113 chains the cut arithmetic on top. */
+  private def sharedSpansCtes(k: Int,
+                              maxDf: Int = Dedup.DefaultMaxShingleDf): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (SELECT doc_id, i - 1 AS pos,
+       |    ${sqlHash64(s"array_to_string(t[i:i+${k - 1}], ' ')")} AS gh
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
+       |        FROM toks WHERE len(t) >= $k)),
+       |cold AS (SELECT * FROM grams WHERE gh IN
+       |  (SELECT gh FROM grams GROUP BY gh
+       |   HAVING count(DISTINCT doc_id) <= $maxDf)),
+       |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, b.pos AS pos_b
+       |  FROM cold a JOIN cold b USING (gh) WHERE a.doc_id < b.doc_id),
+       |isl AS (SELECT *, pos_a - pos_b AS diag,
+       |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+       |                               ORDER BY pos_a) AS island
+       |  FROM hits),
+       |spans AS (SELECT doc_a, doc_b, cast(min(pos_a) AS BIGINT) AS start_a,
+       |  cast(min(pos_b) AS BIGINT) AS start_b,
+       |  cast(max(pos_a) - min(pos_a) + $k AS BIGINT) AS len_tokens
+       |FROM isl GROUP BY doc_a, doc_b, diag, island)""".stripMargin
+
   private val shingleBase5 =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
@@ -946,29 +973,37 @@ object ExtQueries {
     // join, and the gaps-and-islands merge.
     "q107_shared_spans" -> Q(
       (s, dir) => TextAnalysis.sharedSpans(Tables.documents(s, dir), k = 8),
-      {
-        val k = 8
-        val maxDf = Dedup.DefaultMaxShingleDf
-        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           |grams AS (SELECT doc_id, i - 1 AS pos,
-           |    ${sqlHash64(s"array_to_string(t[i:i+${k - 1}], ' ')")} AS gh
-           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
-           |        FROM toks WHERE len(t) >= $k)),
-           |cold AS (SELECT * FROM grams WHERE gh IN
-           |  (SELECT gh FROM grams GROUP BY gh
-           |   HAVING count(DISTINCT doc_id) <= $maxDf)),
-           |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    a.pos AS pos_a, b.pos AS pos_b
-           |  FROM cold a JOIN cold b USING (gh) WHERE a.doc_id < b.doc_id),
-           |isl AS (SELECT *, pos_a - pos_b AS diag,
-           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
-           |                               ORDER BY pos_a) AS island
-           |  FROM hits)
-           |SELECT doc_a, doc_b, cast(min(pos_a) AS BIGINT) AS start_a,
-           |  cast(min(pos_b) AS BIGINT) AS start_b,
-           |  cast(max(pos_a) - min(pos_a) + $k AS BIGINT) AS len_tokens
-           |FROM isl GROUP BY doc_a, doc_b, diag, island""".stripMargin
-      }),
+      s"""WITH ${sharedSpansCtes(k = 8)}
+         |SELECT doc_a, doc_b, start_a, start_b, len_tokens FROM spans""".stripMargin),
+
+    // ── exact substring-dedup REWRITE (consumes q107's spans) ──────────
+    // The step that actually removes the duplicated text: q107 finds
+    // maximal shared spans, this cuts every higher-doc occurrence
+    // (first-wins by doc_id) and re-joins the survivors — emitting the
+    // rewritten corpus plus an audit count per doc. The oracle chains
+    // the SAME span CTEs with the cut arithmetic (covered positions via
+    // an interval join, survivors re-stitched in position order), so
+    // the driver hash-verifies detection AND rewrite end-to-end.
+    "q113_span_dedup_rewrite" -> Q(
+      (s, dir) => TextAnalysis.cutSharedSpans(Tables.documents(s, dir), k = 8),
+      s"""WITH ${sharedSpansCtes(k = 8)},
+         |cuts AS (SELECT doc_b AS doc_id, start_b AS s,
+         |    start_b + len_tokens AS e FROM spans),
+         |tpos AS (SELECT doc_id, t[i] AS tok, i - 1 AS pos
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+         |cutpos AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tpos tp
+         |  JOIN cuts c ON tp.doc_id = c.doc_id
+         |    AND tp.pos >= c.s AND tp.pos < c.e),
+         |kept AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tpos tp
+         |  LEFT JOIN cutpos cp ON tp.doc_id = cp.doc_id AND tp.pos = cp.pos
+         |  WHERE cp.pos IS NULL),
+         |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  cast(len(t.t) - coalesce(st.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(st.text_clean, '') AS text_clean
+         |FROM toks t LEFT JOIN stitched st USING (doc_id)""".stripMargin),
 
     // ── per-group cap: at most k docs per language, hash-deterministic ─
     // The exact-k class-balancing cap (rate samplers cap only in

@@ -542,6 +542,33 @@ class ExtSpec extends SparkSuite {
     assert(spans.forall(_._5 >= 8L))
   }
 
+  test("span-dedup rewrite: planted duplicate spans vanish, everything else survives byte-for-byte") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val s2 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared tail1 tail2"),
+      (3L, "unrelated words only nothing here repeats at all ever"),
+      (4L, s"$s2 filler $s2"),
+      (5L, s"pre $s2 post1 post2")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cutSharedSpans(d, k = 8)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 5) // every input doc appears exactly once
+    // first occurrence (lowest doc_id) always survives intact
+    assert(got(1L) == ((0L, s"alpha beta $shared gamma delta")))
+    // doc 2's copy of the 12-token span is cut; its own tail survives
+    assert(got(2L) == ((12L, "tail1 tail2")))
+    // a doc with no shared spans passes through byte-for-byte
+    assert(got(3L) == ((0L, "unrelated words only nothing here repeats at all ever")))
+    // doc 4 is the lower id of its pair — BOTH its occurrences survive
+    assert(got(4L) == ((0L, s"$s2 filler $s2")))
+    // doc 5's single occurrence is cut (two identical spans overlap —
+    // coverage, not double-removal); pre/post survive
+    assert(got(5L) == ((8L, "pre post1 post2")))
+  }
+
   test("wav codec: real RIFF header round-trips; frame energies match direct computation") {
     val text = "abc"
     val d = Seq((7L, text)).toDF("doc_id", "text")
