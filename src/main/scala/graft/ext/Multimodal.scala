@@ -247,10 +247,38 @@ object Multimodal {
       })
   }
 
+  /** REAL WAV parse: walk the RIFF chunk list to locate `fmt ` and
+    * `data`, so any spec-valid 16-bit PCM file parses — extended fmt
+    * chunks (18/40-byte WAVEFORMATEXTENSIBLE headers), LIST/fact/cue
+    * metadata chunks in any position, and odd-sized chunks (word-
+    * aligned per the spec) — not just [[encodeWav]]'s canonical 44-byte
+    * layout. Returns (sampleRate, dataOffset, nSamples). */
+  private def parseWav(docId: Long, bytes: Array[Byte]): (Int, Int, Int) = {
+    val bb = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && ascii(0) == "RIFF",
+      s"doc $docId: not a RIFF blob")
+    require(ascii(8) == "WAVE", s"doc $docId: not a WAVE blob")
+    var pos = 12
+    var rate = -1
+    while (pos + 8 <= bytes.length) {
+      val id = ascii(pos)
+      val size = bb.getInt(pos + 4)
+      if (id == "fmt ") rate = bb.getInt(pos + 12)
+      else if (id == "data") {
+        require(rate > 0, s"doc $docId: data chunk before fmt ")
+        return (rate, pos + 8, size / 2)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException(s"doc $docId: missing data chunk")
+  }
+
   /** REAL WAV parse + frame-level feature extraction: header fields
-    * (magic-checked), duration, and per-frame ENERGY (Σ sample², exact
-    * long — the classic audio activity feature) over `frameLen`-sample
-    * frames; the tail partial frame counts with its actual length.
+    * (magic-checked chunk walk — see [[parseWav]]), duration, and
+    * per-frame ENERGY (Σ sample², exact long — the classic audio
+    * activity feature) over `frameLen`-sample frames; the tail partial
+    * frame counts with its actual length.
     * Emits (doc_id, sample_rate, n_samples, frame, frame_n, energy) —
     * one row per frame, relational from here on (silence trimming,
     * activity windows, segment joins are plain filters/windows
@@ -259,27 +287,14 @@ object Multimodal {
   def wavFrameEnergies(media: Dataset[MediaRow], frameLen: Int = 25): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
+      val (rate, off, n) = parseWav(r.doc_id, r.media)
       val bb = ByteBuffer.wrap(r.media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val riff = new Array[Byte](4); bb.get(riff)
-      require(new String(riff, "US-ASCII") == "RIFF",
-        s"doc ${r.doc_id}: not a RIFF blob")
-      bb.getInt // chunk size
-      val wave = new Array[Byte](8); bb.get(wave)
-      require(new String(wave, "US-ASCII") == "WAVEfmt ",
-        s"doc ${r.doc_id}: not a WAVE/fmt blob")
-      bb.getInt; bb.getShort; bb.getShort // fmt size, codec, channels
-      val rate = bb.getInt
-      bb.getInt; bb.getShort; bb.getShort // byte rate, block, bits
-      val data = new Array[Byte](4); bb.get(data)
-      require(new String(data, "US-ASCII") == "data",
-        s"doc ${r.doc_id}: missing data chunk")
-      val n = bb.getInt / 2
       (0 until (n + frameLen - 1) / frameLen).map { f =>
         val len = math.min(frameLen, n - f * frameLen)
         var e = 0L
         var j = 0
         while (j < len) {
-          val s = bb.getShort(44 + 2 * (f * frameLen + j)).toLong
+          val s = bb.getShort(off + 2 * (f * frameLen + j)).toLong
           e += s * s
           j += 1
         }
@@ -287,6 +302,93 @@ object Multimodal {
       }
     }).toDF("doc_id", "sample_rate", "n_samples", "frame", "frame_n", "energy")
   }
+
+  /** Audio fingerprint geometry: 65 equal sample buckets → 64
+    * consecutive-energy difference bits — [[dhash64]]'s 1-D analog. */
+  val AudioFpBuckets = 65
+
+  /** 64-bit perceptual audio fingerprint over the DECODED sample
+    * stream: partition the samples into [[AudioFpBuckets]] equal
+    * buckets (bucket of sample j = j·65 div n — every sample lands in
+    * exactly one bucket), take each bucket's exact energy Σ s², and set
+    * bit i iff E(i) < E(i+1). Comparing NEIGHBORING bucket energies
+    * makes the fingerprint invariant to amplitude scaling (energies
+    * scale by c², preserving every inequality) and robust to
+    * resampling — the same property that makes dHash a near-dup
+    * fingerprint rather than a checksum. All-integer arithmetic, so
+    * the oracle replays every bit. Buckets are all non-empty when
+    * n ≥ 65 (the fixture renders ≥ 100 samples); shorter clips leave
+    * trailing zero-energy buckets, which compare as equal (no bit).
+    * Runs in the decode `mapPartitions` — only 8-byte fingerprints
+    * enter any shuffle, same shape as [[dhash64]]. */
+  def audioFingerprint64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (_, off, n) = parseWav(r.doc_id, r.media)
+      val bb = ByteBuffer.wrap(r.media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val e = new Array[Long](AudioFpBuckets)
+      var j = 0
+      while (j < n) {
+        val s = bb.getShort(off + 2 * j).toLong
+        e((j.toLong * AudioFpBuckets / n).toInt) += s * s
+        j += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < AudioFpBuckets - 1) {
+        if (e(i) < e(i + 1)) fp |= 1L << i
+        i += 1
+      }
+      (r.doc_id, fp)
+    }).toDF("doc_id", "fp")
+  }
+
+  /** Perceptual audio near-dup pairs: encode → decode+fingerprint → the
+    * SAME banded Hamming machinery as text SimHash and image dHash
+    * ([[Dedup.fingerprintHammingPairs]]) — (doc_a, doc_b, dist) for
+    * every pair within `maxDist` bits, exactly as brute force
+    * (pigeonhole guarantee). Completes the modality triple: one shared
+    * banded joiner, three fingerprint front-ends. */
+  def audioDupPairs(docs: DataFrame, maxDist: Int = 4, nBands: Int = 8): DataFrame =
+    Dedup.fingerprintHammingPairs(audioFingerprint64(encodeWav(docs)),
+      maxDist, bits = 64, nBands = nBands)
+
+  /** The fingerprint replay shared by [[audioFpOracleSql]] and
+    * [[audioDupPairsOracleSql]] — sample stream from the text (the
+    * [[encodeWav]] render rule), bucket energies, difference bits,
+    * signed-64 bit sum; same conventions as [[dhashCtes]]. */
+  private def audioFpCtes: String = {
+    val nb = AudioFpBuckets
+    s"""d AS (SELECT doc_id, text, length(text) AS ncp,
+       |    cast(100 + doc_id % 50 AS BIGINT) AS n FROM documents),
+       |samp AS (SELECT doc_id, n, j, CASE WHEN ncp = 0 THEN 0 ELSE
+       |      unicode(substr(text, (j % ncp) + 1, 1)) % 65536 - 32768 END AS s
+       |  FROM d, range(0, 200) t(j) WHERE j < n),
+       |eb AS (SELECT doc_id, (j * $nb) // n AS b, sum(s * s) AS e
+       |  FROM samp GROUP BY doc_id, (j * $nb) // n),
+       |abits AS (SELECT a.doc_id, a.b AS pos
+       |  FROM eb a JOIN eb b ON b.doc_id = a.doc_id AND b.b = a.b + 1
+       |  WHERE a.b < ${nb - 1} AND a.e < b.e),
+       |hashes AS (SELECT d.doc_id,
+       |    coalesce(cast(sum(CASE WHEN pos = 63 THEN -9223372036854775808
+       |                           ELSE (1::BIGINT << pos) END) AS BIGINT), 0) AS fp
+       |  FROM d LEFT JOIN abits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[audioFingerprint64]]∘[[encodeWav]]. */
+  def audioFpOracleSql: String =
+    s"""WITH $audioFpCtes
+       |SELECT doc_id, fp FROM hashes""".stripMargin
+
+  /** DuckDB oracle for [[audioDupPairs]]: fingerprint replay + brute-
+    * force `bit_count(xor)` pairs — banded == brute force, the
+    * q77/q92/q103 contract. */
+  def audioDupPairsOracleSql(maxDist: Int): String =
+    s"""WITH $audioFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  cast(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 
   // ── video modality: frame container + frame sampling ────────────────
 

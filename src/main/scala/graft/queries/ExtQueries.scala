@@ -868,6 +868,28 @@ object ExtQueries {
         Multimodal.encodeVideo(Tables.documents(s, dir)), everyK = 2),
       Multimodal.frameSampleOracleSql(everyK = 2)),
 
+    // ── perceptual audio fingerprint: WAV decode → 64-bit profile ──────
+    // The audio analog of q102's image dHash: 65 equal sample buckets,
+    // exact bucket energies, bit i = E(i) < E(i+1) — invariant to
+    // amplitude scaling (energies scale by c²), all-integer, so the
+    // oracle replays every fingerprint bit from the render rule.
+    "q114_audio_fingerprint" -> Q(
+      (s, dir) => Multimodal.audioFingerprint64(
+        Multimodal.encodeWav(Tables.documents(s, dir))),
+      Multimodal.audioFpOracleSql),
+
+    // ── perceptual audio dedup: fingerprints → banded Hamming pairs ────
+    // Completes the modality triple (text SimHash q77/q92, image dHash
+    // q103, audio here) through the ONE shared banded joiner
+    // (Dedup.fingerprintHammingPairs), vs a brute-force bit_count(xor)
+    // oracle. maxDist=4/nBands=8 — a tight production-style threshold;
+    // the fixture's nearest clips sit at distance 0–4 (132 pairs), so
+    // every stage bites.
+    "q115_audio_dedup" -> Q(
+      (s, dir) => Multimodal.audioDupPairs(Tables.documents(s, dir),
+        maxDist = 4, nBands = 8),
+      Multimodal.audioDupPairsOracleSql(maxDist = 4)),
+
     // ── BPE vocabulary training (merge table after 30 rounds) ──────────
     // The canonical subword-vocab induction, as iterative relational
     // rounds over the WORD HISTOGRAM (per-round cost is vocab-sized,

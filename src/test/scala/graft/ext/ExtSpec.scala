@@ -569,6 +569,69 @@ class ExtSpec extends SparkSuite {
     assert(got(5L) == ((8L, "pre post1 post2")))
   }
 
+  private def wavBlob(samples: Seq[Int], rate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("audio fingerprint: amplitude scaling leaves every bit unchanged; a ramp sets all 64") {
+    val base = (0 until 130).map(j => ((j * 37) % 199) - 99)
+    val rows = Seq(
+      (1L, base), (2L, base.map(_ * 3)),       // 3× amplitude ⇒ 9× energies
+      (3L, (0 until 130).map(identity)))       // strictly rising energy profile
+    val fps = Multimodal.audioFingerprint64(
+      rows.map { case (id, s) => MediaRow(id, wavBlob(s), "audio/wav") }.toDS())
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L)) // c² scaling preserves every E(i) < E(i+1)
+    assert(fps(3L) == -1L)     // all 64 difference bits set (incl. bit 63)
+  }
+
+  test("wav chunk walk: metadata chunks + extended fmt parse identical to canonical") {
+    val d = Seq((7L, "abc")).toDF("doc_id", "text")
+    val canon = Multimodal.wavFrameEnergies(Multimodal.encodeWav(d), frameLen = 25)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val blob = Multimodal.encodeWav(d).collect().head.media
+    val n = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(40) / 2
+    // same samples repackaged: an odd-sized JUNK chunk (word-aligned per
+    // the RIFF spec) and an 18-byte WAVEFORMATEX fmt ahead of data
+    val out = java.nio.ByteBuffer.allocate(12 + 14 + 26 + 8 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(12 + 14 + 26 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(5)
+      .put(Array.fill[Byte](6)(0)) // 5 bytes + 1 alignment pad
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putShort(1).putInt(Multimodal.WavRate)
+      .putInt(Multimodal.WavRate * 2).putShort(2).putShort(16)
+      .putShort(0) // cbSize = 0
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      .put(blob, 44, 2 * n)
+    val ext = Multimodal.wavFrameEnergies(
+      Seq(MediaRow(7L, out.array(), "audio/wav")).toDS(), frameLen = 25)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(ext == canon)
+  }
+
+  test("audio dedup: amplitude-identical clips pair at distance 0 through the banded join") {
+    // doc_ids ≡ mod 50 render the same sample count; same text ⇒ same
+    // samples ⇒ identical fingerprints
+    val d = Seq(
+      (1L, "hello world samples"), (51L, "hello world samples"),
+      (2L, "completely different text content here")).toDF("doc_id", "text")
+    val pairs = Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 51L, 0L)))
+  }
+
   test("wav codec: real RIFF header round-trips; frame energies match direct computation") {
     val text = "abc"
     val d = Seq((7L, text)).toDF("doc_id", "text")
