@@ -91,13 +91,71 @@ object Sampling {
     * a bucket filter (keep ~2k expected first via [[bucket]], then
     * rank) — composition left to callers because correctness of the
     * prune depends on group-size floors only the caller knows. */
+  /** A working-column name guaranteed absent from `df` — withColumn
+    * would silently overwrite (and the final drop destroy) a caller
+    * column of the same name otherwise. */
+  private def freshCol(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
                   salt: String = "cap"): DataFrame = {
     require(k >= 1, s"capPerGroup needs k >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(rowHash(df, col(idCol), salt), col(idCol))
-    df.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= k).drop("_rk")
+    val rk = freshCol(df, "_rk")
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= k).drop(rk)
   }
+
+  /** Sample each domain down to a TOKEN budget — the data-mixing step
+    * of a pretraining recipe: corpus composition is specified in tokens
+    * per domain ("300B web, 40B code, ..."), not document counts, so
+    * the cap must track a running token total, where [[capPerGroup]]
+    * counts rows. Rows take the same deterministic salted-hash order as
+    * every sampler here, a per-domain running sum of `tokenCol`
+    * accumulates, and a row survives iff its INCLUSIVE running total
+    * fits the domain's budget — so the kept set is the maximal
+    * deterministic prefix not exceeding the budget (a row never
+    * partially survives; domains under budget keep everything; budget 0
+    * or an unlisted domain with defaultBudget 0 keeps nothing).
+    *
+    * Scale shape: one hash exchange on the domain key for the running-
+    * sum window — identical to [[capPerGroup]]'s, and the same
+    * SeqPack-style prefix-sum discipline. Cross-engine reproducible:
+    * the oracle replays hash order and window arithmetic exactly.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                          tokenCol: String, budgets: Seq[(String, Long)],
+                          defaultBudget: Long = 0L,
+                          salt: String = "mix"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(rowHash(df, col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (v, b)) =>
+      when(col(domainCol) === v, b).otherwise(acc)
+    }
+    val cum = freshCol(df, "_cum")
+    df.withColumn(cum, sum(col(tokenCol).cast("long")).over(w))
+      .where(col(cum) <= budget).drop(cum)
+  }
+
+  /** Oracle CASE expression matching [[sampleToTokenBudget]]'s budget
+    * fold. */
+  def budgetSql(domainExpr: String, budgets: Seq[(String, Long)],
+                defaultBudget: Long): String =
+    budgets.foldLeft(defaultBudget.toString) { case (acc, (v, b)) =>
+      s"(CASE WHEN $domainExpr = '$v' THEN $b ELSE $acc END)"
+    }
+
+  /** The running-total window in DuckDB SQL — oracle building block for
+    * [[sampleToTokenBudget]] (same hash order, same inclusive frame). */
+  def cumTokensSql(idExpr: String, domainExpr: String, tokenExpr: String,
+                   salt: String): String =
+    s"""sum($tokenExpr) OVER (PARTITION BY $domainExpr
+       |  ORDER BY ${rowHashSql(idExpr, salt)}, $idExpr
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, size, split}
 
 import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
@@ -114,6 +114,12 @@ object ExtQueries {
 
   /** q52 per-language keep rates: downsample over-represented English,
     * keep the long tail (unlisted strata fall back to the default). */
+  /** Data-mixing token budgets (q117 + q108's final stage): per-domain
+    * token targets with a default for unlisted domains — sized so the
+    * cut bites on the fixture (en/de/fr run over, es/zh stay whole). */
+  private val MixBudgets: Seq[(String, Long)] = Seq("en" -> 2500L)
+  private val MixDefaultBudget = 2000L
+
   private val StratRates: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
 
@@ -942,8 +948,13 @@ object ExtQueries {
           docs.where(col("doc_id") % 97 === 0), n = 3)
         val train = Sampling.assignSplits(cleaned, "doc_id")
           .where(col("split") === "train")
-        Sampling.capPerGroup(train, "doc_id", "lang_guess", k = 60)
+        val capped = Sampling.capPerGroup(train, "doc_id", "lang_guess", k = 60)
           .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+        // final stage: mix to per-language TOKEN budgets (q117's
+        // operator) — corpus composition is specified in tokens, so the
+        // doc-count cap alone isn't the product shape
+        Sampling.sampleToTokenBudget(capped, "doc_id", "lang_guess",
+          "n_tokens", MixBudgets, MixDefaultBudget)
       },
       {
         def occ(w: String) =
@@ -983,8 +994,13 @@ object ExtQueries {
            |capped AS (SELECT doc_id, lang_guess, n_tokens,
            |    row_number() OVER (PARTITION BY lang_guess
            |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
-           |  FROM tr)
-           |SELECT doc_id, lang_guess, n_tokens FROM capped WHERE rk <= 60""".stripMargin
+           |  FROM tr),
+           |kept AS (SELECT doc_id, lang_guess, n_tokens FROM capped WHERE rk <= 60),
+           |mixed AS (SELECT doc_id, lang_guess, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang_guess", "n_tokens", "mix")} AS cum
+           |  FROM kept)
+           |SELECT doc_id, lang_guess, n_tokens FROM mixed
+           |WHERE cum <= ${Sampling.budgetSql("lang_guess", MixBudgets, MixDefaultBudget)}""".stripMargin
       }),
 
     // ── maximal exact shared token spans (substring-dedup primitive) ───
@@ -1039,6 +1055,28 @@ object ExtQueries {
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 40""".stripMargin),
+
+    // ── token-budget mixture sampling (data-mixing) ────────────────────
+    // The pretraining data-mixing step: each language sampled down to a
+    // TOKEN budget (corpus recipes are specified in tokens per domain,
+    // not document counts — q106 caps rows, this caps tokens). Rows
+    // take the deterministic salted-hash order, a per-domain running
+    // sum accumulates, and the maximal prefix within budget survives.
+    // Oracle replays the identical hash order and window arithmetic.
+    "q117_token_budget_mix" -> Q(
+      (s, dir) => {
+        val withTok = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToTokenBudget(withTok, "doc_id", "lang", "n_tokens",
+          MixBudgets, MixDefaultBudget)
+      },
+      s"""SELECT doc_id, lang, n_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "mix")} AS cum
+         |  FROM (SELECT doc_id, lang,
+         |          cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |        FROM documents))
+         |WHERE cum <= ${Sampling.budgetSql("lang", MixBudgets, MixDefaultBudget)}""".stripMargin),
 
     // ── sequence packing (fixed-token-budget training samples) ─────────
     "q53_seq_pack" -> Q(
@@ -1230,6 +1268,27 @@ object ExtQueries {
         |  make_timestamp(max(tus) + 1800000000) AS session_end,
         |  count(*) AS n, cast(sum(cents) AS BIGINT) AS cents
         |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    // ── event-time-bounded attribution join (batch form of §2.8) ───────
+    // The stream-stream attribution join's body run in batch: every
+    // click matched to same-user purchases within the 30-minute window.
+    // StreamIngestSpec already pins stream == batch on identical events;
+    // registering the batch form anchors that parity law to a
+    // driver-verified relation (DuckDB interval joins are native).
+    "q116_attribution_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.streaming.StreamIngest.attributionJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"),
+          windowMinutes = 30)
+      },
+      """SELECT c.event_id AS click_id, b.event_id AS purchase_id,
+        |  c.user_id AS user_id, c.ts AS click_ts, b.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id AND b.ts >= c.ts
+        |  AND b.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin),
 
     // ── daily resample + forward-fill (time-series gap fill) ───────────
     // Dense per-user daily grid over each user's observed span; days

@@ -62,6 +62,34 @@ class SamplingSpec extends SparkSuite {
     assert(other != again)
   }
 
+  test("token-budget mix: maximal within-budget prefix, under-budget domains whole, layout-stable") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.withColumn("n_tokens", lit(10L) + $"doc_id" % 7)
+    // en ~12k+ tokens, de/fr ~5k each: budget en=600, default=100000
+    val kept = Sampling.sampleToTokenBudget(toks, "doc_id", "lang",
+      "n_tokens", Seq("en" -> 600L), defaultBudget = 100000L)
+    val sums = kept.groupBy("lang").agg(sum($"n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    // under-budget domains survive whole
+    assert(kept.where($"lang" =!= "en").count() == 800)
+    // en: within budget, and MAXIMAL — no surviving prefix extends by
+    // one more row (every token count is >= 10)
+    assert(sums("en") <= 600L && sums("en") > 600L - 17L, sums)
+    // deterministic under any physical layout
+    val again = Sampling.sampleToTokenBudget(toks.repartition(7), "doc_id",
+      "lang", "n_tokens", Seq("en" -> 600L), defaultBudget = 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // budget 0 keeps nothing; a pre-existing _cum column survives intact
+    assert(Sampling.sampleToTokenBudget(toks, "doc_id", "lang", "n_tokens",
+      Nil, defaultBudget = 0L).count() == 0)
+    val shadow = toks.withColumn("_cum", lit(42L))
+    val out = Sampling.sampleToTokenBudget(shadow, "doc_id", "lang",
+      "n_tokens", Seq("en" -> 600L), defaultBudget = 100000L)
+    assert(out.columns.contains("_cum") &&
+      out.select("_cum").distinct().as[Long].collect().toSeq == Seq(42L))
+  }
+
   test("weighted sample: weight 100 always keeps, 0 never, mid-weights scale") {
     import org.apache.spark.sql.functions._
     val weighted = docs.withColumn("w",
