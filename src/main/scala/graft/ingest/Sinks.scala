@@ -39,31 +39,56 @@ object Sinks {
     * sink is small-file soup that slows every scan by open/footer
     * overhead). Rewrites the dir at `filesTarget` files (plus hive
     * partition structure if `partitionCols` given, consolidated per
-    * partition), atomically-ish via a sibling temp dir + rename —
-    * readers see either the old layout or the new one, never a partial
-    * mix. Returns (filesBefore, filesAfter) for observability. */
+    * partition), atomically-ish via a sibling temp dir + rename.
+    * Returns (filesBefore, filesAfter) for observability.
+    *
+    * CONTRACT — quiesce writers first (stop the stream / pause the
+    * job): a file appended while the compaction reads would not be in
+    * the rewritten output. The guard below re-lists the source
+    * immediately before the swap and ABORTS loudly (nothing moved,
+    * temp cleaned up) if the listing changed, turning that race into a
+    * failed maintenance job instead of silent data loss. Readers: the
+    * instant between the two renames is not atomic — a concurrent
+    * reader can see a missing dir for a moment (the maintenance-window
+    * contract); a failed second rename restores the original dir
+    * before throwing, so the sink is never left absent. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               filesTarget: Int, partitionCols: Seq[String] = Nil): (Long, Long) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(hconf)
-    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+    def listing(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
       val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += ((f.getPath.toString, f.getLen))
+      }
+      out.sortBy(_._1).toSeq
     }
-    val before = countFiles(path)
+    val snapshot = listing(path)
+    val before = snapshot.size.toLong
     val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
     fs.delete(tmp, true)
     mart(spark.read.parquet(dir), tmp.toString,
       partitionCols = partitionCols, files = filesTarget)
+    if (listing(path) != snapshot) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compact: $dir changed during compaction — writers must be " +
+          "quiesced first; aborted with the original dir untouched")
+    }
     val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
     fs.delete(old, true)
     require(fs.rename(path, old), s"compact: could not stage $dir aside")
-    require(fs.rename(tmp, path), s"compact: could not move compacted dir into $dir")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore — never leave the sink absent
+      throw new IllegalStateException(
+        s"compact: could not move compacted dir into $dir; original restored")
+    }
     fs.delete(old, true)
-    (before, countFiles(path))
+    (before, listing(path).size.toLong)
   }
 
   /** K7/K8: columnar mart write; optional hot-key partitioning and an
