@@ -39,7 +39,12 @@ object Bench {
       graft.util.Tables.table(spark, sfDir, t).count()
     graft.util.Tables.events(spark, sfDir).groupBy("event_type").count().count()
 
+    // SPARK_GRAFT_BENCH_ONLY=q31,q57 — subset filter (prefix match) for
+    // targeted adjudication runs; absent = full registry (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try {
