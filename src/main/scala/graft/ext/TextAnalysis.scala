@@ -492,13 +492,12 @@ object TextAnalysis {
     s"WITH ${bpeTrainCtes(nMerges).mkString(",\n")}\nSELECT * FROM ($union)"
   }
 
-  /** DuckDB oracle for [[bpeSegment]] over merges learned by
-    * [[bpeTrain]] on the same corpus: re-runs the training CTEs, then
-    * applies every round's replace to each word of each document in
-    * rank order and stitches pieces back in word order — emitting
-    * (doc_id, n_pieces, pieces) exactly like the Spark kernel.
-    */
-  def bpeSegmentOracleSql(nMerges: Int): String = {
+  /** Full segmentation CTE chain: the training CTEs, then every
+    * round's replace applied to each word of each document in rank
+    * order, stitched back in word order — ends with `agg`
+    * (doc_id, n_pieces, pieces) in scope. Shared by
+    * [[bpeSegmentOracleSql]] and [[bpeStatsOracleSql]]. */
+  private def bpeSegmentCtes(nMerges: Int): String = {
     val d0 =
       s"""d0 AS MATERIALIZED (SELECT doc_id, wi, ${delimSql("w")} AS s
          |  FROM (SELECT doc_id, t[i] AS w, i AS wi
@@ -516,12 +515,49 @@ object TextAnalysis {
          |  FROM (SELECT doc_id, wi, string_split(trim(s, $Sep), $SepSep) AS p
          |        FROM d$nMerges)
          |  GROUP BY doc_id)""".stripMargin
-    val ctes = (bpeTrainCtes(nMerges) ++ (d0 +: rounds) :+ agg).mkString(",\n")
-    s"""WITH $ctes
+    (bpeTrainCtes(nMerges) ++ (d0 +: rounds) :+ agg).mkString(",\n")
+  }
+
+  /** DuckDB oracle for [[bpeSegment]] over merges learned by
+    * [[bpeTrain]] on the same corpus — emits (doc_id, n_pieces, pieces)
+    * exactly like the Spark kernel.
+    */
+  def bpeSegmentOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeSegmentCtes(nMerges)}
        |SELECT d.doc_id, coalesce(a.n_pieces, cast(0 AS BIGINT)) AS n_pieces,
        |       coalesce(a.pieces, '') AS pieces
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
-  }
+
+  /** DuckDB oracle for the per-language tokenizer-fit rollup (q119):
+    * the segmentation replay aggregated per language — pieces, raw
+    * tokens, chars (exact longs) and the pieces-per-token compression
+    * ratio (one division of exact values, identical IEEE in both
+    * engines). */
+  def bpeStatsOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeSegmentCtes(nMerges)}
+       |SELECT d.lang, count(*) AS n_docs,
+       |  cast(sum(coalesce(a.n_pieces, 0)) AS BIGINT) AS pieces,
+       |  cast(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
+       |  cast(sum(length(d.text)) AS BIGINT) AS chars,
+       |  cast(sum(coalesce(a.n_pieces, 0)) AS DOUBLE)
+       |    / cast(sum(len(string_split(d.text, ' '))) AS BIGINT) AS pieces_per_token
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
+  /** [[bpeTrain]]'s merge table memoized per (corpus key, nMerges) for
+    * this JVM session — the tokenizer-artifact analog of
+    * `Similarity.sessionPqIndex`: vocabulary training is an amortized
+    * offline job in production, so consumers (segmentation, fit stats)
+    * should pay lookup cost, not retraining. Training is deterministic,
+    * which makes the cache semantically invisible; q109 stays the one
+    * registered query that prices training itself. */
+  private val sessionMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  def sessionBpeMerges(docs: DataFrame, corpusKey: String,
+                       nMerges: Int): Seq[(String, String)] =
+    sessionMerges.computeIfAbsent(s"$corpusKey|$nMerges", _ =>
+      bpeTrain(docs, nMerges).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** Exact substring-dedup REWRITE — consumes [[sharedSpans]] and
     * actually removes the repeated text: for every maximal shared span,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, concat, lit, size, split}
+import org.apache.spark.sql.functions.{col, concat, count, length, lit, size, split, sum}
 
 import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
@@ -911,19 +911,87 @@ object ExtQueries {
       TextAnalysis.bpeTrainOracleSql(nMerges = 30)),
 
     // ── BPE encode: segment the corpus with the learned merges ─────────
-    // Train (driver-side merge table, a vocab artifact like the PQ
-    // codebooks) then segment every document — a pure narrow compiled
-    // kernel, zero exchanges. The oracle re-derives the merge table via
-    // the same unrolled CTEs and replays segmentation per word in rank
-    // order; the naive reference additionally pins exact pieces and the
-    // lossless-reconstruction law (NaiveCrossCheckSpec).
+    // Segment every document with the session-cached merge table
+    // (sessionBpeMerges — the vocab artifact is trained once per
+    // session like the ANN codebooks; q109 prices training itself) —
+    // a pure narrow compiled kernel, zero exchanges. The oracle
+    // re-derives the merge table via the same unrolled CTEs and
+    // replays segmentation per word in rank order; the naive reference
+    // additionally pins exact pieces and the lossless-reconstruction
+    // law (NaiveCrossCheckSpec).
     "q110_bpe_segment" -> Q((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextAnalysis.bpeTrain(docs, nMerges = 30)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeSegment(docs, merges)
+      TextAnalysis.bpeSegment(docs,
+        TextAnalysis.sessionBpeMerges(docs, dir, nMerges = 30))
     }, TextAnalysis.bpeSegmentOracleSql(nMerges = 30)),
+
+    // ── tokenizer-fit rollup: per-language BPE compression stats ───────
+    // The vocabulary-evaluation step after training a tokenizer: pieces
+    // vs raw tokens vs chars per language, and the pieces-per-token
+    // compression ratio — the number that says how well the learned
+    // vocab fits each language's distribution (a vocab trained on
+    // mixed text compresses dominant languages better). Exact integer
+    // sums + one final division; oracle chains the full segmentation
+    // replay into the rollup.
+    "q119_bpe_stats" -> Q((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seg = TextAnalysis.bpeSegment(docs,
+        TextAnalysis.sessionBpeMerges(docs, dir, nMerges = 30))
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars_"))
+        .join(seg.select(col("doc_id"), col("n_pieces")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("pieces"),
+          sum(col("toks")).as("tokens"),
+          sum(col("chars_")).as("chars"))
+        .withColumn("pieces_per_token",
+          col("pieces").cast("double") / col("tokens"))
+    }, TextAnalysis.bpeStatsOracleSql(nMerges = 30)),
+
+    // ── embedding near-dup SURVIVOR selection (CC over cosine pairs) ───
+    // The "keep one representative per near-dup cluster" step on the
+    // EMBEDDING side: LSH-prefiltered cosine pairs (q46's scale path,
+    // proven == brute force by its oracle) → connected components →
+    // highest-energy member survives (‖q‖² exact-integer quality,
+    // smallest id breaks ties) — Dedup.clusterPairsBy verbatim, the
+    // q57 policy machinery on a different pair source, exactly as its
+    // scaladoc promises. Oracle: brute-force pairs + WITH RECURSIVE
+    // closure + the same max-by replay.
+    "q118_embed_dedup_survivor" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.cosineDupPairs(emb, tau = 0.40, dim = 64)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        val e = Similarity.prepared(emb)
+        Dedup.clusterPairsBy(
+          e.select(col("vec_id").as("doc_id"), col("q")),
+          pairs, Similarity.dotL(col("q"), col("q")))
+          .select(col("doc_id").as("vec_id"), col("canonical_id"),
+            col("cluster_size"))
+      },
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |  FROM embeddings),
+        |qual AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.q, b.q)
+        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40),
+        |sym AS (SELECT a, b FROM qual UNION ALL SELECT b, a FROM qual),
+        |reach(a, b) AS (SELECT a, b FROM sym
+        |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |canon AS (SELECT a AS id, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+        |lab AS (SELECT em.vec_id, coalesce(c.canonical, em.vec_id) AS cl,
+        |        list_dot_product(em.q, em.q) AS qq
+        |  FROM e em LEFT JOIN canon c ON em.vec_id = c.id),
+        |surv AS (SELECT cl, vec_id AS canonical_id FROM (
+        |  SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+        |      ORDER BY qq DESC, vec_id) AS rn
+        |  FROM lab) WHERE rn = 1)
+        |SELECT l.vec_id, s.canonical_id,
+        |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
+        |FROM lab l JOIN surv s USING (cl)""".stripMargin),
 
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +

@@ -239,6 +239,17 @@ class ExtSpec extends SparkSuite {
       inMem.as[(Long, Long, Double, Long)].collect().toSet)
   }
 
+  test("sessionBpeMerges memoizes per (corpus, nMerges) and matches direct training") {
+    val d = Seq((1L, "aa ab aa ab aa"), (2L, "ab aa ab ab")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.sessionBpeMerges(d, "extspec-bpe", nMerges = 3)
+    val m2 = TextAnalysis.sessionBpeMerges(d, "extspec-bpe", nMerges = 3)
+    assert(m1 eq m2) // same cached instance, no retraining
+    val direct = TextAnalysis.bpeTrain(d, nMerges = 3).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m1 == direct)
+    assert(TextAnalysis.sessionBpeMerges(d, "extspec-bpe", nMerges = 1) != m1)
+  }
+
   test("sessionPqIndex trains once per (corpus, params) and hands back the same artifact") {
     val p1 = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
       dim = 16, m = 4, kSub = 16, iters = 1)
