@@ -87,7 +87,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line is the driver contract, but its capture truncates
+    // (BENCH_r05/r06 lost every per-query number past ~q99 to a 2000-char
+    // stdout tail) — so the FULL artifact is also written to a file and
+    // committed, making the bench record self-contained.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
