@@ -232,6 +232,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact n-gram Jaccard RESCORE of an arbitrary candidate pair
+    * relation `cand` = (doc_a, doc_b): emits the candidates whose true
+    * Jaccard (over the full n-gram shingle sets, computed exactly) is
+    * >= tau, with the score attached — the verify stage between a
+    * recall-oriented candidate generator ([[minhashCandidates]] LSH
+    * banding) and clustering. Every emitted score is exact; candidates
+    * sharing no shingle at all (LSH false positives) drop out of the
+    * intersection join, which is correct for any tau > 0.
+    *
+    * Scale shape: all equi-joins — candidates join the shingle index on
+    * doc_a (pair-volume × shingles-per-doc rows), then on (doc_b, sh)
+    * to count the intersection in one aggregate; per-doc set sizes join
+    * back by doc id. Work is candidate-volume-sized, never corpus²; the
+    * SHUFFLE_HASH hints keep the (row-wise tiny but expensive-lineage)
+    * pair side streaming, same discipline as [[ngramJaccardPairs]].
+    */
+  def jaccardVerifyPairs(docs: DataFrame, cand: DataFrame, n: Int,
+                         tau: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")).hint("shuffle_hash"),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+        .hint("shuffle_hash"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Incremental dedup: clean a NEW batch against an EXISTING corpus —
     * the shape every continuously-ingesting training pipeline needs
     * (yesterday's corpus is fixed; today's crawl must not re-add what is

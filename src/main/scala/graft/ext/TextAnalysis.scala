@@ -559,6 +559,101 @@ object TextAnalysis {
       bpeTrain(docs, nMerges).orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** BPE VOCABULARY as a dense id map: every distinct piece the
+    * segmentation emits, ranked by corpus frequency (ties → piece
+    * lexicographic) into contiguous 0-based ids — the artifact a
+    * tokenizer DEPLOYMENT ships (ids are what reaches the model;
+    * strings never do). Input is [[bpeSegment]]'s output.
+    *
+    * Scale: the vocabulary is metadata-sized by construction — every
+    * piece is either a single character or the product of one of the
+    * nMerges merges, so |vocab| ≤ |alphabet| + nMerges regardless of
+    * corpus size. The single-partition ranking window is therefore a
+    * constant-size step (same adjudication as the k-row centroid
+    * relations), downstream of a corpus-wide but fully partial-
+    * aggregable frequency count.
+    */
+  def bpeVocab(seg: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("piece"))
+    seg.where(col("pieces") =!= "")
+      .select(explode(split(col("pieces"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("freq"))
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+  }
+
+  /** BPE ENCODE-TO-IDS: the full tokenizer apply surface — segment with
+    * the merge table, then map each piece through the [[bpeVocab]] id
+    * map, emitting (doc_id, n_pieces, ids) with ids comma-joined in
+    * piece order (docs with no words encode to n_pieces=0, ids='').
+    * The vocab relation broadcasts (metadata-sized, see [[bpeVocab]]);
+    * reassembly is one doc_id groupBy with an order-restoring
+    * array_sort — the same positional-stitch discipline as q113.
+    *
+    * The decode(encode(x)) law: pieces concatenate back to exactly the
+    * words of x ([[bpeSegment]]'s lossless-regroup contract), so
+    * [[bpeDecodeIds]] of this output restores x up to the single
+    * spaces the word-splitter consumed — asserted as a law in
+    * TextAnalysisSpec.
+    */
+  def bpeEncodeIds(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegment(docs, merges)
+    val vocab = bpeVocab(seg)
+    val pos = seg.where(col("pieces") =!= "")
+      .select(col("doc_id"),
+        posexplode(split(col("pieces"), "\\|")).as(Seq("pos", "piece")))
+    val enc = pos.join(broadcast(vocab.select(col("piece"), col("id"))), "piece")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string")), ",").as("ids"))
+    docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("ids"), lit("")).as("ids"))
+  }
+
+  /** BPE DECODE: ids back to text via the vocab map — (doc_id, decoded)
+    * where decoded is the piece concatenation (word boundaries were
+    * consumed by the splitter, so decoded == original text minus its
+    * spaces; see [[bpeEncodeIds]]). Inverse direction of the same
+    * broadcast join + positional stitch. */
+  def bpeDecodeIds(enc: DataFrame, vocab: DataFrame): DataFrame = {
+    val pos = enc.where(col("ids") =!= "")
+      .select(col("doc_id"),
+        posexplode(split(col("ids"), ",")).as(Seq("pos", "id_s")))
+      .select(col("doc_id"), col("pos"), col("id_s").cast("long").as("id"))
+    val dec = pos.join(broadcast(vocab.select(col("id"), col("piece"))), "id")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece")), "").as("decoded"))
+    enc.select(col("doc_id")).join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("decoded"), lit("")).as("decoded"))
+  }
+
+  /** DuckDB oracle for [[bpeEncodeIds]] with merges trained on the same
+    * corpus: the segmentation replay, the frequency-ranked id map, and
+    * the positional re-stitch — emits (doc_id, n_pieces, ids). */
+  def bpeEncodeIdsOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeSegmentCtes(nMerges)},
+       |pc AS (SELECT unnest(string_split(pieces, '|')) AS piece
+       |       FROM agg WHERE pieces <> ''),
+       |vocab AS (SELECT piece,
+       |    row_number() OVER (ORDER BY count(*) DESC, piece) - 1 AS id
+       |  FROM pc GROUP BY piece),
+       |pp AS (SELECT doc_id, ps[i] AS piece, i AS pos
+       |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(pieces, '|') AS ps
+       |              FROM agg WHERE pieces <> ''))),
+       |enc AS (SELECT pp.doc_id, cast(count(*) AS BIGINT) AS n_pieces,
+       |    string_agg(cast(v.id AS VARCHAR), ',' ORDER BY pp.pos) AS ids
+       |  FROM pp JOIN vocab v USING (piece) GROUP BY pp.doc_id)
+       |SELECT d.doc_id, coalesce(e.n_pieces, cast(0 AS BIGINT)) AS n_pieces,
+       |       coalesce(e.ids, '') AS ids
+       |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
+
   /** Exact substring-dedup REWRITE — consumes [[sharedSpans]] and
     * actually removes the repeated text: for every maximal shared span,
     * the occurrence in the LOWER doc_id survives (first-wins, the P7

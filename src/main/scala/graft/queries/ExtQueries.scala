@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions.{col, concat, count, length, lit, size, split, sum}
 
-import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Prep, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** LLM-data-pipeline extension coverage (SURVEY §7.5): dedup family,
@@ -119,6 +119,30 @@ object ExtQueries {
     * cut bites on the fixture (en/de/fr run over, es/zh stay whole). */
   private val MixBudgets: Seq[(String, Long)] = Seq("en" -> 2500L)
   private val MixDefaultBudget = 2000L
+
+  // ── quality-gate SQL fragments (q108 + q122 shared), generated from
+  //    the SAME Scala constants the engine reads ───────────────────────
+  /** Per-language marker-score select list (`..., sc_en, sc_de, ...`). */
+  private lazy val langScoresSql: String = {
+    def occ(w: String) =
+      s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+    TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+    }.mkString(", ")
+  }
+  /** The argmax CASE fold over the score columns (strict >, first-listed
+    * language wins ties — mirrors TextAnalysis.langGuessExpr). */
+  private lazy val langGuessCaseSql: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+      case ((bl, bs), lang) =>
+        (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+          s"greatest($bs, sc_$lang)")
+    }._1
+  }
+  /** Stopword-occurrence sum over token array `t` (quality score). */
+  private lazy val stopSumSql: String = TextAnalysis.Stopwords
+    .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
 
   private val StratRates: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 80, "fr" -> 90, "zh" -> 60)
@@ -950,6 +974,77 @@ object ExtQueries {
           col("pieces").cast("double") / col("tokens"))
     }, TextAnalysis.bpeStatsOracleSql(nMerges = 30)),
 
+    // ── BPE token-ID surface (vocab → dense ids → encode) ──────────────
+    // The deployment step q110 stops short of: pieces are strings, but
+    // what reaches a model is IDS. Vocabulary = every distinct piece
+    // ranked by corpus frequency into contiguous 0-based ids
+    // (metadata-sized: |alphabet| + nMerges entries, broadcast); encode
+    // maps each doc's pieces through it in order. The
+    // decode(encode(x)) == x law (modulo the splitter's spaces) is
+    // spec-pinned in TextAnalysisSpec; the oracle replays segmentation,
+    // the frequency ranking, and the positional re-stitch.
+    "q121_bpe_encode_ids" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bpeEncodeIds(docs,
+          TextAnalysis.sessionBpeMerges(docs, dir, nMerges = 30))
+      },
+      TextAnalysis.bpeEncodeIdsOracleSql(nMerges = 30)),
+
+    // ── incremental prep: the continuous-ingest composition ────────────
+    // One NEW batch (residue-3 docs) pushed through the full prep gate
+    // chain against the EXISTING corpus (the rest): quality+language
+    // gate (q37/q38) → exact+near dedup against the corpus (q73) →
+    // eval-set decontamination (q54) → train split (q51) → per-language
+    // token budget (q117). The batch form of what
+    // StreamIngest.ingestPrep runs per micro-batch (replay spec proves
+    // stream == batch and corpus-probed-never-rewritten); the oracle
+    // chains the q73 + q108 fragments over ONE shared shingle base.
+    "q122_incremental_prep" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Prep.prepBatch(
+          docs.where(col("doc_id") % 7 === 3),
+          Some(docs.where(col("doc_id") % 7 =!= 3)),
+          docs.where(col("doc_id") % 97 === 0),
+          MixBudgets, MixDefaultBudget)
+          .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+      },
+      shingleBase3 + minhashBandsSql +
+        s""", q AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
+           |    (cast(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) * 0.1
+           |      + cast($stopSumSql AS DOUBLE) / len(t) AS quality_score
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+           |        FROM documents WHERE doc_id % 7 = 3)),
+           |sc AS (SELECT doc_id, text, $langScoresSql
+           |       FROM documents WHERE doc_id % 7 = 3),
+           |lg AS (SELECT doc_id, text, $langGuessCaseSql AS lang_guess FROM sc),
+           |scored AS (SELECT lg.doc_id, lg.text, lg.lang_guess, q.n_tokens
+           |  FROM lg JOIN q USING (doc_id)
+           |  WHERE q.quality_score >= 0.55 AND q.n_tokens >= 20),
+           |corphash AS (SELECT DISTINCT md5(text) AS h FROM documents
+           |             WHERE doc_id % 7 <> 3),
+           |exact_kept AS (SELECT * FROM scored
+           |               WHERE md5(text) NOT IN (SELECT h FROM corphash)),
+           |coll AS (SELECT DISTINCT a.doc_id
+           |         FROM bands a JOIN bands b USING (band, m0, m1)
+           |         WHERE a.doc_id IN (SELECT doc_id FROM exact_kept)
+           |           AND b.doc_id % 7 <> 3),
+           |dd AS (SELECT * FROM exact_kept
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM coll)),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+           |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+           |           WHERE s.doc_id IN (SELECT doc_id FROM dd)),
+           |clean AS (SELECT * FROM dd
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |tr AS (SELECT * FROM clean
+           |       WHERE ${Sampling.bucketSql("doc_id", "split")} < 80),
+           |mixed AS (SELECT doc_id, lang_guess, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang_guess", "n_tokens", "mix")} AS cum
+           |  FROM tr)
+           |SELECT doc_id, lang_guess, n_tokens FROM mixed
+           |WHERE cum <= ${Sampling.budgetSql("lang_guess", MixBudgets, MixDefaultBudget)}""".stripMargin),
+
     // ── embedding near-dup SURVIVOR selection (CC over cosine pairs) ───
     // The "keep one representative per near-dup cluster" step on the
     // EMBEDDING side: LSH-prefiltered cosine pairs (q46's scale path,
@@ -993,6 +1088,71 @@ object ExtQueries {
         |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
         |FROM lab l JOIN surv s USING (cl)""".stripMargin),
 
+    // ── the fuzzy-dedup END-TO-END composite (near-dup analog of q108) ─
+    // The full near-dedup chain a training-data run actually executes,
+    // as ONE registered query: MinHash/LSH banding candidates (q32's
+    // generator) → exact Jaccard verify on candidates only (q31's
+    // rescore discipline, via Dedup.jaccardVerifyPairs) → connected
+    // components (q45) → longest-text survivor policy (q57) → the
+    // REWRITTEN CORPUS: surviving documents with per-cluster audit
+    // counts. Every fragment is individually verified; this query
+    // verifies their COMPOSITION — the oracle chains the same generated
+    // fragments (bands → verify joins → WITH RECURSIVE closure → max-by
+    // survivor → corpus emit), so the driver hash-verifies the whole
+    // pipeline end-to-end including the emitted text.
+    "q120_fuzzy_dedup_corpus" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cand = Dedup.minhashCandidates(docs, n = 3)
+          .select(col("doc_a"), col("doc_b"))
+        val verified = Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
+        val clusters = Dedup.clusterPairsBy(docs,
+          verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
+          length(col("text")))
+        docs.join(
+          clusters.where(col("doc_id") === col("canonical_id"))
+            .select(col("doc_id"), col("cluster_size")),
+          "doc_id")
+          .select(col("doc_id"), col("cluster_size"),
+            (col("cluster_size") - 1).as("n_dups_removed"), col("text"))
+      },
+      shingleBase3.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashBandsSql +
+        """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |          FROM bands a JOIN bands b USING (band, m0, m1)
+          |          WHERE a.doc_id < b.doc_id),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
+          |          FROM cand
+          |          JOIN sh sa ON sa.doc_id = doc_a
+          |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          |          GROUP BY 1, 2),
+          |qual AS (SELECT doc_a, doc_b FROM pairs
+          |  JOIN cnt ca ON doc_a = ca.doc_id
+          |  JOIN cnt cb ON doc_b = cb.doc_id
+          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+          |        UNION ALL SELECT doc_b, doc_a FROM qual),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+          |          FROM reach GROUP BY a),
+          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cl,
+          |               length(d.text) AS q
+          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+          |surv AS (SELECT cl, doc_id AS canonical_id FROM (
+          |  SELECT cl, doc_id,
+          |         row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+          |  FROM lab) WHERE rn = 1),
+          |sizes AS (SELECT cl, cast(count(*) AS BIGINT) AS cluster_size
+          |          FROM lab GROUP BY cl)
+          |SELECT d.doc_id, z.cluster_size,
+          |       z.cluster_size - 1 AS n_dups_removed, d.text
+          |FROM (SELECT s2.canonical_id, si.cluster_size
+          |      FROM surv s2 JOIN sizes si USING (cl)) z
+          |JOIN documents d ON d.doc_id = z.canonical_id""".stripMargin),
+
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +
     // language gate → exact first-wins dedup → eval decontamination →
@@ -1025,29 +1185,16 @@ object ExtQueries {
           "n_tokens", MixBudgets, MixDefaultBudget)
       },
       {
-        def occ(w: String) =
-          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
-        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
-          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
-        }.mkString(", ")
-        val langs = TextAnalysis.LangMarkers.map(_._1)
-        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
-          case ((bl, bs), lang) =>
-            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
-              s"greatest($bs, sc_$lang)")
-        }._1
-        val stopSum = TextAnalysis.Stopwords
-          .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
         def sh3(src: String) =
           s"""SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
              |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
              |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))""".stripMargin
         s"""WITH q AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
            |    (cast(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) * 0.1
-           |      + cast($stopSum AS DOUBLE) / len(t) AS quality_score
+           |      + cast($stopSumSql AS DOUBLE) / len(t) AS quality_score
            |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
-           |sc AS (SELECT doc_id, lang, text, $scores FROM documents),
-           |lg AS (SELECT doc_id, text, $guess AS lang_guess FROM sc),
+           |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM documents),
+           |lg AS (SELECT doc_id, text, $langGuessCaseSql AS lang_guess FROM sc),
            |scored AS (SELECT lg.doc_id, lg.text, lg.lang_guess, q.n_tokens
            |  FROM lg JOIN q USING (doc_id)
            |  WHERE q.quality_score >= 0.55 AND q.n_tokens >= 20),

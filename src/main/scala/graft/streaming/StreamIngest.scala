@@ -141,6 +141,54 @@ object StreamIngest {
       }
       .start()
 
+  /** Continuous PREP ingest — the full incremental data-prep composition
+    * ([[graft.ext.Prep.prepBatch]], q122's batch body) run per
+    * micro-batch against the corpus appended so far: quality + language
+    * gate, exact+near dedup against the SINK, eval-set decontamination,
+    * train split, and a BUDGET-AWARE append — each domain's token budget
+    * is depleted by what previous batches already wrote, read back as
+    * one per-domain aggregate (|domains| rows, metadata-sized — the same
+    * class as [[notYetWritten]]'s distinct-dates collect), so the corpus
+    * never exceeds its recipe across batches. Cross-batch mixing is
+    * necessarily GREEDY (an append-only corpus can't rebalance
+    * retroactively); within a batch the cut is the deterministic
+    * hash-ordered prefix, so a given batch sequence always produces the
+    * same corpus.
+    *
+    * Replay contract: a replayed batch's surviving rows carry the same
+    * text as their already-appended copies, so dedupAgainst's exact tier
+    * suppresses them — at-least-once delivery lands exactly-once. The
+    * corpus is PROBED, never rewritten (files only accumulate; the spec
+    * asserts earlier batches' files survive later appends untouched).
+    */
+  def ingestPrep(spark: SparkSession, srcDir: String, checkpointDir: String,
+                 outDir: String, evalDocs: DataFrame,
+                 budgets: Seq[(String, Long)], defaultBudget: Long,
+                 n: Int = 3): StreamingQuery =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.where(col("text").isNotNull)
+          .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val corpus = readIfExists(batch.sparkSession, outDir)
+        val spent: Map[String, Long] = corpus match {
+          case Some(c) => c.groupBy(col("lang_guess"))
+            .agg(sum(col("n_tokens")).as("t")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          case None => Map.empty
+        }
+        val remaining = (budgets.map(_._1) ++ spent.keys).distinct.map { d =>
+          val conf = budgets.toMap.getOrElse(d, defaultBudget)
+          d -> math.max(0L, conf - spent.getOrElse(d, 0L))
+        }
+        graft.ext.Prep.prepBatch(fresh, corpus, evalDocs,
+            remaining, defaultBudget, n)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Watermark-scoped alternative to [[ingest]]: the dedup window is
     * EXPLICIT and watermark-driven instead of implicit-by-partitioning.
     * `dropDuplicatesWithinWatermark` keeps each event_id in the state

@@ -52,8 +52,29 @@ object ZOrder {
   /** Interleaved z-value of n non-negative keys with per-dim budgets.
     * Callers must mask inputs to their budgets (e.g.
     * `x.bitwiseAND(lit(mask))`) — higher bits would alias; use
-    * [[boxFilterN]] for queries, which enforces the bounds. */
+    * [[boxFilterN]] for queries, which enforces the bounds.
+    *
+    * Evaluates through the compact [[graft.functions.ZValue]] codegen
+    * expression, NOT the composed shift/mask tree: a box query carries z
+    * in both filter and projection, and twice-inlining the 32+-term tree
+    * pushes the whole generated stage past HotSpot's huge-method JIT
+    * ceiling — the stage then runs interpreted (~10× slower) with no
+    * warning. See [[zValueSpecN]] for the composed reference form.
+    * Resolves against the thread's active session (query/write paths
+    * always have one). */
   def zValueN(dims: Seq[Column], budgets: Seq[Int]): Column = {
+    require(dims.size == budgets.size, "one budget per dimension")
+    val lay = layout(budgets).flatMap { case (k, j, p) => Seq(k, j, p) }.toArray
+    graft.functions.ZValue.zCol(
+      org.apache.spark.sql.SparkSession.active, dims, lay)
+  }
+
+  /** The composed built-in form of [[zValueN]] — the cross-engine
+    * SPECIFICATION the compact expression must match bit-for-bit
+    * (ZOrderSpec pins equality on random inputs); kept for reference
+    * and parity testing, not for hot paths (see [[zValueN]]'s JIT
+    * note). */
+  def zValueSpecN(dims: Seq[Column], budgets: Seq[Int]): Column = {
     require(dims.size == budgets.size, "one budget per dimension")
     layout(budgets).map { case (k, j, p) =>
       shiftleft(shiftright(dims(k), j).bitwiseAND(lit(1L)), p)

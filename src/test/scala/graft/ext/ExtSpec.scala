@@ -865,4 +865,68 @@ class ExtSpec extends SparkSuite {
     assert(out(3L)._2 == 1000000L / 3L)
     assert(!out.contains(4L))
   }
+
+  test("fuzzy-dedup composite: LSH candidates → jaccard verify → clusters → longest survivor") {
+    import org.apache.spark.sql.functions.{col, length}
+    // two near-dup clusters (1,2,3) and (4,5) plus a singleton 6; the
+    // longest member of each cluster must survive
+    val base1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val base2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val df = Seq(
+      (1L, base1), (2L, base1 + " w9extra"), (3L, base1),
+      (4L, base2), (5L, base2 + " x9 x10"),
+      (6L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(df, n = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val verified = Dedup.jaccardVerifyPairs(df, cand, n = 3, tau = 0.5)
+    // verify stage emits EXACT jaccard over full shingle sets
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    verified.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (shingles(df.collect().find(_.getLong(0) == a).get.getString(1)),
+        shingles(df.collect().find(_.getLong(0) == b).get.getString(1)))
+      val naive = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(r.getDouble(2) == naive, s"pair ($a,$b)")
+    }
+    val clusters = Dedup.clusterPairsBy(df,
+      verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
+      length(col("text")))
+    val survivors = clusters.where(col("doc_id") === col("canonical_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(survivors == Map(2L -> 3L, 5L -> 2L, 6L -> 1L))
+  }
+
+  test("jaccardVerifyPairs: a candidate pair sharing no shingle drops out (LSH false positive)") {
+    val df = Seq((1L, "a b c d"), (6L, "p q r s")).toDF("doc_id", "text")
+    val fake = Seq((1L, 6L)).toDF("doc_a", "doc_b")
+    assert(Dedup.jaccardVerifyPairs(df, fake, n = 3, tau = 0.01).count() == 0)
+  }
+
+  test("BPE encode/decode roundtrip: decode(encode(x)) == x modulo the splitter's spaces") {
+    import org.apache.spark.sql.functions.col
+    val words = Vector("banana", "bandana", "ananas", "cabana", "nab", "ban")
+    val rnd = new Random(1300)
+    val docs = (0L until 30L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    } :+ (99L -> "")  // empty doc encodes to (0, "")
+    val df = docs.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, nMerges = 10)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncodeIds(df, merges)
+    val vocab = TextAnalysis.bpeVocab(TextAnalysis.bpeSegment(df, merges))
+    // ids are contiguous 0-based ranks, frequency-descending
+    val v = vocab.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.map(_._3).toSeq == v.indices.map(_.toLong))
+    assert(v.sliding(2).forall { case Array((pa, fa, _), (pb, fb, _)) =>
+      fa > fb || (fa == fb && pa < pb); case _ => true })
+    val decoded = TextAnalysis.bpeDecodeIds(enc, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- docs)
+      assert(decoded(id) == text.replace(" ", ""), s"doc $id")
+    // n_pieces agrees with the segmentation surface
+    val nseg = TextAnalysis.bpeSegment(df, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    enc.collect().foreach(r => assert(r.getLong(1) == nseg.getOrElse(r.getLong(0), 0L)))
+  }
 }

@@ -248,4 +248,86 @@ class StreamIngestSpec extends SparkSuite {
       .select("wstart", "event_type", "n").collect().toSet
     assert(streamed == batch)
   }
+
+  test("continuous prep ingest: gate/dedup/decontaminate/budget per batch; stream == sequential batch; corpus never rewritten") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = Files.createTempDirectory("prep_src").toString
+    val chk = Files.createTempDirectory("prep_chk").toString
+    val out = Files.createTempDirectory("prep_out").toString + "/corpus"
+    // eval set with distinctive vocabulary (decontamination source)
+    val evalDocs = Seq((1000L, "zeta yota kappa sigma omega rho")).toDF("doc_id", "text")
+    val budgets = Seq("en" -> 50L)
+    val defaultBudget = 40L
+    // pick doc ids that land in the TRAIN split, so the only reason a
+    // doc can be absent from the corpus is the mechanism under test
+    val trainIds = graft.ext.Sampling
+      .assignSplits(spark.range(1, 80).toDF("doc_id"), "doc_id")
+      .where(col("split") === "train").select("doc_id").as[Long].collect()
+    val Seq(id1, id2, id3, id4, id5, id6, id7, id8) = trainIds.take(8).toSeq
+    // gate-passing text: >= 20 tokens, long words (quality >= 0.55),
+    // marker interleaved (language guess) without repeated-marker grams
+    def mkText(marker: String, seed: String): String =
+      (1 to 17).map(i => s"${seed}word$i")
+        .patch(2, Seq(marker), 0).patch(7, Seq(marker), 0)
+        .patch(12, Seq(marker), 0).mkString(" ")
+    val e1 = mkText("the", "aa"); val e2 = mkText("the", "bb")
+    val e3 = mkText("the", "cc"); val d1 = mkText("der", "dd")
+    val near = "oh oh " + e1
+    val leak = mkText("the", "ee") + " zeta yota kappa"
+    def docJson(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+    def run(): Unit = {
+      val q = StreamIngest.ingestPrep(spark, src, chk, out, evalDocs,
+        budgets, defaultBudget, n = 3)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: two en docs, 20 tokens each — both fit the 50-token budget
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(docJson(id1, e1), docJson(id2, e2)).mkString("\n").getBytes)
+    run()
+    val corpus1 = spark.read.parquet(out)
+    assert(corpus1.select("doc_id").as[Long].collect().toSet == Set(id1, id2))
+    val files1 = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    // batch 2: exact dup of e1 (dropped), near-dup of e1 (dropped), an
+    // eval-leaking doc (dropped), a short doc (gate-dropped), a fresh en
+    // doc (BUDGET-dropped: 50 - 40 spent = 10 < 20 tokens), a de doc
+    // (kept under the 40-token default budget)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(docJson(id3, e1), docJson(id4, near), docJson(id5, leak),
+        docJson(id6, "too short"), docJson(id7, e3), docJson(id8, d1))
+        .mkString("\n").getBytes)
+    run()
+    val corpus2 = spark.read.parquet(out)
+    assert(corpus2.select("doc_id").as[Long].collect().toSet == Set(id1, id2, id8),
+      "only the de doc survives batch 2")
+    // corpus is probed, never rewritten: batch-1 files still there, same bytes
+    val files2 = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(files1.forall { case (n, len) => files2.get(n).contains(len) },
+      "batch-1 corpus files must survive batch 2 untouched")
+    // stream == sequential batch application of Prep.prepBatch with the
+    // same budget-depletion arithmetic
+    val b1df = Seq((id1, e1), (id2, e2)).toDF("doc_id", "text")
+    val c1 = graft.ext.Prep.prepBatch(b1df, None, evalDocs, budgets, defaultBudget)
+    val spent = c1.groupBy(col("lang_guess"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val remaining = (budgets.map(_._1) ++ spent.keys).distinct.map { d =>
+      d -> math.max(0L, budgets.toMap.getOrElse(d, defaultBudget) - spent.getOrElse(d, 0L))
+    }
+    val b2df = Seq((id3, e1), (id4, near), (id5, leak),
+      (id6, "too short"), (id7, e3), (id8, d1)).toDF("doc_id", "text")
+    val c2 = graft.ext.Prep.prepBatch(b2df, Some(c1), evalDocs, remaining, defaultBudget)
+    val sequential = (c1.select("doc_id", "text").as[(Long, String)].collect() ++
+      c2.select("doc_id", "text").as[(Long, String)].collect()).toSet
+    assert(corpus2.select("doc_id", "text").as[(Long, String)].collect().toSet == sequential)
+    // replay: re-delivering batch 2 appends nothing (exact tier suppresses)
+    Files.write(java.nio.file.Paths.get(s"$src/b3.json"),
+      Seq(docJson(id3, e1), docJson(id4, near), docJson(id5, leak),
+        docJson(id6, "too short"), docJson(id7, e3), docJson(id8, d1))
+        .mkString("\n").getBytes)
+    run()
+    assert(spark.read.parquet(out).count() == 3, "replay must append nothing")
+  }
 }

@@ -52,6 +52,19 @@ class ZOrderSpec extends SparkSuite {
     got.foreach { case (x, y, w, z) =>
       assert(z == ZOrder.zOfN(Seq(x, y, w), budgets), s"($x, $y, $w)")
     }
+    // compact codegen expression == composed shift/mask specification
+    // (and null passthrough: any null dim nulls z, same as the + tree)
+    val spec = rows.toDF("x", "y", "w")
+      .select(
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), budgets).as("fast"),
+        ZOrder.zValueSpecN(Seq(col("x"), col("y"), col("w")), budgets).as("spec"))
+      .as[(Long, Long)].collect()
+    spec.foreach { case (fast, s) => assert(fast == s) }
+    val withNull = Seq((Some(3L), 5L), (None, 7L))
+      .toDF("x", "y")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y")), Seq(8, 8)).as("z"))
+      .as[Option[Long]].collect()
+    assert(withNull(0).isDefined && withNull(1).isEmpty)
     // level-order layout sanity: equal budgets reproduce 2-d Morton
     assert(ZOrder.zOfN(Seq(0xFFFFL, 0L), Seq(16, 16)) == 0x55555555L)
     // all-ones in every dim fills all budgeted positions contiguously
