@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.stats.{TreeInput, TreeStatsIterative}
+
+/** Empirical order-of-magnitude scale probe (dev tool, not engine code).
+  *
+  * Every 100 TB claim in PLANS.md is a design argument measured only at
+  * sf0.1; the two claims that can ONLY be validated by growing the data
+  * are candidate-volume economics (sum-of-capped-bucket²) and skew
+  * behavior. This tool synthesizes fixture-shaped corpora at 1× and 10×
+  * the sf0.1 size — SAME vocabulary (read from the real sf0.1
+  * documents), same token-length distribution, same planted near-dup
+  * rate at both scales — and times the heavy families at both, printing
+  * one JSON line per (family, scale) plus the wall-time scaling
+  * exponent alpha = log10(t10/t1). Linear-work families should land
+  * near alpha = 1 (or below it while fixed per-stage costs still
+  * dominate at the small end); anything approaching alpha = 2 is a
+  * quadratic term the df-caps were supposed to bound — a bug.
+  *
+  * Determinism: content is a pure function of row id via xxhash64, so
+  * both scales and both passes see identical data with no RNG state.
+  */
+object ScaleProbe {
+
+  /** Fixture-shaped documents: n docs, 20-89 tokens from the real
+    * corpus vocabulary, 5% planted near-dup pairs (ids 40k+1 copy
+    * 40k's text with one appended token — shingle overlap ~ 1). */
+  def synthDocs(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
+    val v = vocab.toArray
+    val vLit = array(v.map(lit): _*)
+    // content seed: near-dup pairs share it, so texts match except tail
+    val seed = when(col("id") % 40 === 1, col("id") - 1).otherwise(col("id"))
+    val len = (pmod(xxhash64(seed, lit("len")), lit(70)) + 20).cast("int")
+    val toks = transform(sequence(lit(1), len),
+      j => element_at(vLit, (pmod(xxhash64(seed, j), lit(v.length)) + 1).cast("int")))
+    val tail = when(col("id") % 40 === 1,
+      concat(lit(" "), element_at(vLit,
+        (pmod(xxhash64(col("id"), lit("tail")), lit(v.length)) + 1).cast("int"))))
+      .otherwise(lit(""))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(array_join(toks, " "), tail).as("text"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+        (pmod(xxhash64(col("id"), lit("lang")), lit(5)) + 1).cast("int")).as("lang"))
+  }
+
+  /** Fixture-shaped embeddings: n vectors of `dim` floats in [-1, 1],
+    * 5% planted exact-dup pairs (cos = 1 survives quantization). */
+  def synthEmb(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    val seed = when(col("id") % 40 === 1, col("id") - 1).otherwise(col("id"))
+    val vec = transform(sequence(lit(1), lit(dim)),
+      d => ((pmod(xxhash64(seed, d), lit(2001)) - 1000) / 1000.0).cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  /** Fixture-shaped chain forest: n nodes in 10-node per-group chains
+    * (the q58 wide/shallow production shape), same modular stat
+    * columns as eventsAsTweets. */
+  def synthChains(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[TreeInput] = {
+    import spark.implicits._
+    spark.range(n).select(
+      col("id").as("tweet_id"),
+      (col("id") % 10).as("author_id"),
+      when(col("id") % 10 =!= 0 && col("id") % 3 =!= 0, col("id") - 1)
+        .as("in_reply_to"),
+      lit(null).cast("long").as("retweet_of"),
+      when(col("id") % 10 =!= 0 && col("id") % 3 === 0, col("id") - 1)
+        .as("quotes"),
+      (col("id") % 7).as("reply_count"), (col("id") % 5).as("quote_count"),
+      (col("id") % 11).as("like_count"), (col("id") % 3).as("retweet_count"),
+      (col("id") / 10).as("group_id")).as[TreeInput]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val vocab = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t")).distinct()
+      .orderBy("t").collect().map(_.getString(0)).toSeq
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def timeMin(f: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var rows = 0L
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime(); rows = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows)
+    }
+
+    // materialize inputs once per scale so input synthesis isn't timed
+    val d1 = synthDocs(spark, 5000L, vocab).localCheckpoint(true)
+    val d10 = synthDocs(spark, 50000L, vocab).localCheckpoint(true)
+    val e1 = synthEmb(spark, 2000L, 64).localCheckpoint(true)
+    val e10 = synthEmb(spark, 20000L, 64).localCheckpoint(true)
+    val c1 = synthChains(spark, 100000L).toDF().localCheckpoint(true)
+    val c10 = synthChains(spark, 1000000L).toDF().localCheckpoint(true)
+    import spark.implicits._
+
+    val families: Seq[(String, DataFrame => Long, DataFrame, DataFrame)] = Seq(
+      ("jaccard_pairs",
+        (d: DataFrame) => Dedup.ngramJaccardPairs(d, n = 5, tau = 0.5).count(),
+        d1, d10),
+      ("simhash64_pairs",
+        (d: DataFrame) => Dedup.simhashHammingPairs(d, maxDist = 3, bits = 64, nBands = 4).count(),
+        d1, d10),
+      ("shared_spans",
+        (d: DataFrame) => TextAnalysis.sharedSpans(d, k = 8).count(),
+        d1, d10),
+      ("fuzzy_dedup_e2e",
+        (d: DataFrame) => {
+          val cand = Dedup.minhashCandidates(d, n = 3)
+            .select(col("doc_a"), col("doc_b"))
+          val ver = Dedup.jaccardVerifyPairs(d, cand, n = 3, tau = 0.5)
+          Dedup.clusterPairsBy(d, ver.select(col("doc_a").as("a"), col("doc_b").as("b")),
+            length(col("text"))).where(col("doc_id") === col("canonical_id")).count()
+        }, d1, d10),
+      ("cosine_lsh_pairs",
+        (e: DataFrame) => Similarity.cosineDupPairs(e, tau = 0.40, dim = 64).count(),
+        e1, e10),
+      ("ann_ivfpq_probe",
+        (e: DataFrame) => Similarity.ivfpqTopK(e, dim = 64, nCoarse = 16,
+          nQueries = 8, k = 5).count(),
+        e1, e10),
+      ("tree_stats_iterative",
+        (c: DataFrame) => TreeStatsIterative.compute(c.as[TreeInput]).toDF().count(),
+        c1, c10))
+
+    val out = new StringBuilder("{")
+    families.zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
+      val (t1, r1) = timeMin(f(in1))
+      val (t10, r10) = timeMin(f(in10))
+      val alpha = math.log10(t10 / t1)
+      if (i > 0) out ++= ","
+      out ++= s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"rows1":$r1,"rows10":$r10,"alpha":${fmt(alpha)}}"""
+      println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)}")
+    }
+    out ++= "}"
+    val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (out.toString + "\n").getBytes("UTF-8"))
+    println(out.toString)
+    spark.stop()
+  }
+}
