@@ -72,7 +72,7 @@ object ScaleProbe {
         .as("quotes"),
       (col("id") % 7).as("reply_count"), (col("id") % 5).as("quote_count"),
       (col("id") % 11).as("like_count"), (col("id") % 3).as("retweet_count"),
-      (col("id") / 10).as("group_id")).as[TreeInput]
+      expr("id div 10").as("group_id")).as[TreeInput]
   }
 
   def main(args: Array[String]): Unit = {

@@ -222,4 +222,35 @@ class PlanSpec extends SparkSuite {
     assert(partialAt >= 0 && exchangeAt >= 0 && exchangeAt < partialAt,
       s"exploded rows must partial-aggregate before shuffling:\n$plan")
   }
+
+  test("q120: fuzzy-dedup composite stays equi-join-only end to end") {
+    val plan = planOf("q120_fuzzy_dedup_corpus")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q121: BPE id map arrives as a broadcast; no cartesian") {
+    val plan = planOf("q121_bpe_encode_ids")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q122: incremental prep is keyed anti/semi joins + one budget window; no cartesian") {
+    val plan = planOf("q122_incremental_prep")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q79/q95: z-order box plans carry the COMPACT graft_zvalue node, not the inlined shift tree") {
+    // the composed 32+-term tree inlined into filter+projection crosses
+    // HotSpot's huge-method JIT ceiling and runs the stage interpreted
+    // (round-7 root cause); the compact expression must stay in the plan
+    Seq("q79_zorder_box", "q95_zorder_box3").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("graft_zvalue"), s"$q lost the compact z expression:\n$plan")
+      assert(!plan.contains("shiftleft(shiftright"), s"$q reverted to the inline tree:\n$plan")
+    }
+  }
 }
