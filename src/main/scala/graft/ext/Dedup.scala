@@ -78,6 +78,33 @@ object Dedup {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Contamination AUDIT — the report a decontamination run ships with:
+    * per EVAL document, how many corpus documents share at least one
+    * word n-gram with it and how many of its shingles leak. Answers
+    * "which benchmark items are compromised and how badly" where
+    * [[decontaminate]] silently drops; the eval doc itself is excluded
+    * (it trivially shares its own shingles when the eval set is a
+    * corpus subset). Eval docs with NO leaks are absent from the
+    * report (inner shingle join) — the report lists findings, not the
+    * roster.
+    *
+    * Scale shape: same economics as [[decontaminate]] — the eval
+    * shingle relation broadcasts (eval sets are small), the corpus
+    * side is one shingle explode, and the aggregate runs over
+    * MATCH-volume rows only. The two exact distincts plan one Expand
+    * over that match-volume relation (2× its rows through the
+    * exchange) — bounded by contamination volume, never corpus size.
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalSh = broadcast(shingleIndex(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("sh")))
+    shingleIndex(docs, n).join(evalSh, "sh")
+      .where(col("doc_id") =!= col("eval_id"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        countDistinct(col("sh")).as("n_leaked_shingles"))
+  }
+
   /** [[decontaminate]] for eval sets too large to broadcast as a hash
     * relation: the eval shingle dictionary is folded into a BLOOM FILTER
     * (Spark's own `BloomFilterAggregate`, the runtime-filter machinery,

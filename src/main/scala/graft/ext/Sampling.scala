@@ -151,6 +151,92 @@ object Sampling {
       s"(CASE WHEN $domainExpr = '$v' THEN $b ELSE $acc END)"
     }
 
+  /** Sample to target domain PROPORTIONS — the recipe form data-mixing
+    * is actually specified in ("30% web, 20% code, ..."), where
+    * [[sampleToTokenBudget]] wants absolute token counts. The largest
+    * corpus honoring the proportions from the available data is the
+    * WATER-FILLING solution: with integer weights w_d (summing to W)
+    * and per-domain availability avail_d, the total is
+    * T = min_d floor(avail_d · W / w_d) — the binding domain is kept
+    * whole(-ish) and every other domain is cut to budget_d =
+    * floor(w_d · T / W). All arithmetic is exact integer (truncating
+    * division on positives == floor), so any engine rederives the same
+    * budgets; rows then take the standard deterministic hash-ordered
+    * prefix cut. Domains not in `weights` are dropped — the recipe
+    * DEFINES the corpus. Degenerate inputs (a listed domain with no
+    * rows) make T = 0 and the result empty, the faithful reading of
+    * "30% of nothing".
+    *
+    * Scale shape: one |domains|-row aggregate (collected — metadata,
+    * same class as the ingestPrep budget read-back) + capPerGroup's
+    * single window exchange. The oracle rederives avail/T/budgets in
+    * SQL rather than trusting the driver's numbers.
+    */
+  def sampleToProportions(df: DataFrame, idCol: String, domainCol: String,
+                          tokenCol: String, weights: Seq[(String, Long)],
+                          salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"positive weights required: $weights")
+    val w = weights.toMap
+    val totalW = weights.map(_._2).sum
+    val listed = df.where(col(domainCol).isin(weights.map(_._1): _*))
+    val avail = listed.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol).cast("long")).as("_avail"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (d, wd) =>
+      avail.getOrElse(d, 0L) * totalW / wd
+    }.min
+    val budgets = weights.map { case (d, wd) => d -> wd * t / totalW }
+    sampleToTokenBudget(listed, idCol, domainCol, tokenCol, budgets, 0L, salt)
+  }
+
+  /** Water-filling CTEs for [[sampleToProportions]]'s oracle: ends with
+    * `budget(domain, b)` in scope, derived IN SQL from the same integer
+    * arithmetic (`//` floor division; positives only). `srcSql` must
+    * expose (domain, tokens) per row. */
+  def proportionBudgetCtes(srcSql: String, domainExpr: String,
+                           tokenExpr: String,
+                           weights: Seq[(String, Long)]): String = {
+    val totalW = weights.map(_._2).sum
+    val wCase = weights.foldLeft("NULL") { case (acc, (v, wd)) =>
+      s"(CASE WHEN domain = '$v' THEN $wd ELSE $acc END)"
+    }
+    val domList = weights.map(w => s"'${w._1}'").mkString(", ")
+    s"""wsrc AS (SELECT $domainExpr AS domain, $tokenExpr AS tokens
+       |         FROM ($srcSql) WHERE $domainExpr IN ($domList)),
+       |avail AS (SELECT w.domain, coalesce(a.avail, 0) AS avail, w.wd FROM
+       |  (SELECT domain, $wCase AS wd FROM (SELECT unnest([$domList]) AS domain)) w
+       |  LEFT JOIN (SELECT domain, cast(sum(tokens) AS BIGINT) AS avail
+       |             FROM wsrc GROUP BY domain) a USING (domain)),
+       |tmax AS (SELECT min(avail * $totalW // wd) AS t FROM avail),
+       |budget AS (SELECT domain, wd * (SELECT t FROM tmax) // $totalW AS b
+       |           FROM avail)""".stripMargin
+  }
+
+  /** Deterministic global SHUFFLE-SHARD of a corpus — the final step
+    * before training: every row gets a shard in [0, nShards) and a
+    * dense position within its shard, both pure functions of the row
+    * id (two INDEPENDENT salted hash streams, so shard assignment and
+    * within-shard order are statistically unrelated), reproducible on
+    * any engine under any partitioning. Emits the input plus
+    * (shard, pos) with pos 0-based dense per shard.
+    *
+    * Scale shape: one hash exchange on shard for the position window —
+    * shards are the parallel unit downstream, so this exchange IS the
+    * final layout write's partitioning (write partitionBy(shard) reuses
+    * it); nShards sizes files for the training reader, the same knob
+    * as ZOrder.writeZOrderedN's `files`.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(rowHash(df, col(idCol), salt + ":order"), col(idCol))
+    df.withColumn("shard", pmod(rowHash(df, col(idCol), salt), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** The running-total window in DuckDB SQL — oracle building block for
     * [[sampleToTokenBudget]] (same hash order, same inclusive frame). */
   def cumTokensSql(idExpr: String, domainExpr: String, tokenExpr: String,

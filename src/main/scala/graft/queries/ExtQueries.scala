@@ -120,6 +120,12 @@ object ExtQueries {
   private val MixBudgets: Seq[(String, Long)] = Seq("en" -> 2500L)
   private val MixDefaultBudget = 2000L
 
+  /** q123's target mixing proportions as integer weights (5:3:2
+    * en:de:zh); fr/es are unlisted, so the recipe drops them — and the
+    * binding domain differs from the largest one on the fixture, so the
+    * water-filling optimization is actually exercised. */
+  private val MixWeights: Seq[(String, Long)] = Seq("en" -> 5L, "de" -> 3L, "zh" -> 2L)
+
   // ── quality-gate SQL fragments (q108 + q122 shared), generated from
   //    the SAME Scala constants the engine reads ───────────────────────
   /** Per-language marker-score select list (`..., sc_en, sc_de, ...`). */
@@ -1044,6 +1050,76 @@ object ExtQueries {
            |  FROM tr)
            |SELECT doc_id, lang_guess, n_tokens FROM mixed
            |WHERE cum <= ${Sampling.budgetSql("lang_guess", MixBudgets, MixDefaultBudget)}""".stripMargin),
+
+    // ── proportional data-mixing (water-filling domain reweighting) ────
+    // The recipe form mixing is actually specified in — target domain
+    // PROPORTIONS, not absolute token budgets (q117's input): the
+    // largest corpus honoring 5:3:2 en:de:zh from the available data is
+    // the water-filling solution T = min_d floor(avail_d·W/w_d),
+    // budget_d = floor(w_d·T/W) — exact integer arithmetic, so the
+    // ORACLE REDERIVES the budgets in SQL instead of trusting the
+    // driver's numbers, and the hash compare verifies the optimization
+    // itself, not just the prefix cut. Unlisted domains drop (the
+    // recipe defines the corpus).
+    "q123_mix_proportions" -> Q(
+      (s, dir) => {
+        val withTok = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToProportions(withTok, "doc_id", "lang", "n_tokens",
+          MixWeights)
+      },
+      {
+        val tokSrc = "SELECT doc_id, lang, cast(len(string_split(text, ' ')) " +
+          "AS BIGINT) AS n_tokens FROM documents"
+        val domList = MixWeights.map(w => s"'${w._1}'").mkString(", ")
+        s"""WITH ${Sampling.proportionBudgetCtes(tokSrc, "lang", "n_tokens", MixWeights)},
+           |src AS (SELECT * FROM ($tokSrc) WHERE lang IN ($domList)),
+           |mixed AS (SELECT doc_id, lang, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "mix")} AS cum
+           |  FROM src)
+           |SELECT m.doc_id, m.lang, m.n_tokens FROM mixed m
+           |JOIN budget b ON m.lang = b.domain
+           |WHERE m.cum <= b.b""".stripMargin
+      }),
+
+    // ── deterministic global shuffle-shard (training order) ────────────
+    // The last step before a training reader consumes the corpus:
+    // shard in [0, nShards) + dense within-shard position, both pure
+    // functions of doc_id over two independent salted hash streams —
+    // the same shuffled order on any engine, any partitioning, any
+    // subset, where an engine-native random shuffle is none of those.
+    // One window exchange on shard = the layout write's partitioning.
+    "q124_shuffle_shards" -> Q(
+      (s, dir) => Sampling.shuffleShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", nShards = 8),
+      s"""SELECT doc_id, lang,
+         |  ${Sampling.rowHashSql("doc_id", "shard")} % 8 AS shard,
+         |  row_number() OVER (
+         |    PARTITION BY ${Sampling.rowHashSql("doc_id", "shard")} % 8
+         |    ORDER BY ${Sampling.rowHashSql("doc_id", "shard:order")}, doc_id) - 1
+         |    AS pos
+         |FROM documents""".stripMargin),
+
+    // ── contamination audit report (the finding, not just the drop) ────
+    // q54 silently drops contaminated training docs; a real eval-set
+    // owner needs the REPORT: per eval document, how many corpus docs
+    // share an n-gram with it and how many of its shingles leak —
+    // which benchmark items are compromised and how badly. Broadcast
+    // eval shingles, corpus-side explode, aggregate over match-volume
+    // rows only.
+    "q125_contamination_report" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationReport(docs, docs.where(col("doc_id") % 97 === 0), n = 3)
+      },
+      shingleBase3 +
+        """, ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0),
+          |hits AS (SELECT e.eval_id, s.doc_id, s.sh FROM sh s
+          |         JOIN ev e USING (sh) WHERE s.doc_id <> e.eval_id)
+          |SELECT eval_id, count(DISTINCT doc_id) AS n_contaminated_docs,
+          |       count(DISTINCT sh) AS n_leaked_shingles
+          |FROM hits GROUP BY eval_id""".stripMargin),
 
     // ── embedding near-dup SURVIVOR selection (CC over cosine pairs) ───
     // The "keep one representative per near-dup cluster" step on the

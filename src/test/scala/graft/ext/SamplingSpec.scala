@@ -105,4 +105,71 @@ class SamplingSpec extends SparkSuite {
       "doc_id", col("w")).collect().map(_.getLong(0)).toSet
     assert(sub == kept.filter(_ < 500))
   }
+
+  test("proportional mix: water-filling budgets bind the scarce domain, unlisted domains drop") {
+    import org.apache.spark.sql.functions.col
+    // en has 1000 tokens available, de only 60; target 1:1 — de binds:
+    // T = min(1000*2/1, 60*2/1) = 120, budgets = 60/60
+    val rows = ((0L until 100L).map(i => (i, "en", 10L)) ++
+      (100L until 106L).map(i => (i, "de", 10L)) ++
+      (200L until 210L).map(i => (i, "fr", 10L))) // unlisted → dropped
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val kept = Sampling.sampleToProportions(df, "doc_id", "lang", "n_tokens",
+      Seq("en" -> 1L, "de" -> 1L))
+    val byLang = kept.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 60L, "de" -> 60L), byLang)
+    // a listed domain with NO rows makes T = 0 — "30% of nothing"
+    assert(Sampling.sampleToProportions(df, "doc_id", "lang", "n_tokens",
+      Seq("en" -> 1L, "zh" -> 1L)).count() == 0)
+    // weights scale-invariant: 2:2 == 1:1
+    val kept22 = Sampling.sampleToProportions(df, "doc_id", "lang", "n_tokens",
+      Seq("en" -> 2L, "de" -> 2L)).select("doc_id").as[Long].collect().toSet
+    assert(kept22 == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("shuffle shards: dense 0-based positions per shard, independent hash streams, subset-stable order") {
+    val n = 2000L
+    val out = Sampling.shuffleShards((0L until n).toDF("doc_id"), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions dense per shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong),
+        s"shard $s positions not dense")
+    }
+    // shard sizes roughly balanced (hash-uniform)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.min > 180 && sizes.max < 320, sizes.toSeq.sorted)
+    // within-shard ORDER is subset-stable: dropping other rows preserves
+    // the relative order of the survivors (the rand()-shuffle property
+    // deterministic hashing buys)
+    val subset = Sampling.shuffleShards(
+      (0L until n).filter(_ % 3 == 0).toDF("doc_id"), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fullOrder = out.filter(_._1 % 3 == 0).groupBy(_._2)
+      .map { case (s, rs) => s -> rs.sortBy(_._3).map(_._1).toSeq }
+    val subOrder = subset.groupBy(_._2)
+      .map { case (s, rs) => s -> rs.sortBy(_._3).map(_._1).toSeq }
+    assert(fullOrder == subOrder)
+  }
+
+  test("contamination report: counts leaks per eval doc, excludes self, omits clean eval docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // shares "alpha beta gamma" with eval 10
+      (2L, "zzz alpha beta gamma"),            // also shares it
+      (3L, "completely different text here"),  // clean
+      (10L, "alpha beta gamma prompt words"),  // eval doc (in corpus)
+      (11L, "isolated eval content nothing shared")) // clean eval doc
+      .toDF("doc_id", "text")
+    val eval = docs.where(col("doc_id") >= 10L)
+    val rep = Dedup.contaminationReport(docs, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // eval 10 leaks its "alpha beta gamma" shingle into docs 1 and 2;
+    // eval 11 is clean and absent; eval 10's self-match excluded
+    assert(rep == Map(10L -> ((2L, 1L))), rep)
+  }
 }
