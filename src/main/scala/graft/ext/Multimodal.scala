@@ -188,6 +188,12 @@ object Multimodal {
        |  FROM dims d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
   }
 
+  /** The [[dhashCtes]] chain for EXTERNAL oracle composition (ends with
+    * `hashes(doc_id, fp)` in scope; defines `dims`, `grid`, `bits`,
+    * `hashes` — callers must avoid those names). q126 unions the image
+    * pair source with the text-simhash one. */
+  def dhashCtesSql: String = dhashCtes
+
   /** DuckDB oracle for [[dhash64]]∘[[encodeFarbfeld]] over `documents`:
     * every fingerprint reproduced bit-for-bit from the text (the
     * farbfeld pixel at index j is codepoint(j mod ncp) mod 2¹⁶ by
@@ -374,6 +380,12 @@ object Multimodal {
        |                           ELSE (1::BIGINT << pos) END) AS BIGINT), 0) AS fp
        |  FROM d LEFT JOIN abits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
   }
+
+  /** The [[audioFpCtes]] chain for EXTERNAL oracle composition (ends
+    * with `hashes(doc_id, fp)`; defines `d`, `samp`, `eb`, `abits`,
+    * `hashes` — callers must avoid those names). q126 unions the audio
+    * pair source with the text-simhash one. */
+  def audioFpCtesSql: String = audioFpCtes
 
   /** DuckDB oracle for [[audioFingerprint64]]∘[[encodeWav]]. */
   def audioFpOracleSql: String =

@@ -195,20 +195,27 @@ object ExtQueries {
     * from the engine's constants at a given width — shared by q33/q77
     * (fixture 16-bit) and q92 (production 64-bit). Bits 60+ read the
     * second md5 stream, mirroring `Dedup.hash64b`. */
-  private def simhashSqlFor(bits: Int): String = {
+  /** The simhash CTE chain with PREFIXED names (`{p}tok`, `{p}bits`,
+    * `{p}s`) so it composes into oracles whose other fragments already
+    * use the bare names (q126 unions it with the image-dHash chain,
+    * which defines its own `bits`/`dims`). */
+  private def simhashCtesFor(bits: Int, p: String): String = {
     val h2 = if (bits > 60) ", " + sqlHash64("'#' || token") + " AS h2" else ""
     def bitExpr(j: Int) = if (j < 60) s"((h >> $j) & 1)" else s"((h2 >> ${j - 60}) & 1)"
-    "WITH tok AS (SELECT doc_id, " + sqlHash64("token") + s" AS h$h2 FROM (" +
+    s"${p}tok AS (SELECT doc_id, " + sqlHash64("token") + s" AS h$h2 FROM (" +
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
-      "bits AS (SELECT doc_id, " +
+      s"${p}bits AS (SELECT doc_id, " +
       (0 until bits).map(j =>
         s"sum((${bitExpr(j)}) * 2 - 1) AS s$j").mkString(", ") +
-      " FROM tok GROUP BY doc_id),\n" +
-      "s AS (SELECT doc_id, cast(" +
+      s" FROM ${p}tok GROUP BY doc_id),\n" +
+      s"${p}s AS (SELECT doc_id, cast(" +
       (0 until bits).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
-      " AS BIGINT) AS simhash FROM bits)\n"
+      s" AS BIGINT) AS simhash FROM ${p}bits)\n"
   }
+
+  private def simhashSqlFor(bits: Int): String =
+    "WITH " + simhashCtesFor(bits, "")
 
   private val simhashSql: String = simhashSqlFor(Dedup.SimhashBits)
 
@@ -1100,6 +1107,60 @@ object ExtQueries {
          |    ORDER BY ${Sampling.rowHashSql("doc_id", "shard:order")}, doc_id) - 1
          |    AS pos
          |FROM documents""".stripMargin),
+
+    // ── cross-modality dedup (duplicate in EITHER modality merges) ─────
+    // An audio-caption pair corpus dedups on BOTH channels: a near-dup
+    // clip (perceptual audio fingerprint, q115's generator at its tight
+    // production threshold) OR a near-dup caption (64-bit SimHash,
+    // q92's generator) makes two items the same content, so the pair
+    // sources UNION before clustering — one connected-components pass
+    // over the merged edge relation, longest caption survives (q57's
+    // policy). The oracle unions both brute-force pair sources
+    // (prefixed simhash CTEs compose beside the audio chain) and
+    // replays closure + survivor, so the driver verifies the
+    // cross-modal merge end-to-end. (The image-dHash source composes
+    // identically via Multimodal.dhashCtesSql, but its fixture
+    // threshold — Hamming 12 of 64, hence 4-bit bands — carries a
+    // structural candidate volume that would make the composite the
+    // registry's heaviest query; the audio fingerprint's 8-bit bands
+    // give the same cross-modal semantics at production economics.)
+    "q126_multimodal_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val audioPairs = Multimodal.audioDupPairs(docs, maxDist = 4, nBands = 8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val txtPairs = Dedup.simhashHammingPairs(docs, maxDist = 3,
+          bits = 64, nBands = 4)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        Dedup.clusterPairsBy(docs, audioPairs.unionByName(txtPairs).distinct(),
+          length(col("text")))
+      },
+      s"""WITH RECURSIVE ${Multimodal.audioFpCtesSql},
+         |${simhashCtesFor(64, "t_")},
+         |ip AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+         |tp AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM t_s a JOIN t_s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |qual AS (SELECT * FROM ip UNION SELECT * FROM tp),
+         |sym AS (SELECT a, b FROM qual UNION ALL SELECT b, a FROM qual),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, y.b FROM reach r JOIN sym y ON r.b = y.a),
+         |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+         |          FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cl,
+         |               length(d.text) AS q
+         |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+         |surv AS (SELECT cl, doc_id AS canonical_id FROM (
+         |  SELECT cl, doc_id,
+         |         row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+         |  FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, z.canonical_id,
+         |       count(*) OVER (PARTITION BY l.cl) AS cluster_size
+         |FROM lab l JOIN surv z USING (cl)""".stripMargin),
 
     // ── contamination audit report (the finding, not just the drop) ────
     // q54 silently drops contaminated training docs; a real eval-set

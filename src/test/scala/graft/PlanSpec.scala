@@ -243,6 +243,26 @@ class PlanSpec extends SparkSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q123/q125: proportional mix has no cartesian; contamination report probes a broadcast") {
+    val mixPlan = planOf("q123_mix_proportions")
+    assert(!mixPlan.contains("CartesianProduct")
+      && !mixPlan.contains("BroadcastNestedLoopJoin"), mixPlan)
+    val repPlan = planOf("q125_contamination_report")
+    assert(repPlan.contains("BroadcastHashJoin"), repPlan)
+    assert(!repPlan.contains("CartesianProduct"), repPlan)
+  }
+
+  test("q124: shuffle-shard plans exactly the one window exchange the layout needs") {
+    val plan = planOf("q124_shuffle_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q126: cross-modal dedup union stays equi-join-only") {
+    val plan = planOf("q126_multimodal_dedup")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q79/q95: z-order box plans carry the COMPACT graft_zvalue node, not the inlined shift tree") {
     // the composed 32+-term tree inlined into filter+projection crosses
     // HotSpot's huge-method JIT ceiling and runs the stage interpreted
