@@ -598,7 +598,14 @@ object TextAnalysis {
     */
   def bpeEncodeIds(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val seg = bpeSegment(docs, merges)
-    val vocab = bpeVocab(seg)
+    encodeSegWithVocab(docs, seg, bpeVocab(seg))
+  }
+
+  /** The id-mapping + positional re-stitch shared by [[bpeEncodeIds]]
+    * (vocab derived in-query) and [[bpeEncodeIdsFromModel]] (vocab
+    * loaded from a persisted artifact). */
+  private def encodeSegWithVocab(docs: DataFrame, seg: DataFrame,
+                                 vocab: DataFrame): DataFrame = {
     val pos = seg.where(col("pieces") =!= "")
       .select(col("doc_id"),
         posexplode(split(col("pieces"), "\\|")).as(Seq("pos", "piece")))
@@ -612,6 +619,40 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("ids"), lit("")).as("ids"))
+  }
+
+  /** Persist a trained tokenizer as a two-table parquet artifact —
+    * `merges` (rank, left, right) and `vocab` (piece, freq, id) — the
+    * thing a tokenizer DEPLOYMENT actually ships between the training
+    * job and every consumer (same discipline as the persisted ANN
+    * indexes: train offline once, probe forever). Both tables are
+    * metadata-sized (≤ |alphabet| + nMerges rows). */
+  def saveBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   merges: Seq[(String, String)], vocab: DataFrame,
+                   path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load the merge table of a [[saveBpeModel]] artifact, rank order. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] =
+    spark.read.parquet(s"$path/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** ENCODE against a persisted tokenizer artifact: merges ride as a
+    * closure into the segmentation kernel (driver-side, rank order),
+    * the vocab relation broadcasts from its parquet table — no
+    * training work at all, the deployment probe path. Output is
+    * byte-identical to [[bpeEncodeIds]] when the artifact was trained
+    * on the same corpus (q127's oracle is exactly q121's). */
+  def bpeEncodeIdsFromModel(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val seg = bpeSegment(docs, loadBpeMerges(spark, path))
+    encodeSegWithVocab(docs, seg, spark.read.parquet(s"$path/vocab"))
   }
 
   /** BPE DECODE: ids back to text via the vocab map — (doc_id, decoded)

@@ -1004,6 +1004,58 @@ object ExtQueries {
       },
       TextAnalysis.bpeEncodeIdsOracleSql(nMerges = 30)),
 
+    // ── BPE tokenizer ARTIFACT round trip (deploy path) ────────────────
+    // The q105 discipline for the tokenizer: q109 prices training,
+    // q110/q121 consume session-cached merges; this query prices the
+    // ARTIFACT round trip a deployment actually runs — persist the
+    // trained model (merges + frequency-ranked vocab, two metadata-
+    // sized parquet tables) and encode FROM THE LOADED ARTIFACT, no
+    // training work in the consumer at all. Same oracle as q121: the
+    // persistence must be semantically invisible, and the driver gates
+    // that end-to-end. Artifacts land under the session scratch root
+    // (shutdown-reaped).
+    "q127_bpe_persisted" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = Similarity.scratchIndexDir("q127") + "/bpe"
+        val merges = TextAnalysis.sessionBpeMerges(docs, dir, nMerges = 30)
+        TextAnalysis.saveBpeModel(s, merges,
+          TextAnalysis.bpeVocab(TextAnalysis.bpeSegment(docs, merges)), path)
+        TextAnalysis.bpeEncodeIdsFromModel(docs, path)
+      },
+      TextAnalysis.bpeEncodeIdsOracleSql(nMerges = 30)),
+
+    // ── z-order LAYOUT write + min/max-pruned box probe ────────────────
+    // q79 computes z inline; this prices the LAYOUT itself (the q94/
+    // q105 write-the-artifact-in-query pattern): lineitem laid out
+    // range-partitioned-and-sorted by z (8 files), then the box query
+    // answered FROM the layout — z-range prefilter on the PERSISTED z
+    // column (a plain comparison parquet pushes down to row-group
+    // min/max stats, ZOrderSpec asserts the PushedFilters) + exact
+    // refilter. Same oracle as q79: the layout round trip must be
+    // semantically invisible.
+    "q128_zorder_layout" -> Q(
+      (s, dir) => {
+        val path = Similarity.scratchIndexDir("q128") + "/zlayout"
+        val x = col("l_partkey").bitwiseAND(lit(65535L))
+        val y = col("l_suppkey").bitwiseAND(lit(65535L))
+        graft.util.ZOrder.writeZOrdered(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          x, y, path, files = 8)
+        val laid = s.read.parquet(path)
+        laid.where(col("z").between(
+            lit(graft.util.ZOrder.zOf(100L, 10L)),
+            lit(graft.util.ZOrder.zOf(300L, 50L))))
+          .where(x.between(100L, 300L) && y.between(10L, 50L))
+          .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+      },
+      s"""SELECT l_orderkey, l_linenumber,
+         |  cast(${graft.util.ZOrder.zValueSql("(l_partkey & 65535)", "(l_suppkey & 65535)")} AS BIGINT) AS z
+         |FROM lineitem
+         |WHERE (l_partkey & 65535) BETWEEN 100 AND 300
+         |  AND (l_suppkey & 65535) BETWEEN 10 AND 50""".stripMargin),
+
     // ── incremental prep: the continuous-ingest composition ────────────
     // One NEW batch (residue-3 docs) pushed through the full prep gate
     // chain against the EXISTING corpus (the rest): quality+language

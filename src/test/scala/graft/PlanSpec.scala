@@ -257,6 +257,12 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("q128: layout probe pushes the z-range into the parquet scan (row-group min/max pruning)") {
+    val plan = planOf("q128_zorder_layout")
+    assert(plan.contains("GreaterThanOrEqual(z,"),
+      s"z-range must push down to the layout scan:\n$plan")
+  }
+
   test("q126: cross-modal dedup union stays equi-join-only") {
     val plan = planOf("q126_multimodal_dedup")
     assert(!plan.contains("CartesianProduct")

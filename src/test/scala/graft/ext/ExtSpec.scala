@@ -928,5 +928,14 @@ class ExtSpec extends SparkSuite {
     val nseg = TextAnalysis.bpeSegment(df, merges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     enc.collect().foreach(r => assert(r.getLong(1) == nseg.getOrElse(r.getLong(0), 0L)))
+    // persisted-artifact round trip: loaded merges identical (rank
+    // order), encode-from-model byte-identical to the in-query path
+    val path = java.nio.file.Files.createTempDirectory("bpe_model").toString + "/m"
+    TextAnalysis.saveBpeModel(spark, merges, vocab, path)
+    assert(TextAnalysis.loadBpeMerges(spark, path) == merges)
+    val fromModel = TextAnalysis.bpeEncodeIdsFromModel(df, path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val direct = enc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fromModel == direct)
   }
 }
