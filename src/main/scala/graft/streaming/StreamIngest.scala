@@ -146,10 +146,12 @@ object StreamIngest {
     * micro-batch against the corpus appended so far: quality + language
     * gate, exact+near dedup against the SINK, eval-set decontamination,
     * train split, and a BUDGET-AWARE append — each domain's token budget
-    * is depleted by what previous batches already wrote, read back as
-    * one per-domain aggregate (|domains| rows, metadata-sized — the same
-    * class as [[notYetWritten]]'s distinct-dates collect), so the corpus
-    * never exceeds its recipe across batches. Cross-batch mixing is
+    * is depleted by what previous batches already wrote, read from the
+    * [[prepStatsDir]] stats sidecar (batch-count-sized rows; the
+    * driver-side collect is |domains| rows, the same class as
+    * [[notYetWritten]]'s distinct-dates collect — and per-batch I/O
+    * stays sidecar-sized instead of re-aggregating the corpus), so the
+    * corpus never exceeds its recipe across batches. Cross-batch mixing is
     * necessarily GREEDY (an append-only corpus can't rebalance
     * retroactively); within a batch the cut is the deterministic
     * hash-ordered prefix, so a given batch sequence always produces the
@@ -161,6 +163,26 @@ object StreamIngest {
     * corpus is PROBED, never rewritten (files only accumulate; the spec
     * asserts earlier batches' files survive later appends untouched).
     */
+  /** The per-domain token-spend STATS SIDECAR of an [[ingestPrep]]
+    * corpus: `<outDir>_stats`, one tiny (lang_guess, tokens) batch
+    * summary appended per micro-batch. Budget depletion reads THIS —
+    * batch-count-sized rows — instead of re-aggregating the corpus
+    * every batch (a corpus-sized scan at 100 TB, even column-pruned).
+    * The corpus stays ground truth: the sidecar is exactly
+    * `corpus.groupBy(lang_guess).sum(n_tokens)` when consistent, and
+    * [[rebuildPrepStats]] restores it from the corpus after any doubt.
+    */
+  def prepStatsDir(outDir: String): String = outDir + "_stats"
+
+  /** Recompute the [[prepStatsDir]] sidecar from the corpus (the
+    * recovery path after a crash window — see [[ingestPrep]]'s write
+    * ordering). */
+  def rebuildPrepStats(spark: SparkSession, outDir: String): Unit =
+    readIfExists(spark, outDir).foreach { c =>
+      c.groupBy(col("lang_guess")).agg(sum(col("n_tokens")).as("tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(prepStatsDir(outDir))
+    }
+
   def ingestPrep(spark: SparkSession, srcDir: String, checkpointDir: String,
                  outDir: String, evalDocs: DataFrame,
                  budgets: Seq[(String, Long)], defaultBudget: Long,
@@ -173,19 +195,30 @@ object StreamIngest {
           .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), col("text"))
         val corpus = readIfExists(batch.sparkSession, outDir)
-        val spent: Map[String, Long] = corpus match {
-          case Some(c) => c.groupBy(col("lang_guess"))
-            .agg(sum(col("n_tokens")).as("t")).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          case None => Map.empty
-        }
+        val spent: Map[String, Long] =
+          readIfExists(batch.sparkSession, prepStatsDir(outDir)) match {
+            case Some(st) => st.groupBy(col("lang_guess"))
+              .agg(sum(col("tokens")).as("t")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            case None => Map.empty
+          }
         val remaining = (budgets.map(_._1) ++ spent.keys).distinct.map { d =>
           val conf = budgets.toMap.getOrElse(d, defaultBudget)
           d -> math.max(0L, conf - spent.getOrElse(d, 0L))
         }
-        graft.ext.Prep.prepBatch(fresh, corpus, evalDocs,
+        val cleaned = graft.ext.Prep.prepBatch(fresh, corpus, evalDocs,
             remaining, defaultBudget, n)
-          .write.mode("append").parquet(outDir)
+          .localCheckpoint(true) // consumed twice: stats summary + append
+        // STATS FIRST, corpus second: a crash between the two writes
+        // leaves tokens reserved-but-absent — the budget contract can
+        // only UNDER-admit, never be exceeded. (A crash-then-replay can
+        // also double-reserve a batch's stats: same conservative
+        // direction. Either way the corpus remains ground truth and
+        // rebuildPrepStats restores exact accounting.)
+        cleaned.groupBy(col("lang_guess"))
+          .agg(sum(col("n_tokens")).as("tokens"))
+          .coalesce(1).write.mode("append").parquet(prepStatsDir(outDir))
+        cleaned.write.mode("append").parquet(outDir)
       }
       .start()
 

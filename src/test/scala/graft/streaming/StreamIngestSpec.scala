@@ -329,5 +329,18 @@ class StreamIngestSpec extends SparkSuite {
         .mkString("\n").getBytes)
     run()
     assert(spark.read.parquet(out).count() == 3, "replay must append nothing")
+    // the stats sidecar (what budget depletion reads — batch-count-
+    // sized, not a corpus re-aggregate) agrees with the corpus ground
+    // truth, and rebuildPrepStats reproduces it exactly
+    def statTotals(dir: String) = spark.read.parquet(dir)
+      .groupBy("lang_guess")
+      .agg(org.apache.spark.sql.functions.sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusTotals = spark.read.parquet(out).groupBy("lang_guess")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statTotals(StreamIngest.prepStatsDir(out)) == corpusTotals)
+    StreamIngest.rebuildPrepStats(spark, out)
+    assert(statTotals(StreamIngest.prepStatsDir(out)) == corpusTotals)
   }
 }
