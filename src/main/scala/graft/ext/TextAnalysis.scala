@@ -598,27 +598,38 @@ object TextAnalysis {
     */
   def bpeEncodeIds(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val seg = bpeSegment(docs, merges)
-    encodeSegWithVocab(docs, seg, bpeVocab(seg))
+    val vocabMap = bpeVocab(seg).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    encodeSegWithVocab(seg, vocabMap)
   }
 
-  /** The id-mapping + positional re-stitch shared by [[bpeEncodeIds]]
-    * (vocab derived in-query) and [[bpeEncodeIdsFromModel]] (vocab
-    * loaded from a persisted artifact). */
-  private def encodeSegWithVocab(docs: DataFrame, seg: DataFrame,
-                                 vocab: DataFrame): DataFrame = {
-    val pos = seg.where(col("pieces") =!= "")
-      .select(col("doc_id"),
-        posexplode(split(col("pieces"), "\\|")).as(Seq("pos", "piece")))
-    val enc = pos.join(broadcast(vocab.select(col("piece"), col("id"))), "piece")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pieces"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("id")))),
-          x => x.getField("id").cast("string")), ",").as("ids"))
-    docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        coalesce(col("ids"), lit("")).as("ids"))
+  /** The piece→id mapping shared by [[bpeEncodeIds]] (vocab derived
+    * in-query) and [[bpeEncodeIdsFromModel]] (vocab loaded from a
+    * persisted artifact): a ZERO-EXCHANGE narrow projection. The vocab
+    * is metadata-sized by construction (≤ |alphabet| + nMerges, see
+    * [[bpeVocab]]), so it rides as a map LITERAL over the already-
+    * ordered pieces string — no explode, no join, no re-stitch window;
+    * the earlier explode → broadcast-join → groupBy/array_sort
+    * formulation paid two aggregation exchanges for what is a pure
+    * per-row lookup. An unknown piece (text not covered by the
+    * artifact's alphabet) FAILS LOUDLY instead of silently dropping an
+    * id — the coalesce short-circuits, so the error expression never
+    * evaluates on covered pieces. */
+  private def encodeSegWithVocab(seg: DataFrame,
+                                 vocabMap: Map[String, Long]): DataFrame = {
+    val mapLit =
+      if (vocabMap.isEmpty) map().cast("map<string,bigint>")
+      else map(vocabMap.toSeq.sortBy(_._2).flatMap {
+        case (p, i) => Seq(lit(p), lit(i)) }: _*)
+    // try_element_at (not element_at): ANSI mode makes the plain form
+    // throw its own generic error on a missing key — the try_ variant
+    // yields null so the coalesce can raise the diagnostic one
+    seg.select(col("doc_id"), col("n_pieces"),
+      when(col("pieces") === "", lit(""))
+        .otherwise(array_join(transform(split(col("pieces"), "\\|"),
+          p => coalesce(try_element_at(mapLit, p),
+            raise_error(concat(lit("bpe encode: piece not in vocab: "), p))
+              .cast("long")).cast("string")), ",")).as("ids"))
   }
 
   /** Persist a trained tokenizer as a two-table parquet artifact —
@@ -652,7 +663,9 @@ object TextAnalysis {
   def bpeEncodeIdsFromModel(docs: DataFrame, path: String): DataFrame = {
     val spark = docs.sparkSession
     val seg = bpeSegment(docs, loadBpeMerges(spark, path))
-    encodeSegWithVocab(docs, seg, spark.read.parquet(s"$path/vocab"))
+    val vocabMap = spark.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    encodeSegWithVocab(seg, vocabMap)
   }
 
   /** BPE DECODE: ids back to text via the vocab map — (doc_id, decoded)
