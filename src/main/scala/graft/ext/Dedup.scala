@@ -279,7 +279,11 @@ object Dedup {
                          tau: Double): DataFrame = {
     val sh = shingleIndex(docs, n)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand.select(col("doc_a"), col("doc_b"))
+    // Distinct first: a duplicated (doc_a, doc_b) row in cand would
+    // multiply the intersection count (jaccard > 1, false-passing tau),
+    // so the "arbitrary candidate relation" contract requires dedup here
+    // rather than trusting every caller.
+    val inter = cand.select(col("doc_a"), col("doc_b")).distinct()
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")).hint("shuffle_hash"),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"),

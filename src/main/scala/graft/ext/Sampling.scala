@@ -230,6 +230,11 @@ object Sampling {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
                     salt: String = "shard"): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
+    // "shard"/"pos" are RESERVED output names: withColumn would silently
+    // overwrite same-named input columns, corrupting the caller's data.
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "shuffleShards reserves output columns 'shard' and 'pos'; " +
+        "rename or drop them on the input first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(rowHash(df, col(idCol), salt + ":order"), col(idCol))

@@ -101,11 +101,14 @@ object ZValue {
 
   /** Column constructor. Registration goes through the function registry
     * (Column-from-Expression is session-internal in Spark 4); the layout
-    * table rides in a registry closure keyed by its own content, so each
-    * distinct layout gets its own registered name and plans with mixed
-    * layouts cannot collide. */
+    * table rides in a registry closure keyed by a 128-bit MD5 of its
+    * content — a lossless-for-all-practical-purposes key, unlike 32-bit
+    * String.hashCode where two distinct layouts could collide and
+    * createOrReplaceTempFunction would silently rebind the name. */
   def zCol(spark: SparkSession, dims: Seq[Column], layout: Array[Int]): Column = {
-    val name = s"graft_zvalue_${layout.mkString("_").hashCode.toHexString}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(layout.mkString("_").getBytes("UTF-8"))
+    val name = s"graft_zvalue_${md.map("%02x".format(_)).mkString}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => ZValue(exprs, layout), "scala_udf")
     org.apache.spark.sql.functions.call_function(name, dims: _*)

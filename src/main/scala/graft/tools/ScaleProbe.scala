@@ -27,8 +27,9 @@ import graft.stats.{TreeInput, TreeStatsIterative}
 object ScaleProbe {
 
   /** Fixture-shaped documents: n docs, 20-89 tokens from the real
-    * corpus vocabulary, 5% planted near-dup pairs (ids 40k+1 copy
-    * 40k's text with one appended token — shingle overlap ~ 1). */
+    * corpus vocabulary, planted near-dup pairs at one pair per 40 rows
+    * (2.5% of rows are a planted copy: ids 40k+1 copy 40k's text with
+    * one appended token — shingle overlap ~ 1). */
   def synthDocs(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
     val v = vocab.toArray
     val vLit = array(v.map(lit): _*)
