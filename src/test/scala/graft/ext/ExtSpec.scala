@@ -250,6 +250,19 @@ class ExtSpec extends SparkSuite {
     assert(TextAnalysis.sessionBpeMerges(d, "extspec-bpe", nMerges = 1) != m1)
   }
 
+  test("bpeTrain minCount prunes rare words from the histogram before merging") {
+    // histogram: aa:3, ab:5, abq:1 (hapax). minCount=2 drops "abq", so
+    // the (a,b) merge frequency falls 6 → 5 and the (ab,q) pair never
+    // exists; minCount=1 (default) counts everything.
+    val d = Seq((1L, "aa ab aa ab abq"), (2L, "ab aa ab ab")).toDF("doc_id", "text")
+    val all = TextAnalysis.bpeTrain(d, nMerges = 10).orderBy("rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val pruned = TextAnalysis.bpeTrain(d, nMerges = 10, minCount = 2L).orderBy("rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(all == Seq((0L, "a", "b", 6L), (1L, "a", "a", 3L)))
+    assert(pruned == Seq((0L, "a", "b", 5L), (1L, "a", "a", 3L)))
+  }
+
   test("sessionPqIndex trains once per (corpus, params) and hands back the same artifact") {
     val p1 = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
       dim = 16, m = 4, kSub = 16, iters = 1)

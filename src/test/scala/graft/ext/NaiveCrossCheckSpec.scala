@@ -189,6 +189,25 @@ class NaiveCrossCheckSpec extends SparkSuite {
     }
   }
 
+  test("bpeTrain (hybrid in-memory) == bpeTrainRelational on random corpora, incl. early stop") {
+    val words = Vector("banana", "bandana", "ananas", "cabana", "nab", "ban")
+    for (seed <- 1 to 4) {
+      val rnd = new Random(700 + seed)
+      val docs = (0L until 25L).map { i =>
+        i -> Seq.fill(2 + rnd.nextInt(9))(words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      // nMerges = 60 overshoots what these corpora support, so both
+      // paths must stop early at the SAME rank with the SAME table
+      val hy = TextAnalysis.bpeTrain(df, nMerges = 60)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      val rel = TextAnalysis.bpeTrainRelational(df, nMerges = 60)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      assert(hy == rel, s"seed=$seed")
+      assert(hy.nonEmpty && hy.length < 60, s"seed=$seed: expected early stop")
+    }
+  }
+
   test("bpeSegment matches naive application and reconstructs every word losslessly") {
     val words = Vector("banana", "bandana", "ananas", "cabana", "nab", "ban")
     val rnd = new Random(900)
