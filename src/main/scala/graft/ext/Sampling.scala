@@ -242,6 +242,35 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** THE TRAINING-READY EXPORT: write [[shuffleShards]]' layout to disk
+    * as the artifact a training run actually consumes — a hive-
+    * partitioned parquet tree `path/shard=N/` whose files, within each
+    * shard, hold rows in shuffled `pos` order. Returns the read-back
+    * DataFrame so callers (q129) can probe the PERSISTED layout, the
+    * q128/q105 write-the-artifact-in-query discipline.
+    *
+    * Scale shape — the claim at [[shuffleShards]] made real: NO
+    * repartition sits between the window and the write, so the window's
+    * single hash exchange on `shard` IS the write partitioning — each
+    * task owns whole shards and `partitionBy(shard)` emits exactly one
+    * file per (shard, task) instead of nShards slivers per task
+    * (PlanSpec pins the one-exchange plan). Within a task, WindowExec
+    * emits rows in its required sort order (shard, order-hash, id) =
+    * (shard, pos) order, so files are laid down in reading order and a
+    * training reader streams them sequentially; `maxRecordsPerFile` is
+    * the file-size knob (same as [[graft.ingest.Sinks.mart]]'s) when
+    * one file per shard is too coarse at 100 TB.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, nShards: Int,
+                          path: String, salt: String = "shard",
+                          maxRecordsPerFile: Long = 0L): DataFrame = {
+    val sharded = shuffleShards(df, idCol, nShards, salt)
+    val w = sharded.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** The running-total window in DuckDB SQL — oracle building block for
     * [[sampleToTokenBudget]] (same hash order, same inclusive frame). */
   def cumTokensSql(idExpr: String, domainExpr: String, tokenExpr: String,

@@ -68,6 +68,59 @@ object TextAnalysis {
       (meanLen * 0.1 + stopRatio).as("quality_score"))
   }
 
+  /** Scala-side twin of `Dedup.hash64` (60-bit md5 prefix) reduced to a
+    * feature bucket — used to BUILD hashed-feature models driver-side
+    * with exactly the arithmetic the engine and the DuckDB oracle
+    * apply per token (a spec pins the parity). */
+  def md5Bucket(token: String, d: Int): Int = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    (java.lang.Long.parseLong(
+      dig.take(8).map("%02x".format(_)).mkString.take(15), 16) % d).toInt
+  }
+
+  /** A planted fastText-class model for [[linearQualityScore]]: 64
+    * hash buckets, stopword buckets weighted +4, everything else −1 —
+    * function-word density is the classic linear-quality signal. The
+    * SAME constant generates the engine literals and the oracle SQL
+    * (the q122 shared-constants discipline), so the two cannot drift.
+    */
+  lazy val DefaultQualityWeights: Array[Long] = {
+    val w = Array.fill(64)(-1L)
+    Stopwords.foreach(s => w(md5Bucket(s, 64)) = 4L)
+    w
+  }
+
+  /** fastText-class LINEAR quality classifier — production pipelines
+    * score documents with a trained linear model over hashed token
+    * features, not heuristics ([[qualityScore]]): each token hashes
+    * into one of `weights.length` buckets (the hashing trick — no
+    * vocabulary table, O(1) memory) and the document's raw score is
+    * bias + Σ_tokens weights[h(tok) % D], kept iff score > 0. All
+    * integer arithmetic, so any engine replays it exactly.
+    *
+    * Scale shape: a pure narrow per-row fold (`aggregate` HOF over the
+    * token array — the weight vector rides as an array LITERAL, the
+    * q121 map-literal discipline): zero joins, zero exchanges, one
+    * corpus scan; the model is metadata-sized by construction. Emits
+    * (doc_id, n_tokens, score_raw, keep) for every doc — an empty doc
+    * scores exactly `bias`.
+    */
+  def linearQualityScore(docs: DataFrame, weights: Array[Long],
+                         bias: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "linearQualityScore needs a weight vector")
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val d = weights.length
+    val wArr = array(weights.map(lit): _*)
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val score = aggregate(toks, lit(bias),
+      (acc, t) => acc + element_at(wArr, (Dedup.hash64(t) % d).cast("int") + 1))
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        score.as("score_raw"))
+      .withColumn("keep", col("score_raw") > 0)
+  }
+
   /** Token counting three ways: whitespace split, BPE-ish regex pieces
     * (letter runs / digit runs / single other), distinct tokens.
     */
@@ -886,6 +939,60 @@ object TextAnalysis {
       .select(col("doc_id"),
         (size(toks) - size(kept)).cast("long").as("n_removed"),
         array_join(kept, " ").as("text_clean"))
+  }
+
+  /** Composite (doc, chunk) key base for [[dedupParagraphs]]: chunk_id
+    * rides in the low bits, so key order == (doc_id, chunk_id) order —
+    * the first-wins total order — and both engines replay the same
+    * arithmetic. 2²⁰ chunks/doc = 16M tokens/doc at the default grain;
+    * an assert_true in the key projection turns overflow into a loud
+    * per-row failure instead of silent key collisions. */
+  val ChunkKeyBase: Long = 1L << 20
+
+  /** PARAGRAPH-grain near-dedup — boilerplate removal, the grain real
+    * pipelines dedup at (headers, nav bars, license blurbs repeat
+    * across documents while the documents themselves are distinct, so
+    * document-grain dedup never sees them): non-overlapping token
+    * chunks ([[chunk]] at stride == size, the q76 roundtrip grain)
+    * stand in for paragraphs; each chunk gets a production-width
+    * 64-bit SimHash fingerprint (q92's generator verbatim, over the
+    * chunk relation keyed by doc_id·2²⁰ + chunk_id); any chunk
+    * near-dup to a lower-keyed chunk is CUT (first-wins in
+    * (doc_id, chunk_id) order — q113's discipline, and within-doc
+    * repeats dedup too); survivors [[reassemble]] in chunk order.
+    * Emits (doc_id, n_removed_chunks, text_clean) for EVERY input doc
+    * — untouched docs pass through with n_removed_chunks = 0, a doc
+    * whose every chunk was cut emits ''.
+    *
+    * Scale shape: chunking is a narrow explode (rows × ~tokens/grain);
+    * the pair source is the banded SimHash equi-join (never corpus²);
+    * the cut is one keyed anti-join; reassembly one hash aggregate.
+    * All chunk-volume-sized — the same economics as the document-grain
+    * chain, one granularity down.
+    */
+  def dedupParagraphs(docs: DataFrame, chunkTok: Int = 16,
+                      maxDist: Int = 3): DataFrame = {
+    val chunks = chunk(docs, chunkTok, chunkTok)
+      .withColumn("ck", when(
+        assert_true(col("chunk_id") < ChunkKeyBase,
+          lit(s"dedupParagraphs: chunk_id >= $ChunkKeyBase overflows the " +
+            "composite key — raise ChunkKeyBase")).isNull,
+        col("doc_id") * ChunkKeyBase + col("chunk_id")))
+    val keyed = chunks.select(col("ck").as("doc_id"),
+      col("chunk_text").as("text"))
+    val cut = Dedup.simhashHammingPairs(keyed, maxDist = maxDist,
+      bits = 64, nBands = 4)
+      .select(col("doc_b").as("ck")).distinct()
+    val kept = chunks.join(cut, Seq("ck"), "left_anti")
+    val total = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ch"))
+    val keptCnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val stitched = reassemble(kept)
+    total
+      .join(keptCnt, Seq("doc_id"), "left")
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_ch") - coalesce(col("n_kept"), lit(0L))).as("n_removed_chunks"),
+        coalesce(col("text"), lit("")).as("text_clean"))
   }
 
   def sharedSpans(docs: DataFrame, k: Int = 8,

@@ -199,11 +199,12 @@ object ExtQueries {
     * `{p}s`) so it composes into oracles whose other fragments already
     * use the bare names (q126 unions it with the image-dHash chain,
     * which defines its own `bits`/`dims`). */
-  private def simhashCtesFor(bits: Int, p: String): String = {
+  private def simhashCtesFor(bits: Int, p: String,
+                             src: String = "documents"): String = {
     val h2 = if (bits > 60) ", " + sqlHash64("'#' || token") + " AS h2" else ""
     def bitExpr(j: Int) = if (j < 60) s"((h >> $j) & 1)" else s"((h2 >> ${j - 60}) & 1)"
     s"${p}tok AS (SELECT doc_id, " + sqlHash64("token") + s" AS h$h2 FROM (" +
-      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),\n" +
+      s"SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src)),\n" +
       s"${p}bits AS (SELECT doc_id, " +
       (0 until bits).map(j =>
         s"sum((${bitExpr(j)}) * 2 - 1) AS s$j").mkString(", ") +
@@ -2115,5 +2116,117 @@ object ExtQueries {
         |       array_to_string(t[s:s+31], ' ') AS chunk_text,
         |       cast(least(32, len(t) - s + 1) AS BIGINT) AS chunk_tok
         |FROM st""".stripMargin),
+
+    // ── training-ready sharded EXPORT (the artifact a trainer reads) ───
+    // The terminal composition of the prep side: proportional mix
+    // (q123) → deterministic shuffle-shards (q124) → the layout WRITE
+    // (hive-partitioned by shard, the window exchange reused as the
+    // write partitioning — Sampling.writeTrainingShards) → probe
+    // shard 0 back FROM the persisted tree. The oracle rederives the
+    // water-filling budgets AND the shard/pos arithmetic in SQL, so
+    // the driver verifies the whole export end-to-end including the
+    // layout round trip (q128's write-the-artifact-in-query
+    // discipline); PlanSpec pins the one-exchange write plan.
+    "q129_training_export" -> Q(
+      (s, dir) => {
+        val withTok = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val mixed = Sampling.sampleToProportions(withTok, "doc_id", "lang",
+          "n_tokens", MixWeights)
+        val path = Similarity.scratchIndexDir("q129") + "/shards"
+        Sampling.writeTrainingShards(mixed, "doc_id", nShards = 8, path)
+          .where(col("shard") === 0)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("pos"))
+      },
+      {
+        val tokSrc = "SELECT doc_id, lang, cast(len(string_split(text, ' ')) " +
+          "AS BIGINT) AS n_tokens FROM documents"
+        val domList = MixWeights.map(w => s"'${w._1}'").mkString(", ")
+        s"""WITH ${Sampling.proportionBudgetCtes(tokSrc, "lang", "n_tokens", MixWeights)},
+           |src AS (SELECT * FROM ($tokSrc) WHERE lang IN ($domList)),
+           |mixed AS (SELECT doc_id, lang, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "mix")} AS cum
+           |  FROM src),
+           |kept AS (SELECT m.doc_id, m.lang, m.n_tokens FROM mixed m
+           |  JOIN budget b ON m.lang = b.domain WHERE m.cum <= b.b)
+           |SELECT doc_id, lang, n_tokens,
+           |  row_number() OVER (
+           |    PARTITION BY ${Sampling.rowHashSql("doc_id", "shard")} % 8
+           |    ORDER BY ${Sampling.rowHashSql("doc_id", "shard:order")}, doc_id) - 1
+           |    AS pos
+           |FROM kept
+           |WHERE ${Sampling.rowHashSql("doc_id", "shard")} % 8 = 0""".stripMargin
+      }),
+
+    // ── paragraph-grain near-dedup (boilerplate removal) ───────────────
+    // Document-grain dedup never sees the license blurb repeated across
+    // ten thousand otherwise-distinct pages; this composition dedups at
+    // the chunk grain: non-overlapping 16-token chunks (q68/q76's
+    // grain) → 64-bit SimHash near-dup pairs over the chunk relation
+    // (q92's generator, composite doc·2²⁰+chunk keys) → every chunk
+    // near-dup to a lower-keyed one is cut first-wins (q113's
+    // discipline) → survivors reassemble in chunk order (q76). The
+    // oracle chains the same generated fragments — chunk CTE, the
+    // simhash CTE chain re-sourced onto it, brute-force pairs, cut +
+    // stitch — so the driver hash-verifies the whole rewrite including
+    // the emitted text and per-doc audit count.
+    "q130_paragraph_dedup" -> Q(
+      (s, dir) => TextAnalysis.dedupParagraphs(Tables.documents(s, dir),
+        chunkTok = 16, maxDist = 3),
+      {
+        val base = TextAnalysis.ChunkKeyBase
+        s"""WITH ch AS (SELECT doc_id, cast((s - 1) // 16 AS BIGINT) AS chunk_id,
+           |    array_to_string(t[s:s+15], ' ') AS chunk_text
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |              FROM documents))),
+           |ckeys AS (SELECT doc_id * $base + chunk_id AS doc_id,
+           |          chunk_text AS text FROM ch),
+           |${simhashCtesFor(64, "c_", "ckeys")},
+           |cut AS (SELECT DISTINCT b.doc_id AS ck
+           |  FROM c_s a JOIN c_s b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |keptch AS (SELECT * FROM ch
+           |  WHERE doc_id * $base + chunk_id NOT IN (SELECT ck FROM cut)),
+           |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+           |    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean
+           |  FROM keptch GROUP BY doc_id),
+           |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_ch
+           |        FROM ch GROUP BY doc_id)
+           |SELECT t.doc_id,
+           |  t.n_ch - coalesce(st.n_kept, 0) AS n_removed_chunks,
+           |  coalesce(st.text_clean, '') AS text_clean
+           |FROM tot t LEFT JOIN stitched st USING (doc_id)""".stripMargin
+      }),
+
+    // ── fastText-class linear quality classifier (hashed features) ─────
+    // Production quality scoring is a trained linear model, not a
+    // heuristic: tokens hash into 64 feature buckets (hashing trick),
+    // the planted weight vector rides as an array literal (q121's
+    // map-literal discipline — zero joins, zero exchanges, one scan),
+    // and the doc keeps iff the exact-integer raw score is positive.
+    // The oracle rebuilds the SAME weight literals from the SAME Scala
+    // constant and replays bucket hash + fold, so the driver verifies
+    // the model application itself.
+    "q131_linear_quality" -> Q(
+      (s, dir) => TextAnalysis.linearQualityScore(Tables.documents(s, dir),
+        TextAnalysis.DefaultQualityWeights, bias = 0L),
+      {
+        val w = TextAnalysis.DefaultQualityWeights
+        val d = w.length
+        s"""WITH tf AS (SELECT doc_id, tok
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |sc AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           |    cast(sum(([${w.mkString(", ")}])[
+           |      cast(${sqlHash64("tok")} % $d AS INT) + 1]) AS BIGINT)
+           |      AS score_raw
+           |  FROM tf GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(sc.n_tokens, cast(0 AS BIGINT)) AS n_tokens,
+           |  coalesce(sc.score_raw, cast(0 AS BIGINT)) AS score_raw,
+           |  coalesce(sc.score_raw, cast(0 AS BIGINT)) > 0 AS keep
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+      }),
   )
 }

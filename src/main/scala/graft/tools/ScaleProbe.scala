@@ -136,7 +136,24 @@ object ScaleProbe {
         e1, e10),
       ("tree_stats_iterative",
         (c: DataFrame) => TreeStatsIterative.compute(c.as[TreeInput]).toDF().count(),
-        c1, c10))
+        c1, c10),
+      ("span_cut_rewrite",
+        (d: DataFrame) => TextAnalysis.cutSharedSpans(d, k = 8)
+          .where(col("n_removed") > 0).count(),
+        d1, d10),
+      ("crossmodal_dedup",
+        (d: DataFrame) => {
+          val ap = graft.ext.Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          val tp = Dedup.simhashHammingPairs(d, maxDist = 3, bits = 64, nBands = 4)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          Dedup.clusterPairsBy(d, ap.unionByName(tp).distinct(), length(col("text")))
+            .where(col("doc_id") === col("canonical_id")).count()
+        }, d1, d10),
+      ("paragraph_dedup",
+        (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16, maxDist = 3)
+          .where(col("n_removed_chunks") > 0).count(),
+        d1, d10))
 
     val out = new StringBuilder("{")
     families.zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
@@ -147,6 +164,23 @@ object ScaleProbe {
       out ++= s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"rows1":$r1,"rows10":$r10,"alpha":${fmt(alpha)}}"""
       println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)}")
     }
+    // BPE training: the hybrid claim is that wall-clock NO LONGER scales
+    // with nMerges × per-job fixed cost (each merge round is an in-memory
+    // update after the one corpus-scale histogram aggregate) — so 10×
+    // the merges must cost far less than 10× the time, while the
+    // RELATIONAL form prices one sequential Spark job per round. Also
+    // probe corpus scaling at fixed merges (histogram job dominates).
+    val (th40, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
+    val (th400, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
+    val (th40x10, _) = timeMin(TextAnalysis.bpeTrain(d10, nMerges = 40).count())
+    val (tr40, _) = timeMin(TextAnalysis.bpeTrainRelational(d1, nMerges = 40).count())
+    val aM = math.log10(th400 / th40)
+    out ++= s""","bpe_train_hybrid":{"t_m40":${fmt(th40)},"t_m400":${fmt(th400)}"""
+    out ++= s""","alpha_vs_merges":${fmt(aM)},"t10_m40":${fmt(th40x10)}"""
+    out ++= s""","alpha_vs_corpus":${fmt(math.log10(th40x10 / th40))}"""
+    out ++= s""","relational_t_m40":${fmt(tr40)}}"""
+    println(s"[scaleprobe] bpe_train_hybrid m40=${fmt(th40)}s m400=${fmt(th400)}s " +
+      s"alpha_vs_merges=${fmt(aM)} corpus10x_m40=${fmt(th40x10)}s relational_m40=${fmt(tr40)}s")
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

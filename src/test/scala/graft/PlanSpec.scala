@@ -281,4 +281,35 @@ class PlanSpec extends SparkSuite {
       assert(!plan.contains("shiftleft(shiftright"), s"$q reverted to the inline tree:\n$plan")
     }
   }
+
+  test("q129: export probe prunes to its shard partition; the layout write plans ONE exchange") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // probe side: the shard=0 filter must hit the hive-partition listing,
+    // not the row scan — the trainer reads one shard's directory only
+    val plan = planOf("q129_training_export")
+    assert(plan.contains("PartitionFilters: [") &&
+      "shard#\\d+ = 0".r.findFirstIn(plan).nonEmpty,
+      s"shard filter must prune partitions:\n$plan")
+    // write side: the window's hash exchange on shard IS the write
+    // partitioning — no extra repartition may sneak in between
+    // (Sampling.writeTrainingShards writes exactly this DataFrame)
+    val docs = graft.util.Tables.documents(spark, dir).select(col("doc_id"),
+      col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wplan = graft.ext.Sampling.shuffleShards(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(wplan).size == 1, wplan)
+  }
+
+  test("q130: paragraph dedup stays on banded equi-joins + a keyed anti-join") {
+    val plan = planOf("q130_paragraph_dedup")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q131: linear quality scoring is a zero-exchange narrow projection (model rides as a literal)") {
+    val plan = planOf("q131_linear_quality")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

@@ -263,6 +263,67 @@ class ExtSpec extends SparkSuite {
     assert(pruned == Seq((0L, "a", "b", 5L), (1L, "a", "a", 3L)))
   }
 
+  test("dedupParagraphs cuts repeated chunks first-wins and reassembles survivors") {
+    // 16-token chunks; a shared "boilerplate" paragraph is planted as
+    // chunk 0 of docs 1 and 2 and as chunk 1 of doc 3 — doc 1's copy
+    // (lowest composite key) survives, the other two are cut. Unique
+    // text passes through byte-for-byte.
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"u${d}x$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$boiler ${uniq(1, 16)}",
+      2L -> s"$boiler ${uniq(2, 16)}",
+      3L -> s"${uniq(3, 16)} $boiler",
+      4L -> uniq(4, 32)).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(docs, chunkTok = 16, maxDist = 3)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == (0L, s"$boiler ${uniq(1, 16)}"))
+    assert(got(2L) == (1L, uniq(2, 16)))
+    assert(got(3L) == (1L, uniq(3, 16)))
+    assert(got(4L) == (0L, uniq(4, 32)))
+  }
+
+  test("dedupParagraphs: doc whose every chunk is boilerplate empties out, audit counts it") {
+    val boiler = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq(1L -> boiler, 2L -> boiler).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(docs, chunkTok = 16, maxDist = 3)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == (0L, boiler))
+    assert(got(2L) == (1L, ""))
+  }
+
+  test("linearQualityScore: planted-weight model separates planted classes exactly") {
+    val d = 64
+    val w = TextAnalysis.DefaultQualityWeights
+    val stopBuckets = TextAnalysis.Stopwords.map(TextAnalysis.md5Bucket(_, d)).toSet
+    // gibberish tokens screened to MISS every stopword bucket, so their
+    // per-token weight is exactly -1
+    val junk = (1 to 200).map(i => s"zz$i")
+      .filter(t => !stopBuckets.contains(TextAnalysis.md5Bucket(t, d))).take(20)
+    assert(junk.size == 20)
+    val goodText = (TextAnalysis.Stopwords ++ TextAnalysis.Stopwords ++ junk.take(2)).mkString(" ")
+    val badText = junk.mkString(" ")
+    val docs = Seq(1L -> goodText, 2L -> badText, 3L -> "").toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityScore(docs, w)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // good: 10 stopword tokens at +4, 2 junk at -1 → 38 > 0
+    assert(got(1L) == ((1L, 12L, 38L, true)))
+    // bad: 20 junk at -1 → -20
+    assert(got(2L) == ((2L, 20L, -20L, false)))
+    // empty doc scores exactly the bias (0), not kept
+    assert(got(3L) == ((3L, 0L, 0L, false)))
+  }
+
+  test("md5Bucket matches the engine's hash64 % d bucket arithmetic") {
+    val toks = Seq("the", "a", "data", "zz7", "Grüße", "日本語")
+    val engine = toks.toDF("t")
+      .select(Dedup.hash64Spec(org.apache.spark.sql.functions.col("t")) % 64)
+      .as[Long].collect()
+    toks.zip(engine).foreach { case (t, b) =>
+      assert(TextAnalysis.md5Bucket(t, 64) == b.toInt, t)
+    }
+  }
+
   test("sessionPqIndex trains once per (corpus, params) and hands back the same artifact") {
     val p1 = Similarity.sessionPqIndex(clusteredVecs, "extspec-corpus",
       dim = 16, m = 4, kSub = 16, iters = 1)
