@@ -324,6 +324,39 @@ object Dedup {
     exactKept.join(collided, Seq("doc_id"), "left_anti")
   }
 
+  /** Persist the incremental-dedup INDEX — the q105/q127 artifact
+    * discipline applied to [[dedupAgainst]]: at 100 TB the corpus side
+    * of incremental dedup must not be re-fingerprinted on every batch
+    * (that is a full corpus scan per crawl cycle); instead the two
+    * probe relations are written ONCE as columnar artifacts — the
+    * distinct content-hash set and the distinct minhash band set (both
+    * dedup-key-sized, partial-aggregated map-side) — and every future
+    * batch probes the loaded artifact with ZERO corpus scans.
+    * Incremental maintenance is append-only: a cleaned batch's own
+    * hashes/bands append to the same directories. */
+  def saveDedupIndex(corpus: DataFrame, n: Int, path: String): Unit = {
+    corpus.select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(path + "/hashes")
+    minhashBands(corpus, n).select(col("band"), col("m0"), col("m1"))
+      .distinct().write.mode("overwrite").parquet(path + "/bands")
+  }
+
+  /** [[dedupAgainst]] against a LOADED index ([[saveDedupIndex]]) —
+    * identical semantics (same oracle gates both, q73/q134), but the
+    * corpus never appears in the plan: both tiers anti/semi-join the
+    * persisted artifacts on their keys. */
+  def dedupAgainstIndex(newDocs: DataFrame, n: Int, path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val exactKept = newDocs.withColumn("_h", md5(col("text")))
+      .join(spark.read.parquet(path + "/hashes").withColumnRenamed("h", "_h"),
+        Seq("_h"), "left_anti").drop("_h")
+    val collided = minhashBands(exactKept, n)
+      .join(spark.read.parquet(path + "/bands"),
+        Seq("band", "m0", "m1"), "left_semi")
+      .select(col("doc_id")).distinct()
+    exactKept.join(collided, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact Hamming near-dup pairs over [[simhash]] fingerprints, as an
     * equi-join: the `bits`-wide fingerprint splits into `nBands` equal
     * bands, and by pigeonhole any pair within Hamming distance

@@ -995,6 +995,38 @@ object TextAnalysis {
         coalesce(col("text"), lit("")).as("text_clean"))
   }
 
+  /** EXACT paragraph dedup — the cheap tier of [[dedupParagraphs]] and
+    * the shape C4/CCNet-class pipelines actually run first (exact
+    * repeated-line/paragraph removal catches the overwhelming bulk of
+    * boilerplate before any near-dup machinery runs): chunks group by
+    * their CONTENT HASH and only the first occurrence in
+    * (doc_id, chunk_id) order survives — the P7 first-wins total order
+    * at chunk grain, [[Dedup.exact]]'s discipline one granularity
+    * down. Same emit contract as [[dedupParagraphs]].
+    *
+    * Scale shape: ONE hash exchange (the rank window on md5, with
+    * WindowGroupLimit rank pushdown — PlanSpec pins both) + the
+    * reassembly aggregate; no pair relation exists at all, which is
+    * why this tier runs first at 100 TB.
+    */
+  def dedupParagraphsExact(docs: DataFrame, chunkTok: Int = 16): DataFrame = {
+    val chunks = chunk(docs, chunkTok, chunkTok)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    val kept = chunks.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).drop("_rk")
+    val total = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ch"))
+    val keptCnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val stitched = reassemble(kept)
+    total
+      .join(keptCnt, Seq("doc_id"), "left")
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_ch") - coalesce(col("n_kept"), lit(0L))).as("n_removed_chunks"),
+        coalesce(col("text"), lit("")).as("text_clean"))
+  }
+
   def sharedSpans(docs: DataFrame, k: Int = 8,
                   maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

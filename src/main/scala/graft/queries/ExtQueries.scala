@@ -191,6 +191,137 @@ object ExtQueries {
          |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin
   }
 
+  /** q73's oracle — shared verbatim by q134 (the persisted-index
+    * variant must be semantically invisible, so the SAME SQL gates
+    * both). */
+  private lazy val dedupIncrementalSql: String =
+    shingleBase3 + minhashBandsSql +
+      """, newdocs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 3),
+        |corphash AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
+        |exact_kept AS (SELECT doc_id, lang FROM newdocs
+        |               WHERE md5(text) NOT IN (SELECT h FROM corphash)),
+        |coll AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b USING (band, m0, m1)
+        |         WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3)
+        |SELECT doc_id, lang FROM exact_kept
+        |WHERE doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin
+
+  /** q120's verified fuzzy-cluster chain (minhash candidates → exact
+    * Jaccard verify on candidates only → connected components →
+    * longest-text survivor), shared by q120 and the leak-free split
+    * q135 — ONE implementation, two gates. */
+  private def fuzzyClusters(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = Dedup.minhashCandidates(docs, n = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val verified = Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
+    Dedup.clusterPairsBy(docs,
+      verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
+      length(col("text")))
+  }
+
+  /** [[fuzzyClusters]]' oracle CTE chain — ends with `lab(doc_id, cl,
+    * q)`, `surv(cl, canonical_id)`, `sizes(cl, cluster_size)` in
+    * scope; q120 emits the rewritten corpus from it, q135 the
+    * cluster-keyed split. */
+  private lazy val fuzzyClusterCtes: String =
+    shingleBase3.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashBandsSql +
+      """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b USING (band, m0, m1)
+        |          WHERE a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
+        |          FROM cand
+        |          JOIN sh sa ON sa.doc_id = doc_a
+        |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |          GROUP BY 1, 2),
+        |qual AS (SELECT doc_a, doc_b FROM pairs
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+        |        UNION ALL SELECT doc_b, doc_a FROM qual),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+        |          FROM reach GROUP BY a),
+        |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cl,
+        |               length(d.text) AS q
+        |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+        |surv AS (SELECT cl, doc_id AS canonical_id FROM (
+        |  SELECT cl, doc_id,
+        |         row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+        |  FROM lab) WHERE rn = 1),
+        |sizes AS (SELECT cl, cast(count(*) AS BIGINT) AS cluster_size
+        |          FROM lab GROUP BY cl)""".stripMargin
+
+  /** The q108 prep chain (quality gate → exact dedup → decontaminate →
+    * train split → per-language cap → token-budget mix), shared by
+    * q108 itself and the grand export composition q133 — ONE
+    * implementation, two gates. */
+  private def prepMixed(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("text"),
+        TextAnalysis.langGuessExpr(col("text")).as("lang_guess")), "doc_id")
+      .where(col("quality_score") >= 0.55 && col("n_tokens") >= 20)
+    val survivors = Dedup.exact(scored.select("doc_id", "text"))
+      .select("doc_id")
+    val deduped = scored.join(survivors, "doc_id")
+    val cleaned = Dedup.decontaminate(deduped,
+      docs.where(col("doc_id") % 97 === 0), n = 3)
+    val train = Sampling.assignSplits(cleaned, "doc_id")
+      .where(col("split") === "train")
+    val capped = Sampling.capPerGroup(train, "doc_id", "lang_guess", k = 60)
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+    // final stage: mix to per-language TOKEN budgets (q117's
+    // operator) — corpus composition is specified in tokens, so the
+    // doc-count cap alone isn't the product shape
+    Sampling.sampleToTokenBudget(capped, "doc_id", "lang_guess",
+      "n_tokens", MixBudgets, MixDefaultBudget)
+  }
+
+  /** [[prepMixed]]'s oracle CTE chain, ending with
+    * `prepmixed(doc_id, lang_guess, n_tokens)` in scope — q108 selects
+    * it directly; q133 wraps it in the shard/pos arithmetic. */
+  private lazy val prepMixedCtes: String = {
+    def sh3(src: String) =
+      s"""SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))""".stripMargin
+    s"""q AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
+       |    (cast(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) * 0.1
+       |      + cast($stopSumSql AS DOUBLE) / len(t) AS quality_score
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM documents),
+       |lg AS (SELECT doc_id, text, $langGuessCaseSql AS lang_guess FROM sc),
+       |scored AS (SELECT lg.doc_id, lg.text, lg.lang_guess, q.n_tokens
+       |  FROM lg JOIN q USING (doc_id)
+       |  WHERE q.quality_score >= 0.55 AND q.n_tokens >= 20),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+       |dd AS (SELECT * FROM scored WHERE doc_id IN (SELECT doc_id FROM surv)),
+       |evsh AS (SELECT DISTINCT sh FROM (
+       |  ${sh3("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})),
+       |ddsh AS (${sh3("dd")}),
+       |contam AS (SELECT DISTINCT doc_id FROM ddsh JOIN evsh USING (sh)),
+       |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |tr AS (SELECT * FROM clean WHERE ${Sampling.bucketSql("doc_id", "split")} < 80),
+       |capped AS (SELECT doc_id, lang_guess, n_tokens,
+       |    row_number() OVER (PARTITION BY lang_guess
+       |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
+       |  FROM tr),
+       |kept AS (SELECT doc_id, lang_guess, n_tokens FROM capped WHERE rk <= 60),
+       |mixed AS (SELECT doc_id, lang_guess, n_tokens,
+       |    ${Sampling.cumTokensSql("doc_id", "lang_guess", "n_tokens", "mix")} AS cum
+       |  FROM kept),
+       |prepmixed AS (SELECT doc_id, lang_guess, n_tokens FROM mixed
+       |  WHERE cum <= ${Sampling.budgetSql("lang_guess", MixBudgets, MixDefaultBudget)})""".stripMargin
+  }
+
   /** SimHash fingerprint CTEs ending in `s(doc_id, simhash)`, generated
     * from the engine's constants at a given width — shared by q33/q77
     * (fixture 16-bit) and q92 (production 64-bit). Bits 60+ read the
@@ -277,15 +408,27 @@ object ExtQueries {
           docs.where(col("doc_id") % 7 =!= 3), n = 3)
           .select("doc_id", "lang")
       },
-      shingleBase3 + minhashBandsSql +
-        """, newdocs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 3),
-          |corphash AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
-          |exact_kept AS (SELECT doc_id, lang FROM newdocs
-          |               WHERE md5(text) NOT IN (SELECT h FROM corphash)),
-          |coll AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b USING (band, m0, m1)
-          |         WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3)
-          |SELECT doc_id, lang FROM exact_kept
-          |WHERE doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin),
+      dedupIncrementalSql),
+
+    // ── incremental dedup from a PERSISTED index (zero corpus scans) ───
+    // q73 re-fingerprints the corpus every run — at 100 TB that is a
+    // full corpus scan per crawl cycle. This variant writes the index
+    // ONCE in-query (distinct content hashes + distinct minhash bands,
+    // both dedup-key-sized) and dedups the batch against the LOADED
+    // artifact: the corpus never appears in the probe plan. Same
+    // oracle as q73, so the driver proves the persistence round trip
+    // is semantically invisible — q105/q127's discipline applied to
+    // the dedup side.
+    "q134_dedup_indexed" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = Similarity.scratchIndexDir("q134") + "/dedupidx"
+        Dedup.saveDedupIndex(docs.where(col("doc_id") % 7 =!= 3), n = 3, path)
+        Dedup.dedupAgainstIndex(docs.where(col("doc_id") % 7 === 3),
+          n = 3, path)
+          .select("doc_id", "lang")
+      },
+      dedupIncrementalSql),
 
     // ── end-to-end near-dedup: pairs → connected components → clusters ─
     "q45_dedup_clusters" -> Q(
@@ -1292,56 +1435,45 @@ object ExtQueries {
     // pipeline end-to-end including the emitted text.
     "q120_fuzzy_dedup_corpus" -> Q(
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val cand = Dedup.minhashCandidates(docs, n = 3)
-          .select(col("doc_a"), col("doc_b"))
-        val verified = Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
-        val clusters = Dedup.clusterPairsBy(docs,
-          verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
-          length(col("text")))
-        docs.join(
+        val clusters = fuzzyClusters(s, dir)
+        Tables.documents(s, dir).join(
           clusters.where(col("doc_id") === col("canonical_id"))
             .select(col("doc_id"), col("cluster_size")),
           "doc_id")
           .select(col("doc_id"), col("cluster_size"),
             (col("cluster_size") - 1).as("n_dups_removed"), col("text"))
       },
-      shingleBase3.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashBandsSql +
-        """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |          FROM bands a JOIN bands b USING (band, m0, m1)
-          |          WHERE a.doc_id < b.doc_id),
-          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
-          |          FROM cand
-          |          JOIN sh sa ON sa.doc_id = doc_a
-          |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-          |          GROUP BY 1, 2),
-          |qual AS (SELECT doc_a, doc_b FROM pairs
-          |  JOIN cnt ca ON doc_a = ca.doc_id
-          |  JOIN cnt cb ON doc_b = cb.doc_id
-          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
-          |        UNION ALL SELECT doc_b, doc_a FROM qual),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM sym
-          |  UNION
-          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
-          |          FROM reach GROUP BY a),
-          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cl,
-          |               length(d.text) AS q
-          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
-          |surv AS (SELECT cl, doc_id AS canonical_id FROM (
-          |  SELECT cl, doc_id,
-          |         row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
-          |  FROM lab) WHERE rn = 1),
-          |sizes AS (SELECT cl, cast(count(*) AS BIGINT) AS cluster_size
-          |          FROM lab GROUP BY cl)
+      fuzzyClusterCtes +
+        """
           |SELECT d.doc_id, z.cluster_size,
           |       z.cluster_size - 1 AS n_dups_removed, d.text
           |FROM (SELECT s2.canonical_id, si.cluster_size
           |      FROM surv s2 JOIN sizes si USING (cl)) z
           |JOIN documents d ON d.doc_id = z.canonical_id""".stripMargin),
+
+    // ── leakage-free split assignment (split by CLUSTER, not by doc) ───
+    // Hash-splitting by doc_id puts two near-duplicate documents in
+    // different splits — the classic train/test leakage bug: the model
+    // sees the test set's near-copy during training. The fix every
+    // careful pipeline ships: assign the split from the near-dup
+    // CLUSTER representative, so a whole cluster lands in one split.
+    // Composition of verified fragments: q120's candidate→verify→CC→
+    // survivor chain labels every doc with its canonical_id; q51's
+    // bucket arithmetic then splits ON THE CANONICAL. The oracle chains
+    // the same fragments and rederives the bucket CASE, so the driver
+    // verifies the leakage guarantee itself (equal canonical ⇒ equal
+    // split, by construction of the arithmetic).
+    "q135_leakfree_split" -> Q(
+      (s, dir) => Sampling.assignSplits(
+        fuzzyClusters(s, dir).select(col("doc_id"), col("canonical_id")),
+        "canonical_id"),
+      fuzzyClusterCtes +
+        s"""
+           |SELECT l.doc_id, s.canonical_id,
+           |  CASE WHEN ${Sampling.bucketSql("s.canonical_id", "split")} < 80 THEN 'train'
+           |       WHEN ${Sampling.bucketSql("s.canonical_id", "split")} < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM lab l JOIN surv s USING (cl)""".stripMargin),
 
     // ── the END-TO-END data-prep composition (the engine's point) ──────
     // Every prep stage, composed into ONE verified query: quality +
@@ -1352,61 +1484,9 @@ object ExtQueries {
     // chains the SAME generated fragments, so the driver hash-verifies
     // the whole chain end-to-end.
     "q108_prep_pipeline" -> Q(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val scored = TextAnalysis.qualityScore(docs)
-          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-          .join(docs.select(col("doc_id"), col("text"),
-            TextAnalysis.langGuessExpr(col("text")).as("lang_guess")), "doc_id")
-          .where(col("quality_score") >= 0.55 && col("n_tokens") >= 20)
-        val survivors = Dedup.exact(scored.select("doc_id", "text"))
-          .select("doc_id")
-        val deduped = scored.join(survivors, "doc_id")
-        val cleaned = Dedup.decontaminate(deduped,
-          docs.where(col("doc_id") % 97 === 0), n = 3)
-        val train = Sampling.assignSplits(cleaned, "doc_id")
-          .where(col("split") === "train")
-        val capped = Sampling.capPerGroup(train, "doc_id", "lang_guess", k = 60)
-          .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
-        // final stage: mix to per-language TOKEN budgets (q117's
-        // operator) — corpus composition is specified in tokens, so the
-        // doc-count cap alone isn't the product shape
-        Sampling.sampleToTokenBudget(capped, "doc_id", "lang_guess",
-          "n_tokens", MixBudgets, MixDefaultBudget)
-      },
-      {
-        def sh3(src: String) =
-          s"""SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-             |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
-             |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))""".stripMargin
-        s"""WITH q AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens,
-           |    (cast(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) * 0.1
-           |      + cast($stopSumSql AS DOUBLE) / len(t) AS quality_score
-           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
-           |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM documents),
-           |lg AS (SELECT doc_id, text, $langGuessCaseSql AS lang_guess FROM sc),
-           |scored AS (SELECT lg.doc_id, lg.text, lg.lang_guess, q.n_tokens
-           |  FROM lg JOIN q USING (doc_id)
-           |  WHERE q.quality_score >= 0.55 AND q.n_tokens >= 20),
-           |surv AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
-           |dd AS (SELECT * FROM scored WHERE doc_id IN (SELECT doc_id FROM surv)),
-           |evsh AS (SELECT DISTINCT sh FROM (
-           |  ${sh3("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})),
-           |ddsh AS (${sh3("dd")}),
-           |contam AS (SELECT DISTINCT doc_id FROM ddsh JOIN evsh USING (sh)),
-           |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-           |tr AS (SELECT * FROM clean WHERE ${Sampling.bucketSql("doc_id", "split")} < 80),
-           |capped AS (SELECT doc_id, lang_guess, n_tokens,
-           |    row_number() OVER (PARTITION BY lang_guess
-           |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
-           |  FROM tr),
-           |kept AS (SELECT doc_id, lang_guess, n_tokens FROM capped WHERE rk <= 60),
-           |mixed AS (SELECT doc_id, lang_guess, n_tokens,
-           |    ${Sampling.cumTokensSql("doc_id", "lang_guess", "n_tokens", "mix")} AS cum
-           |  FROM kept)
-           |SELECT doc_id, lang_guess, n_tokens FROM mixed
-           |WHERE cum <= ${Sampling.budgetSql("lang_guess", MixBudgets, MixDefaultBudget)}""".stripMargin
-      }),
+      (s, dir) => prepMixed(s, dir),
+      s"""WITH $prepMixedCtes
+         |SELECT doc_id, lang_guess, n_tokens FROM prepmixed""".stripMargin),
 
     // ── maximal exact shared token spans (substring-dedup primitive) ───
     // The ≥k-token repeated-substring detector (distributed fingerprint
@@ -2228,5 +2308,95 @@ object ExtQueries {
            |  coalesce(sc.score_raw, cast(0 AS BIGINT)) > 0 AS keep
            |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
       }),
+
+    // ── EXACT paragraph dedup (the cheap first tier of q130) ───────────
+    // C4/CCNet-class pipelines remove exactly-repeated lines/paragraphs
+    // BEFORE any near-dup machinery: chunks group by content hash, the
+    // first occurrence in (doc_id, chunk_id) order survives (P7's
+    // first-wins total order at chunk grain), survivors reassemble.
+    // No pair relation exists at all — one rank window on md5 with
+    // WindowGroupLimit pushdown (PlanSpec) — which is why this tier
+    // runs first at 100 TB. Oracle replays hash-group ranking + stitch.
+    "q132_paragraph_dedup_exact" -> Q(
+      (s, dir) => TextAnalysis.dedupParagraphsExact(Tables.documents(s, dir),
+        chunkTok = 16),
+      """WITH ch AS (SELECT doc_id, cast((s - 1) // 16 AS BIGINT) AS chunk_id,
+        |    array_to_string(t[s:s+15], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))),
+        |keptch AS (SELECT doc_id, chunk_id, chunk_text FROM (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |      ORDER BY doc_id, chunk_id) AS rk
+        |  FROM ch) WHERE rk = 1),
+        |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean
+        |  FROM keptch GROUP BY doc_id),
+        |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_ch
+        |        FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  t.n_ch - coalesce(st.n_kept, 0) AS n_removed_chunks,
+        |  coalesce(st.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN stitched st USING (doc_id)""".stripMargin),
+
+    // ── the GRAND export composition (raw corpus → trainer artifact) ───
+    // q108's full prep chain (quality gate → exact dedup →
+    // decontaminate → split → cap → token-budget mix) feeding q129's
+    // terminal path (shuffle-shards → hive-partitioned layout write →
+    // probe shard 0 from the persisted tree): raw documents in, the
+    // artifact a training run consumes out, ONE query, ONE oracle —
+    // the same prep CTE chain q108's gate already verifies, wrapped in
+    // the shard/pos arithmetic. The verified-parts/unverified-whole
+    // closure for the entire prep-to-trainer path.
+    "q133_pipeline_export" -> Q(
+      (s, dir) => {
+        val path = Similarity.scratchIndexDir("q133") + "/shards"
+        Sampling.writeTrainingShards(prepMixed(s, dir), "doc_id",
+          nShards = 8, path)
+          .where(col("shard") === 0)
+          .select(col("doc_id"), col("lang_guess"), col("n_tokens"), col("pos"))
+      },
+      s"""WITH $prepMixedCtes
+         |SELECT doc_id, lang_guess, n_tokens,
+         |  row_number() OVER (
+         |    PARTITION BY ${Sampling.rowHashSql("doc_id", "shard")} % 8
+         |    ORDER BY ${Sampling.rowHashSql("doc_id", "shard:order")}, doc_id) - 1
+         |    AS pos
+         |FROM prepmixed
+         |WHERE ${Sampling.rowHashSql("doc_id", "shard")} % 8 = 0""".stripMargin),
+
+    // ── dataset card (the release report a corpus ships with) ──────────
+    // Per (language, split): document count, token count, and the
+    // corpus-wide token share in EXACT integer parts-per-million
+    // (floor division of exact longs — no float in the artifact, so
+    // any engine rederives it bit-identically). Composes q51's bucket
+    // split with one rollup + one global-total window.
+    "q136_dataset_card" -> Q(
+      (s, dir) => {
+        val withTok = Sampling.assignSplits(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id")
+        withTok.groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+          .withColumn("_total", sum(col("tokens")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .selectExpr("lang", "split", "n_docs", "tokens",
+            "(tokens * 1000000) div _total AS token_share_ppm")
+      },
+      s"""WITH t AS (SELECT lang,
+         |    CASE WHEN ${Sampling.bucketSql("doc_id", "split")} < 80 THEN 'train'
+         |         WHEN ${Sampling.bucketSql("doc_id", "split")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |a AS (SELECT lang, split, cast(count(*) AS BIGINT) AS n_docs,
+         |    cast(sum(n_tokens) AS BIGINT) AS tokens
+         |  FROM t GROUP BY 1, 2)
+         |SELECT lang, split, n_docs, tokens,
+         |  tokens * 1000000 // (SELECT cast(sum(tokens) AS BIGINT) FROM a)
+         |    AS token_share_ppm
+         |FROM a""".stripMargin),
   )
 }

@@ -312,4 +312,49 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("q132: exact paragraph dedup uses rank-limit pushdown on the content-hash window") {
+    val plan = planOf("q132_paragraph_dedup_exact")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q134: indexed dedup probes the persisted artifacts — the corpus never appears in the plan") {
+    val plan = planOf("q134_dedup_indexed")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the probe plan scans documents only for the BATCH lineage (twice:
+    // exact tier + band probe); the corpus side reads the two persisted
+    // index directories instead of re-scanning documents — q73's direct
+    // form scans documents for batch AND corpus
+    val q134Scans = "documents\\.parquet".r.findAllIn(plan).size
+    val q73Scans = "documents\\.parquet".r
+      .findAllIn(planOf("q73_dedup_incremental")).size
+    assert(q134Scans == 2, s"expected the 2 batch-side scans only:\n$plan")
+    assert(q73Scans > q134Scans, s"q73=$q73Scans q134=$q134Scans")
+  }
+
+  test("q135/q136: leak-free split stays equi-join-only; dataset card is one rollup + metadata window") {
+    val splitPlan = planOf("q135_leakfree_split")
+    assert(!splitPlan.contains("CartesianProduct")
+      && !splitPlan.contains("BroadcastNestedLoopJoin"), splitPlan)
+    val cardPlan = planOf("q136_dataset_card")
+    assert(!cardPlan.contains("Join"), cardPlan)
+    // the global-total window runs over the |lang × split|-row rollup
+    // (metadata-sized), not the corpus — partial aggregation must sit
+    // below the first exchange
+    val exchangeAt = cardPlan.indexOf("Exchange")
+    val partialAt = cardPlan.indexOf("partial_count")
+    assert(partialAt >= 0 && exchangeAt >= 0 && exchangeAt < partialAt, cardPlan)
+  }
+
+  test("q133: grand export probe prunes to its shard partition, chain stays equi-join-only") {
+    val plan = planOf("q133_pipeline_export")
+    assert(plan.contains("PartitionFilters: [") &&
+      "shard#\\d+ = 0".r.findFirstIn(plan).nonEmpty,
+      s"shard filter must prune partitions:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

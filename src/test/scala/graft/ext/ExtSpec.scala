@@ -292,6 +292,45 @@ class ExtSpec extends SparkSuite {
     assert(got(2L) == (1L, ""))
   }
 
+  test("dedupAgainstIndex == dedupAgainst: the persisted index is semantically invisible") {
+    val rnd = new Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def txt() = Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 40L).map(i => i -> txt()).toDF("doc_id", "text")
+    val corpusRows = corpus.as[(Long, String)].collect()
+    // batch: one exact dup of a corpus row, one near dup (one token
+    // appended), and fresh rows
+    val batch = (Seq(
+      101L -> corpusRows(5)._2,
+      102L -> (corpusRows(9)._2 + " omega")) ++
+      (103L to 110L).map(i => i -> (txt() + s" fresh$i"))).toDF("doc_id", "text")
+    val direct = Dedup.dedupAgainst(batch, corpus, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val p = java.nio.file.Files.createTempDirectory("graft_dedupidx").toString + "/idx"
+    Dedup.saveDedupIndex(corpus, n = 3, p)
+    val indexed = Dedup.dedupAgainstIndex(batch, n = 3, p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == direct)
+    assert(!indexed.contains(101L)) // exact tier caught it
+    assert(!indexed.contains(102L)) // near tier caught it
+  }
+
+  test("dedupParagraphsExact cuts only EXACT repeats, first occurrence wins; near-misses survive") {
+    val boiler = (1 to 16).map(i => s"e$i").mkString(" ")
+    // one token differs → must NOT be cut by the exact tier
+    val nearBoiler = boiler.replace("e9", "E9")
+    def uniq(d: Int) = (1 to 16).map(i => s"w${d}x$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$boiler ${uniq(1)}",
+      2L -> s"$boiler ${uniq(2)}",
+      3L -> nearBoiler).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsExact(docs, chunkTok = 16)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == (0L, s"$boiler ${uniq(1)}"))
+    assert(got(2L) == (1L, uniq(2)))
+    assert(got(3L) == (0L, nearBoiler))
+  }
+
   test("linearQualityScore: planted-weight model separates planted classes exactly") {
     val d = 64
     val w = TextAnalysis.DefaultQualityWeights

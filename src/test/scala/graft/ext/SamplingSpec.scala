@@ -156,6 +156,33 @@ class SamplingSpec extends SparkSuite {
     assert(fullOrder == subOrder)
   }
 
+  test("writeTrainingShards: round trip is lossless, pos dense per shard, files laid in pos order") {
+    import org.apache.spark.sql.functions.{col, max => smax, count => scount}
+    val df = (1L to 500L).toDF("doc_id").withColumn("payload", col("doc_id") * 7)
+    val path = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/layout"
+    val back = Sampling.writeTrainingShards(df, "doc_id", nShards = 4, path)
+    // lossless round trip
+    assert(back.count() == 500)
+    assert(back.select("doc_id").as[Long].collect().toSet == (1L to 500L).toSet)
+    // pos is dense 0..n-1 within every shard
+    val dense = back.groupBy(col("shard"))
+      .agg(scount(org.apache.spark.sql.functions.lit(1)).as("n"), smax(col("pos")).as("mx"))
+      .as[(Int, Long, Long)].collect()
+    assert(dense.length == 4 && dense.forall { case (_, n, mx) => mx == n - 1 })
+    // the files-in-reading-order claim: within every physical parquet
+    // file, rows sit in ascending pos (the window's sort order survives
+    // the write, so a trainer streams files sequentially)
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    for (sd <- shardDirs; f <- sd.listFiles() if f.getName.endsWith(".parquet")) {
+      val pos = spark.read.parquet(f.getAbsolutePath)
+        .select("pos").as[Long].collect()
+      assert(pos.sameElements(pos.sorted), s"file ${f.getName} not in pos order")
+    }
+  }
+
   test("contamination report: counts leaks per eval doc, excludes self, omits clean eval docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
