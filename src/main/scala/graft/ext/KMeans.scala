@@ -366,9 +366,16 @@ object KMeans {
   }
 
   def clusterOracleSql(k: Int, iters: Int, dim: Int): String =
-    s"""WITH ${fitCtesSql(k, iters, dim)},
-       |final AS (${assignCteSql(k, s"c$iters")})
+    s"""WITH ${assignCtesSql(k, iters, dim)}
        |SELECT vec_id, cast(cluster AS BIGINT) AS cluster FROM final""".stripMargin
+
+  /** The fit + final-assignment CTE chain for EXTERNAL oracle
+    * composition — ends with `final(vec_id, q, cluster)` in scope
+    * (also defines `v`, `c0..cN`, the per-round CTEs). q137 joins
+    * within-cluster pairs off it; callers must avoid those names. */
+  def assignCtesSql(k: Int, iters: Int, dim: Int): String =
+    s"""${fitCtesSql(k, iters, dim)},
+       |final AS (${assignCteSql(k, s"c$iters")})""".stripMargin
 
   /** DuckDB oracle for `Similarity.ivfTopK(…, trainIters)` at nprobe=1:
     * the [[fitCtesSql]] codebook, then the same cosine

@@ -55,6 +55,40 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** SemDeDup-shape near-dup pairs: k-means partitions the embedding
+    * space first, and cosine comparison runs ONLY within a cluster —
+    * the published semantic-dedup recipe, and the third candidate-
+    * pruning geometry beside sign-bit LSH ([[cosineDupPairs]]) and the
+    * IVF probe: candidate volume is Σ_c n_c² (cluster-bucketed), never
+    * n². Recall differs from LSH by construction — a true pair split
+    * across a centroid boundary is missed, the documented SemDeDup
+    * trade — so this is a POLICY variant, not a drop-in replacement;
+    * the q137 oracle replays training + assignment + within-cluster
+    * pairs exactly, so what the policy emits is still hash-verified.
+    *
+    * Scale shape: assignment is the q49 trainer (broadcast centroids,
+    * map-side argmin); the pair source is one equi-join on the cluster
+    * id with the quantized cosine evaluated in the join's codegen
+    * stage. At production k (thousands of centroids over billions of
+    * vectors) cluster buckets are the candidate economics that make
+    * embedding dedup feasible at all.
+    */
+  def semanticDupPairs(embeddings: DataFrame, tau: Double, k: Int,
+                       iters: Int): DataFrame = {
+    val assign = graft.ext.KMeans.cluster(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val e = prepared(embeddings).join(assign, "vec_id")
+    val a = e.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("norm").as("na"))
+    val b = e.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("norm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Sign-bit LSH parameters for [[cosineDupPairs]]: `CosineLshBits`
     * hyperplanes per band × `CosineLshBands` bands. More bits per band →
     * smaller buckets (more pruning); more bands → higher recall.

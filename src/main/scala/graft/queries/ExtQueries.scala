@@ -2398,5 +2398,54 @@ object ExtQueries {
          |  tokens * 1000000 // (SELECT cast(sum(tokens) AS BIGINT) FROM a)
          |    AS token_share_ppm
          |FROM a""".stripMargin),
+
+    // ── SemDeDup: cluster-scoped embedding dedup (k-means geometry) ────
+    // The published semantic-dedup recipe: k-means partitions the
+    // space, cosine runs ONLY within clusters (candidate volume
+    // Σ n_c², never n²), then the standard CC + highest-energy
+    // survivor policy (q118's tail on a different pair source — the
+    // third pruning geometry beside LSH and IVF). Recall deliberately
+    // differs from LSH (cross-centroid pairs are missed — the
+    // documented trade); the oracle replays training + assignment +
+    // within-cluster pairs + closure exactly, so the policy's OUTPUT
+    // is hash-verified end to end.
+    "q137_semantic_dedup" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.semanticDupPairs(emb, tau = 0.40, k = 8, iters = 2)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        val e = Similarity.prepared(emb)
+        Dedup.clusterPairsBy(
+          e.select(col("vec_id").as("doc_id"), col("q")),
+          pairs, Similarity.dotL(col("q"), col("q")))
+          .select(col("doc_id").as("vec_id"), col("canonical_id"),
+            col("cluster_size"))
+      },
+      {
+        def cos(a: String, b: String) =
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH RECURSIVE ${KMeans.assignCtesSql(k = 8, iters = 2, dim = 64)},
+           |qual AS (SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM final a JOIN final b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE ${cos("a.q", "b.q")} >= 0.40),
+           |sym AS (SELECT a, b FROM qual UNION ALL SELECT b, a FROM qual),
+           |reach(a, b) AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |canon AS (SELECT a AS id, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+           |em AS (SELECT vec_id,
+           |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+           |  FROM embeddings),
+           |lab AS (SELECT em.vec_id, coalesce(c.canonical, em.vec_id) AS cl,
+           |        list_dot_product(em.q, em.q) AS qq
+           |  FROM em LEFT JOIN canon c ON em.vec_id = c.id),
+           |surv AS (SELECT cl, vec_id AS canonical_id FROM (
+           |  SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+           |      ORDER BY qq DESC, vec_id) AS rn
+           |  FROM lab) WHERE rn = 1)
+           |SELECT l.vec_id, s.canonical_id,
+           |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
+           |FROM lab l JOIN surv s USING (cl)""".stripMargin
+      }),
   )
 }

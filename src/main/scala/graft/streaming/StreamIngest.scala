@@ -222,6 +222,96 @@ object StreamIngest {
       }
       .start()
 
+  /** Per-shard row-count STATS SIDECAR of an [[exportShards]] layout:
+    * `<outDir>_shardstats`, one tiny (shard, n) summary appended per
+    * micro-batch. The per-shard NEXT POSITION is the sidecar sum —
+    * batch-count-sized rows, never a corpus scan — the same read-back
+    * discipline as [[prepStatsDir]]. */
+  def shardStatsDir(outDir: String): String = outDir + "_shardstats"
+
+  /** Recompute the [[shardStatsDir]] sidecar from the layout (crash
+    * recovery — see [[appendShardBatch]]'s write ordering): next pos
+    * per shard = max persisted pos + 1, which also RECLAIMS any gap a
+    * crash window reserved-but-never-wrote. */
+  def rebuildShardStats(spark: SparkSession, outDir: String): Unit =
+    readIfExists(spark, outDir).foreach { c =>
+      c.groupBy(col("shard")).agg((max(col("pos")) + 1).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(shardStatsDir(outDir))
+    }
+
+  /** One micro-batch of the continuous training-shard export — the
+    * streaming form of [[graft.ext.Sampling.writeTrainingShards]]
+    * (q129/q133's terminal artifact, now fed by an unbounded source):
+    * batch rows get their deterministic shard (same salted hash as the
+    * batch operator — shard assignment is ARRIVAL-INDEPENDENT) and a
+    * dense per-shard position that CONTINUES across batches, offset by
+    * the sidecar's per-shard totals. Within a batch, rows order by the
+    * second salted hash stream then id — so a fixed batch SEQUENCE
+    * always produces the identical layout (spec-pinned); unlike the
+    * one-shot batch write, position reflects arrival batch order
+    * (an append-only layout cannot re-shuffle retroactively — the
+    * [[ingestPrep]] greedy-mixing caveat, same reason).
+    *
+    * Exactly-once: the batch anti-joins the layout on doc_id first —
+    * the probe is a column-pruned corpus read, the [[ingestPrep]]
+    * exact-tier precedent — so at-least-once redelivery never appends
+    * twice. Write ordering is STATS FIRST, layout second: a crash
+    * between the writes leaves positions reserved-but-absent, so a
+    * pos can only ever be SKIPPED (a gap), never issued twice —
+    * collision-free by construction, and [[rebuildShardStats]]
+    * reclaims the gap. Returns the number of rows appended.
+    */
+  def appendShardBatch(batch: DataFrame, outDir: String, nShards: Int,
+                       salt: String = "shard"): Long = {
+    val spark = batch.sparkSession
+    val offsets: Map[Int, Long] =
+      readIfExists(spark, shardStatsDir(outDir)) match {
+        case Some(st) => st.groupBy(col("shard"))
+          .agg(sum(col("n")).as("t")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        case None => Map.empty
+      }
+    val fresh0 = batch.dropDuplicates("doc_id")
+    val fresh = readIfExists(spark, outDir) match {
+      case Some(c) => fresh0.join(c.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => fresh0
+    }
+    val offCase = offsets.foldLeft(lit(0L)) { case (acc, (s, o)) =>
+      when(col("shard") === s, o).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(graft.ext.Sampling.rowHash(fresh, col("doc_id"), salt + ":order"),
+        col("doc_id"))
+    val sharded = fresh
+      .withColumn("shard", pmod(
+        graft.ext.Sampling.rowHash(fresh, col("doc_id"), salt),
+        lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1 + offCase)
+      .localCheckpoint(true) // consumed twice: stats summary + append
+    sharded.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("append").parquet(shardStatsDir(outDir))
+    sharded.write.mode("append").partitionBy("shard").parquet(outDir)
+    sharded.count()
+  }
+
+  /** Continuous training-shard export srcDir → outDir: the unbounded
+    * tail of the prep pipeline — documents stream in, the
+    * hive-partitioned training layout (q129's artifact) accumulates,
+    * positions stay dense per shard across micro-batches via the
+    * [[shardStatsDir]] sidecar. See [[appendShardBatch]] for the
+    * exactly-once and crash contracts. */
+  def exportShards(spark: SparkSession, srcDir: String, checkpointDir: String,
+                   outDir: String, nShards: Int): StreamingQuery =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendShardBatch(batch.where(col("doc_id").isNotNull), outDir, nShards)
+        ()
+      }
+      .start()
+
   /** Watermark-scoped alternative to [[ingest]]: the dedup window is
     * EXPLICIT and watermark-driven instead of implicit-by-partitioning.
     * `dropDuplicatesWithinWatermark` keeps each event_id in the state

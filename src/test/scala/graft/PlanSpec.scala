@@ -350,6 +350,12 @@ class PlanSpec extends SparkSuite {
     assert(partialAt >= 0 && exchangeAt >= 0 && exchangeAt < partialAt, cardPlan)
   }
 
+  test("q137: semantic dedup pairs ride an equi-join on the cluster id — no cartesian anywhere") {
+    val plan = planOf("q137_semantic_dedup")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q133: grand export probe prunes to its shard partition, chain stays equi-join-only") {
     val plan = planOf("q133_pipeline_export")
     assert(plan.contains("PartitionFilters: [") &&
