@@ -116,10 +116,10 @@ object Dedup {
     * is therefore EXACTLY [[decontaminate]]'s (same oracle); the bloom
     * only prunes where the exact join must look.
     */
-  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int,
-                         expectedItems: Long = 1000000L,
-                         numBits: Long = 8000000L): DataFrame = {
-    val spark = docs.sparkSession
+  /** Registers Spark's internal bloom aggregate/probe expressions under
+    * stable names — shared by [[decontaminateBloom]] and
+    * [[dedupAgainstBloom]]. */
+  private def registerBloomFns(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -130,6 +130,13 @@ object Dedup {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1)),
       "scala_udf")
+  }
+
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    val spark = docs.sparkSession
+    registerBloomFns(spark)
     // materialized once: the dictionary feeds BOTH the bloom aggregate
     // (an immediate driver action) and the exact confirm join — without
     // the checkpoint the full eval shingling would run twice
@@ -355,6 +362,47 @@ object Dedup {
         Seq("band", "m0", "m1"), "left_semi")
       .select(col("doc_id")).distinct()
     exactKept.join(collided, Seq("doc_id"), "left_anti")
+  }
+
+  /** Bloom-accelerated EXACT-tier incremental dedup: the corpus content
+    * hashes fold into a bloom filter (the [[decontaminateBloom]]
+    * machinery pointed at the dedup problem), and batch rows split on
+    * one broadcast-free probe:
+    *
+    *  - `might_contain` = false → DEFINITELY new (blooms have no false
+    *    negatives): the row is kept with ZERO join work;
+    *  - `might_contain` = true → maybe-dup (true dups + the fpp tail):
+    *    only these rows take the exact anti-join that removes false
+    *    positives.
+    *
+    * Output is therefore EXACTLY `batch ⟕̸ corpusHashes` — the same
+    * relation a plain hash anti-join computes (one oracle gates both) —
+    * but the shuffled anti-join's probe side shrinks from |batch| to
+    * |collisions| + fpp·|batch|. At 100 TB that is the difference
+    * between shuffling every crawl document and shuffling only the
+    * suspected-duplicate sliver; the bloom itself costs bits-per-item
+    * (1.2 GB per 10⁹ corpus docs at the default sizing) and rides as a
+    * foldable literal, the runtime-filter broadcast pattern.
+    */
+  def dedupAgainstBloom(newDocs: DataFrame, corpus: DataFrame,
+                        expectedItems: Long = 1000000L,
+                        numBits: Long = 8000000L): DataFrame = {
+    val spark = newDocs.sparkSession
+    registerBloomFns(spark)
+    // materialized once: the hash set feeds BOTH the bloom aggregate (an
+    // immediate driver action) and the exact confirm anti-join
+    val corpusHashes = corpus.select(md5(col("text")).as("_h")).distinct()
+      .localCheckpoint(true)
+    val bf = corpusHashes.agg(call_function("graft_bloom_agg",
+        xxhash64(col("_h")), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hashed = newDocs.withColumn("_h", md5(col("text")))
+    val mightBeDup =
+      call_function("graft_bloom_contains", lit(bf), xxhash64(col("_h")))
+    val definitelyNew = hashed.where(!mightBeDup)
+    val confirmedNew = hashed.where(mightBeDup)
+      .join(corpusHashes, Seq("_h"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("_h")
   }
 
   /** Exact Hamming near-dup pairs over [[simhash]] fingerprints, as an

@@ -182,6 +182,59 @@ object KMeans {
       .withColumn("cluster", col("enc") % k)
       .select(col("vec_id"), col("m"), col("cluster"))
 
+  /** Nearest-class-centroid classifier over a LABELED embedding table —
+    * the supervised twin of [[assignTo]] (Rocchio / prototype
+    * classification, the standard cheap router for domain-tagging a
+    * corpus from a small labeled seed set). Class prototypes are the
+    * element-wise truncating integer means of each label's quantized
+    * vectors (the [[fit]] update arithmetic, so the DuckDB oracle
+    * replays them bit-for-bit), and every vector is assigned to the
+    * nearest prototype by the same exact-integer squared-Euclidean
+    * argmin + smallest-label tie-break encoding as training-time
+    * assignment.
+    *
+    * Labels must lie in [0, k) — the same dense-id contract as every
+    * codebook in this file ([[assignTo]]'s `c_id`), enforced loudly via
+    * `assert_true` on the prototype build.
+    *
+    * Scale shape: ONE pass builds the prototypes (posexplode partial-
+    * aggregated map-side — the exchange carries k×dim rows per
+    * partition, not n×dim) and ONE pass classifies (broadcast k-row
+    * prototype relation, n×k scored rows collapsed map-side by the
+    * `min` partial aggregate; the label rides the aggregation, so no
+    * join-back touches the corpus). Returns (vec_id, label, pred,
+    * correct).
+    */
+  def classifyNearestCentroid(embeddings: DataFrame, k: Int): DataFrame = {
+    graft.functions.LongDot.register(embeddings.sparkSession)
+    val v = graft.util.Scale.widen(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.quantize(col("embedding")).as("q"))
+    val cents = v
+      .select(when(col("label") >= 0 && col("label") < k, col("label"))
+          .otherwise(raise_error(concat(lit(s"label outside [0, $k): "),
+            col("label").cast("string")))).as("label"),
+        posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("s div n").as("m"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+      .select(col("label").as("c_id"), col("cvec"))
+      .withColumn("cc", Similarity.dotL(col("cvec"), col("cvec")))
+    // assignAgainst's (dist, c_id) min-encoding with the true label
+    // riding the aggregate — no corpus-sized join-back
+    val dist = col("xx") + col("cc") - Similarity.dotL(col("q"), col("cvec")) * 2
+    v.withColumn("xx", Similarity.dotL(col("q"), col("q")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), (dist * k + col("c_id")).as("enc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"), min(col("enc")).as("enc"))
+      .select(col("vec_id"), col("label"), (col("enc") % k).as("pred"),
+        (col("label") === col("enc") % k).as("correct"))
+  }
+
   /** (vec_id, cluster): final assignment against [[fit]]'s centroids —
     * one persisted vector relation shared by training and assignment. */
   def cluster(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {

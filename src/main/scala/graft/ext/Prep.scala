@@ -48,4 +48,35 @@ object Prep {
       train.select(col("doc_id"), col("lang_guess"), col("n_tokens"), col("text")),
       "doc_id", "lang_guess", "n_tokens", budgets, defaultBudget)
   }
+
+  /** Filter-funnel audit: WHY documents are dropped, not just which
+    * survive. Every per-row gate signal (language guess, token count,
+    * repetition stats, PII match counts) is computed in ONE corpus scan
+    * ([[TextAnalysis.cleanSignals]] with PII `extras`), each document
+    * is attributed to its FIRST failing rule in fixed priority order —
+    * lang_mismatch → too_short → repetitive → pii → kept, the exclusive
+    * attribution a release report needs to sum to the corpus total —
+    * and the result rolls up to (lang, reason, n_docs, n_tokens).
+    *
+    * All predicates are exact-integer (the repetition threshold is the
+    * cross-multiplied `top_rep · 20 ≥ n_grams`, i.e. rep_ratio ≥ 0.05 —
+    * the complement of q91's keep rule, so funnel "repetitive" +
+    * q91-kept partition the corpus consistently). One scan + one
+    * metadata-sized rollup exchange: the audit costs one pass at any
+    * corpus size.
+    */
+  def filterFunnel(docs: DataFrame, minTokens: Int = 25): DataFrame = {
+    val piiCounts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name") }
+    val sig = TextAnalysis.cleanSignals(docs, extras = piiCounts)
+    val reason = when(col("lang_guess") =!= col("lang"), "lang_mismatch")
+      .when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_grams") > 0 && col("top_rep") * 20 >= col("n_grams"),
+        "repetitive")
+      .when(col("n_email") + col("n_ip") + col("n_phone") > 0, "pii")
+      .otherwise("kept")
+    sig.select(col("lang"), reason.as("reason"), col("n_tokens"))
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
 }

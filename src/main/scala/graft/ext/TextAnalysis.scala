@@ -227,8 +227,13 @@ object TextAnalysis {
     * once, which is this shape. Docs with fewer than `repN` tokens get
     * n_grams = 0 and a null rep_ratio (the standalone repetition
     * operator drops them instead).
+    *
+    * `extras` appends additional per-row signal columns (e.g. PII match
+    * counts) to the SAME scan — the mechanism `Prep.filterFunnel` uses
+    * to keep the whole gate single-pass.
     */
-  def cleanSignals(docs: DataFrame, repN: Int = 2): DataFrame = {
+  def cleanSignals(docs: DataFrame, repN: Int = 2,
+                   extras: Seq[Column] = Nil): DataFrame = {
     // grams materialized as an attribute before the fold — same
     // re-evaluation rule as repetitionScore
     val withGrams = docs
@@ -246,14 +251,14 @@ object TextAnalysis {
       (acc, g) => struct(g.as("prev"), run(acc, g).as("run"),
         greatest(acc.getField("best"), run(acc, g)).as("best")),
       acc => acc.getField("best"))
-    withGrams.select(
+    withGrams.select(Seq(
       col("doc_id"), col("lang"),
       langGuessExpr(col("text")).as("lang_guess"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(col("grams")).cast("long").as("n_grams"),
       topRep.as("top_rep"),
       when(size(col("grams")) > 0,
-        topRep.cast("double") / size(col("grams"))).as("rep_ratio"))
+        topRep.cast("double") / size(col("grams"))).as("rep_ratio")) ++ extras: _*)
   }
 
   /** Inverse of [[chunk]] for non-overlapping chunks (stride ==
@@ -269,6 +274,52 @@ object TextAnalysis {
         transform(
           array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           s => s.getField("chunk_text")), " ").as("text"))
+
+  /** Cross-document boilerplate coverage (the RefinedWeb/C4-class
+    * "duplicated n-gram fraction" quality signal): for each document,
+    * the fraction of its word `n`-grams (counted with multiplicity)
+    * that occur in at least one OTHER document — grams with corpus
+    * document-frequency ≥ 2. High coverage = the document is mostly
+    * shared template text (navigation chrome, license banners, scraped
+    * mirrors); it complements [[repetitionScore]] (within-doc loops)
+    * and `sharedSpans` (which localizes pairwise overlap but never
+    * scores a whole document). Emitted as exact integers: gram count,
+    * duplicated-gram count, and coverage in parts-per-million by
+    * truncating integer division.
+    *
+    * Scale shape: grams travel as 64-bit hashes, never strings — the
+    * df relation and the enrichment join shuffle 8-byte keys (the
+    * [[Dedup.hash64]] discipline; the oracle replays the same md5
+    * prefix, so collisions — which merge grams on BOTH sides — cannot
+    * cause drift). Two corpus-gram-sized exchanges: the df groupBy
+    * (partial-aggregated map-side) and the gram→df equi-join, whose
+    * per-key fan-out is each gram's own occurrence count (a hot
+    * boilerplate gram is one skewed key — AQE skew-split territory,
+    * never a cross product). Docs with fewer than `n` tokens score 0.
+    */
+  def boilerplateScore(docs: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("g"))
+      .select(col("doc_id"), Dedup.hash64(col("g")).as("gh"))
+    val df = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val perDoc = grams.join(df, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_ppm"), lit(0L)).as("dup_ppm"))
+  }
 
   /** Corpus-bigram affinity score (an n-gram-LM proxy for perplexity
     * filtering): for each in-document bigram (w1, w2), the scaled

@@ -2447,5 +2447,183 @@ object ExtQueries {
            |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
            |FROM lab l JOIN surv s USING (cl)""".stripMargin
       }),
+
+    // ── bloom-prefiltered exact incremental dedup ──────────────────────
+    // q73's exact tier with the anti-join's probe side cut by a bloom
+    // filter over the corpus hashes: might_contain=false rows are
+    // DEFINITELY new (no false negatives) and skip the join entirely;
+    // only the suspected-duplicate sliver takes the exact anti-join
+    // that removes false positives. Same relation as a plain hash
+    // anti-join — the oracle is that anti-join — so the driver proves
+    // the bloom is semantically invisible.
+    "q138_bloom_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupAgainstBloom(
+          docs.where(col("doc_id") % 7 === 3),
+          docs.where(col("doc_id") % 7 =!= 3))
+          .select(col("doc_id"), col("lang"))
+      },
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 7 = 3
+        |  AND md5(text) NOT IN
+        |      (SELECT md5(text) FROM documents WHERE doc_id % 7 <> 3)""".stripMargin),
+
+    // ── nearest-class-centroid classification (corpus domain router) ───
+    // Supervised prototype classification over the labeled embedding
+    // table: class centroids are truncating integer means (the k-means
+    // update arithmetic), assignment is the exact-integer squared-
+    // Euclidean argmin with smallest-label tie-break — the oracle
+    // replays prototypes AND assignment bit-for-bit.
+    "q139_centroid_classify" -> Q(
+      (s, dir) => KMeans.classifyNearestCentroid(Tables.embeddings(s, dir),
+        k = 10),
+      {
+        val ldp = "list_dot_product"
+        def dist(q: String, cv: String) =
+          s"cast($ldp($q, $q) + $ldp($cv, $cv) - 2 * $ldp($q, $cv) AS BIGINT)"
+        s"""WITH v AS (SELECT vec_id, cast(label AS BIGINT) AS label,
+           |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+           |  FROM embeddings),
+           |s AS (SELECT label, i AS pos, cast(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+           |      FROM v, range(1, 65) t(i) GROUP BY label, i),
+           |c AS (SELECT label AS c_id, list(s // n ORDER BY pos) AS cvec
+           |      FROM s GROUP BY label),
+           |a AS (SELECT vec_id, min(${dist("v.q", "c.cvec")} * 10 + c.c_id) % 10 AS pred
+           |      FROM v, c GROUP BY vec_id)
+           |SELECT v.vec_id, v.label, a.pred, v.label = a.pred AS correct
+           |FROM v JOIN a USING (vec_id)""".stripMargin
+      }),
+
+    // ── cross-document boilerplate coverage (duplicated n-gram share) ──
+    // RefinedWeb/C4-class per-document quality signal: the ppm share of
+    // a doc's 8-grams that occur in ≥ 2 documents. Grams shuffle as
+    // 64-bit hashes on both sides (same md5 prefix), so hash collisions
+    // cannot cause cross-engine drift.
+    "q140_boilerplate_score" -> Q(
+      (s, dir) => TextAnalysis.boilerplateScore(Tables.documents(s, dir), n = 8),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, ${sqlHash64("array_to_string(t[i:i+7], ' ')")} AS gh
+         |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |            FROM toks WHERE len(t) >= 8)),
+         |f AS (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh),
+         |p AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_grams,
+         |        cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |      FROM g JOIN f USING (gh) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_grams, cast(0 AS BIGINT)) AS n_grams,
+         |  coalesce(p.n_dup, cast(0 AS BIGINT)) AS n_dup,
+         |  coalesce(p.n_dup * 1000000 // p.n_grams, cast(0 AS BIGINT)) AS dup_ppm
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin),
+
+    // ── hybrid text+vector retrieval (RAG-standard fused search) ───────
+    // q96's BM25 list and a cosine top-20 for the query embedding
+    // (vec_id 0 ≡ doc_id 0), fused by q98's exact-integer RRF. Each
+    // input list is top-k-bounded before fusion, so the fusion stage is
+    // query-sized at any corpus scale; the oracle replays BOTH rankers
+    // and the fusion.
+    "q141_hybrid_search" -> Q(
+      (s, dir) => {
+        val idx = graft.mart.TextIndex.build(Tables.documents(s, dir))
+        val bm25 = graft.mart.TextIndex.bm25Search(idx,
+          Seq("spark", "join", "scan"), topK = 20)
+        val vec = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          nQueries = 1, k = 20)
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        graft.mart.TextIndex.rrfFuse(
+          Seq(bm25.select(col("doc_id"), col("rank")), vec),
+          kRrf = 60, topK = 20)
+      },
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM ti GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n_docs,
+        |              cast(sum(tf) AS BIGINT) AS tl FROM ti),
+        |tdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM ti
+        |        WHERE token IN ('spark', 'join', 'scan') GROUP BY 1),
+        |bscored AS (
+        |  SELECT ti.doc_id,
+        |         cast(sum((((st.n_docs * 1000) // tdf.df) * 22 * tf * ((10 * tl) // st.n_docs))
+        |              // (10 * ((10 * tl) // st.n_docs) * tf
+        |                  + 3 * ((10 * tl) // st.n_docs) + 90 * dl.dl)) AS BIGINT) AS score
+        |  FROM ti JOIN tdf USING (token) JOIN dl ON dl.doc_id = ti.doc_id CROSS JOIN st
+        |  GROUP BY 1),
+        |btop AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |         FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT 20)),
+        |e AS (SELECT vec_id, q FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+        |vscored AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(qs.q, e.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e.q, e.q))) AS cos
+        |  FROM e qs JOIN e ON qs.vec_id < 1 AND e.vec_id != qs.vec_id),
+        |vtop AS (SELECT vec_id AS doc_id, rank FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+        |    FROM vscored) WHERE rank <= 20),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM btop
+        |      UNION ALL SELECT doc_id, 1000000 // (60 + rank) AS c FROM vtop),
+        |f AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS rrf_score,
+        |             count(*) AS n_lists FROM u GROUP BY 1),
+        |ftop AS (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, rrf_score, n_lists,
+        |       cast(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        |FROM ftop""".stripMargin),
+
+    // ── filter-funnel audit (why documents are dropped) ────────────────
+    // Exclusive first-reason attribution across the quality gate in ONE
+    // corpus scan (cleanSignals + PII extras), rolled up per (lang,
+    // reason). Deterministic synthetic PII is injected into doc_id %
+    // 13 = 5 so the 'pii' rung is actually exercised (the q64
+    // discipline); the oracle replays injection, every signal, and the
+    // priority CASE.
+    "q142_filter_funnel" -> Q(
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"),
+          org.apache.spark.sql.functions.when(col("doc_id") % 13 === 5,
+            concat(col("text"), lit(" reach user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(col("text")).as("text"))
+        Prep.filterFunnel(injected)
+      },
+      {
+        val piiCounts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+          s"cast(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name" }
+          .mkString(",\n  ")
+        s"""WITH base AS (SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 13 = 5
+           |      THEN text || ' reach user' || cast(doc_id AS VARCHAR) || '@example.com'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM base),
+           |g AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sc),
+           |tok AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |        FROM base),
+           |reps AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_grams,
+           |               cast(max(c) AS BIGINT) AS top_rep FROM
+           |  (SELECT doc_id, g2, count(*) AS c FROM
+           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g2
+           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |                 FROM base) WHERE len(t) >= 2))
+           |   GROUP BY 1, 2) GROUP BY doc_id),
+           |pii AS (SELECT doc_id, $piiCounts FROM base),
+           |r AS (SELECT b.lang, tok.n_tokens,
+           |  CASE WHEN g.lang_guess <> b.lang THEN 'lang_mismatch'
+           |       WHEN tok.n_tokens < 25 THEN 'too_short'
+           |       WHEN coalesce(reps.n_grams, 0) > 0
+           |            AND reps.top_rep * 20 >= reps.n_grams THEN 'repetitive'
+           |       WHEN pii.n_email + pii.n_ip + pii.n_phone > 0 THEN 'pii'
+           |       ELSE 'kept' END AS reason
+           |  FROM base b JOIN g USING (doc_id) JOIN tok USING (doc_id)
+           |  LEFT JOIN reps USING (doc_id) JOIN pii USING (doc_id))
+           |SELECT lang, reason, cast(count(*) AS BIGINT) AS n_docs,
+           |  cast(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM r GROUP BY lang, reason""".stripMargin
+      }),
   )
 }

@@ -363,4 +363,37 @@ class PlanSpec extends SparkSuite {
       s"shard filter must prune partitions:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q138: bloom probe gates the anti-join — definitely-new rows take no join at all") {
+    val plan = planOf("q138_bloom_dedup")
+    // the bloom literal is evaluated as a row-level filter on BOTH
+    // branches (negated on the join-free one)
+    assert(plan.contains("might_contain"), plan)
+    // only ONE anti join remains (the confirm tier); the definitely-new
+    // branch reaches the union scan-only
+    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q139: centroid classify is broadcast-prototypes + one partial aggregate; no shuffle join") {
+    val plan = planOf("q139_centroid_classify")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    // the label rides the min-encoding aggregate — no corpus-sized
+    // join-back after classification
+    assert(plan.contains("partial_min") || plan.contains("partial min"), plan)
+  }
+
+  test("q140: boilerplate grams shuffle as 64-bit hashes, never gram strings") {
+    val plan = planOf("q140_boilerplate_score")
+    assert(!"Exchange hashpartitioning\\(g#".r.findFirstIn(plan).nonEmpty, plan)
+    assert("Exchange hashpartitioning\\(gh#".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
+  test("q142: filter funnel is ONE corpus scan + one metadata-sized rollup exchange") {
+    val plan = planOf("q142_filter_funnel")
+    // one documents scan (the fused cleanSignals+PII projection), one
+    // aggregate exchange on (lang, reason)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }

@@ -1051,4 +1051,88 @@ class ExtSpec extends SparkSuite {
     val direct = enc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(fromModel == direct)
   }
+
+  test("bloom dedup == plain exact anti-join, even at pathological fpp") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = (1L to 60L)
+      .map(i => (i, if (i % 4 == 0) s"dup text ${i % 8}" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val want = batch
+      .join(corpus.select(md5(col("text")).as("_h")).distinct(),
+        md5(col("text")) === col("_h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val got = Dedup.dedupAgainstBloom(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+    // a starved bloom (64 bits for 20 hashes) pushes fpp toward 1 — the
+    // exact confirm anti-join must still yield the identical relation
+    val gotTiny = Dedup
+      .dedupAgainstBloom(batch, corpus, expectedItems = 4, numBits = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotTiny == want)
+  }
+
+  test("nearest-centroid classifier: planted separable classes classify perfectly") {
+    val rnd = new Random(7)
+    val rows = (0L until 90L).map { i =>
+      val label = (i % 3).toInt
+      val v = Array.tabulate(8)(d =>
+        if (d == label) 1.0f + rnd.nextFloat() * 0.1f
+        else rnd.nextFloat() * 0.05f)
+      (i, v, label)
+    }
+    val out = KMeans
+      .classifyNearestCentroid(rows.toDF("vec_id", "embedding", "label"), k = 3)
+      .collect()
+    assert(out.length == 90 && out.forall(_.getAs[Boolean]("correct")))
+  }
+
+  test("nearest-centroid classifier rejects out-of-range labels loudly") {
+    val emb = Seq((0L, Array(1.0f, 0.0f), 5)).toDF("vec_id", "embedding", "label")
+    intercept[Exception] {
+      KMeans.classifyNearestCentroid(emb, k = 3).collect()
+    }
+  }
+
+  test("boilerplate score: shared 8-grams count, unique and short docs score 0") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, shared + " a1 a2"),
+      (2L, shared),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScore(d, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 3 grams, only the first (= doc 2's whole text) duplicated
+    assert(out(1L) == ((3L, 1L, 1000000L / 3L)))
+    assert(out(2L) == ((1L, 1L, 1000000L)))
+    assert(out(3L) == ((5L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("filter funnel: exclusive first-reason attribution partitions the corpus") {
+    val fill = (1 to 25).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      // guesses en, labeled de → lang_mismatch (first rung, wins even
+      // though the doc would also pass everything else)
+      (1L, "de", "the the the " + fill),
+      (2L, "en", "the w1 w2"),                                // too_short
+      (3L, "en", "the " + "p1 p2 " * 15),                     // repetitive
+      (4L, "en", "the " + (1 to 23).map(i => s"a$i").mkString(" ")
+        + " user@x.com"),                                     // pii
+      (5L, "en", "the " + (1 to 24).map(i => s"b$i").mkString(" "))) // kept
+      .toDF("doc_id", "lang", "text")
+    val got = Prep.filterFunnel(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("de", "lang_mismatch") -> 1L,
+      ("en", "too_short") -> 1L,
+      ("en", "repetitive") -> 1L,
+      ("en", "pii") -> 1L,
+      ("en", "kept") -> 1L))
+    // exclusive attribution: doc counts sum to the corpus size
+    assert(got.values.sum == 5L)
+  }
 }
