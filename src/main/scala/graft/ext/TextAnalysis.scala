@@ -275,6 +275,29 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           s => s.getField("chunk_text")), " ").as("text"))
 
+  /** Corpus-wide top-k word n-grams with occurrence counts (WIMBD-class
+    * corpus analytics — "what is in this corpus"). Counted with
+    * multiplicity; the (count DESC, gram-bytes ASC) total order makes
+    * the cutoff deterministic, and gram ordering compares UTF-8 BYTES
+    * (binary cast) so the DuckDB oracle's native collation agrees on
+    * non-ASCII vocabularies (the bpeVocab collation discipline).
+    *
+    * Scale shape: one partial-aggregated count exchange on the gram
+    * key, then TakeOrderedAndProject — each partition keeps its own
+    * top-k, so the gram relation never globally sorts.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 0)
+    docs
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram").cast("binary"))
+      .limit(k)
+  }
+
   /** Cross-document boilerplate coverage (the RefinedWeb/C4-class
     * "duplicated n-gram fraction" quality signal): for each document,
     * the fraction of its word `n`-grams (counted with multiplicity)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, concat, count, length, lit, size, split, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, explode, length, lit, size, split, sum, transform}
 
 import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Prep, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
@@ -125,6 +125,12 @@ object ExtQueries {
     * binding domain differs from the largest one on the fixture, so the
     * water-filling optimization is actually exercised. */
   private val MixWeights: Seq[(String, Long)] = Seq("en" -> 5L, "de" -> 3L, "zh" -> 2L)
+
+  /** q143 quality-tier token budgets (high-affinity docs get the bulk
+    * of the budget; thresholds sit inside the fixture's affinity
+    * distribution so every tier's cut actually bites). */
+  private val QualityBudgets: Seq[(String, Long)] = Seq("high" -> 5000L, "mid" -> 2500L)
+  private val QualityDefaultBudget = 1000L
 
   // ── quality-gate SQL fragments (q108 + q122 shared), generated from
   //    the SAME Scala constants the engine reads ───────────────────────
@@ -2625,5 +2631,116 @@ object ExtQueries {
            |  cast(sum(n_tokens) AS BIGINT) AS n_tokens
            |FROM r GROUP BY lang, reason""".stripMargin
       }),
+
+    // ── quality-stratified token-budget mixing ─────────────────────────
+    // The quality-weighted sampling recipe: docs tier by their corpus-
+    // bigram affinity (q67's LM-proxy score, via exact integer
+    // cross-multiplication — no float thresholds), then each tier cuts
+    // to its token budget with the q117 deterministic-hash prefix —
+    // high-quality text gets the bulk of the training budget. Docs too
+    // short to score (< 2 tokens) are unscorable and drop, documented.
+    // The oracle rederives the affinity chain, the tier CASE, AND the
+    // budget-window cut.
+    "q143_quality_mix" -> Q(
+      (s, dir) => {
+        val aff = TextAnalysis.bigramAffinity(Tables.documents(s, dir))
+        val tiered = aff.select(col("doc_id"),
+          org.apache.spark.sql.functions.when(
+            col("sum_p") >= col("n_bigrams") * 35000L, "high")
+            .when(col("sum_p") >= col("n_bigrams") * 34000L, "mid")
+            .otherwise("low").as("tier"),
+          (col("n_bigrams") + 1).as("n_tokens"))
+        Sampling.sampleToTokenBudget(tiered, "doc_id", "tier", "n_tokens",
+          QualityBudgets, QualityDefaultBudget)
+      },
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |             FROM toks WHERE len(t) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |p AS (SELECT doc_id, (c2.c2 * 1000000) // c1.c1 AS p_scaled
+         |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         |agg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+         |               cast(sum(p_scaled) AS BIGINT) AS sum_p
+         |        FROM p GROUP BY doc_id),
+         |tiered AS (SELECT doc_id,
+         |    CASE WHEN sum_p >= n_bigrams * 35000 THEN 'high'
+         |         WHEN sum_p >= n_bigrams * 34000 THEN 'mid'
+         |         ELSE 'low' END AS tier,
+         |    n_bigrams + 1 AS n_tokens FROM agg),
+         |cum AS (SELECT doc_id, tier, n_tokens,
+         |    ${Sampling.cumTokensSql("doc_id", "tier", "n_tokens", "mix")} AS cum
+         |  FROM tiered)
+         |SELECT doc_id, tier, cast(n_tokens AS BIGINT) AS n_tokens
+         |FROM cum
+         |WHERE cum <= ${Sampling.budgetSql("tier", QualityBudgets, QualityDefaultBudget)}""".stripMargin),
+
+    // ── cosine-similarity histogram (dedup threshold calibration) ──────
+    // The report an operator reads before choosing tau: pair counts per
+    // 0.05-wide cosine bucket above 0.40, from the LSH-pruned pair
+    // source (q46 proves it equals brute force at this tau). Bucket
+    // arithmetic floors the SAME double both engines compute from
+    // exact integer dot products, so bucketing cannot drift.
+    "q144_cosine_histogram" -> Q(
+      (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir),
+          tau = 0.40, dim = 64)
+        .groupBy(org.apache.spark.sql.functions.floor(col("cos") * 20)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_pairs")),
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |  FROM embeddings),
+        |p AS (SELECT list_dot_product(a.q, b.q)
+        |    / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.q, b.q)
+        |      / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.40)
+        |SELECT cast(floor(cos * 20) AS BIGINT) AS bucket,
+        |       cast(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin),
+
+    // ── schema-evolution read (generational corpus layout) ─────────────
+    // A corpus accumulated over crawler generations: gen 0 lacks the
+    // `source` column that gen 1 added. The engine writes both
+    // generations IN-QUERY (hive-partitioned by gen), reads them back
+    // through mergeSchema + partition discovery, and null-coalesces the
+    // missing column — the lakehouse schema-drift contract. The oracle
+    // rederives the union from the base table.
+    "q145_schema_evolution" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = Similarity.scratchIndexDir("q145") + "/corpus"
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(base + "/gen=0")
+        docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(base + "/gen=1")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("source"), lit("unknown")).as("source"),
+            col("gen").cast("long").as("gen"))
+      },
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source ELSE 'unknown' END AS source,
+        |  cast(doc_id % 2 AS BIGINT) AS gen
+        |FROM documents""".stripMargin),
+
+    // ── corpus-wide top n-grams (WIMBD-class corpus analytics) ─────────
+    // The most frequent word 3-grams with counts — the "what is in this
+    // corpus" report. TakeOrderedAndProject keeps the top-k partial per
+    // partition, so the full gram relation never sorts; the cutoff
+    // tie-break orders gram BYTES on both engines (the round-8 collation
+    // discipline).
+    "q146_top_ngrams" -> Q(
+      (s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir), n = 3, k = 50),
+      """WITH g AS (SELECT array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        |        WHERE len(t) >= 3)),
+        |c AS (SELECT gram, cast(count(*) AS BIGINT) AS n_occ FROM g GROUP BY gram)
+        |SELECT gram, n_occ FROM c
+        |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin),
   )
 }

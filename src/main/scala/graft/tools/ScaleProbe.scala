@@ -153,6 +153,25 @@ object ScaleProbe {
       ("paragraph_dedup",
         (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16, maxDist = 3)
           .where(col("n_removed_chunks") > 0).count(),
+        d1, d10),
+      ("semantic_dedup",
+        (e: DataFrame) => {
+          val pairs = Similarity.semanticDupPairs(e, tau = 0.40, k = 8, iters = 2)
+            .select(col("vec_a").as("a"), col("vec_b").as("b"))
+          val v = Similarity.prepared(e)
+          Dedup.clusterPairsBy(
+            v.select(col("vec_id").as("doc_id"), col("q")),
+            pairs, Similarity.dotL(col("q"), col("q")))
+            .where(col("doc_id") === col("canonical_id")).count()
+        }, e1, e10),
+      ("boilerplate_score",
+        (d: DataFrame) => TextAnalysis.boilerplateScore(d, n = 8)
+          .where(col("dup_ppm") > 0).count(),
+        d1, d10),
+      ("bloom_dedup",
+        (d: DataFrame) => Dedup.dedupAgainstBloom(
+          d.where(col("doc_id") % 7 === 3),
+          d.where(col("doc_id") % 7 =!= 3)).count(),
         d1, d10))
 
     val out = new StringBuilder("{")

@@ -389,6 +389,18 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(gh#".r.findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("q146: corpus top n-grams uses partial top-k (TakeOrderedAndProject), never a global sort") {
+    val plan = planOf("q146_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q143/q144: quality mix and cosine histogram stay equi-join-only") {
+    assert(!planOf("q143_quality_mix").contains("CartesianProduct"))
+    val h = planOf("q144_cosine_histogram")
+    assert(!h.contains("CartesianProduct")
+      && !h.contains("BroadcastNestedLoopJoin"), h)
+  }
+
   test("q142: filter funnel is ONE corpus scan + one metadata-sized rollup exchange") {
     val plan = planOf("q142_filter_funnel")
     // one documents scan (the fused cleanSignals+PII projection), one

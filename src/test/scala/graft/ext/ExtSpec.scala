@@ -1112,6 +1112,21 @@ class ExtSpec extends SparkSuite {
     assert(out(4L) == ((0L, 0L, 0L)))
   }
 
+  test("top n-grams: counted with multiplicity, deterministic bytewise cutoff on ties") {
+    val d = Seq(
+      (1L, "a a a a"),       // "a a" ×3
+      (2L, "b c b c b"),     // "b c" ×2, "c b" ×2
+      (3L, "z y")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(d, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // tie between "b c" and "c b" at count 2 → byte order admits both
+    // here, but the ORDER picks "b c" first; k=2 would cut "c b"
+    assert(got == Seq(("a a", 3L), ("b c", 2L), ("c b", 2L)))
+    val cut = TextAnalysis.topNgrams(d, n = 2, k = 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(cut == Seq("a a", "b c"))
+  }
+
   test("filter funnel: exclusive first-reason attribution partitions the corpus") {
     val fill = (1 to 25).map(i => s"w$i").mkString(" ")
     val d = Seq(
