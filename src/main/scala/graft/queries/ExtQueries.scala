@@ -263,6 +263,50 @@ object ExtQueries {
         |sizes AS (SELECT cl, cast(count(*) AS BIGINT) AS cluster_size
         |          FROM lab GROUP BY cl)""".stripMargin
 
+  /** q137's verified semantic-cluster chain (k-means-bucketed cosine
+    * pairs → CC → max-energy survivor), shared by q137 and the dedup
+    * cascade q147 — ONE implementation, two gates. */
+  private def semanticClusters(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.semanticDupPairs(emb, tau = 0.40, k = 8, iters = 2)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val e = Similarity.prepared(emb)
+    Dedup.clusterPairsBy(
+      e.select(col("vec_id").as("doc_id"), col("q")),
+      pairs, Similarity.dotL(col("q"), col("q")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"),
+        col("cluster_size"))
+  }
+
+  /** [[semanticClusters]]' oracle CTE chain (s-prefixed so it composes
+    * with [[fuzzyClusterCtes]] in one WITH RECURSIVE) — ends with
+    * `slab(vec_id, cl, qq)` and `ssurv(cl, canonical_id)` in scope. */
+  private lazy val semanticClusterCtes: String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""${KMeans.assignCtesSql(k = 8, iters = 2, dim = 64)},
+       |squal AS (SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM final a JOIN final b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.q", "b.q")} >= 0.40),
+       |ssym AS (SELECT a, b FROM squal UNION ALL SELECT b, a FROM squal),
+       |sreach(a, b) AS (SELECT a, b FROM ssym
+       |  UNION SELECT r.a, s.b FROM sreach r JOIN ssym s ON r.b = s.a),
+       |scanon AS (SELECT a AS id, least(a, min(b)) AS canonical
+       |           FROM sreach GROUP BY a),
+       |em AS (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |  FROM embeddings),
+       |slab AS (SELECT em.vec_id, coalesce(c.canonical, em.vec_id) AS cl,
+       |        list_dot_product(em.q, em.q) AS qq
+       |  FROM em LEFT JOIN scanon c ON em.vec_id = c.id),
+       |ssurv AS (SELECT cl, vec_id AS canonical_id FROM (
+       |  SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+       |      ORDER BY qq DESC, vec_id) AS rn
+       |  FROM slab) WHERE rn = 1)""".stripMargin
+  }
+
   /** The q108 prep chain (quality gate → exact dedup → decontaminate →
     * train split → per-language cap → token-budget mix), shared by
     * q108 itself and the grand export composition q133 — ONE
@@ -2416,43 +2460,64 @@ object ExtQueries {
     // within-cluster pairs + closure exactly, so the policy's OUTPUT
     // is hash-verified end to end.
     "q137_semantic_dedup" -> Q(
+      (s, dir) => semanticClusters(s, dir),
+      s"""WITH RECURSIVE $semanticClusterCtes
+         |SELECT l.vec_id, s.canonical_id,
+         |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
+         |FROM slab l JOIN ssurv s USING (cl)""".stripMargin),
+
+    // ── the DEDUP CASCADE funnel (the production multi-tier recipe) ────
+    // Exact → fuzzy (MinHash/Jaccard/CC) → semantic (SemDeDup), with
+    // EXCLUSIVE first-tier attribution — the report that tells an
+    // operator what each tier contributes before committing a 100 TB
+    // run to it. Tier relations are the SAME verified chains q30, q120/
+    // q135, and q137 register (exact keeper = min doc per content hash;
+    // fuzzy canonical = longest-text cluster survivor; semantic
+    // canonical = max-energy embedding survivor, vec_id ≡ doc_id); a
+    // document counts against the FIRST tier that would remove it.
+    // Output is the |reasons|-row funnel — metadata-sized at any corpus
+    // scale; the oracle replays all three chains in one WITH RECURSIVE.
+    "q147_dedup_cascade" -> Q(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val pairs = Similarity.semanticDupPairs(emb, tau = 0.40, k = 8, iters = 2)
-          .select(col("vec_a").as("a"), col("vec_b").as("b"))
-        val e = Similarity.prepared(emb)
-        Dedup.clusterPairsBy(
-          e.select(col("vec_id").as("doc_id"), col("q")),
-          pairs, Similarity.dotL(col("q"), col("q")))
-          .select(col("doc_id").as("vec_id"), col("canonical_id"),
-            col("cluster_size"))
+        val docs = Tables.documents(s, dir)
+        val keeper = docs
+          .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper"))
+        val fuzzy = fuzzyClusters(s, dir)
+          .select(col("doc_id"), col("canonical_id").as("f_canon"))
+        val sem = semanticClusters(s, dir)
+          .select(col("vec_id").as("doc_id"), col("canonical_id").as("s_canon"))
+        val reason = org.apache.spark.sql.functions
+          .when(col("keeper") =!= col("doc_id"), "exact")
+          .when(col("f_canon") =!= col("doc_id"), "fuzzy")
+          .when(col("s_canon").isNotNull && col("s_canon") =!= col("doc_id"),
+            "semantic")
+          .otherwise("kept")
+        docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.md5(col("text")).as("_h"))
+          .join(keeper, "_h")
+          .join(fuzzy, Seq("doc_id"))
+          .join(sem, Seq("doc_id"), "left")
+          .select(reason.as("reason"))
+          .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
       },
-      {
-        def cos(a: String, b: String) =
-          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-        s"""WITH RECURSIVE ${KMeans.assignCtesSql(k = 8, iters = 2, dim = 64)},
-           |qual AS (SELECT a.vec_id AS a, b.vec_id AS b
-           |  FROM final a JOIN final b
-           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-           |  WHERE ${cos("a.q", "b.q")} >= 0.40),
-           |sym AS (SELECT a, b FROM qual UNION ALL SELECT b, a FROM qual),
-           |reach(a, b) AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-           |canon AS (SELECT a AS id, least(a, min(b)) AS canonical FROM reach GROUP BY a),
-           |em AS (SELECT vec_id,
-           |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
-           |  FROM embeddings),
-           |lab AS (SELECT em.vec_id, coalesce(c.canonical, em.vec_id) AS cl,
-           |        list_dot_product(em.q, em.q) AS qq
-           |  FROM em LEFT JOIN canon c ON em.vec_id = c.id),
-           |surv AS (SELECT cl, vec_id AS canonical_id FROM (
-           |  SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
-           |      ORDER BY qq DESC, vec_id) AS rn
-           |  FROM lab) WHERE rn = 1)
-           |SELECT l.vec_id, s.canonical_id,
-           |  count(*) OVER (PARTITION BY l.cl) AS cluster_size
-           |FROM lab l JOIN surv s USING (cl)""".stripMargin
-      }),
+      fuzzyClusterCtes + ",\n" + semanticClusterCtes +
+        """, ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          |         FROM documents),
+          |fz AS (SELECT l.doc_id, s.canonical_id AS f_canon
+          |       FROM lab l JOIN surv s USING (cl)),
+          |sm AS (SELECT l.vec_id AS doc_id, s.canonical_id AS s_canon
+          |       FROM slab l JOIN ssurv s USING (cl)),
+          |rr AS (SELECT d.doc_id,
+          |  CASE WHEN e.keeper <> d.doc_id THEN 'exact'
+          |       WHEN fz.f_canon <> d.doc_id THEN 'fuzzy'
+          |       WHEN sm.s_canon IS NOT NULL AND sm.s_canon <> d.doc_id
+          |         THEN 'semantic'
+          |       ELSE 'kept' END AS reason
+          |  FROM documents d JOIN ex e USING (doc_id) JOIN fz USING (doc_id)
+          |  LEFT JOIN sm USING (doc_id))
+          |SELECT reason, cast(count(*) AS BIGINT) AS n_docs
+          |FROM rr GROUP BY reason""".stripMargin),
 
     // ── bloom-prefiltered exact incremental dedup ──────────────────────
     // q73's exact tier with the anti-join's probe side cut by a bloom

@@ -401,6 +401,11 @@ class PlanSpec extends SparkSuite {
       && !h.contains("BroadcastNestedLoopJoin"), h)
   }
 
+  test("q147: dedup cascade stays equi-join-only across all three tier chains") {
+    val plan = planOf("q147_dedup_cascade")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q142: filter funnel is ONE corpus scan + one metadata-sized rollup exchange") {
     val plan = planOf("q142_filter_funnel")
     // one documents scan (the fused cleanSignals+PII projection), one
