@@ -72,6 +72,14 @@ object Similarity {
     * stage. At production k (thousands of centroids over billions of
     * vectors) cluster buckets are the candidate economics that make
     * embedding dedup feasible at all.
+    *
+    * CONTRACT — k must scale with the corpus. At fixed k the candidate
+    * volume Σ n_c² grows as n²/k (a 10× scale probe on a uniform
+    * corpus measured exactly this: clusters bloat, CC merges nearly
+    * everything — PLANS.md "Round-8 third-wave additions"). The
+    * production setting is k ∝ n at constant expected cluster size
+    * (SemDeDup's regime), keeping Σ n_c² ≈ n·c̄; the fixture's k=8 is
+    * a small-scale convenience, not a recommendation.
     */
   def semanticDupPairs(embeddings: DataFrame, tau: Double, k: Int,
                        iters: Int): DataFrame = {

@@ -2807,5 +2807,54 @@ object ExtQueries {
         |c AS (SELECT gram, cast(count(*) AS BIGINT) AS n_occ FROM g GROUP BY gram)
         |SELECT gram, n_occ FROM c
         |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin),
+
+    // ── per-document OOV rate against the induced vocabulary ───────────
+    // The tokenizer-coverage report: q66's top-64 vocabulary is induced
+    // in-query, then every document scores its out-of-vocabulary token
+    // share in exact ppm. The vocabulary is maxSize-bounded BY
+    // CONSTRUCTION, so scoring is a broadcast map-join against a
+    // metadata-sized relation at any corpus scale — the plan has no
+    // corpus-sized shuffle at all beyond the per-doc rollup.
+    "q148_oov_rate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = graft.mart.TextIndex.vocabulary(
+          graft.mart.TextIndex.build(docs), minCount = 10L, maxSize = 64)
+        val inv = org.apache.spark.sql.functions.broadcast(
+          vocab.select(col("token"), lit(1L).as("iv")))
+        val scored = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .where(length(col("token")) > 0)
+          .join(inv, Seq("token"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(org.apache.spark.sql.functions.when(col("iv").isNull, lit(1L))
+              .otherwise(lit(0L))).as("n_oov"))
+        docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            coalesce(org.apache.spark.sql.functions.expr(
+              "n_oov * 1000000 div n_tokens"), lit(0L)).as("oov_ppm"))
+      },
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |vc AS (SELECT token FROM ti
+        |       GROUP BY token HAVING sum(tf) >= 10
+        |       ORDER BY cast(sum(tf) AS BIGINT) DESC, token LIMIT 64),
+        |tf AS (SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0),
+        |scd AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+        |    cast(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tf LEFT JOIN vc v ON tf.tok = v.token GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, cast(0 AS BIGINT)) AS n_tokens,
+        |  coalesce(s.n_oov, cast(0 AS BIGINT)) AS n_oov,
+        |  coalesce(s.n_oov * 1000000 // s.n_tokens, cast(0 AS BIGINT)) AS oov_ppm
+        |FROM documents d LEFT JOIN scd s USING (doc_id)""".stripMargin),
   )
 }

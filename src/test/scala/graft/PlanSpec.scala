@@ -406,6 +406,11 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q148: OOV scoring joins the vocabulary as a BROADCAST (metadata-sized by construction)") {
+    val plan = planOf("q148_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q142: filter funnel is ONE corpus scan + one metadata-sized rollup exchange") {
     val plan = planOf("q142_filter_funnel")
     // one documents scan (the fused cleanSignals+PII projection), one
