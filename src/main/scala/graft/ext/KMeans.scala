@@ -206,6 +206,7 @@ object KMeans {
     * correct).
     */
   def classifyNearestCentroid(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"class count must be positive, got $k")
     graft.functions.LongDot.register(embeddings.sparkSession)
     val v = graft.util.Scale.widen(embeddings)
       .select(col("vec_id"), col("label").cast("long").as("label"),

@@ -321,6 +321,7 @@ object TextAnalysis {
     * never a cross product). Docs with fewer than `n` tokens score 0.
     */
   def boilerplateScore(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"gram size must be positive, got $n")
     graft.functions.Md5Prefix64.register(docs.sparkSession)
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -1620,6 +1620,49 @@ object ExtQueries {
       SeqPack.packOracleSql("documents", "doc_id", "text",
         shards = 8, seqLen = 256)),
 
+    // ── materialized packed training sequences (the last packing mile) ─
+    // q53 addresses documents into sequences; this EMITS the sequences —
+    // per (shard, seq_id) the concatenated token window, documents cut
+    // across boundaries, every non-final sequence exactly full. Same
+    // salt as q53, so the two queries share their layout arithmetic.
+    // Fragments (≤ ⌈n_tok/seqLen⌉+1 per doc), not tokens, ride the
+    // assembly exchange — the scale-decisive choice at a 4k context.
+    "q149_pack_sequences" -> Q(
+      (s, dir) => SeqPack.packSequences(Tables.documents(s, dir), "doc_id",
+        "text", shards = 8, seqLen = 256),
+      SeqPack.packSequencesOracleSql("documents", "doc_id", "text",
+        shards = 8, seqLen = 256)),
+
+    // ── deterministic inspection sample (the release "eyeball" sheet) ──
+    // Every dataset release ships a human-readable sample: k docs per
+    // (lang, split) stratum picked by the q106 deterministic-hash cap
+    // (reproducible — two releases of the same corpus show the same
+    // docs), with an 80-char excerpt instead of full text. Composes
+    // q51's split buckets with capPerGroup on a composite stratum key;
+    // the oracle replays bucket, rank window, and excerpt.
+    "q150_sample_inspection" -> Q(
+      (s, dir) => {
+        val withSplit = Sampling.assignSplits(Tables.documents(s, dir), "doc_id")
+          .withColumn("stratum", concat(col("lang"), lit(":"), col("split")))
+        Sampling.capPerGroup(withSplit, "doc_id", "stratum", k = 2)
+          .select(col("doc_id"), col("lang"), col("split"),
+            org.apache.spark.sql.functions.substring(col("text"), 1, 80)
+              .as("excerpt"))
+      },
+      {
+        val b = Sampling.bucketSql("doc_id", "split")
+        s"""WITH ws AS (SELECT doc_id, lang, text,
+           |    CASE WHEN $b < 80 THEN 'train'
+           |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM documents),
+           |rk AS (SELECT doc_id, lang, split, text,
+           |    row_number() OVER (PARTITION BY lang || ':' || split
+           |      ORDER BY ${Sampling.rowHashSql("doc_id", "cap")}, doc_id) AS rk
+           |  FROM ws)
+           |SELECT doc_id, lang, split, substr(text, 1, 80) AS excerpt
+           |FROM rk WHERE rk <= 2""".stripMargin
+      }),
+
     // ── eval-set decontamination (benchmark-leakage guard) ─────────────
     // pseudo-eval set: every 97th document; any training doc sharing a
     // word 3-gram with it is dropped (eval docs drop by definition)

@@ -22,6 +22,29 @@ class SeqPackSpec extends SparkSuite {
     }
   }
 
+  test("packSequences materializes the exact per-shard token stream (roundtrip law)") {
+    val d = (0L until 120L).map(i =>
+      (i, (0 until (i % 13 + 1).toInt).map(j => s"d${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val addr = SeqPack.pack(d, "doc_id", "text", shards = 4, seqLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 32 + r.getLong(3))).toSeq
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seqs = SeqPack.packSequences(d, "doc_id", "text", shards = 4, seqLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    for (shard <- seqs.map(_._1).distinct) {
+      // stitching the sequences in order reproduces the shard's whole
+      // token stream in the deterministic (hash, id) layout order
+      val expect = addr.filter(_._2 == shard).sortBy(_._3)
+        .map(t => texts(t._1)).mkString(" ")
+      val rows = seqs.filter(_._1 == shard).sortBy(_._2)
+      assert(rows.map(_._4).mkString(" ") == expect, s"shard $shard stream")
+      // every sequence but the shard's last is exactly full
+      rows.dropRight(1).foreach(r => assert(r._3 == 32L, s"shard $shard seq ${r._2}"))
+      assert(rows.last._3 <= 32L && rows.last._3 > 0L)
+    }
+  }
+
   test("adding a document only perturbs its own shard") {
     val base = SeqPack.pack(docs, "doc_id", "text", shards = 4, seqLen = 32)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
