@@ -402,6 +402,52 @@ object Multimodal {
        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 
+  /** Deterministic corruption injector (audit-harness twin of q64's
+    * PII injection): selected docs get their first magic byte flipped,
+    * others lose their trailing 8 bytes — the two corruption classes a
+    * binary-column integrity audit must separate (wrong format vs
+    * short read). Magic-flip wins when a doc matches both rules. */
+  def corruptSome(media: Dataset[MediaRow], flipMod: Long, flipRes: Long,
+                  truncMod: Long, truncRes: Long): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.doc_id % flipMod == flipRes) {
+        val b = r.media.clone(); b(0) = (b(0) ^ 0xff).toByte
+        MediaRow(r.doc_id, b, r.media_type)
+      } else if (r.doc_id % truncMod == truncRes)
+        MediaRow(r.doc_id, r.media.take(r.media.length - 8), r.media_type)
+      else r
+    })
+  }
+
+  /** Decode-validation audit over a binary image column: a STRICT
+    * farbfeld parse per blob — magic check, header read, payload-length
+    * reconciliation — emitting (doc_id, status) with status ∈
+    * ok | bad_magic | truncated. This is the K3 quarantine discipline
+    * applied to media columns: at 100 TB a pipeline must COUNT and
+    * ROUTE corrupt blobs (a hundred bad files in a billion must not
+    * fail the job, and silently skipping them falsifies the dataset
+    * card), so validation is a first-class relational operator whose
+    * output joins/aggregates like any other. `mapPartitions` — binary
+    * codec, the justified exception; blobs stay columnar and only the
+    * verdict enters the plan. */
+  def validateFarbfeld(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.media
+      val status =
+        if (b.length < 16 ||
+          !java.util.Arrays.equals(java.util.Arrays.copyOf(b, 8), Magic))
+          "bad_magic"
+        else {
+          val bb = ByteBuffer.wrap(b); bb.position(8)
+          val w = bb.getInt; val h = bb.getInt
+          if (b.length != 16 + 8 * w * h) "truncated" else "ok"
+        }
+      (r.doc_id, status)
+    }).toDF("doc_id", "status")
+  }
+
   // ── video modality: frame container + frame sampling ────────────────
 
   /** Frames per document — deterministic like the other render rules. */

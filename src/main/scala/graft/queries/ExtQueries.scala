@@ -1105,6 +1105,25 @@ object ExtQueries {
         Multimodal.encodeVideo(Tables.documents(s, dir)), everyK = 2),
       Multimodal.frameSampleOracleSql(everyK = 2)),
 
+    // ── binary-column integrity audit (corrupt-blob quarantine) ────────
+    // The K3 quarantine discipline applied to media blobs: encode the
+    // corpus to real farbfeld, deterministically corrupt two disjoint
+    // slices (magic-flip for doc_id%31=7, 8-byte truncation for
+    // doc_id%37=11 — q64's injection discipline), then the STRICT
+    // decode validator must classify every blob ok/bad_magic/truncated.
+    // At 100 TB corrupt blobs are counted and routed, never job-fatal
+    // and never silently skipped; the oracle replays the injection rule.
+    "q151_media_integrity" -> Q(
+      (s, dir) => Multimodal.validateFarbfeld(
+        Multimodal.corruptSome(
+          Multimodal.encodeFarbfeld(Tables.documents(s, dir)),
+          flipMod = 31, flipRes = 7, truncMod = 37, truncRes = 11)),
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 7 THEN 'bad_magic'
+        |       WHEN doc_id % 37 = 11 THEN 'truncated'
+        |       ELSE 'ok' END AS status
+        |FROM documents""".stripMargin),
+
     // ── perceptual audio fingerprint: WAV decode → 64-bit profile ──────
     // The audio analog of q102's image dHash: 65 equal sample buckets,
     // exact bucket energies, bit i = E(i) < E(i+1) — invariant to

@@ -1112,6 +1112,23 @@ class ExtSpec extends SparkSuite {
     assert(out(4L) == ((0L, 0L, 0L)))
   }
 
+  test("media integrity: strict validator separates clean, magic-flipped, and truncated blobs") {
+    val d = (0L until 40L).map(i => (i, "en", s"some text $i"))
+      .toDF("doc_id", "lang", "text")
+    val clean = Multimodal.validateFarbfeld(Multimodal.encodeFarbfeld(d))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean.values.forall(_ == "ok"))
+    val audited = Multimodal.validateFarbfeld(
+      Multimodal.corruptSome(Multimodal.encodeFarbfeld(d),
+        flipMod = 7, flipRes = 3, truncMod = 5, truncRes = 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 0L until 40L) {
+      val want = if (i % 7 == 3) "bad_magic"
+        else if (i % 5 == 1) "truncated" else "ok"
+      assert(audited(i) == want, s"doc $i")
+    }
+  }
+
   test("top n-grams: counted with multiplicity, deterministic bytewise cutoff on ties") {
     val d = Seq(
       (1L, "a a a a"),       // "a a" ×3
