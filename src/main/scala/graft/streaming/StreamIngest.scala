@@ -163,6 +163,38 @@ object StreamIngest {
     * corpus is PROBED, never rewritten (files only accumulate; the spec
     * asserts earlier batches' files survive later appends untouched).
     */
+  val docLangSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** CONTINUOUS quality monitoring — the observability side of a
+    * production ingest: every micro-batch rolls up its filter funnel
+    * ([[graft.ext.Prep.filterFunnel]], exclusive first-reason drop
+    * attribution per (lang, reason)) and APPENDS the batch-stamped
+    * summary to a monitoring table. Per-batch cost is one batch scan +
+    * a metadata-sized append — the monitor never reads the corpus —
+    * and because funnel attribution is per-row, the cumulative table
+    * aggregates to EXACTLY what the batch operator reports over the
+    * union of all batches regardless of how the source files split
+    * into micro-batches (the additivity law the spec pins). Dashboards
+    * read the sidecar, never the corpus — the q136/q142 release
+    * reports become continuously-maintained artifacts.
+    */
+  def monitorQuality(spark: SparkSession, srcDir: String,
+                     checkpointDir: String, statsDir: String,
+                     minTokens: Int = 25): StreamingQuery =
+    spark.readStream.schema(docLangSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Prep.filterFunnel(
+            batch.where(col("text").isNotNull && col("lang").isNotNull),
+            minTokens)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(statsDir)
+      }
+      .start()
+
   /** The per-domain token-spend STATS SIDECAR of an [[ingestPrep]]
     * corpus: `<outDir>_stats`, one tiny (lang_guess, tokens) batch
     * summary appended per micro-batch. Budget depletion reads THIS —

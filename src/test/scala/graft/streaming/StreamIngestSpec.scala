@@ -406,4 +406,48 @@ class StreamIngestSpec extends SparkSuite {
     StreamIngest.rebuildShardStats(spark, out)
     assert(nextPos(out) == ground)
   }
+
+  test("continuous quality monitor: per-batch funnels aggregate to the batch funnel (additivity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("qm_src").toString
+    val chk = Files.createTempDirectory("qm_chk").toString
+    val stats = Files.createTempDirectory("qm_out").toString + "/funnel"
+    def dj(id: Long, lang: String, text: String): String =
+      s"""{"doc_id": $id, "lang": "$lang", "text": "$text"}"""
+    val fill = (1 to 25).map(i => s"w$i").mkString(" ")
+    val b1 = Seq(
+      dj(1, "de", "the the the " + fill),            // lang_mismatch
+      dj(2, "en", "the w1 w2"),                       // too_short
+      dj(3, "en", "the " + "p1 p2 " * 15))            // repetitive
+    val b2 = Seq(
+      dj(4, "en", "the " + (1 to 23).map(i => s"a$i").mkString(" ") + " user@x.com"), // pii
+      dj(5, "en", "the " + (1 to 24).map(i => s"b$i").mkString(" ")))                 // kept
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"), b1.mkString("\n").getBytes)
+    val q = StreamIngest.monitorQuality(spark, src, chk, stats)
+    q.processAllAvailable()
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"), b2.mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+    val monitored = spark.read.parquet(stats)
+      .groupBy(col("lang"), col("reason"))
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+      .as[(String, String, Long, Long)].collect().toSet
+    // additivity: summing the per-batch funnels == the batch operator
+    // over the union of both batches
+    val all = Seq(
+      (1L, "de", "the the the " + fill),
+      (2L, "en", "the w1 w2"),
+      (3L, "en", "the " + "p1 p2 " * 15),
+      (4L, "en", "the " + (1 to 23).map(i => s"a$i").mkString(" ") + " user@x.com"),
+      (5L, "en", "the " + (1 to 24).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val direct = graft.ext.Prep.filterFunnel(all)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(monitored == direct)
+    // the monitor's batch_id column localizes regressions to a batch
+    val perBatch = spark.read.parquet(stats).select("batch_id")
+      .as[Long].collect().toSet
+    assert(perBatch.size == 2)
+  }
 }
