@@ -275,6 +275,23 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           s => s.getField("chunk_text")), " ").as("text"))
 
+  /** Canonical text normalization for dedup keys (the step every
+    * production dedup runs BEFORE hashing — raw hashing misses
+    * case/punctuation variants of identical content): lowercase,
+    * non-alphanumerics → space, whitespace squeeze, trim. Pure
+    * projection, zero shuffles; regex classes are chosen for identical
+    * Java/RE2 semantics (the PiiPatterns discipline). ASCII contract:
+    * Unicode canonicalization (NFC, case folding beyond ASCII) is an
+    * ICU concern deliberately out of scope — documented, not silent.
+    */
+  def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[normalizeTextCol]] in DuckDB SQL (oracle twin — same regexes,
+    * global flag). */
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Corpus-wide top-k word n-grams with occurrence counts (WIMBD-class
     * corpus analytics — "what is in this corpus"). Counted with
     * multiplicity; the (count DESC, gram-bytes ASC) total order makes

@@ -2870,6 +2870,93 @@ object ExtQueries {
         |SELECT gram, n_occ FROM c
         |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin),
 
+    // ── corpus snapshot diff (dataset release comparison) ──────────────
+    // The release tool that answers "what changed between corpus v1 and
+    // v2": a synthetic v2 derives deterministically (doc_id%47=30
+    // removed, %43=21 modified, %59=3 re-added under a new id), and the
+    // diff is ONE full-outer join on doc_id comparing CONTENT HASHES —
+    // hash-only columns move, never text, which is what makes snapshot
+    // comparison affordable at 100 TB. Oracle replays the derivation
+    // rules directly.
+    "q152_corpus_diff" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val md5c = org.apache.spark.sql.functions.md5(col("text"))
+        val v1 = docs.select(col("doc_id"), md5c.as("h1"))
+        val v2 = docs.where(col("doc_id") % 47 =!= 30)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.when(col("doc_id") % 43 === 21,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+          .unionByName(docs.where(col("doc_id") % 59 === 3)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .select(col("doc_id"), md5c.as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "modified")
+              .otherwise("unchanged").as("status"))
+      },
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 47 = 30 THEN 'removed'
+        |       WHEN doc_id % 43 = 21 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id % 59 = 3""".stripMargin),
+
+    // ── canonical text normalization (the pre-hash dedup step) ─────────
+    // Mixed-case/punctuated variants are injected (q64's discipline —
+    // the fixture is already clean) and the normalizer must fold them
+    // back: lowercase, strip non-alphanumerics, squeeze whitespace.
+    "q153_normalize" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val messy = org.apache.spark.sql.functions.when(col("doc_id") % 17 === 4,
+          concat(org.apache.spark.sql.functions.upper(
+              org.apache.spark.sql.functions.substring(col("text"), 1, 10)),
+            org.apache.spark.sql.functions.expr("substring(text, 11)"),
+            lit(" ,,!!"))).otherwise(col("text"))
+        docs.select(col("doc_id"),
+          TextAnalysis.normalizeTextCol(messy).as("norm_text"))
+      },
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.normalizeTextSql(
+              """CASE WHEN doc_id % 17 = 4
+                | THEN upper(substr(text, 1, 10)) || substr(text, 11) || ' ,,!!'
+                | ELSE text END""".stripMargin)} AS norm_text
+         |FROM documents""".stripMargin),
+
+    // ── normalization-aware exact dedup ────────────────────────────────
+    // WHY normalization precedes hashing: uppercase+punctuated variants
+    // of existing docs (injected under +20000 ids) hash differently RAW
+    // but identically NORMALIZED — the dedup collapses each variant
+    // onto its original (q30's first-wins groupBy on the normalized
+    // hash). The oracle replays injection, normalization, and grouping.
+    "q154_dedup_normalized" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val variants = docs.where(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(org.apache.spark.sql.functions.upper(col("text")),
+              lit(" ,,!!")).as("text"))
+        docs.select(col("doc_id"), col("text")).unionByName(variants)
+          .groupBy(org.apache.spark.sql.functions.md5(
+            TextAnalysis.normalizeTextCol(col("text"))).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+      },
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, upper(text) || ' ,,!!' FROM documents
+         |  WHERE doc_id % 11 = 5),
+         |n AS (SELECT doc_id, ${TextAnalysis.normalizeTextSql("text")} AS nt
+         |      FROM u)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM n GROUP BY md5(nt)""".stripMargin),
+
     // ── per-document OOV rate against the induced vocabulary ───────────
     // The tokenizer-coverage report: q66's top-64 vocabulary is induced
     // in-query, then every document scores its out-of-vocabulary token

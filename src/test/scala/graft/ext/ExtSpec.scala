@@ -1129,6 +1129,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("text normalization: folds case/punct variants, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "Hello, World!!  extra   spaces"),
+      (2L, "hello world extra spaces"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.normalizeTextCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world extra spaces")
+    assert(out(1L) == out(2L))
+    assert(out(3L) == "")
+    // idempotence: normalizing a normalized text is a no-op
+    val twice = d.select(TextAnalysis.normalizeTextCol(
+        TextAnalysis.normalizeTextCol(col("text"))).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+  }
+
   test("top n-grams: counted with multiplicity, deterministic bytewise cutoff on ties") {
     val d = Seq(
       (1L, "a a a a"),       // "a a" ×3
