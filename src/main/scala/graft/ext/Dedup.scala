@@ -189,7 +189,35 @@ object Dedup {
     * reused Exchange of the shingling subtree.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
-                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                        maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    shingleIntersections(docs, n, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** One-sided CONTAINMENT near-dup pairs — |A∩B| / min(|A|, |B|): the
+    * subset detector Jaccard structurally misses (a short doc fully
+    * quoted inside a long one scores jaccard ≈ |A|/|B| → arbitrarily
+    * low, but containment = 1). The standard second threshold of
+    * production fuzzy dedup; same capped candidate generation and exact
+    * intersection counts as [[ngramJaccardPairs]] (shared helper), so
+    * the same scale economics hold.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, tau: Double,
+                            maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    shingleIntersections(docs, n, maxDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+
+  /** Shared two-phase pair engine behind [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: capped candidate generation + exact
+    * intersection counts over FULL shingle sets. Returns
+    * (doc_a, doc_b, inter, na, nb) for every candidate pair. */
+  private def shingleIntersections(docs: DataFrame, n: Int,
+                                   maxDf: Int): DataFrame = {
     val sh = shingleIndex(docs, n)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -222,10 +250,6 @@ object Dedup {
         .hint("shuffle_hash"), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
         .hint("shuffle_hash"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val MinhashK = 8     // signature length

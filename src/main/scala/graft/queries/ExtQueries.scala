@@ -437,6 +437,53 @@ object ExtQueries {
           |JOIN cnt cb ON doc_b = cb.doc_id
           |WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin),
 
+    // ── one-sided containment near-dup pairs (the subset detector) ─────
+    // |A∩B| / min(|A|,|B|): a short doc fully quoted inside a long one
+    // scores jaccard ≈ |A|/|B| (arbitrarily low) but containment = 1 —
+    // the standard SECOND threshold of production fuzzy dedup, sharing
+    // q31's capped candidate generation + exact intersection engine.
+    // Injected quote-subset docs (a 12-shingle prefix of an existing
+    // doc under +30000 ids) exercise exactly the pairs Jaccard misses.
+    "q155_containment_pairs" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val subs = docs.where(col("doc_id") % 29 === 9)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            org.apache.spark.sql.functions.array_join(
+              org.apache.spark.sql.functions.slice(
+                split(col("text"), " "), 1, 16), " ").as("text"))
+        Dedup.ngramContainmentPairs(
+          docs.select(col("doc_id"), col("text")).unionByName(subs),
+          n = 5, tau = 0.9)
+      },
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    array_to_string(string_split(text, ' ')[1:16], ' ')
+        |  FROM documents WHERE doc_id % 29 = 9),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM u),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-3, 1))) AS i FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cold AS (SELECT doc_id, sh FROM sh
+        |         WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+        |                      HAVING count(*) <= """.stripMargin +
+        Dedup.DefaultMaxShingleDf +
+        """)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM cold a JOIN cold b USING (sh) WHERE a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
+        |          FROM cand
+        |          JOIN sh sa ON sa.doc_id = doc_a
+        |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       cast(inter AS DOUBLE) / least(ca.n, cb.n) AS containment
+        |FROM pairs
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE cast(inter AS DOUBLE) / least(ca.n, cb.n) >= 0.9""".stripMargin),
+
     // ── MinHash + LSH banding candidates ───────────────────────────────
     "q32_dedup_minhash_lsh" -> Q(
       (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), n = 3),

@@ -1129,6 +1129,21 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("containment pairs find the subset docs Jaccard structurally misses") {
+    import org.apache.spark.sql.functions.col
+    val long = (1 to 40).map(i => s"t$i").mkString(" ")
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")   // strict prefix
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    // shingles(short) ⊂ shingles(long): containment = 1.0
+    val cont = Dedup.ngramContainmentPairs(d, n = 5, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // ...while Jaccard on the same pair is 6/36 — far below any useful tau
+    val jac = Dedup.ngramJaccardPairs(d, n = 5, tau = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("text normalization: folds case/punct variants, idempotent") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
