@@ -527,6 +527,42 @@ object ExtQueries {
       },
       dedupIncrementalSql),
 
+    // ── incremental-dedup PROVENANCE (why each batch doc was dropped) ──
+    // q73 emits the survivors; operations needs the complement WITH
+    // EVIDENCE: for every near-dup batch doc, WHICH corpus document
+    // matched it and at what similarity — the audit trail behind a
+    // drop decision. Candidates are the batch↔corpus band collisions
+    // (the q73 economics, asymmetric), verified by exact Jaccard over
+    // full shingle sets (q120's verify stage). Oracle replays bands +
+    // verify on the same split.
+    "q156_dedup_provenance" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cand = Dedup.minhashBands(docs.where(col("doc_id") % 7 === 3), n = 3)
+          .select(col("band"), col("m0"), col("m1"), col("doc_id").as("doc_a"))
+          .join(Dedup.minhashBands(docs.where(col("doc_id") % 7 =!= 3), n = 3)
+            .select(col("band"), col("m0"), col("m1"), col("doc_id").as("doc_b")),
+            Seq("band", "m0", "m1"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
+      },
+      shingleBase3 + minhashBandsSql +
+        """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |          FROM bands a JOIN bands b USING (band, m0, m1)
+          |          WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (SELECT doc_a, doc_b, count(*) AS inter
+          |          FROM cand
+          |          JOIN sh sa ON sa.doc_id = doc_a
+          |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          |          GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       cast(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+          |FROM pairs
+          |JOIN cnt ca ON doc_a = ca.doc_id
+          |JOIN cnt cb ON doc_b = cb.doc_id
+          |WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin),
+
     // ── end-to-end near-dedup: pairs → connected components → clusters ─
     "q45_dedup_clusters" -> Q(
       (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5),
