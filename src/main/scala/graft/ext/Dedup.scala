@@ -290,6 +290,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** MinHash ESTIMATOR CALIBRATION report — the measurement an operator
+    * reads before trusting LSH-banded dedup at a new tau: for every
+    * banded candidate pair, the signature-estimated Jaccard (matching
+    * components / k, resolution 1/k at k = [[MinhashK]]) is compared
+    * against the EXACT shingle Jaccard, rolled up per estimator level.
+    * Emits (n_eq, est_ppm, n_pairs, mean_true_ppm) — the empirical
+    * calibration curve; a level whose mean_true_ppm sits far below
+    * est_ppm is the false-positive mass the verify stage
+    * ([[jaccardVerifyPairs]]) will discard.
+    *
+    * All arithmetic is exact integer (per-pair ppm by truncating
+    * division, then an integer mean) — no FP-summation-order hazard.
+    * Zero-intersection candidates (pure band collisions) are KEPT at
+    * inter = 0: they are precisely the false positives being measured,
+    * so the intersection join is left-outer where the verify stage's
+    * is inner.
+    *
+    * Scale shape: candidate-volume-sized throughout (the banding join's
+    * own output); signatures and set sizes join back per-doc; output is
+    * ≤ k+1 rows at any corpus scale.
+    */
+  def minhashCalibration(docs: DataFrame, n: Int): DataFrame = {
+    val cand = minhashCandidates(docs, n).select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignatures(docs, n)
+    val sh = shingleIndex(docs, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")).hint("shuffle_hash"),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val nEq = (0 until MinhashK).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+        .hint("shuffle_hash"), "doc_b")
+      .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+      .withColumn("_i", coalesce(col("inter"), lit(0L)))
+      .select(nEq.as("n_eq"),
+        expr("_i * 1000000 div (na + nb - _i)").as("jacc_ppm"))
+      .groupBy(col("n_eq"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jacc_ppm")).as("_sum"))
+      .select(col("n_eq"), expr(s"n_eq * 1000000 div $MinhashK").as("est_ppm"),
+        col("n_pairs"), expr("_sum div n_pairs").as("mean_true_ppm"))
+  }
+
   /** Exact n-gram Jaccard RESCORE of an arbitrary candidate pair
     * relation `cand` = (doc_a, doc_b): emits the candidates whose true
     * Jaccard (over the full n-gram shingle sets, computed exactly) is

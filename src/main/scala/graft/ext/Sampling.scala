@@ -213,6 +213,74 @@ object Sampling {
        |           FROM avail)""".stripMargin
   }
 
+  /** Exact integer square root (floor) — the α = 1/2 temperature
+    * weight. Math.sqrt seeds the estimate; the correction loop makes
+    * the result exact for any non-negative long, independent of FP
+    * rounding. */
+  private[ext] def isqrt(a: Long): Long = {
+    require(a >= 0L, s"isqrt of negative $a")
+    // 3037000499 = isqrt(Long.MaxValue): past it (r+1)² overflows, so
+    // the bound doubles as the overflow guard for the correction loop
+    val cap = 3037000499L
+    var r = math.sqrt(a.toDouble).toLong.min(cap).max(0L)
+    while (r > 0 && r * r > a) r -= 1
+    while (r < cap && (r + 1) * (r + 1) <= a) r += 1
+    r
+  }
+
+  /** TEMPERATURE-sampled multilingual mixing (the mC4 / XLM recipe at
+    * α = 1/2): each domain's share of the token budget is proportional
+    * to avail_d^α rather than avail_d, flattening the head so
+    * low-resource languages are over-represented relative to their raw
+    * counts. α = 1/2 is implemented with EXACT integer square roots —
+    * w_d = isqrt(avail_d), budget_d = floor(T · w_d / Σw) — so both
+    * engines rederive identical budgets with no FP-summation-order
+    * hazard (the oracle's floor(sqrt(bigint)) agrees with exact isqrt
+    * for avail ≪ 2^52 ≈ 4·10^15 tokens — comfortably above 100 TB of
+    * text; other α would need a cross-engine pow contract and is out
+    * of scope). Rows then take the standard deterministic hash-ordered
+    * prefix cut, so a domain whose budget exceeds its availability is
+    * simply kept whole (temperature UPSAMPLING — repeating epochs for
+    * low-resource languages — is the training loop's job, not the
+    * corpus cut's).
+    *
+    * Scale shape: one |domains|-row aggregate (collected — metadata,
+    * the sampleToProportions pattern) + sampleToTokenBudget's single
+    * window exchange.
+    */
+  def sampleToTemperature(df: DataFrame, idCol: String, domainCol: String,
+                          tokenCol: String, totalBudget: Long,
+                          salt: String = "temp"): DataFrame = {
+    require(totalBudget > 0L, s"positive budget required: $totalBudget")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol).cast("long")).as("_avail"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val weights = avail.map { case (d, a) => d -> isqrt(a) }
+    val totalW = weights.map(_._2).sum
+    require(totalW > 0L, "all domains empty — nothing to mix")
+    val budgets = weights.collect {
+      case (d, wd) if wd > 0L => d -> totalBudget * wd / totalW
+    }.toSeq
+    sampleToTokenBudget(df.where(col(domainCol).isin(
+      budgets.map(_._1): _*)), idCol, domainCol, tokenCol, budgets, 0L, salt)
+  }
+
+  /** Temperature-budget CTEs for [[sampleToTemperature]]'s oracle:
+    * ends with `tbudget(domain, b)` in scope, rederiving isqrt weights
+    * and budgets IN SQL from the same integer arithmetic. `srcSql`
+    * must expose (domain, tokens) per row. */
+  def temperatureBudgetCtes(srcSql: String, domainExpr: String,
+                            tokenExpr: String, totalBudget: Long): String =
+    s"""tsrc AS (SELECT $domainExpr AS domain, $tokenExpr AS tokens
+       |         FROM ($srcSql)),
+       |tavail AS (SELECT domain, cast(sum(tokens) AS BIGINT) AS avail
+       |           FROM tsrc GROUP BY domain),
+       |tw AS (SELECT domain, cast(floor(sqrt(avail)) AS BIGINT) AS wd
+       |       FROM tavail),
+       |tbudget AS (SELECT domain, $totalBudget * wd // (SELECT sum(wd) FROM tw) AS b
+       |            FROM tw WHERE wd > 0)""".stripMargin
+
   /** Deterministic global SHUFFLE-SHARD of a corpus — the final step
     * before training: every row gets a shard in [0, nShards) and a
     * dense position within its shard, both pure functions of the row

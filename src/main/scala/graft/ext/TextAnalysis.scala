@@ -292,6 +292,71 @@ object TextAnalysis {
   def normalizeTextSql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Canonical URL normalization (the dedup key for crawl corpora —
+    * the same page is fetched under tracking-query / fragment / www /
+    * trailing-slash variants, and raw-URL dedup misses all of them):
+    * lowercase, strip the fragment, strip the query string, fold the
+    * `www.` host prefix, strip one trailing slash. Pure projection,
+    * zero shuffles; patterns use the Java/RE2-identical subset (the
+    * normalizeTextCol discipline). Deliberately NOT full RFC 3986
+    * canonicalization (percent-decoding, path-segment dot removal,
+    * default-port folding are ICU/URI-library concerns) — the
+    * contract is the five high-yield folds crawl dedup actually runs.
+    */
+  def canonicalUrlCol(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "#.*$", ""),
+          "\\?.*$", ""),
+        "://www\\.", "://"),
+      "/$", "")
+
+  /** [[canonicalUrlCol]] in DuckDB SQL (oracle twin — same four
+    * regexes; `g` flag matches Spark's replace-all default, and each
+    * pattern can match at most once on a single-line URL). */
+  def canonicalUrlSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"lower($e), '#.*$$', '', 'g'), '\\?.*$$', '', 'g'), " +
+      s"'://www\\.', '://', 'g'), '/$$', '', 'g')"
+
+  /** Main-text extraction from raw HTML (the first transform of every
+    * web-crawl pipeline): drop `<script>`/`<style>` subtrees
+    * WITH their contents (tag-stripping alone would leak JavaScript
+    * and CSS into the corpus), strip remaining tags, decode the five
+    * XML entities, squeeze whitespace. `(?s)` makes the subtree
+    * patterns span newlines; non-greedy `.*?` stops at the FIRST
+    * closing tag so adjacent scripts don't merge into one span. Both
+    * flags/constructs are Java/RE2-identical. `&amp;` decodes LAST —
+    * the standard order, so `&amp;lt;` yields the literal `&lt;` the
+    * author escaped, not `<`. Entities beyond the XML five (`&copy;`
+    * etc.) pass through undecoded — documented contract, not silence.
+    * Pure projection, zero shuffles.
+    */
+  def htmlExtractCol(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(html,
+      "(?s)<script.*?</script>", " "), "(?s)<style.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[htmlExtractCol]] in DuckDB SQL (oracle twin — same patterns,
+    * same entity order). */
+  def htmlExtractSql(e: String): String = {
+    val noBlocks = s"regexp_replace(regexp_replace($e, " +
+      "'(?s)<script.*?</script>', ' ', 'g'), '(?s)<style.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (ent, ch)) => s"regexp_replace($c, '$ent', '$ch', 'g')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Corpus-wide top-k word n-grams with occurrence counts (WIMBD-class
     * corpus analytics — "what is in this corpus"). Counted with
     * multiplicity; the (count DESC, gram-bytes ASC) total order makes

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, explode, length, lit, size, split, sum, transform}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, countDistinct, explode, length, lit, size, split, sum, transform, when}
 
 import graft.ext.{Dedup, EventWindows, KMeans, Multimodal, Prep, RangeJoin, Sampling, SeqPack, Similarity, TextAnalysis}
 import graft.util.Tables
@@ -3088,5 +3088,185 @@ object ExtQueries {
         |  coalesce(s.n_oov, cast(0 AS BIGINT)) AS n_oov,
         |  coalesce(s.n_oov * 1000000 // s.n_tokens, cast(0 AS BIGINT)) AS oov_ppm
         |FROM documents d LEFT JOIN scd s USING (doc_id)""".stripMargin),
+
+    // ── temperature-sampled multilingual mixing (α = 1/2) ──────────────
+    // The mC4/XLM recipe q123's proportional water-filling can't
+    // express: budgets ∝ sqrt(avail) flatten the head so low-resource
+    // languages are over-represented relative to raw counts. Weights
+    // are EXACT integer square roots (no cross-engine pow/FP-sum
+    // hazard); the oracle rederives avail → isqrt weights → budgets →
+    // prefix cut entirely in SQL, so the driver verifies the recipe
+    // arithmetic itself, not the engine's transcription of it.
+    "q157_temperature_mix" -> Q(
+      (s, dir) => {
+        val withTok = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToTemperature(withTok, "doc_id", "lang", "n_tokens",
+          totalBudget = 12000L)
+      },
+      {
+        val tokSrc = "SELECT doc_id, lang, cast(len(string_split(text, ' ')) " +
+          "AS BIGINT) AS n_tokens FROM documents"
+        s"""WITH ${Sampling.temperatureBudgetCtes(tokSrc, "lang", "n_tokens", 12000L)},
+           |tmixed AS (SELECT doc_id, lang, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
+           |  FROM ($tokSrc))
+           |SELECT m.doc_id, m.lang, m.n_tokens FROM tmixed m
+           |JOIN tbudget b ON m.lang = b.domain
+           |WHERE m.cum <= b.b""".stripMargin
+      }),
+
+    // ── URL canonicalization + crawl dedup ─────────────────────────────
+    // The same page arrives under tracking-query / fragment / WWW /
+    // trailing-slash variants; raw-URL dedup misses every one. URLs are
+    // synthesized deterministically from (source, doc_id) — id-residue
+    // variants inject each noise class (q64's discipline; the fixture
+    // has no url column) — then canonicalized and first-wins deduped:
+    // docs sharing (source, doc_id % 100) collide BY CONSTRUCTION, so
+    // the oracle proves the folds actually merge them. One groupBy
+    // exchange on the canonical key; the synthesis and folds are pure
+    // projections.
+    "q158_url_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.com/p/"),
+          (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&sid="), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("#sec-"), col("doc_id").cast("string")))
+            .otherwise(lit("")))
+        docs.select(col("doc_id"),
+            TextAnalysis.canonicalUrlCol(url).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_url"), col("doc_id"), col("n_copies"))
+      },
+      {
+        val urlSql = "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' " +
+          "ELSE '' END) || source || '.Example.com/p/' || " +
+          "cast(doc_id % 100 AS VARCHAR) || " +
+          "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&sid=' || " +
+          "cast(doc_id AS VARCHAR) ELSE '' END) || " +
+          "(CASE WHEN doc_id % 7 = 0 THEN '#sec-' || " +
+          "cast(doc_id AS VARCHAR) ELSE '' END)"
+        s"""WITH cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql(urlSql)} AS canonical_url
+           |  FROM documents)
+           |SELECT canonical_url, min(doc_id) AS doc_id,
+           |  count(*) AS n_copies
+           |FROM cu GROUP BY canonical_url""".stripMargin
+      }),
+
+    // ── HTML main-text extraction ──────────────────────────────────────
+    // The first transform of every web-crawl pipeline: documents are
+    // wrapped in deterministic HTML chrome (title, a <script> whose
+    // contents contain < and > that naive tag-stripping would leak, an
+    // id-residue <style> block, escaped entities) and the extractor
+    // must recover the clean text — script/style subtrees dropped WITH
+    // contents, tags stripped, the five XML entities decoded, &amp;
+    // last. The oracle replays wrap + extract with the same regexes,
+    // so the driver verifies the full round trip. Pure projection,
+    // zero exchanges.
+    "q159_html_extract" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script></head><body class=\"Main\">"),
+          when(col("doc_id") % 4 === 1,
+            lit("<style>p { color: #fff; }</style>")).otherwise(lit("")),
+          lit("<h1>Title &amp; Tags &lt;escaped&gt;</h1><p>"), col("text"),
+          lit("</p><div id=\"footer\">footer&#39;s note</div></body></html>"))
+        docs.select(col("doc_id"),
+          TextAnalysis.htmlExtractCol(html).as("clean_text"))
+      },
+      {
+        val htmlSql = "'<html><head><title>Doc ' || cast(doc_id AS VARCHAR) " +
+          "|| '</title><script type=\"text/javascript\">var x = 1 < 2 && y > 0;" +
+          "</script></head><body class=\"Main\">' || " +
+          "(CASE WHEN doc_id % 4 = 1 THEN '<style>p { color: #fff; }</style>' " +
+          "ELSE '' END) || '<h1>Title &amp; Tags &lt;escaped&gt;</h1><p>' || " +
+          "text || '</p><div id=\"footer\">footer&#39;s note</div></body></html>'"
+        s"""SELECT doc_id, ${TextAnalysis.htmlExtractSql(htmlSql)} AS clean_text
+           |FROM documents""".stripMargin
+      }),
+
+    // ── near-dup cluster-size histogram (tau-tuning report) ────────────
+    // The report an operator reads before committing a dedup threshold:
+    // how much mass sits in clusters of each size. q45's full chain
+    // (capped candidates → exact Jaccard → connected components) rolls
+    // up canonical → size → count; output is ≤ max-cluster-size rows
+    // at any corpus scale. The fixture carries natural near-dup mass
+    // (22 pairs + a triple at sf0.01), so the histogram is non-trivial
+    // without injection.
+    "q160_cluster_histogram" -> Q(
+      (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5)
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("canonical_id")).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters")),
+      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
+        """, qual AS (
+          |  SELECT doc_a, doc_b FROM pairs
+          |  JOIN cnt ca ON doc_a = ca.doc_id
+          |  JOIN cnt cb ON doc_b = cb.doc_id
+          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+          |        UNION ALL SELECT doc_b, doc_a FROM qual),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+          |          FROM reach GROUP BY a),
+          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+          |cl AS (SELECT canonical_id, count(*) AS cluster_size
+          |       FROM lab GROUP BY canonical_id)
+          |SELECT cluster_size, count(*) AS n_clusters
+          |FROM cl GROUP BY cluster_size""".stripMargin),
+
+    // ── MinHash estimator calibration curve ────────────────────────────
+    // Before trusting banded LSH at a new tau: per estimator level
+    // (matching signature components 0..k), how many candidate pairs
+    // land there and what their TRUE mean Jaccard is — the empirical
+    // false-positive mass the verify stage will discard. Exact integer
+    // ppm arithmetic end to end; zero-intersection band collisions are
+    // kept at inter = 0 (they are the thing being measured). Output is
+    // ≤ k+1 rows at any corpus scale.
+    "q161_minhash_calibration" -> Q(
+      (s, dir) => Dedup.minhashCalibration(Tables.documents(s, dir), n = 3),
+      shingleBase3 + minhashBandsSql + {
+        val nEqSql = (0 until Dedup.MinhashK).map(i =>
+          s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s""", mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM bands a JOIN bands b USING (band, m0, m1)
+           |    WHERE a.doc_id < b.doc_id),
+           |mcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |minter AS (SELECT doc_a, doc_b, count(*) AS inter
+           |    FROM mcand JOIN sh sa ON sa.doc_id = doc_a
+           |    JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+           |    GROUP BY 1, 2),
+           |mpair AS (SELECT cast($nEqSql AS BIGINT) AS n_eq,
+           |    coalesce(i.inter, 0) * 1000000 //
+           |      (ca.n + cb.n - coalesce(i.inter, 0)) AS jacc_ppm
+           |  FROM mcand c
+           |  JOIN mh a ON c.doc_a = a.doc_id
+           |  JOIN mh b ON c.doc_b = b.doc_id
+           |  JOIN mcnt ca ON c.doc_a = ca.doc_id
+           |  JOIN mcnt cb ON c.doc_b = cb.doc_id
+           |  LEFT JOIN minter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+           |SELECT n_eq,
+           |  cast(n_eq * 1000000 // ${Dedup.MinhashK} AS BIGINT) AS est_ppm,
+           |  cast(count(*) AS BIGINT) AS n_pairs,
+           |  cast(sum(jacc_ppm) // count(*) AS BIGINT) AS mean_true_ppm
+           |FROM mpair GROUP BY n_eq""".stripMargin
+      }),
   )
 }

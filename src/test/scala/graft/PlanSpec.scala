@@ -418,4 +418,29 @@ class PlanSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("q157: temperature mix is one scan + the single budget-cut window exchange") {
+    val plan = planOf("q157_temperature_mix")
+    // the |domains|-row avail aggregate is collected at CONSTRUCTION
+    // time (metadata); the returned plan is the prefix cut only: one
+    // documents scan, one window exchange on the domain key, no joins
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q158/q159: url canonicalization dedup is one groupBy exchange; html extract is zero-exchange") {
+    val urlPlan = planOf("q158_url_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(urlPlan).size == 1, urlPlan)
+    assert(!urlPlan.contains("Join"), urlPlan)
+    val htmlPlan = planOf("q159_html_extract")
+    assert(!htmlPlan.contains("Exchange"), htmlPlan)
+    assert(!htmlPlan.contains("Join"), htmlPlan)
+  }
+
+  test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
+    val plan = planOf("q161_minhash_calibration")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -1201,4 +1201,75 @@ class ExtSpec extends SparkSuite {
     // exclusive attribution: doc counts sum to the corpus size
     assert(got.values.sum == 5L)
   }
+
+  test("canonical url: each fold applies and the result is a fixed point") {
+    val urls = Seq(
+      (1L, "https://WWW.Example.com/Page/?utm_source=x&id=9#frag"),
+      (2L, "https://example.com/page"),       // already canonical
+      (3L, "http://a.b.c/x/y/z/"),            // trailing slash only
+      (4L, "https://www.site.io/p?q=1"),      // www + query
+      (5L, "https://site.io/p#only-frag"))
+      .toDF("doc_id", "url")
+    val got = urls.select($"doc_id",
+        TextAnalysis.canonicalUrlCol($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://example.com/page")
+    assert(got(2L) == "https://example.com/page")
+    assert(got(3L) == "http://a.b.c/x/y/z")
+    assert(got(4L) == "https://site.io/p")
+    assert(got(5L) == "https://site.io/p")
+    // idempotence: canonicalizing a canonical url is the identity
+    val twice = urls.select(TextAnalysis.canonicalUrlCol(
+        TextAnalysis.canonicalUrlCol($"url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == got.values.toSet)
+  }
+
+  test("html extract: script/style contents dropped, tags stripped, entity order right") {
+    val html = Seq((1L,
+      "<html><head><script>if (a < b && c > d) { alert('leak'); }</script>" +
+        "</head><body><style>p { color: red; }</style>" +
+        "<h1 class=\"t\">Hello &amp; welcome</h1>" +
+        "<p>1 &lt; 2, &quot;quoted&quot;, it&#39;s fine, literal &amp;lt;</p>" +
+        "<script>second();</script>tail</body></html>"))
+      .toDF("doc_id", "html")
+    val got = html.select(TextAnalysis.htmlExtractCol($"html").as("t"))
+      .collect().head.getString(0)
+    // script CONTENTS gone (the < > inside never leak as pseudo-tags),
+    // adjacent scripts don't merge (non-greedy) so "tail" survives,
+    // &amp;lt; decodes to the literal "&lt;" the author escaped
+    assert(got == "Hello & welcome 1 < 2, \"quoted\", it's fine, literal &lt; tail",
+      s"got: $got")
+  }
+
+  test("minhash calibration: planted exact dup lands at n_eq = k with true jaccard 1") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, base), (2L, base),                     // exact dup pair
+      (3L, "totally different words here apple"),
+      (4L, "unrelated content again banana cherry")).toDF("doc_id", "text")
+    val cal = Dedup.minhashCalibration(d, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // identical docs: all k components match, exact jaccard = 1.0
+    val (estPpm, nPairs, truePpm) = cal(Dedup.MinhashK.toLong)
+    assert(estPpm == 1000000L && nPairs == 1L && truePpm == 1000000L, cal)
+    // the report never exceeds k+1 rows
+    assert(cal.size <= Dedup.MinhashK + 1)
+  }
+
+  test("cluster histogram mass balances: sum(size * n_clusters) = corpus size") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val hist = Dedup.nearDupClusters(d, n = 5, tau = 0.5)
+      .groupBy($"cluster_size")
+      .agg(org.apache.spark.sql.functions.countDistinct($"canonical_id")
+        .as("n_clusters"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 1L, 1L -> 2L), hist)
+    assert(hist.map { case (sz, n) => sz * n }.sum == 4L)
+  }
 }

@@ -183,6 +183,49 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("isqrt is exact on boundaries, perfect squares, and large longs") {
+    for (a <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 17L,
+        (1L << 31) - 1, 1L << 31, (1L << 45) + 12345L,
+        3037000499L * 3037000499L /* largest long square */)) {
+      val r = Sampling.isqrt(a)
+      assert(r * r <= a, s"isqrt($a) = $r overshoots")
+      assert((r + 1) * (r + 1) > a || (r + 1) > 3037000499L,
+        s"isqrt($a) = $r undershoots")
+    }
+    intercept[IllegalArgumentException](Sampling.isqrt(-1L))
+  }
+
+  test("temperature mix flattens the head: low-resource share exceeds proportional share") {
+    // en is 3/5 of rows; α = 1/2 budgets give it sqrt-weight only
+    val withTok = docs.withColumn("n_tokens",
+      org.apache.spark.sql.functions.lit(10L))
+    val kept = Sampling.sampleToTemperature(withTok, "doc_id", "lang",
+      "n_tokens", totalBudget = 5000L)
+    val byLang = kept.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // proportional shares: en 60%, de 20%, fr 20%. Temperature shares:
+    // sqrt(12000):sqrt(4000):sqrt(4000) ≈ 46%:27%:27% — de/fr must rise
+    // above their proportional 20% of the 5000 budget (1000), en fall
+    // below 3000.
+    assert(byLang("de") > 1000L && byLang("fr") > 1000L, byLang)
+    assert(byLang("en") < 3000L, byLang)
+    // every domain stays within its derived budget
+    assert(byLang.values.sum <= 5000L, byLang)
+  }
+
+  test("temperature mix keeps a domain whole when its budget exceeds availability") {
+    // one giant domain, one tiny: the tiny domain's sqrt-share budget
+    // exceeds what it has — the prefix cut just keeps all of it
+    val d = ((0L until 900L).map(i => (i, "big", 100L)) ++
+      (900L until 903L).map(i => (i, "small", 1L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val kept = Sampling.sampleToTemperature(d, "doc_id", "lang",
+      "n_tokens", totalBudget = 50000L)
+    val small = kept.where($"lang" === "small").count()
+    assert(small == 3L, s"small domain cut to $small of 3")
+  }
+
   test("contamination report: counts leaks per eval doc, excludes self, omits clean eval docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
