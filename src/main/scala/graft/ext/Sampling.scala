@@ -310,6 +310,31 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** CURRICULUM-ordered shards: [[shuffleShards]]' layout with the
+    * within-shard order keyed by a curriculum column FIRST (ascending —
+    * tier 0 = served earliest), hash-shuffled within each tier. The
+    * training reader streams each shard in `pos` order and sees
+    * easy/high-quality tiers before hard ones — curriculum learning as
+    * a pure layout property, no reader-side logic. Shard assignment is
+    * the same independent salted hash stream as [[shuffleShards]], so
+    * tiers are balanced across shards by construction.
+    *
+    * Scale shape: identical to [[shuffleShards]] — one hash exchange on
+    * shard which IS the layout write's partitioning.
+    */
+  def curriculumShards(df: DataFrame, idCol: String, nShards: Int,
+                       curriculum: Column, salt: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "curriculumShards reserves output columns 'shard' and 'pos'; " +
+        "rename or drop them on the input first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(curriculum, rowHash(df, col(idCol), salt + ":order"), col(idCol))
+    df.withColumn("shard", pmod(rowHash(df, col(idCol), salt), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** THE TRAINING-READY EXPORT: write [[shuffleShards]]' layout to disk
     * as the artifact a training run actually consumes — a hive-
     * partitioned parquet tree `path/shard=N/` whose files, within each

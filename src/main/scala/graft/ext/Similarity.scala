@@ -256,6 +256,31 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** ANN RECALL@k report — the measurement that justifies (or rejects)
+    * an approximate index before it serves a 100 TB corpus: per query,
+    * how many of the exact top-k ([[bruteForceTopK]], the ground truth)
+    * the approximate result list recovered, in exact integer ppm.
+    * `truth` and `got` are any two (q_id, vec_id) relations — the same
+    * calibration discipline as [[Dedup.minhashCalibration]], applied to
+    * the vector side. Truth drives the aggregate (a query the index
+    * returned nothing for scores 0, not absent).
+    *
+    * Scale shape: both inputs are query-count × k rows by construction
+    * (top-k-bounded), so the join and rollup are metadata-sized at any
+    * corpus scale; only producing the inputs touches the corpus.
+    */
+  def recallReport(got: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val g = got.select(col("q_id"), col("vec_id")).distinct()
+      .withColumn("_m", lit(1L))
+    truth.select(col("q_id"), col("vec_id"))
+      .join(g, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_m"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** Int8-quantized top-k: shortlist by int8 codes, exact rerank.
     *
     * The memory-bound ANN architecture at 100 TB: each vector is coded

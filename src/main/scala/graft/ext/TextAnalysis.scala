@@ -1184,6 +1184,40 @@ object TextAnalysis {
         coalesce(col("text"), lit("")).as("text_clean"))
   }
 
+  /** WITHIN-document repeated-chunk removal — the decoding-loop /
+    * template scrub that runs at page grain (C4 removes repeated lines
+    * within a page before any cross-document machinery): the first
+    * occurrence of each chunk INSIDE a document survives, later
+    * repeats are cut, and — the contract difference vs
+    * [[dedupParagraphsExact]] — the same chunk appearing in two
+    * DIFFERENT documents is kept in both (cross-doc dedup is a
+    * separate, more expensive tier; conflating the two grains
+    * over-deletes).
+    *
+    * Scale shape: identical to [[dedupParagraphsExact]] except the
+    * rank window partitions on (doc_id, md5) — the window key CONTAINS
+    * the reassembly key, so at 100 TB the exchange carries the same
+    * rows and the per-doc group fits one task trivially (a document's
+    * own chunks, never a global hash bucket).
+    */
+  def dedupParagraphsWithinDoc(docs: DataFrame, chunkTok: Int = 16): DataFrame = {
+    val chunks = chunk(docs, chunkTok, chunkTok)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), md5(col("chunk_text")))
+      .orderBy(col("chunk_id"))
+    val kept = chunks.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).drop("_rk")
+    val total = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ch"))
+    val keptCnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val stitched = reassemble(kept)
+    total
+      .join(keptCnt, Seq("doc_id"), "left")
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_ch") - coalesce(col("n_kept"), lit(0L))).as("n_removed_chunks"),
+        coalesce(col("text"), lit("")).as("text_clean"))
+  }
+
   def sharedSpans(docs: DataFrame, k: Int = 8,
                   maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -3268,5 +3268,145 @@ object ExtQueries {
            |  cast(sum(jacc_ppm) // count(*) AS BIGINT) AS mean_true_ppm
            |FROM mpair GROUP BY n_eq""".stripMargin
       }),
+
+    // ── WITHIN-document repeated-chunk removal (page-grain scrub) ──────
+    // C4's "remove repeated lines within a page" tier: the first
+    // occurrence of each 16-token chunk INSIDE a document survives,
+    // later repeats are cut — and, the contract difference vs q132's
+    // cross-document tier, the same chunk in two documents stays in
+    // both. Within-doc loops are injected (doc_id % 9 = 4 docs become
+    // their own first 16 tokens repeated 3×, q64's discipline) so the
+    // oracle proves repeats collapse to one chunk. Same plan class as
+    // q132; the window key CONTAINS doc_id so groups are per-document.
+    "q162_within_doc_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = split(col("text"), " ")
+        val rep = org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.slice(t, 1, 16), " ")
+        val injected = when(col("doc_id") % 9 === 4 && size(t) >= 16,
+          concat(rep, lit(" "), rep, lit(" "), rep)).otherwise(col("text"))
+        TextAnalysis.dedupParagraphsWithinDoc(
+          docs.select(col("doc_id"), injected.as("text")), chunkTok = 16)
+      },
+      """WITH inj AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 4 AND len(t) >= 16
+        |         THEN array_to_string(t[1:16], ' ') || ' ' ||
+        |              array_to_string(t[1:16], ' ') || ' ' ||
+        |              array_to_string(t[1:16], ' ')
+        |         ELSE text END AS text
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+        |        FROM documents)),
+        |ch AS (SELECT doc_id, cast((s - 1) // 16 AS BIGINT) AS chunk_id,
+        |    array_to_string(t[s:s+15], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM inj))),
+        |keptch AS (SELECT doc_id, chunk_id, chunk_text FROM (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY doc_id, md5(chunk_text)
+        |      ORDER BY chunk_id) AS rk
+        |  FROM ch) WHERE rk = 1),
+        |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean
+        |  FROM keptch GROUP BY doc_id),
+        |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_ch
+        |        FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  t.n_ch - coalesce(st.n_kept, 0) AS n_removed_chunks,
+        |  coalesce(st.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN stitched st USING (doc_id)""".stripMargin),
+
+    // ── curriculum-ordered training shards ─────────────────────────────
+    // Curriculum learning as a pure LAYOUT property: q124's
+    // shuffle-shard with the within-shard order keyed by quality tier
+    // FIRST (q131's linear classifier scores → 3 tiers), hash-shuffled
+    // within each tier — the training reader streams pos order and
+    // sees high-quality documents before low, with zero reader-side
+    // logic. Shard assignment stays the independent hash stream, so
+    // tiers balance across shards by construction. The oracle
+    // rederives scoring, tiering, and the shard/pos arithmetic.
+    "q163_curriculum_shards" -> Q(
+      (s, dir) => {
+        val scored = TextAnalysis.linearQualityScore(Tables.documents(s, dir),
+          TextAnalysis.DefaultQualityWeights, bias = 0L)
+        val tier = when(col("score_raw") > 20, lit(0L))
+          .when(col("score_raw") > 0, lit(1L)).otherwise(lit(2L))
+        Sampling.curriculumShards(
+          scored.select(col("doc_id"), tier.as("tier")),
+          "doc_id", nShards = 4, col("tier"))
+      },
+      {
+        val w = TextAnalysis.DefaultQualityWeights
+        val d = w.length
+        s"""WITH tf AS (SELECT doc_id, tok
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |sc AS (SELECT doc_id, cast(sum(([${w.mkString(", ")}])[
+           |      cast(${sqlHash64("tok")} % $d AS INT) + 1]) AS BIGINT)
+           |      AS score_raw
+           |  FROM tf GROUP BY doc_id),
+           |sct AS (SELECT d.doc_id,
+           |    cast(CASE WHEN coalesce(sc.score_raw, 0) > 20 THEN 0
+           |         WHEN coalesce(sc.score_raw, 0) > 0 THEN 1
+           |         ELSE 2 END AS BIGINT) AS tier
+           |  FROM documents d LEFT JOIN sc USING (doc_id))
+           |SELECT doc_id, tier,
+           |  ${Sampling.rowHashSql("doc_id", "shard")} % 4 AS shard,
+           |  row_number() OVER (
+           |    PARTITION BY ${Sampling.rowHashSql("doc_id", "shard")} % 4
+           |    ORDER BY tier, ${Sampling.rowHashSql("doc_id", "shard:order")},
+           |      doc_id) - 1 AS pos
+           |FROM sct""".stripMargin
+      }),
+
+    // ── ANN recall@k report (index quality measurement) ────────────────
+    // The number that justifies an approximate index before it serves
+    // production: per query, how many of the exact top-k (q35's brute
+    // force, the ground truth) the IVF probe (q36, nprobe=1) recovered
+    // — exact integer ppm. Both inputs are top-k-bounded by
+    // construction, so the comparison join and rollup are
+    // query-count-sized at any corpus scale; the oracle replays BOTH
+    // rankers and the intersection. The q161 calibration discipline
+    // applied to the vector side.
+    "q164_ann_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.recallReport(
+          Similarity.ivfTopK(emb, nCentroids = 8, nQueries = 8, k = 3),
+          Similarity.bruteForceTopK(emb, nQueries = 8, k = 3), k = 3)
+      },
+      """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+        |bsc AS (SELECT qs.vec_id AS q_id, e2.vec_id,
+        |    list_dot_product(qs.q, e2.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e2.q, e2.q))) AS cos
+        |  FROM e qs JOIN e e2 ON qs.vec_id < 8 AND e2.vec_id != qs.vec_id),
+        |bt AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bsc)
+        |  WHERE rank <= 3),
+        |assign AS (SELECT vec_id, q, cluster FROM (
+        |    SELECT e.vec_id, e.q, c.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.q, e.q)
+        |          / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(e.q, e.q))) DESC,
+        |        c.vec_id) AS arn
+        |    FROM e JOIN e c ON c.vec_id < 8)
+        |  WHERE arn = 1),
+        |isc AS (SELECT qs.vec_id AS q_id, v.vec_id,
+        |    list_dot_product(qs.q, v.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(v.q, v.q))) AS cos
+        |  FROM assign qs JOIN assign v
+        |    ON qs.vec_id < 8 AND v.cluster = qs.cluster AND v.vec_id != qs.vec_id),
+        |it AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM isc)
+        |  WHERE rank <= 3)
+        |SELECT b.q_id,
+        |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 3 AS BIGINT) AS recall_ppm
+        |FROM bt b LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY b.q_id""".stripMargin),
   )
 }

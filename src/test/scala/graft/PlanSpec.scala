@@ -438,6 +438,19 @@ class PlanSpec extends SparkSuite {
     assert(!htmlPlan.contains("Join"), htmlPlan)
   }
 
+  test("q162: within-doc dedup keeps rank-limit pushdown on the (doc, hash) window") {
+    val plan = planOf("q162_within_doc_dedup")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q163: curriculum shards = zero-exchange scoring + the one shard window exchange") {
+    val plan = planOf("q163_curriculum_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")

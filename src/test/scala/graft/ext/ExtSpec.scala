@@ -1257,6 +1257,34 @@ class ExtSpec extends SparkSuite {
     assert(cal.size <= Dedup.MinhashK + 1)
   }
 
+  test("within-doc dedup cuts internal repeats but keeps cross-doc duplicates in both docs") {
+    val block = (1 to 16).map(i => s"w$i").mkString(" ")
+    val other = (1 to 16).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$block $block $block"),  // internal 3x loop → keep 1 chunk
+      (2L, s"$block $other"),         // shares block with doc 1 → kept
+      (3L, other))                    // shares chunk with doc 2 → kept
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsWithinDoc(d, chunkTok = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == ((2L, block)), got)      // two repeats removed
+    assert(got(2L) == ((0L, s"$block $other")), got) // cross-doc dup untouched
+    assert(got(3L) == ((0L, other)), got)
+  }
+
+  test("recall report: exact-vs-itself is 1.0, disjoint result is 0, in exact ppm") {
+    val truth = Seq((0L, 5L), (0L, 6L), (0L, 7L), (1L, 5L), (1L, 8L), (1L, 9L))
+      .toDF("q_id", "vec_id")
+    val got = Seq((0L, 5L), (0L, 6L), (0L, 99L), (1L, 50L), (1L, 51L), (1L, 52L))
+      .toDF("q_id", "vec_id")
+    val self = Similarity.recallReport(truth, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self == Map(0L -> 1000000L, 1L -> 1000000L), self)
+    val rep = Similarity.recallReport(got, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == Map(0L -> ((2L, 666666L)), 1L -> ((0L, 0L))), rep)
+  }
+
   test("cluster histogram mass balances: sum(size * n_clusters) = corpus size") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

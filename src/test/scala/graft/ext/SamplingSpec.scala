@@ -226,6 +226,27 @@ class SamplingSpec extends SparkSuite {
     assert(small == 3L, s"small domain cut to $small of 3")
   }
 
+  test("curriculum shards: within every shard all tier-0 positions precede tier-1, shard stream unchanged") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val d = docs.withColumn("tier",
+      when(col("doc_id") % 3 === 0, lit(0L)).otherwise(lit(1L)))
+    // output columns: doc_id, lang, tier, shard, pos → (id, shard, pos, tier)
+    val got = Sampling.curriculumShards(d, "doc_id", nShards = 4, col("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+    val byShard = got.groupBy(_._2)
+    byShard.foreach { case (shard, rows) =>
+      val maxT0 = rows.filter(_._4 == 0L).map(_._3).maxOption.getOrElse(-1L)
+      val minT1 = rows.filter(_._4 == 1L).map(_._3).minOption.getOrElse(Long.MaxValue)
+      assert(maxT0 < minT1, s"shard $shard: tier-0 max pos $maxT0 >= tier-1 min pos $minT1")
+    }
+    // shard assignment is the SAME independent hash stream as
+    // shuffleShards — the curriculum only reorders within shards
+    val plain = Sampling.shuffleShards(docs, "doc_id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cur = got.map(t => t._1 -> t._2).toMap
+    assert(plain == cur)
+  }
+
   test("contamination report: counts leaks per eval doc, excludes self, omits clean eval docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
