@@ -246,7 +246,12 @@ object Sampling {
     *
     * Scale shape: one |domains|-row aggregate (collected — metadata,
     * the sampleToProportions pattern) + sampleToTokenBudget's single
-    * window exchange.
+    * window exchange. The window carries every listed-domain row even
+    * though only ~budget tokens survive; when T ≪ avail at 100 TB,
+    * pre-filter each domain to a generous hash-prefix superset of its
+    * budget (the same hash stream, so the prefix cut is unchanged)
+    * before the window — the standard refinement if that exchange
+    * ever dominates.
     */
   def sampleToTemperature(df: DataFrame, idCol: String, domainCol: String,
                           tokenCol: String, totalBudget: Long,

@@ -380,6 +380,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document n-gram NOVELTY against everything earlier in corpus
+    * order (WIMBD-class diversity analytics): for each document, the
+    * share of its distinct word n-grams whose FIRST corpus occurrence
+    * (minimum doc_id over containing docs) is this document — a corpus
+    * accumulating near-duplicates or template text shows novelty
+    * decaying toward zero in id order, fresh content holds near 10⁶
+    * ppm. Complements [[boilerplateScore]] (which is order-agnostic:
+    * any cross-doc gram counts against BOTH docs; here the first
+    * holder keeps credit).
+    *
+    * Scale shape: grams travel as 64-bit hashes (the
+    * [[boilerplateScore]] discipline — collisions merge identically on
+    * both engines, no drift); one gram-keyed partial aggregate for the
+    * firsts, one gram-keyed equi-join back, one per-doc rollup. Exact
+    * integer ppm.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val hashed = Dedup.shingleIndex(docs, n)
+      .select(col("doc_id"), Dedup.hash64(col("sh")).as("gh"))
+    val firsts = hashed.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val per = hashed.join(firsts, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("n_novel * 1000000 div n_grams"), lit(0L))
+          .as("novelty_ppm"))
+  }
+
   /** Cross-document boilerplate coverage (the RefinedWeb/C4-class
     * "duplicated n-gram fraction" quality signal): for each document,
     * the fraction of its word `n`-grams (counted with multiplicity)

@@ -76,6 +76,38 @@ object TextIndex {
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Per-document top-k tf·idf KEYWORDS — extraction, not retrieval:
+    * where [[rankedSearch]] scores documents for a query's terms, this
+    * scores every token of every document against the corpus and keeps
+    * each document's k most distinctive ones (tagging / labeling /
+    * dataset-card color). Scoring reuses rankedSearch's exact-integer
+    * idf (`(n_docs·1000) div df` — deterministic under any
+    * partitioning, SQL-reproducible); ties break on token BYTES (the
+    * bpeVocab collation discipline) so the cutoff agrees cross-engine
+    * on non-ASCII vocabularies.
+    *
+    * Scale shape: df is one map-side-partial aggregate of the index;
+    * the score join is a token-keyed equi-join of the index against
+    * its own (vocabulary-sized) df relation; n_docs broadcasts one
+    * row; the per-doc window is rank-limited (WindowGroupLimit) so at
+    * most k rows per document survive the top-k filter.
+    */
+  def tfidfKeywords(index: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val docFreq = index.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = index.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").cast("binary"))
+    index.join(docFreq, "token")
+      .join(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000L) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("score"), col("rank"))
+  }
+
   /** BM25-ranked disjunctive search — [[rankedSearch]]'s scoring
     * upgraded with the saturation + length normalization real IR
     * ranking needs (long docs stop winning on raw tf), in EXACT INTEGER

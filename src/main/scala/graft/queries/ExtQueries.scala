@@ -3408,5 +3408,124 @@ object ExtQueries {
         |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 3 AS BIGINT) AS recall_ppm
         |FROM bt b LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
         |GROUP BY b.q_id""".stripMargin),
+
+    // ── per-shard release MANIFEST (integrity artifact) ────────────────
+    // The file a training reader validates before consuming a shard:
+    // per shard, doc count, token count, and an ORDER-INDEPENDENT
+    // xor-of-row-hashes checksum (exact under any partitioning — the
+    // Bench harness's own full-eval discipline). Rows bind id AND
+    // content, so a swapped or truncated row flips the checksum. One
+    // metadata-sized rollup on top of q124's shard arithmetic.
+    "q165_shard_manifest" -> Q(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        Sampling.shuffleShards(base, "doc_id", nShards = 8)
+          .withColumn("_h", Dedup.hash64(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            org.apache.spark.sql.functions.expr("bit_xor(_h)").as("checksum"))
+      },
+      s"""WITH m AS (SELECT doc_id, text,
+         |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${Sampling.rowHashSql("doc_id", "shard")} % 8 AS shard,
+         |    ${sqlHash64("cast(doc_id AS VARCHAR) || ':' || text")} AS h
+         |  FROM documents)
+         |SELECT shard, cast(count(*) AS BIGINT) AS n_docs,
+         |  cast(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  cast(bit_xor(h) AS BIGINT) AS checksum
+         |FROM m GROUP BY shard""".stripMargin),
+
+    // ── domain blocklist filter (crawl hygiene) ────────────────────────
+    // The first gate of a crawl pipeline: canonical URL → domain →
+    // drop everything on the blocklist. The blocklist is a RELATION
+    // (not an isin literal) because production lists are maintained
+    // tables of thousands of domains — the plan must be a broadcast
+    // ANTI join, never a corpus-side scan predicate rebuilt per
+    // release. URL synthesis is q158's; domain extraction one regex.
+    "q166_blocklist_filter" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.com/p/"),
+          (col("doc_id") % 100).cast("string"))
+        val domain = org.apache.spark.sql.functions.regexp_extract(
+          TextAnalysis.canonicalUrlCol(url), "://([^/]+)", 1)
+        val blocklist = s.createDataFrame(
+          Seq("src3.example.com", "src7.example.com", "src11.example.com")
+            .map(Tuple1(_))).toDF("domain")
+        docs.select(col("doc_id"), domain.as("domain"))
+          .join(org.apache.spark.sql.functions.broadcast(blocklist),
+            Seq("domain"), "left_anti")
+          .select(col("doc_id"), col("domain"))
+      },
+      {
+        val urlSql = "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' " +
+          "ELSE '' END) || source || '.Example.com/p/' || " +
+          "cast(doc_id % 100 AS VARCHAR)"
+        s"""WITH dom AS (SELECT doc_id, regexp_extract(
+           |    ${TextAnalysis.canonicalUrlSql(urlSql)}, '://([^/]+)', 1)
+           |    AS domain
+           |  FROM documents)
+           |SELECT doc_id, domain FROM dom
+           |WHERE domain NOT IN ('src3.example.com', 'src7.example.com',
+           |                     'src11.example.com')""".stripMargin
+      }),
+
+    // ── per-document n-gram novelty in corpus order ────────────────────
+    // Diversity accumulation analytics (WIMBD-class): the share of each
+    // document's distinct 5-grams whose FIRST corpus occurrence is this
+    // document — template-heavy corpora decay toward 0 in id order,
+    // fresh content holds near 10⁶ ppm. Order-aware complement of
+    // q140's order-agnostic boilerplate coverage: there a shared gram
+    // counts against BOTH docs, here the first holder keeps credit.
+    // Grams shuffle as 64-bit hashes on both engines.
+    "q167_ngram_novelty" -> Q(
+      (s, dir) => TextAnalysis.ngramNovelty(Tables.documents(s, dir), n = 5),
+      s"""WITH sh AS (SELECT DISTINCT doc_id,
+         |    ${sqlHash64("array_to_string(t[i:i+4], ' ')")} AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-3, 1))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |              FROM documents))),
+         |firsts AS (SELECT gh, min(doc_id) AS first_doc FROM sh GROUP BY gh),
+         |per AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_grams,
+         |    cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM sh JOIN firsts USING (gh) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_grams, cast(0 AS BIGINT)) AS n_grams,
+         |  coalesce(p.n_novel, cast(0 AS BIGINT)) AS n_novel,
+         |  coalesce(p.n_novel * 1000000 // p.n_grams, cast(0 AS BIGINT))
+         |    AS novelty_ppm
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin),
+
+    // ── per-document tf·idf keyword extraction ─────────────────────────
+    // Tagging/labeling color for dataset cards: each document's 3 most
+    // distinctive tokens by exact-integer tf·idf (q63's idf
+    // discipline), ties broken on token BYTES (the collation
+    // discipline) so the cutoff agrees cross-engine. Rank-limited
+    // per-doc window (WindowGroupLimit); df is a vocabulary-sized
+    // aggregate of the index joined back token-keyed.
+    "q168_tfidf_keywords" -> Q(
+      (s, dir) => graft.mart.TextIndex.tfidfKeywords(
+        graft.mart.TextIndex.build(Tables.documents(s, dir)), topK = 3),
+      """WITH ti AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM ti GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ti),
+        |sc AS (SELECT doc_id, token,
+        |    cast(tf * (((SELECT n_docs FROM nd) * 1000) // df) AS BIGINT) AS score
+        |  FROM ti JOIN dfq USING (token)),
+        |rk AS (SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS rank
+        |  FROM sc)
+        |SELECT doc_id, token, score, cast(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3""".stripMargin),
   )
 }

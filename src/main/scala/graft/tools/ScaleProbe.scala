@@ -172,6 +172,19 @@ object ScaleProbe {
         (d: DataFrame) => Dedup.dedupAgainstBloom(
           d.where(col("doc_id") % 7 === 3),
           d.where(col("doc_id") % 7 =!= 3)).count(),
+        d1, d10),
+      ("minhash_calibration",
+        (d: DataFrame) => Dedup.minhashCalibration(d, n = 3).count(),
+        d1, d10),
+      ("within_doc_dedup",
+        (d: DataFrame) => TextAnalysis.dedupParagraphsWithinDoc(d, chunkTok = 16)
+          .where(col("n_removed_chunks") >= 0).count(),
+        d1, d10),
+      ("temperature_mix",
+        (d: DataFrame) => graft.ext.Sampling.sampleToTemperature(
+          d.select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", totalBudget = 100000L).count(),
         d1, d10))
 
     val out = new StringBuilder("{")

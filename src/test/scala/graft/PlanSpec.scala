@@ -451,6 +451,22 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q165/q166: manifest is window+rollup with no join; blocklist is a broadcast ANTI join") {
+    val mPlan = planOf("q165_shard_manifest")
+    assert(!mPlan.contains("Join"), mPlan)
+    val bPlan = planOf("q166_blocklist_filter")
+    assert(bPlan.contains("BroadcastHashJoin") && bPlan.contains("LeftAnti"), bPlan)
+    assert(!bPlan.contains("SortMergeJoin"), bPlan)
+  }
+
+  test("q167/q168: novelty is hash-keyed equi-joins; keywords keep rank-limit pushdown") {
+    val nPlan = planOf("q167_ngram_novelty")
+    assert(!nPlan.contains("CartesianProduct")
+      && !nPlan.contains("BroadcastNestedLoopJoin"), nPlan)
+    val kPlan = planOf("q168_tfidf_keywords")
+    assert(kPlan.contains("WindowGroupLimit"), kPlan)
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")

@@ -1285,6 +1285,39 @@ class ExtSpec extends SparkSuite {
     assert(rep == Map(0L -> ((2L, 666666L)), 1L -> ((0L, 0L))), rep)
   }
 
+  test("ngram novelty: first occurrence keeps credit, an exact later copy scores zero") {
+    val base = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                                   // everything novel
+      (2L, base),                                   // exact copy → 0
+      (3L, (13 to 24).map(i => s"t$i").mkString(" "))) // fresh → all novel
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((8L, 8L, 1000000L)), got)
+    assert(got(2L) == ((8L, 0L, 0L)), got)
+    assert(got(3L) == ((8L, 8L, 1000000L)), got)
+  }
+
+  test("shard manifest checksum is partitioning-invariant and content-sensitive") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(d, "doc_id", nShards = 4)
+        .withColumn("_h", Dedup.hash64(
+          concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+        .groupBy(col("shard"))
+        .agg(expr("bit_xor(_h)").as("checksum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val a = manifest(d)
+    val b = manifest(d.repartition(7).sortWithinPartitions($"text"))
+    assert(a == b, "xor checksum must not depend on partitioning or order")
+    val mutated = manifest(d.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 42L, "tampered")
+        .otherwise($"text")))
+    assert(a != mutated, "a changed row must flip its shard's checksum")
+  }
+
   test("cluster histogram mass balances: sum(size * n_clusters) = corpus size") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

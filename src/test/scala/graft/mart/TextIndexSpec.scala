@@ -197,4 +197,20 @@ class TextIndexSpec extends SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("In(token, [join,spark]"), plan)
   }
+
+  test("tfidf keywords: distinctive tokens outrank common ones, k bounds each doc") {
+    // "spark" appears in 3 of 4 docs (low idf), "merge" in 1 (high idf)
+    val kw = TextIndex.tfidfKeywords(TextIndex.build(docs), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    // doc 2: unique "merge"/"sort" (idf 4000) outrank shared "join"
+    // (idf 2000); the tie between them breaks on token bytes
+    assert(kw((2L, 1L)) == "merge" && kw((2L, 2L)) == "sort", kw)
+    // doc 1: spark tf=2·2000 ties filter tf=1·4000 at 4000 — bytewise
+    // tie-break puts "filter" first; shared "join" (2000) is cut
+    assert(kw((1L, 1L)) == "filter" && kw((1L, 2L)) == "spark", kw)
+    // no doc emits more than topK rows
+    val counts = TextIndex.tfidfKeywords(TextIndex.build(docs), topK = 2)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 2L))
+  }
 }
