@@ -3527,5 +3527,145 @@ object ExtQueries {
         |  FROM sc)
         |SELECT doc_id, token, score, cast(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 3""".stripMargin),
+
+    // ── language-ID confusion matrix ───────────────────────────────────
+    // The measurement behind trusting q37's router: labeled lang ×
+    // guessed lang counts with per-label row shares in exact ppm — the
+    // report that says WHERE the classifier errs (which pairs confuse),
+    // not just how often. One corpus scan + one metadata-sized rollup;
+    // the share window runs over the |langs|² result.
+    "q169_lang_confusion" -> Q(
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_ppm", org.apache.spark.sql.functions.expr(
+          "n_docs * 1000000 div sum(n_docs) over (partition by lang)")),
+      {
+        def occ(w: String) =
+          s"((length(text) - length(replace(text, '$w', ''))) / ${w.length})"
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+          s"${ws.map(occ).mkString(" + ")} AS sc_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val guess = langs.tail.foldLeft((s"'${langs.head}'", s"sc_${langs.head}")) {
+          case ((bl, bs), lang) =>
+            (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)",
+              s"greatest($bs, sc_$lang)")
+        }._1
+        s"""WITH sc AS (SELECT doc_id, lang, text, $scores FROM documents),
+           |cm AS (SELECT lang, $guess AS lang_guess,
+           |    cast(count(*) AS BIGINT) AS n_docs
+           |  FROM sc GROUP BY 1, 2)
+           |SELECT lang, lang_guess, n_docs,
+           |  cast(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang)
+           |       AS BIGINT) AS row_ppm
+           |FROM cm""".stripMargin
+      }),
+
+    // ── PII audit report per language (compliance artifact) ────────────
+    // Release compliance wants the histogram, not just scrubbed text:
+    // per language, match counts and affected-document counts for each
+    // PII class. Typed PII is injected on disjoint id residues (q64's
+    // discipline) so every class exercises non-uniformly; counts run
+    // on the SAME fused projection (one corpus scan + one rollup).
+    "q170_pii_report" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val id = col("doc_id").cast("string")
+        val injected = concat(col("text"),
+          when(col("doc_id") % 13 === 5,
+            concat(lit(" contact p"), id, lit("@mail.example.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 3,
+            concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+              lit(".9"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 2,
+            concat(lit(" call +49301234"), id)).otherwise(lit("")))
+        val counted = docs.select(Seq(col("lang")) ++
+          TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+            org.apache.spark.sql.functions.regexp_count(injected, lit(re))
+              .cast("long").as(s"n_$name")
+          }: _*)
+        val aggs = TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+          sum(col(s"n_$name")).as(s"${name}_hits")
+        } ++ TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+          sum(when(col(s"n_$name") > 0, 1L).otherwise(0L)).as(s"${name}_docs")
+        }
+        counted.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      },
+      {
+        val inj = "text || " +
+          "(CASE WHEN doc_id % 13 = 5 THEN ' contact p' || cast(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 11 = 3 THEN ' from 192.168.' || cast(doc_id % 256 AS VARCHAR) || '.9' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 7 = 2 THEN ' call +49301234' || cast(doc_id AS VARCHAR) ELSE '' END)"
+        val counts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+          s"cast(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_$name"
+        }.mkString(", ")
+        val aggs = TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+          s"cast(sum(n_$name) AS BIGINT) AS ${name}_hits"
+        }.mkString(", ") + ", " +
+          TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+            s"cast(sum(CASE WHEN n_$name > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${name}_docs"
+          }.mkString(", ")
+        s"""WITH c AS (SELECT lang, $counts
+           |  FROM (SELECT doc_id, lang, $inj AS t FROM documents))
+           |SELECT lang, $aggs FROM c GROUP BY lang""".stripMargin
+      }),
+
+    // ── exact-duplicate rate per source (operations report) ────────────
+    // WHERE duplication comes from: per source, doc count, distinct
+    // content count, and the duplicate share in exact ppm — the report
+    // that points a crawl operator at the mirroring feed. Exact
+    // duplicates are injected (doc_id % 6 = 1 docs re-appear under
+    // +40000 ids with identical text — the fixture has no natural
+    // byte-identical pairs, q154's discipline); distinct-hash counting
+    // is q30's key arithmetic rolled up per source.
+    "q171_dup_rate_by_source" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val dupes = docs.where(col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text"),
+            col("source"))
+        docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(dupes)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(org.apache.spark.sql.functions.md5(col("text")))
+              .as("n_unique"))
+          .withColumn("dup_ppm",
+            org.apache.spark.sql.functions.expr(
+              "(n_docs - n_unique) * 1000000 div n_docs"))
+      },
+      """WITH u AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text, source FROM documents
+        |  WHERE doc_id % 6 = 1),
+        |g AS (SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+        |    cast(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |  FROM u GROUP BY source)
+        |SELECT source, n_docs, n_unique,
+        |  (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm
+        |FROM g""".stripMargin),
+
+    // ── token-length histogram per language (dataset-card color) ───────
+    // Doc counts and token mass per (lang, log2 length bucket) — the
+    // distribution plot every dataset card ships. The bucket is
+    // floor(log2(n_tokens)): exact at the only dangerous boundary
+    // (powers of two are exactly representable and log2 of them is
+    // exact in IEEE), interior everywhere else — cross-engine safe.
+    // One scan, one metadata-sized rollup.
+    "q172_length_histogram" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(col("lang"), org.apache.spark.sql.functions.expr(
+          "cast(floor(log2(n)) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens")),
+      """SELECT lang, cast(floor(log2(n)) AS BIGINT) AS bucket,
+        |  cast(count(*) AS BIGINT) AS n_docs,
+        |  cast(sum(n) AS BIGINT) AS n_tokens
+        |FROM (SELECT lang, cast(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin),
   )
 }

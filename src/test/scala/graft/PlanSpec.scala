@@ -467,6 +467,14 @@ class PlanSpec extends SparkSuite {
     assert(kPlan.contains("WindowGroupLimit"), kPlan)
   }
 
+  test("q169/q170/q172: report queries are ONE corpus scan + one rollup exchange") {
+    for (q <- Seq("q169_lang_confusion", "q170_pii_report", "q172_length_histogram")) {
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).size == 1, s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")
