@@ -302,6 +302,10 @@ object TextAnalysis {
     * canonicalization (percent-decoding, path-segment dot removal,
     * default-port folding are ICU/URI-library concerns) — the
     * contract is the five high-yield folds crawl dedup actually runs.
+    * Folds apply ONCE per call: a pathological `www.www.` host loses
+    * one `www.` per application (idempotence holds for well-formed
+    * URLs, spec-pinned, not for stacked prefixes — documented, not
+    * silent).
     */
   def canonicalUrlCol(url: Column): Column =
     regexp_replace(
