@@ -315,6 +315,77 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** TOKEN-BALANCED shards — the anti-straggler layout: distributed
+    * training wants every rank's shard to carry the same TOKEN mass,
+    * and [[shuffleShards]]' hash assignment only concentrates to that
+    * by law of large numbers (relative imbalance ~ 1/√(docs/shard) —
+    * fine at millions of docs per shard, a straggler risk below that).
+    * This variant makes balance a construction: docs partition into
+    * log2-length buckets × hash stripes, and each (bucket, stripe)
+    * cell ROUND-ROBINS its docs across all shards in salted-hash
+    * order. Every cell hands each shard an equal count (±1) of docs
+    * whose token counts differ by < 2× (the bucket width), so the
+    * per-shard mass differs by at most (#cells × bucket max) — a
+    * deterministic bound, no tail risk, reproducible on any engine.
+    *
+    * Scale shape: ONE window exchange on (bucket, stripe) —
+    * bounded-cardinality keys (≈ log(maxLen) × nStripes cells) whose
+    * per-cell rank work is a counter. Each cell's round-robin leaves a
+    * ±1-doc remainder, so the worst-case shard spread is
+    * Σ_cells max-doc-tokens-in-cell — nStripes is therefore the
+    * PARALLELISM vs BALANCE knob (more stripes = more parallel cells =
+    * a proportionally wider additive bound; nStripes = 1 gives the
+    * tightest layout and one task per length bucket). Deterministic
+    * for a FIXED corpus on any engine/partitioning — but rank-based,
+    * so unlike [[shuffleShards]] it is NOT subset-stable: editing the
+    * corpus reassigns docs within the affected cells. Re-shard after
+    * edits and let the manifest (q165's discipline) version the
+    * layout.
+    */
+  def balancedShards(df: DataFrame, idCol: String, tokenCol: String,
+                     nShards: Int, nStripes: Int = 32,
+                     salt: String = "bshard"): DataFrame = {
+    require(nShards >= 1 && nStripes >= 1,
+      s"positive nShards/nStripes required: $nShards/$nStripes")
+    require(!df.columns.contains("shard"),
+      "balancedShards reserves output column 'shard'")
+    val bucket = expr(s"cast(floor(log2(greatest($tokenCol, 1))) AS BIGINT)")
+    val stripe = pmod(rowHash(df, col(idCol), salt + ":stripe"),
+      lit(nStripes.toLong))
+    val bCol = freshCol(df, "_bkt")
+    val sCol = freshCol(df, "_str")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bCol), col(sCol))
+      .orderBy(rowHash(df, col(idCol), salt + ":order"), col(idCol))
+    // Each cell's round-robin starts at a cell-keyed hash OFFSET: with
+    // a common start, every cell's remainder docs (rank ≥ n·⌊size/n⌋)
+    // would land on shards 0,1,… — a systematic low-shard bias that
+    // ADDS across cells. Rotating per cell spreads the remainders.
+    val cellOff = Dedup.hash64(concat(lit(salt + ":off:"),
+      col(bCol).cast("string"), lit(":"), col(sCol).cast("string")))
+    df.withColumn(bCol, bucket).withColumn(sCol, stripe)
+      .withColumn("shard",
+        pmod(row_number().over(w).cast("long") - 1 + cellOff,
+          lit(nShards.toLong)))
+      .drop(bCol, sCol)
+  }
+
+  /** [[balancedShards]]' assignment in DuckDB SQL (oracle twin): an
+    * expression for `shard` given the source exposes (idExpr,
+    * tokenExpr) columns. */
+  def balancedShardSql(idExpr: String, tokenExpr: String, nShards: Int,
+                       nStripes: Int, salt: String = "bshard"): String = {
+    val b = s"cast(floor(log2(greatest($tokenExpr, 1))) AS BIGINT)"
+    val s2 = s"${rowHashSql(idExpr, salt + ":stripe")} % $nStripes"
+    val off = "cast(concat('0x', substr(md5(concat(" +
+      s"'$salt:off:', cast($b AS VARCHAR), ':', cast($s2 AS VARCHAR)" +
+      ")), 1, 15)) AS BIGINT)"
+    s"""(row_number() OVER (
+       |    PARTITION BY $b, $s2
+       |    ORDER BY ${rowHashSql(idExpr, salt + ":order")}, $idExpr) - 1
+       |  + $off) % $nShards""".stripMargin
+  }
+
   /** CURRICULUM-ordered shards: [[shuffleShards]]' layout with the
     * within-shard order keyed by a curriculum column FIRST (ascending —
     * tier 0 = served earliest), hash-shuffled within each tier. The

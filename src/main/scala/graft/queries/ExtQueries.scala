@@ -3667,5 +3667,51 @@ object ExtQueries {
         |FROM (SELECT lang, cast(len(string_split(text, ' ')) AS BIGINT) AS n
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin),
+
+    // ── token-BALANCED shards (anti-straggler layout) ──────────────────
+    // Distributed training wants equal TOKEN mass per rank; hash
+    // sharding (q124) only concentrates there by LLN (~1/sqrt(docs per
+    // shard) — tail risk below millions of docs/shard). Here balance is
+    // a construction: log2-length buckets × hash stripes, each cell
+    // round-robining its docs across shards in salted-hash order —
+    // per-shard mass bounded by #cells × bucket width,
+    // deterministically, on any engine. One bounded-cardinality window
+    // exchange. The oracle replays bucket, stripe, rank, and the
+    // round-robin at doc grain.
+    "q173_balanced_shards" -> Q(
+      (s, dir) => Sampling.balancedShards(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", nShards = 8, nStripes = 4),
+      s"""SELECT doc_id, n_tokens,
+         |  ${Sampling.balancedShardSql("doc_id", "n_tokens", nShards = 8,
+              nStripes = 4)} AS shard
+         |FROM (SELECT doc_id,
+         |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)""".stripMargin),
+
+    // ── LSH band-load histogram (candidate-volume forecast) ────────────
+    // The capacity-planning report read BEFORE committing a banded
+    // dedup run at 100 TB: bucket-size histogram of the minhash band
+    // relation plus each size's pair contribution s·(s−1)/2 — the sum
+    // IS the candidate volume the q32/q120 joins will generate, so a
+    // hot band shows up here as budget, not as a surprise mid-job.
+    // Output is ≤ distinct-sizes rows; exact integer arithmetic.
+    "q174_band_load_histogram" -> Q(
+      (s, dir) => Dedup.minhashBands(Tables.documents(s, dir), n = 3)
+        .groupBy(col("band"), col("m0"), col("m1"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .select(col("bucket_size"), col("n_buckets"),
+          org.apache.spark.sql.functions.expr(
+            "bucket_size * (bucket_size - 1) div 2 * n_buckets")
+            .as("pairs_contrib")),
+      shingleBase3 + minhashBandsSql +
+        """, bsz AS (SELECT band, m0, m1, cast(count(*) AS BIGINT) AS sz
+          |          FROM bands GROUP BY 1, 2, 3)
+          |SELECT sz AS bucket_size, cast(count(*) AS BIGINT) AS n_buckets,
+          |  cast(sz * (sz - 1) // 2 * count(*) AS BIGINT) AS pairs_contrib
+          |FROM bsz GROUP BY sz""".stripMargin),
   )
 }

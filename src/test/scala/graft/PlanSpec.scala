@@ -475,6 +475,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q173/q174: balanced shards = one bounded-cell window, band histogram = pure rollups") {
+    val bPlan = planOf("q173_balanced_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(bPlan).size == 1, bPlan)
+    assert(!bPlan.contains("Join"), bPlan)
+    val hPlan = planOf("q174_band_load_histogram")
+    assert(!hPlan.contains("Join"), hPlan)
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")

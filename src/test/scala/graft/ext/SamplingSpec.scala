@@ -247,6 +247,56 @@ class SamplingSpec extends SparkSuite {
     assert(plain == cur)
   }
 
+  test("balanced shards bound token imbalance where hash shards carry tail risk") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // heavy-tailed lengths: 960 small docs (~20 tok), 40 big (~2000 tok)
+    val d = (0L until 1000L).map { i =>
+      (i, if (i % 25 == 3) 2000L + i % 7 else 20L + i % 11)
+    }.toDF("doc_id", "n_tokens")
+    val got = Sampling.balancedShards(d, "doc_id", "n_tokens",
+      nShards = 8, nStripes = 4)
+    val mass = got.groupBy("shard").agg(expr("sum(n_tokens)").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass.keySet == (0L until 8L).toSet, mass)
+    // the documented bound: each cell's round-robin remainder is ±1
+    // doc, so worst-case spread ≤ Σ_cells max-doc-tokens-in-cell
+    // (cells = 2 populated buckets × 4 stripes here)
+    val bound = 4 * 2006L + 4 * 30L
+    val (mx, mn) = (mass.values.max, mass.values.min)
+    assert(mx - mn <= bound, s"spread ${mx - mn} > bound $bound: $mass")
+    // nStripes = 1 (the tight-layout knob): one cell per bucket, so
+    // the spread collapses to one doc per bucket — near-perfect here
+    val tight = Sampling.balancedShards(d, "doc_id", "n_tokens",
+        nShards = 8, nStripes = 1)
+      .groupBy("shard").agg(expr("sum(n_tokens)").as("m"))
+      .collect().map(_.getLong(1))
+    assert(tight.max - tight.min <= 2006L + 30L,
+      s"tight layout spread ${tight.max - tight.min}")
+    // deterministic: same corpus, same assignment
+    val again = Sampling.balancedShards(d.repartition(13), "doc_id",
+      "n_tokens", nShards = 8, nStripes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = got.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first == again)
+  }
+
+  test("band-load histogram pair mass equals the banding join's collision count") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq((1L, base), (2L, base), (3L, base),
+      (4L, "other words entirely here now")).toDF("doc_id", "text")
+    val hist = Dedup.minhashBands(d, n = 3)
+      .groupBy(col("band"), col("m0"), col("m1"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
+      .select(expr("sum(sz * (sz - 1) div 2 * n_buckets)").as("p"))
+      .collect().head.getLong(0)
+    val collisions = Dedup.minhashCandidates(d, n = 3)
+      .agg(expr("sum(n_bands)")).collect().head.getLong(0)
+    assert(hist == collisions,
+      s"forecast $hist != actual banding collisions $collisions")
+  }
+
   test("contamination report: counts leaks per eval doc, excludes self, omits clean eval docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
