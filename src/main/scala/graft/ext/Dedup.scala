@@ -252,6 +252,20 @@ object Dedup {
         .hint("shuffle_hash"), "doc_b")
   }
 
+  /** Signature length k and band count b (rows per band r = k/b).
+    * These are ENGINE-WIDE constants generated into both the Spark
+    * operators and their DuckDB oracle SQL from this one source —
+    * change them here and every oracle regenerates consistently.
+    * k = 8 / b = 4 (r = 2) is the fixture economy: the S-curve
+    * P(collide) = 1 − (1 − j^r)^b at r = 2 is recall-heavy, which is
+    * what small fixtures need to populate candidate relations.
+    * Production corpora run k = 128 / b = 16 / r = 8 (the
+    * Gopher/RefinedWeb class settings) for a sharp threshold near
+    * j ≈ (1/b)^(1/r); nothing in the plan shapes depends on k — the
+    * signature is one groupBy with k aggregate expressions and the
+    * band relation k/r rows per doc — so the constants scale without
+    * structural change, and q161's calibration report + q174's band
+    * load forecast are exactly the tools for re-tuning them. */
   val MinhashK = 8     // signature length
   val MinhashBands = 4 // bands of 2 rows each
 
