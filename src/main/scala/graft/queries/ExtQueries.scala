@@ -3372,7 +3372,7 @@ object ExtQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.recallReport(
-          Similarity.ivfTopK(emb, nCentroids = 8, nQueries = 8, k = 3),
+          Similarity.ivfTopK(emb, nCentroids = 64, nQueries = 8, k = 3),
           Similarity.bruteForceTopK(emb, nQueries = 8, k = 3), k = 3)
       },
       """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
@@ -3392,7 +3392,7 @@ object ExtQueries {
         |        list_dot_product(c.q, e.q)
         |          / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(e.q, e.q))) DESC,
         |        c.vec_id) AS arn
-        |    FROM e JOIN e c ON c.vec_id < 8)
+        |    FROM e JOIN e c ON c.vec_id < 64)
         |  WHERE arn = 1),
         |isc AS (SELECT qs.vec_id AS q_id, v.vec_id,
         |    list_dot_product(qs.q, v.q)
@@ -3713,5 +3713,67 @@ object ExtQueries {
           |SELECT sz AS bucket_size, cast(count(*) AS BIGINT) AS n_buckets,
           |  cast(sz * (sz - 1) // 2 * count(*) AS BIGINT) AS pairs_contrib
           |FROM bsz GROUP BY sz""".stripMargin),
+
+    // ── ANN recall vs probe width (the recall/cost knob, measured) ─────
+    // q164 prices ONE operating point; the decision an operator
+    // actually makes is nprobe — probing more IVF partitions buys
+    // recall with candidate volume. This emits recall@3 per query at
+    // nprobe = 1 and 2 in one report, the measured curve behind the
+    // knob. The oracle replays both probe widths (per-query centroid
+    // ranking prn <= np over the same assignment relation).
+    "q175_ann_nprobe_sweep" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val truth = Similarity.bruteForceTopK(emb, nQueries = 8, k = 3)
+        Seq(1, 2, 4).map { np =>
+          Similarity.recallReport(
+            Similarity.ivfTopK(emb, nCentroids = 64, nQueries = 8, k = 3,
+              nprobe = np), truth, k = 3)
+            .withColumn("nprobe", lit(np.toLong))
+        }.reduce(_ unionByName _)
+      },
+      """WITH e AS (SELECT vec_id, q FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+        |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+        |bsc AS (SELECT qs.vec_id AS q_id, e2.vec_id,
+        |    list_dot_product(qs.q, e2.q)
+        |      / (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(e2.q, e2.q))) AS cos
+        |  FROM e qs JOIN e e2 ON qs.vec_id < 8 AND e2.vec_id != qs.vec_id),
+        |bt AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bsc)
+        |  WHERE rank <= 3),
+        |assign AS (SELECT vec_id, q, cluster FROM (
+        |    SELECT e.vec_id, e.q, c.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.q, e.q)
+        |          / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(e.q, e.q))) DESC,
+        |        c.vec_id) AS arn
+        |    FROM e JOIN e c ON c.vec_id < 64)
+        |  WHERE arn = 1),
+        |qc AS (SELECT qs.vec_id AS q_id, qs.q AS qq, c.vec_id AS cluster,
+        |    row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+        |      list_dot_product(c.q, qs.q)
+        |        / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(qs.q, qs.q))) DESC,
+        |      c.vec_id) AS prn
+        |  FROM e qs JOIN e c ON qs.vec_id < 8 AND c.vec_id < 64),
+        |probes AS (SELECT np, q_id, qq, cluster
+        |  FROM (SELECT unnest([1, 2, 4]) AS np), qc WHERE prn <= np),
+        |isc AS (SELECT p.np, p.q_id, v.vec_id,
+        |    list_dot_product(p.qq, v.q)
+        |      / (sqrt(list_dot_product(p.qq, p.qq)) * sqrt(list_dot_product(v.q, v.q))) AS cos
+        |  FROM probes p JOIN assign v
+        |    ON v.cluster = p.cluster AND v.vec_id != p.q_id),
+        |it AS (SELECT np, q_id, vec_id FROM (
+        |  SELECT np, q_id, vec_id, row_number() OVER (
+        |    PARTITION BY np, q_id ORDER BY cos DESC, vec_id) AS rank FROM isc)
+        |  WHERE rank <= 3)
+        |SELECT cast(n.np AS BIGINT) AS nprobe, b.q_id,
+        |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 3 AS BIGINT) AS recall_ppm
+        |FROM (SELECT unnest([1, 2, 4]) AS np) n
+        |CROSS JOIN bt b
+        |LEFT JOIN it i ON i.np = n.np AND b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY n.np, b.q_id""".stripMargin),
   )
 }

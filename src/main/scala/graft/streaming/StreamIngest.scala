@@ -320,12 +320,61 @@ object StreamIngest {
         graft.ext.Sampling.rowHash(fresh, col("doc_id"), salt),
         lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long") - 1 + offCase)
-      .localCheckpoint(true) // consumed twice: stats summary + append
+      .localCheckpoint(true) // consumed thrice: stats, append, manifest
     sharded.groupBy(col("shard")).agg(count(lit(1)).as("n"))
       .coalesce(1).write.mode("append").parquet(shardStatsDir(outDir))
     sharded.write.mode("append").partitionBy("shard").parquet(outDir)
+    // manifest LAST (layout is ground truth): a crash window leaves the
+    // manifest STALE — a reader's validate-against-layout then fails
+    // loudly and rebuildManifest recomputes; the manifest can never
+    // claim rows the layout doesn't hold. Batch manifests fold into
+    // the layout manifest because xor/sum are associative — the
+    // read-back is sidecar-sized, never a corpus scan.
+    if (sharded.columns.contains("text"))
+      manifestOf(sharded)
+        .coalesce(1).write.mode("append").parquet(manifestDir(outDir))
     sharded.count()
   }
+
+  /** Per-shard manifest rows of a (shard, doc_id, text) relation —
+    * q165's arithmetic (doc count, token count, order-independent
+    * xor-of-row-hashes binding id AND content) factored so the batch
+    * operator, the streaming sidecar, and the rebuild all share one
+    * definition. */
+  def manifestOf(rows: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix64.register(rows.sparkSession)
+    rows.select(col("shard"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("_nt"),
+        graft.ext.Dedup.hash64(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))).as("_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+        expr("bit_xor(_h)").as("checksum"))
+  }
+
+  /** CONTINUOUS manifest sidecar of an [[exportShards]] layout:
+    * `<outDir>_manifest`, per-batch per-shard rows appended by
+    * [[appendShardBatch]]. [[readManifest]] folds it to the layout
+    * manifest (xor/sum associativity — the additivity law the spec
+    * pins against [[manifestOf]] run over the full persisted layout). */
+  def manifestDir(outDir: String): String = outDir + "_manifest"
+
+  /** The layout manifest from the sidecar: batch-count-sized read,
+    * never a corpus scan. */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(manifestDir(outDir))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(checksum)").as("checksum"))
+
+  /** Recompute the manifest sidecar from the layout (crash recovery —
+    * see [[appendShardBatch]]'s write ordering). */
+  def rebuildManifest(spark: SparkSession, outDir: String): Unit =
+    readIfExists(spark, outDir).foreach { c =>
+      manifestOf(c).coalesce(1).write.mode("overwrite")
+        .parquet(manifestDir(outDir))
+    }
 
   /** Continuous training-shard export srcDir → outDir: the unbounded
     * tail of the prep pipeline — documents stream in, the

@@ -405,6 +405,19 @@ class StreamIngestSpec extends SparkSuite {
     assert(nextPos(out) == ground)
     StreamIngest.rebuildShardStats(spark, out)
     assert(nextPos(out) == ground)
+    // continuous MANIFEST: per-batch sidecar rows fold (sum/xor
+    // additivity) to exactly the manifest of the persisted layout —
+    // and the suppressed replay left it untouched
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "n_docs", "n_tokens", "checksum")
+        .as[(Int, Long, Long, Long)].collect().toSet
+    val folded = mset(StreamIngest.readManifest(spark, out))
+    assert(folded == mset(StreamIngest.manifestOf(spark.read.parquet(out))))
+    // crash recovery: rebuild from the layout reproduces the sidecar fold
+    StreamIngest.rebuildManifest(spark, out)
+    assert(mset(StreamIngest.readManifest(spark, out)) == folded)
+    // sequential-batch path produced the identical manifest
+    assert(mset(StreamIngest.readManifest(spark, out2)) == folded)
   }
 
   test("continuous quality monitor: per-batch funnels aggregate to the batch funnel (additivity)") {
