@@ -3417,16 +3417,10 @@ object ExtQueries {
     // content, so a swapped or truncated row flips the checksum. One
     // metadata-sized rollup on top of q124's shard arithmetic.
     "q165_shard_manifest" -> Q(
-      (s, dir) => {
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"),
-          size(split(col("text"), " ")).cast("long").as("n_toks"))
-        Sampling.shuffleShards(base, "doc_id", nShards = 8)
-          .withColumn("_h", Dedup.hash64(
-            concat(col("doc_id").cast("string"), lit(":"), col("text"))))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-            org.apache.spark.sql.functions.expr("bit_xor(_h)").as("checksum"))
-      },
+      (s, dir) => graft.streaming.StreamIngest.manifestOf(
+        Sampling.shuffleShards(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", nShards = 8)),
       s"""WITH m AS (SELECT doc_id, text,
          |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
          |    ${Sampling.rowHashSql("doc_id", "shard")} % 8 AS shard,

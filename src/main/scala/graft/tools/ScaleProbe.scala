@@ -185,10 +185,21 @@ object ScaleProbe {
           d.select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
           "doc_id", "lang", "n_tokens", totalBudget = 100000L).count(),
+        d1, d10),
+      ("balanced_shards",
+        (d: DataFrame) => graft.ext.Sampling.balancedShards(
+          d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", nShards = 64, nStripes = 32).count(),
         d1, d10))
 
+    // SPARK_GRAFT_PROBE_ONLY=fam1,fam2 — subset filter for targeted
+    // probes of a new family without re-running the full table
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val out = new StringBuilder("{")
-    families.zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
+    families.filter(f => only.forall(_.contains(f._1)))
+      .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
       val (t1, r1) = timeMin(f(in1))
       val (t10, r10) = timeMin(f(in10))
       val alpha = math.log10(t10 / t1)
@@ -202,17 +213,20 @@ object ScaleProbe {
     // the merges must cost far less than 10× the time, while the
     // RELATIONAL form prices one sequential Spark job per round. Also
     // probe corpus scaling at fixed merges (histogram job dominates).
-    val (th40, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
-    val (th400, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
-    val (th40x10, _) = timeMin(TextAnalysis.bpeTrain(d10, nMerges = 40).count())
-    val (tr40, _) = timeMin(TextAnalysis.bpeTrainRelational(d1, nMerges = 40).count())
-    val aM = math.log10(th400 / th40)
-    out ++= s""","bpe_train_hybrid":{"t_m40":${fmt(th40)},"t_m400":${fmt(th400)}"""
-    out ++= s""","alpha_vs_merges":${fmt(aM)},"t10_m40":${fmt(th40x10)}"""
-    out ++= s""","alpha_vs_corpus":${fmt(math.log10(th40x10 / th40))}"""
-    out ++= s""","relational_t_m40":${fmt(tr40)}}"""
-    println(s"[scaleprobe] bpe_train_hybrid m40=${fmt(th40)}s m400=${fmt(th400)}s " +
-      s"alpha_vs_merges=${fmt(aM)} corpus10x_m40=${fmt(th40x10)}s relational_m40=${fmt(tr40)}s")
+    if (only.forall(_.contains("bpe_train_hybrid"))) {
+      val (th40, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
+      val (th400, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
+      val (th40x10, _) = timeMin(TextAnalysis.bpeTrain(d10, nMerges = 40).count())
+      val (tr40, _) = timeMin(TextAnalysis.bpeTrainRelational(d1, nMerges = 40).count())
+      val aM = math.log10(th400 / th40)
+      if (out.length > 1) out ++= ","
+      out ++= s""""bpe_train_hybrid":{"t_m40":${fmt(th40)},"t_m400":${fmt(th400)}"""
+      out ++= s""","alpha_vs_merges":${fmt(aM)},"t10_m40":${fmt(th40x10)}"""
+      out ++= s""","alpha_vs_corpus":${fmt(math.log10(th40x10 / th40))}"""
+      out ++= s""","relational_t_m40":${fmt(tr40)}}"""
+      println(s"[scaleprobe] bpe_train_hybrid m40=${fmt(th40)}s m400=${fmt(th400)}s " +
+        s"alpha_vs_merges=${fmt(aM)} corpus10x_m40=${fmt(th40x10)}s relational_m40=${fmt(tr40)}s")
+    }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
