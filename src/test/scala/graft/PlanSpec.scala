@@ -483,6 +483,18 @@ class PlanSpec extends SparkSuite {
     assert(!hPlan.contains("Join"), hPlan)
   }
 
+  test("new text reports prune the documents scan to the referenced columns") {
+    // a scan reading all 5 columns for a 2-column computation would
+    // drag n_chars/source through every exchange at 100 TB
+    for ((q, cols) <- Seq(
+        "q167_ngram_novelty" -> "struct<doc_id:bigint,text:string>",
+        "q168_tfidf_keywords" -> "struct<doc_id:bigint,text:string>",
+        "q157_temperature_mix" -> "struct<doc_id:bigint,text:string,lang:string>")) {
+      val plan = planOf(q)
+      assert(plan.contains(s"ReadSchema: $cols"), s"$q:\n$plan")
+    }
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")
