@@ -3769,5 +3769,55 @@ object ExtQueries {
         |CROSS JOIN bt b
         |LEFT JOIN it i ON i.np = n.np AND b.q_id = i.q_id AND b.vec_id = i.vec_id
         |GROUP BY n.np, b.q_id""".stripMargin),
+
+    // ── dynamic percentile quality threshold (drop the bottom decile) ──
+    // Fixed thresholds (q131's score > 0) drift as the corpus mix
+    // shifts; production gates are PERCENTILE thresholds re-derived per
+    // release. Computed scale-safely: no global sort/rank — scores are
+    // bounded integers, so the distribution is a metadata-sized
+    // HISTOGRAM (distinct-scores rows); the cumulative window runs over
+    // that histogram and the resulting one-row threshold broadcasts
+    // back as a filter. Ties at the threshold all drop (deterministic).
+    // Exact integer arithmetic end to end — the oracle rederives the
+    // histogram, the cut point, and the filter.
+    "q176_quantile_gate" -> Q(
+      (s, dir) => {
+        val scored = TextAnalysis.linearQualityScore(Tables.documents(s, dir),
+          TextAnalysis.DefaultQualityWeights, bias = 0L)
+          .select(col("doc_id"), col("score_raw"))
+        val hist = scored.groupBy(col("score_raw"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          org.apache.spark.sql.functions.expr(
+            "sum(cnt) over (order by score_raw)"))
+          .withColumn("tot",
+            org.apache.spark.sql.functions.expr("sum(cnt) over ()"))
+        val thr = cum.where(col("cum") * 10 >= col("tot"))
+          .agg(org.apache.spark.sql.functions.min(col("score_raw")).as("thr"))
+        scored.join(org.apache.spark.sql.functions.broadcast(thr))
+          .where(col("score_raw") > col("thr"))
+          .select(col("doc_id"), col("score_raw"))
+      },
+      {
+        val w = TextAnalysis.DefaultQualityWeights
+        val d = w.length
+        s"""WITH tf AS (SELECT doc_id, tok
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |sc AS (SELECT d.doc_id, cast(coalesce(s.sr, 0) AS BIGINT) AS score_raw
+           |  FROM documents d LEFT JOIN (
+           |    SELECT doc_id, sum(([${w.mkString(", ")}])[
+           |      cast(${sqlHash64("tok")} % $d AS INT) + 1]) AS sr
+           |    FROM tf GROUP BY doc_id) s USING (doc_id)),
+           |hist AS (SELECT score_raw, cast(count(*) AS BIGINT) AS cnt
+           |         FROM sc GROUP BY score_raw),
+           |cum AS (SELECT score_raw,
+           |    sum(cnt) OVER (ORDER BY score_raw) AS cum,
+           |    sum(cnt) OVER () AS tot
+           |  FROM hist),
+           |thr AS (SELECT min(score_raw) AS t FROM cum WHERE cum * 10 >= tot)
+           |SELECT doc_id, score_raw FROM sc
+           |WHERE score_raw > (SELECT t FROM thr)""".stripMargin
+      }),
   )
 }

@@ -495,6 +495,13 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q176: percentile gate joins the one-row threshold as a broadcast, never a shuffle join") {
+    val plan = planOf("q176_quantile_gate")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q161: minhash calibration stays equi-join-only, candidate-volume-sized") {
     val plan = planOf("q161_minhash_calibration")
     assert(!plan.contains("CartesianProduct")
