@@ -478,8 +478,28 @@ object TextAnalysis {
     * keys (partial-aggregated map-side); nothing driver-sized. Documents
     * with < 2 tokens have no bigrams and are dropped.
     */
-  def bigramAffinity(docs: DataFrame): DataFrame = {
-    val pairs = docs
+  def bigramAffinity(docs: DataFrame): DataFrame =
+    bigramAffinityAgainst(docs, docs)
+
+  /** [[bigramAffinity]] generalized to a REFERENCE-trained model (the
+    * CCNet discipline): the bigram statistics come from `ref` — a
+    * curated clean subset — and every document scores its affinity to
+    * THAT distribution, so in-domain text scores high and
+    * out-of-distribution text low regardless of how much of the corpus
+    * it makes up (self-training lets a large junk cluster legitimize
+    * itself). Bigrams absent from the reference contribute 0 — the
+    * deterministic zero-backoff choice (CCNet's smoothed perplexity is
+    * an FP-model concern; exact integer conditionals keep the oracle
+    * bit-exact). `bigramAffinity(docs)` is the self-trained special
+    * case (every bigram is in-model, so the left joins never miss).
+    *
+    * Scale shape: two vocabulary-sized aggregates of the reference +
+    * two bigram-keyed equi-joins; the reference relation is typically
+    * a small fixed corpus, but the joins stay keyed (never broadcast
+    * by assumption — AQE decides when ref is actually small).
+    */
+  def bigramAffinityAgainst(docs: DataFrame, ref: DataFrame): DataFrame = {
+    def bigrams(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(
@@ -488,12 +508,14 @@ object TextAnalysis {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    pairs
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .select(col("doc_id"), expr("(c2 * 1000000L) div c1").as("p_scaled"))
+    val refBg = bigrams(ref)
+    val c2 = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("(c2 * 1000000L) div c1"), lit(0L)).as("p_scaled"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_p"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_p"),

@@ -3819,5 +3819,41 @@ object ExtQueries {
            |SELECT doc_id, score_raw FROM sc
            |WHERE score_raw > (SELECT t FROM thr)""".stripMargin
       }),
+
+    // ── reference-LM affinity scoring (the CCNet discipline) ───────────
+    // q67 trains the bigram model on the corpus ITSELF — a large junk
+    // cluster legitimizes its own distribution. Production filtering
+    // trains on a curated clean REFERENCE (here: the src0-3 slice,
+    // a deterministic 20%) and scores every document against THAT
+    // model; reference-absent bigrams contribute 0 (exact zero-backoff
+    // — smoothing is an FP-model concern). Same exact integer
+    // arithmetic as q67; the oracle trains and scores from the same
+    // reference CTE.
+    "q177_reference_lm" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bigramAffinityAgainst(docs,
+          docs.where(col("source").isin("src0", "src1", "src2", "src3")))
+      },
+      """WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |rbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |              FROM rtoks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2)),
+        |p AS (SELECT bg.doc_id,
+        |    coalesce((c2.c2 * 1000000) // c1.c1, 0) AS p_scaled
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+        |               cast(sum(p_scaled) AS BIGINT) AS sum_p
+        |        FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_p,
+        |       cast(sum_p AS DOUBLE) / n_bigrams / 1000000.0 AS affinity
+        |FROM agg""".stripMargin),
   )
 }

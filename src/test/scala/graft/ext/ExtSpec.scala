@@ -1318,6 +1318,26 @@ class ExtSpec extends SparkSuite {
     assert(a != mutated, "a changed row must flip its shard's checksum")
   }
 
+  test("reference-LM affinity: in-domain scores high, OOD scores zero; self-trained is the special case") {
+    val inDomain = "the data the data the data"
+    val d = Seq(
+      (1L, inDomain),                       // reference member
+      (2L, "the data the data"),            // in-domain non-member
+      (3L, "völlig andere wörter hier"))    // fully out-of-distribution
+      .toDF("doc_id", "text")
+    val ref = d.where($"doc_id" === 1L)
+    val got = TextAnalysis.bigramAffinityAgainst(d, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(2L) > 0.5, got)       // every bigram seen in the reference
+    assert(got(3L) == 0.0, got)      // zero-backoff: nothing seen
+    // self-trained affinity IS the ref = docs special case
+    val self = TextAnalysis.bigramAffinity(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val against = TextAnalysis.bigramAffinityAgainst(d, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(self == against)
+  }
+
   test("cluster histogram mass balances: sum(size * n_clusters) = corpus size") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
