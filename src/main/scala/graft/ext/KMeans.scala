@@ -250,6 +250,35 @@ object KMeans {
       .select(col("vec_id"), col("cluster"))
   }
 
+  // ── session-scoped assignment artifact ─────────────────────────────
+  // Lloyd training is an amortized OFFLINE job in production (the
+  // Similarity.sessionIvfpqIndex discipline): a query consuming cluster
+  // assignments should pay assignment-read cost, not retraining. The
+  // fit is DETERMINISTIC (integer arithmetic, fixed init), so the cache
+  // is semantically invisible — the memoization spec pins both.
+  private val sessionAssign =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Number of actual training runs [[sessionCluster]] has paid this
+    * session — exposed so the memoization spec can pin train-once. */
+  private[graft] val sessionFitCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[cluster]] memoized per (corpus key, k, iters) for this JVM
+    * session: the (vec_id, cluster) assignment persists to a scratch
+    * parquet once and later callers read the artifact (two index-sized
+    * columns, never a retrain). */
+  def sessionCluster(embeddings: DataFrame, corpusKey: String,
+                     k: Int, iters: Int): DataFrame = {
+    val path = sessionAssign.computeIfAbsent(s"km|$corpusKey|$k|$iters", _ => {
+      sessionFitCount.incrementAndGet()
+      val p = Similarity.scratchIndexDir("km")
+      cluster(embeddings, k, iters).write.parquet(p)
+      p
+    })
+    embeddings.sparkSession.read.parquet(path)
+  }
+
   /** DuckDB oracle for [[cluster]] — the identical unrolled computation
     * (exact integer dot products are representable in doubles, so
     * list_dot_product round-trips exactly). Generated from the same

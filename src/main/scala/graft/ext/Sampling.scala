@@ -264,8 +264,15 @@ object Sampling {
     val weights = avail.map { case (d, a) => d -> isqrt(a) }
     val totalW = weights.map(_._2).sum
     require(totalW > 0L, "all domains empty — nothing to mix")
+    // budget_d = floor(T·w_d / Σw) in BigInt: the product T·w_d
+    // overflows Long already at T ≈ 2·10¹² tokens × w_d ≈ 5·10⁶ (a
+    // ~100 TB domain's isqrt) — exactly the production scale this
+    // recipe targets. The quotient is ≤ T, so the final toLong is safe;
+    // the oracle widens the same product to HUGEINT (see
+    // [[temperatureBudgetCtes]]) so both engines stay exact.
     val budgets = weights.collect {
-      case (d, wd) if wd > 0L => d -> totalBudget * wd / totalW
+      case (d, wd) if wd > 0L =>
+        d -> (BigInt(totalBudget) * wd / totalW).toLong
     }.toSeq
     sampleToTokenBudget(df.where(col(domainCol).isin(
       budgets.map(_._1): _*)), idCol, domainCol, tokenCol, budgets, 0L, salt)
@@ -283,7 +290,9 @@ object Sampling {
        |           FROM tsrc GROUP BY domain),
        |tw AS (SELECT domain, cast(floor(sqrt(avail)) AS BIGINT) AS wd
        |       FROM tavail),
-       |tbudget AS (SELECT domain, $totalBudget * wd // (SELECT sum(wd) FROM tw) AS b
+       |tbudget AS (SELECT domain,
+       |              cast(cast($totalBudget AS HUGEINT) * wd
+       |                   // (SELECT sum(wd) FROM tw) AS BIGINT) AS b
        |            FROM tw WHERE wd > 0)""".stripMargin
 
   /** Deterministic global SHUFFLE-SHARD of a corpus — the final step

@@ -82,9 +82,24 @@ object Similarity {
     * a small-scale convenience, not a recommendation.
     */
   def semanticDupPairs(embeddings: DataFrame, tau: Double, k: Int,
-                       iters: Int): DataFrame = {
-    val assign = graft.ext.KMeans.cluster(embeddings, k, iters)
-      .select(col("vec_id"), col("cluster"))
+                       iters: Int): DataFrame =
+    semanticDupPairsFrom(embeddings,
+      graft.ext.KMeans.cluster(embeddings, k, iters)
+        .select(col("vec_id"), col("cluster")), tau)
+
+  /** [[semanticDupPairs]] with the Lloyd fit session-cached per
+    * `corpusKey` (KMeans.sessionCluster) — the train-once/probe-many
+    * split: composite consumers (the q147 cascade, repeated q137 runs)
+    * price assignment + pair geometry, not retraining. Deterministic
+    * fit ⇒ identical output to the uncached form (spec-pinned). */
+  def semanticDupPairsCached(embeddings: DataFrame, corpusKey: String,
+                             tau: Double, k: Int, iters: Int): DataFrame =
+    semanticDupPairsFrom(embeddings,
+      graft.ext.KMeans.sessionCluster(embeddings, corpusKey, k, iters)
+        .select(col("vec_id"), col("cluster")), tau)
+
+  private def semanticDupPairsFrom(embeddings: DataFrame, assign: DataFrame,
+                                   tau: Double): DataFrame = {
     val e = prepared(embeddings).join(assign, "vec_id")
     val a = e.select(col("cluster"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("norm").as("na"))

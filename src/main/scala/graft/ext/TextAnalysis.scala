@@ -292,37 +292,56 @@ object TextAnalysis {
   def normalizeTextSql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Known tracking query parameters stripped by [[canonicalUrlCol]] —
+    * an alternation of exact param NAMES (each match is anchored by a
+    * preceding `?`/`&` and a following `=`, so `said`/`sident` never
+    * false-match `sid`). The SAME constant builds the engine and
+    * oracle regexes. */
+  val TrackingParams: String = "utm_[a-z0-9_]*|fbclid|gclid|sid"
+
   /** Canonical URL normalization (the dedup key for crawl corpora —
     * the same page is fetched under tracking-query / fragment / www /
     * trailing-slash variants, and raw-URL dedup misses all of them):
-    * lowercase, strip the fragment, strip the query string, fold the
-    * `www.` host prefix, strip one trailing slash. Pure projection,
-    * zero shuffles; patterns use the Java/RE2-identical subset (the
-    * normalizeTextCol discipline). Deliberately NOT full RFC 3986
-    * canonicalization (percent-decoding, path-segment dot removal,
-    * default-port folding are ICU/URI-library concerns) — the
-    * contract is the five high-yield folds crawl dedup actually runs.
-    * Folds apply ONCE per call: a pathological `www.www.` host loses
-    * one `www.` per application (idempotence holds for well-formed
-    * URLs, spec-pinned, not for stacked prefixes — documented, not
-    * silent).
+    * lowercase, strip the fragment, strip KNOWN TRACKING query params
+    * ([[TrackingParams]]: utm_*, fbclid, gclid, sid) — content-
+    * addressing params (`?page=2`, `?id=…`) are kept, because folding
+    * the whole query string would merge genuinely distinct pages and
+    * first-wins dedup would then delete real content — fold the
+    * `www.` host prefix, strip one trailing slash (also the slash
+    * directly before a surviving query). Pure projection, zero
+    * shuffles; patterns use the Java/RE2-identical subset (the
+    * normalizeTextCol discipline; the replacement backreference is
+    * `$1` in Java, `\\1` in RE2 — syntax differs, semantics agree).
+    * Deliberately NOT full RFC 3986 canonicalization (percent-
+    * decoding, path-segment dot removal, default-port folding are
+    * ICU/URI-library concerns) — the contract is the high-yield folds
+    * crawl dedup actually runs. Folds apply ONCE per call: a
+    * pathological `www.www.` host loses one `www.` per application
+    * (idempotence holds for well-formed URLs, spec-pinned, not for
+    * stacked prefixes — documented, not silent).
     */
-  def canonicalUrlCol(url: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(lower(url), "#.*$", ""),
-          "\\?.*$", ""),
-        "://www\\.", "://"),
-      "/$", "")
+  def canonicalUrlCol(url: Column): Column = {
+    val noFrag = regexp_replace(lower(url), "#.*$", "")
+    // tracking params drop to their leading separator; separator runs
+    // then collapse and dangling ?/& trim away
+    val noTrack = regexp_replace(noFrag, s"([?&])($TrackingParams)=[^&]*", "$1")
+    val cleanSep = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&+", "&"), "\\?&", "?"), "[?&]$", "")
+    regexp_replace(regexp_replace(regexp_replace(
+      cleanSep, "/\\?", "?"), "://www\\.", "://"), "/$", "")
+  }
 
-  /** [[canonicalUrlCol]] in DuckDB SQL (oracle twin — same four
-    * regexes; `g` flag matches Spark's replace-all default, and each
-    * pattern can match at most once on a single-line URL). */
-  def canonicalUrlSql(e: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      s"lower($e), '#.*$$', '', 'g'), '\\?.*$$', '', 'g'), " +
-      s"'://www\\.', '://', 'g'), '/$$', '', 'g')"
+  /** [[canonicalUrlCol]] in DuckDB SQL (oracle twin — same regexes in
+    * the same order; `g` flag matches Spark's replace-all default). */
+  def canonicalUrlSql(e: String): String = {
+    val noFrag = s"regexp_replace(lower($e), '#.*$$', '', 'g')"
+    val noTrack =
+      s"regexp_replace($noFrag, '([?&])($TrackingParams)=[^&]*', '\\1', 'g')"
+    val cleanSep = s"regexp_replace(regexp_replace(regexp_replace(" +
+      s"$noTrack, '&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]$$', '', 'g')"
+    s"regexp_replace(regexp_replace(regexp_replace(" +
+      s"$cleanSep, '/\\?', '?', 'g'), '://www\\.', '://', 'g'), '/$$', '', 'g')"
+  }
 
   /** Main-text extraction from raw HTML (the first transform of every
     * web-crawl pipeline): drop `<script>`/`<style>` subtrees
@@ -402,8 +421,13 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
     graft.functions.Md5Prefix64.register(docs.sparkSession)
+    // DISTINCT runs on the HASHED (doc_id, gh) relation, matching the
+    // oracle's SELECT DISTINCT doc_id, gh — shingleIndex's text-level
+    // array_distinct alone would count an intra-document 60-bit hash
+    // collision as two grams where the oracle merges them into one.
     val hashed = Dedup.shingleIndex(docs, n)
       .select(col("doc_id"), Dedup.hash64(col("sh")).as("gh"))
+      .distinct()
     val firsts = hashed.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("first_doc"))
     val per = hashed.join(firsts, "gh")

@@ -269,7 +269,10 @@ object ExtQueries {
   private def semanticClusters(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val pairs = Similarity.semanticDupPairs(emb, tau = 0.40, k = 8, iters = 2)
+    // the Lloyd fit session-caches on the corpus dir: q137 and the q147
+    // cascade share one training run per session (train-once/probe-many)
+    val pairs = Similarity.semanticDupPairsCached(emb, dir,
+        tau = 0.40, k = 8, iters = 2)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
     val e = Similarity.prepared(emb)
     Dedup.clusterPairsBy(

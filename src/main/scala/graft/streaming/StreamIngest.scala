@@ -12,8 +12,13 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running state carried across micro-batches. */
 case class UserSessions(sessions: Long, events: Long, lastMicros: Long)
 
-/** Update emitted per user per micro-batch. */
-case class UserSessionUpdate(user_id: Long, sessions: Long, events: Long)
+/** Update emitted per user per micro-batch. `closed = true` marks the
+  * FINAL emission of a state generation (emitted on event-time timeout,
+  * just before eviction): a returning user after eviction starts a
+  * fresh generation at (1, 1), so per-user lifetime totals = the sum
+  * over closed generations plus the live one. */
+case class UserSessionUpdate(user_id: Long, sessions: Long, events: Long,
+                             closed: Boolean = false)
 
 /** Streaming shape of the reference's crawler (SURVEY §2.8): an unbounded
   * paginated source consumed incrementally with per-page checkpointing
@@ -361,19 +366,31 @@ object StreamIngest {
   def manifestDir(outDir: String): String = outDir + "_manifest"
 
   /** The layout manifest from the sidecar: batch-count-sized read,
-    * never a corpus scan. */
-  def readManifest(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(manifestDir(outDir))
-      .groupBy(col("shard"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        expr("bit_xor(checksum)").as("checksum"))
+    * never a corpus scan. Returns None when no sidecar exists — a
+    * text-less layout never writes one (see [[appendShardBatch]]),
+    * and "no manifest" is a signal a reader handles, not a
+    * missing-path crash. */
+  def readManifest(spark: SparkSession, outDir: String): Option[DataFrame] =
+    readIfExists(spark, manifestDir(outDir)).map(
+      _.groupBy(col("shard"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          expr("bit_xor(checksum)").as("checksum")))
 
   /** Recompute the manifest sidecar from the layout (crash recovery —
-    * see [[appendShardBatch]]'s write ordering). */
+    * see [[appendShardBatch]]'s write ordering). Mirrors
+    * appendShardBatch's text-column guard: a text-less layout has no
+    * manifest arithmetic, so any stale sidecar is REMOVED rather than
+    * failing on an unresolved `text` column. */
   def rebuildManifest(spark: SparkSession, outDir: String): Unit =
     readIfExists(spark, outDir).foreach { c =>
-      manifestOf(c).coalesce(1).write.mode("overwrite")
-        .parquet(manifestDir(outDir))
+      if (c.columns.contains("text"))
+        manifestOf(c).coalesce(1).write.mode("overwrite")
+          .parquet(manifestDir(outDir))
+      else {
+        val p = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
     }
 
   /** Continuous training-shard export srcDir → outDir: the unbounded
@@ -429,21 +446,46 @@ object StreamIngest {
     * `EventWindows.sessions`, and the capability slot for any
     * accumulate-across-pages logic the reference's crawler kept in its
     * status file (SURVEY §2.8).
+    *
+    * State is BOUNDED: the input carries a `gapMinutes` watermark and
+    * every state row arms an `EventTimeTimeout` at lastTs + gap. Once
+    * the watermark passes that point the row emits its final totals
+    * (`closed = true`) and is REMOVED — on an open user population the
+    * state store holds only users whose last event is within one gap
+    * of the watermark, never every user ever seen. Eviction is
+    * semantically safe by the watermark contract: any later ADMITTED
+    * event for that user has ts ≥ watermark > lastTs + gap, which
+    * would have started a new session regardless, so session
+    * arithmetic is unchanged — the new generation just restarts the
+    * counters (lifetime totals = Σ closed generations + live one; the
+    * spec pins this against the batch sessionizer). Events older than
+    * the watermark are dropped by the watermark operator — the same
+    * bounded-lateness contract every §2.8 operator states.
     */
   def sessionCounters(events: Dataset[Event], gapMinutes: Int): Dataset[UserSessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    val gapMillis = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[UserSessions]) =>
-          var s = state.getOption.getOrElse(UserSessions(0L, 0L, Long.MinValue))
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val micros = e.ts.getTime * 1000L
-            val newSession = s.lastMicros == Long.MinValue || micros - s.lastMicros >= gapMicros
-            s = UserSessions(s.sessions + (if (newSession) 1 else 0), s.events + 1, micros)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: emit-and-evict
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSessionUpdate(uid, s.sessions, s.events, closed = true))
+          } else {
+            var s = state.getOption.getOrElse(UserSessions(0L, 0L, Long.MinValue))
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val micros = e.ts.getTime * 1000L
+              val newSession = s.lastMicros == Long.MinValue || micros - s.lastMicros >= gapMicros
+              s = UserSessions(s.sessions + (if (newSession) 1 else 0), s.events + 1, micros)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMicros / 1000L + gapMillis)
+            Iterator.single(UserSessionUpdate(uid, s.sessions, s.events))
           }
-          state.update(s)
-          Iterator.single(UserSessionUpdate(uid, s.sessions, s.events))
       }
   }
 

@@ -1205,19 +1205,31 @@ class ExtSpec extends SparkSuite {
   test("canonical url: each fold applies and the result is a fixed point") {
     val urls = Seq(
       (1L, "https://WWW.Example.com/Page/?utm_source=x&id=9#frag"),
-      (2L, "https://example.com/page"),       // already canonical
+      (2L, "https://example.com/page?id=9"),  // already canonical
       (3L, "http://a.b.c/x/y/z/"),            // trailing slash only
-      (4L, "https://www.site.io/p?q=1"),      // www + query
-      (5L, "https://site.io/p#only-frag"))
+      (4L, "https://www.site.io/p?q=1"),      // www + CONTENT query kept
+      (5L, "https://site.io/p#only-frag"),
+      (6L, "https://site.io/p?utm_source=a&utm_medium=b&fbclid=z"), // all tracking
+      (7L, "https://site.io/p?sid=1&page=2&gclid=x"), // mixed
+      (8L, "https://site.io/p?page=2"),
+      (9L, "https://site.io/p?page=3"),
+      (10L, "https://site.io/p?said=1&sident=2")) // NOT sid — names anchor on =
       .toDF("doc_id", "url")
     val got = urls.select($"doc_id",
         TextAnalysis.canonicalUrlCol($"url").as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) == "https://example.com/page")
-    assert(got(2L) == "https://example.com/page")
+    assert(got(1L) == "https://example.com/page?id=9")
+    assert(got(2L) == "https://example.com/page?id=9")
     assert(got(3L) == "http://a.b.c/x/y/z")
-    assert(got(4L) == "https://site.io/p")
+    assert(got(4L) == "https://site.io/p?q=1")
     assert(got(5L) == "https://site.io/p")
+    assert(got(6L) == "https://site.io/p")
+    assert(got(7L) == "https://site.io/p?page=2")
+    // content-addressed pages stay DISTINCT — the over-deletion guard
+    assert(got(8L) == "https://site.io/p?page=2")
+    assert(got(9L) == "https://site.io/p?page=3")
+    assert(got(8L) != got(9L))
+    assert(got(10L) == "https://site.io/p?said=1&sident=2")
     // idempotence: canonicalizing a canonical url is the identity
     val twice = urls.select(TextAnalysis.canonicalUrlCol(
         TextAnalysis.canonicalUrlCol($"url")).as("c"))

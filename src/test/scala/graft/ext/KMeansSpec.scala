@@ -51,6 +51,28 @@ class KMeansSpec extends SparkSuite {
     assert(run() == run())
   }
 
+  test("sessionCluster trains once per key and equals the uncached fit") {
+    val vs = (0 until 30).map(i => Seq((i % 3) * 1.0f, (i % 4) * 0.5f))
+    val df = embDf(vs)
+    val key = s"memo-test-${System.nanoTime()}" // fresh key per spec run
+    val before = KMeans.sessionFitCount.get()
+    def cached() = KMeans.sessionCluster(df, key, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    val first = cached()
+    assert(KMeans.sessionFitCount.get() == before + 1)
+    // second call reads the artifact — NO second training run
+    assert(cached() == first)
+    assert(KMeans.sessionFitCount.get() == before + 1)
+    // the cache is semantically invisible: identical to a fresh fit
+    val fresh = KMeans.cluster(df, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(first == fresh)
+    // a different key is a different artifact (no cross-corpus aliasing)
+    val other = KMeans.sessionCluster(df, key + "-b", k = 3, iters = 2)
+    assert(other.count() == 30L)
+    assert(KMeans.sessionFitCount.get() == before + 2)
+  }
+
   private implicit class ToSorted(xs: Array[(Long, Long)]) {
     def toSortedMap: Seq[(Long, Long)] = xs.sortBy(_._1).toSeq
   }

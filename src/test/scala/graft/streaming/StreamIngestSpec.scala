@@ -411,13 +411,13 @@ class StreamIngestSpec extends SparkSuite {
     def mset(df: org.apache.spark.sql.DataFrame) =
       df.select("shard", "n_docs", "n_tokens", "checksum")
         .as[(Int, Long, Long, Long)].collect().toSet
-    val folded = mset(StreamIngest.readManifest(spark, out))
+    val folded = mset(StreamIngest.readManifest(spark, out).get)
     assert(folded == mset(StreamIngest.manifestOf(spark.read.parquet(out))))
     // crash recovery: rebuild from the layout reproduces the sidecar fold
     StreamIngest.rebuildManifest(spark, out)
-    assert(mset(StreamIngest.readManifest(spark, out)) == folded)
+    assert(mset(StreamIngest.readManifest(spark, out).get) == folded)
     // sequential-batch path produced the identical manifest
-    assert(mset(StreamIngest.readManifest(spark, out2)) == folded)
+    assert(mset(StreamIngest.readManifest(spark, out2).get) == folded)
   }
 
   test("continuous quality monitor: per-batch funnels aggregate to the batch funnel (additivity)") {
@@ -462,5 +462,90 @@ class StreamIngestSpec extends SparkSuite {
     val perBatch = spark.read.parquet(stats).select("batch_id")
       .as[Long].collect().toSet
     assert(perBatch.size == 2)
+  }
+
+  test("sessionCounters: event-time timeout bounds state and closed generations match batch sessionization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("sess_bound").toString
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, user: Long, minute: Long): String =
+      s"""{"event_id": $id, "ts": "${t0.plusSeconds(minute * 60)}", "user_id": $user, "event_type": "click", "value": 1.0, "props": "{}"}"""
+    val stream = spark.readStream.schema(StreamIngest.eventSchema).json(src).as[Event]
+    val q = StreamIngest.sessionCounters(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_bound_out")
+      .outputMode("update").start()
+    // event-time-ordered batches; the 30-min watermark trails each
+    // batch's max ts, so earlier users' state times out as later
+    // batches arrive. u1 RETURNS at minute 240 — long after its gen-1
+    // state evicted — starting a second generation.
+    val batches = Seq(
+      Seq(ev(1, 1, 0), ev(2, 1, 5)),
+      Seq(ev(3, 2, 60), ev(4, 2, 65)),
+      Seq(ev(5, 3, 120), ev(6, 3, 125)),
+      Seq(ev(7, 4, 180), ev(8, 4, 185)),
+      Seq(ev(9, 1, 240)),
+      Seq(ev(10, 5, 300), ev(11, 5, 305)),
+      // flusher: pushes the watermark past every real user's timeout,
+      // then one more batch so the timeouts actually process
+      Seq(ev(90, 99, 10000)),
+      Seq(ev(91, 99, 10060)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Files.write(java.nio.file.Paths.get(s"$src/b$i.json"),
+        b.mkString("\n").getBytes)
+      q.processAllAvailable()
+    }
+    // bounded state: only users whose last event is within one gap of
+    // the watermark survive — never the whole population (6 users seen)
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows <= 2, s"state store holds $stateRows rows — unbounded?")
+    val updates = spark.sql("select * from sess_bound_out").as[UserSessionUpdate]
+      .collect().toSeq
+    // every real generation CLOSED (emit-and-evict), so lifetime totals
+    // are exactly the sum of closed emissions per user
+    val closedTotals = updates.filter(u => u.closed && u.user_id != 99L)
+      .groupBy(_.user_id)
+      .map { case (u, rows) => u -> (rows.map(_.sessions).sum, rows.map(_.events).sum) }
+    // batch sessionizer over the same events (same 30-min gap)
+    val batchEvents = batches.flatten.map { j =>
+      val id = "\"event_id\": (\\d+)".r.findFirstMatchIn(j).get.group(1).toLong
+      val ts = "\"ts\": \"([^\"]+)\"".r.findFirstMatchIn(j).get.group(1)
+      val user = "\"user_id\": (\\d+)".r.findFirstMatchIn(j).get.group(1).toLong
+      (id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), user, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchTotals = graft.ext.EventWindows.sessions(batchEvents)
+      .where(col("user_id") =!= 99L)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("s"),
+        org.apache.spark.sql.functions.sum("n").as("e"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, s, e) => u -> (s, e) }.toMap
+    assert(closedTotals == batchTotals,
+      s"stream generations $closedTotals != batch sessionization $batchTotals")
+    // the multi-generation user really did split into two generations
+    assert(updates.count(u => u.closed && u.user_id == 1L) == 2)
+  }
+
+  test("manifest on a text-less layout: absent, signalled, and rebuild-safe") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("mf_notext").toString + "/layout"
+    val n = StreamIngest.appendShardBatch(
+      (1L to 20L).map(i => (i, i * 10)).toDF("doc_id", "weight"), out, 2)
+    assert(n == 20L)
+    // no text column → no manifest sidecar; readManifest signals None
+    // instead of crashing on the missing path
+    assert(StreamIngest.readManifest(spark, out).isEmpty)
+    // rebuild on a text-less layout must not throw (no unresolved-column
+    // error) and must leave no sidecar behind
+    StreamIngest.rebuildManifest(spark, out)
+    assert(StreamIngest.readManifest(spark, out).isEmpty)
+    // a stale sidecar from a mis-use is REMOVED by rebuild, not trusted
+    (0 to 1).map(s => (s, 1L, 1L, 1L))
+      .toDF("shard", "n_docs", "n_tokens", "checksum")
+      .write.parquet(StreamIngest.manifestDir(out))
+    assert(StreamIngest.readManifest(spark, out).isDefined)
+    StreamIngest.rebuildManifest(spark, out)
+    assert(StreamIngest.readManifest(spark, out).isEmpty)
   }
 }
