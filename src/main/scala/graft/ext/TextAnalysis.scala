@@ -48,6 +48,107 @@ object TextAnalysis {
       (guess === col("lang")).as("is_match"))
   }
 
+  // ── trained language router (hashed linear model) ──────────────────
+  // The raw fixture's `lang` label is statistically INDEPENDENT of its
+  // text (q169's weak diagonal is structural, not a router defect: a
+  // full multinomial NB trained on the corpus itself reads 47% — the
+  // majority-class rate). A trained router therefore exercises against
+  // an INJECTED language signal (the q64/q131 typed-injection
+  // discipline): most documents carry a strong per-language marker
+  // phrase, the doc_id % 20 = 3 slice only a weak one — the hard
+  // subset that keeps the measurement non-trivial. Training happens
+  // IN-QUERY on the even-id half; the odd half is held out for
+  // evaluation. All arithmetic is exact integers (ppm bucket
+  // frequencies, integer dot products), so the DuckDB oracle replays
+  // injection → hashing → training → scoring bit-for-bit.
+
+  /** Languages the trained router knows — LangMarkers' key set. */
+  val TrainedLangs: Seq[String] = LangMarkers.map(_._1)
+
+  /** Hashed-feature dimensionality of the trained router (the q131
+    * hashing-trick discipline — no vocabulary table). */
+  val LangFeatureBuckets: Int = 256
+
+  /** Marker repetitions for the strong (default) injection. */
+  val LangMarkerRep: Int = 6
+
+  /** Marker repetitions for the weak (doc_id % 20 = 3) injection — few
+    * enough that natural-text noise can occasionally outvote them. */
+  val LangMarkerWeakRep: Int = 2
+
+  /** The marker phrase injected for `lang`: 3 distinct marker tokens,
+    * `rep` repetitions each. SAME constant feeds engine and oracle. */
+  def langMarkerPhrase(lang: String, rep: Int): String =
+    (0 until 3).flatMap(i => Seq.fill(rep)(s"mk$lang$i")).mkString(" ")
+
+  /** Trained language identification: per-language weight vectors over
+    * hashed token features are TRAINED in-query on the even-doc_id
+    * half of the (marker-injected) corpus — w[l][b] = lang l's ppm
+    * token frequency in bucket b, the multinomial class-conditional in
+    * exact integers — and every odd-doc_id document classifies by
+    * argmax of Σ_buckets count·w (ties: bytewise-smallest language).
+    * Emits (doc_id, lang, lang_pred, is_match) for the held-out half.
+    *
+    * Scale shape: ONE corpus scan feeds both halves (token explode +
+    * two partial-aggregated exchanges); the weight relation is
+    * |langs|×|buckets| ≤ 1280 rows BY CONSTRUCTION and broadcasts into
+    * the scoring join; the argmax is the q139 min/max-encoding
+    * aggregate — no corpus-sized join-back, no window over the corpus.
+    * Documents whose every bucket is untrained drop from the output on
+    * both engines (cannot happen when train and test share a natural
+    * vocabulary — documented, not silent).
+    */
+  def trainedLangId(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val d = LangFeatureBuckets
+    val langsSorted = TrainedLangs.sorted
+    val nL = langsSorted.length
+    def markerExpr(rep: Int): Column =
+      TrainedLangs.foldLeft(lit(null).cast("string")) {
+        case (acc, l) =>
+          when(col("lang") === l, lit(langMarkerPhrase(l, rep))).otherwise(acc)
+      }
+    val mtext = concat_ws(" ", col("text"),
+      when(col("doc_id") % 20 === 3, markerExpr(LangMarkerWeakRep))
+        .otherwise(markerExpr(LangMarkerRep)))
+    val toks = docs.select(col("doc_id"), col("lang"), mtext.as("mtext"))
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("mtext"), " "), t => length(t) > 0)).as("tok"))
+      .withColumn("bucket", (Dedup.hash64(col("tok")) % d).cast("int"))
+    val train = toks.where(col("doc_id") % 2 === 0)
+    val wcnt = train.groupBy(col("lang").as("lang_cand"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wtot = train.groupBy(col("lang").as("lang_cand"))
+      .agg(count(lit(1)).as("tot"))
+    val wts = wcnt.join(wtot, "lang_cand")
+      .select(col("lang_cand"), col("bucket"),
+        expr("cnt * 1000000 div tot").as("w"))
+    val te = toks.where(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // argmax via the q139 encoding: enc = score·nL + (nL−1−rank) so
+    // max(enc) is (max score, then bytewise-smallest language); scores
+    // are ≥ 0 and ≤ tokens·10⁶ ≪ Long.MaxValue/nL, so the encoding is
+    // collision-free and decode is enc % nL
+    val rankExpr = langsSorted.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (l, r)) => when(col("lang_cand") === l, lit(r.toLong)).otherwise(acc)
+    }
+    val scored = te.join(org.apache.spark.sql.functions.broadcast(wts), "bucket")
+      .groupBy(col("doc_id"), col("lang"), col("lang_cand"))
+      .agg(sum(col("cnt") * col("w")).as("score"))
+    val best = scored
+      .select(col("doc_id"), col("lang"),
+        (col("score") * nL + (lit(nL - 1).cast("long") - rankExpr)).as("enc"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("enc")).as("enc"))
+    val rk = (lit(nL - 1) - col("enc") % nL).cast("int")
+    val predExpr = langsSorted.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, r)) => when(rk === r, lit(l)).otherwise(acc)
+    }
+    best.select(col("doc_id"), col("lang"), predExpr.as("lang_pred"),
+      (predExpr === col("lang")).as("is_match"))
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "data", "key", "value")
 
   /** Quality signals: token count, mean token length, stopword ratio,

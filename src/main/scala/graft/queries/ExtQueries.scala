@@ -3858,5 +3858,83 @@ object ExtQueries {
         |SELECT doc_id, n_bigrams, sum_p,
         |       cast(sum_p AS DOUBLE) / n_bigrams / 1000000.0 AS affinity
         |FROM agg""".stripMargin),
+
+    // ── TRAINED language router (hashed linear model, train/holdout) ───
+    // q37's marker-word heuristic is oracle-correct but q169 measures
+    // its weak diagonal honestly — and the weakness is STRUCTURAL: the
+    // fixture's lang label is independent of its text (a full NB
+    // trained on the corpus itself reads 47%, the majority-class
+    // rate). The trained router therefore exercises against an
+    // injected signal (q64/q131 typed-injection discipline; see
+    // TextAnalysis.trainedLangId): strong marker phrases on most docs,
+    // WEAK ones on the doc_id%20=3 slice (the hard subset), per-lang
+    // ppm weight vectors trained in-query on the even-id half, argmax
+    // scoring on the held-out odd half. One corpus scan; the weight
+    // relation is ≤ |langs|·256 rows and broadcasts; argmax is the
+    // q139 encoding aggregate. The oracle replays injection → hashing
+    // → training → scoring from the same shared constants.
+    "q178_trained_langid" -> Q(
+      (s, dir) => TextAnalysis.trainedLangId(Tables.documents(s, dir)),
+      s"""WITH $trainedLangCtes
+         |SELECT doc_id, lang, lang_pred, lang = lang_pred AS is_match
+         |FROM pred""".stripMargin),
+
+    // The q169-shape confusion matrix of the TRAINED router on its
+    // holdout — the measurement that justifies routing a corpus with
+    // it (diagonal ≥ 0.9 per label on the fixture, spec-pinned; the
+    // off-diagonal mass comes from the deliberately weak-marked hard
+    // subset). Metadata-sized rollup over the q178 relation.
+    "q179_trained_confusion" -> Q(
+      (s, dir) => TextAnalysis.trainedLangId(Tables.documents(s, dir))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_ppm", org.apache.spark.sql.functions.expr(
+          "n_docs * 1000000 div sum(n_docs) over (partition by lang)")),
+      s"""WITH $trainedLangCtes,
+         |lcm AS (SELECT lang, lang_pred, cast(count(*) AS BIGINT) AS n_docs
+         |        FROM pred GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |  cast(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang)
+         |       AS BIGINT) AS row_ppm
+         |FROM lcm""".stripMargin),
   )
+
+  /** [[TextAnalysis.trainedLangId]]'s oracle CTE chain, ending with
+    * `pred(doc_id, lang, lang_pred)` in scope — generated from the
+    * same marker/bucket constants the engine uses. */
+  private lazy val trainedLangCtes: String = {
+    val d = TextAnalysis.LangFeatureBuckets
+    def caseOver(rep: Int) = TextAnalysis.TrainedLangs.map(l =>
+      s"WHEN '$l' THEN '${TextAnalysis.langMarkerPhrase(l, rep)}'").mkString(" ")
+    s"""inj AS (SELECT doc_id, lang, text || ' ' ||
+       |    (CASE WHEN doc_id % 20 = 3
+       |          THEN (CASE lang ${caseOver(TextAnalysis.LangMarkerWeakRep)} ELSE '' END)
+       |          ELSE (CASE lang ${caseOver(TextAnalysis.LangMarkerRep)} ELSE '' END)
+       |     END) AS mtext
+       |  FROM documents),
+       |ltf AS (SELECT doc_id, lang, tok
+       |  FROM (SELECT doc_id, lang, unnest(string_split(mtext, ' ')) AS tok
+       |        FROM inj)
+       |  WHERE len(tok) > 0),
+       |ltb AS (SELECT doc_id, lang,
+       |          cast(${sqlHash64("tok")} % $d AS INT) AS bucket
+       |        FROM ltf),
+       |ltr AS (SELECT * FROM ltb WHERE doc_id % 2 = 0),
+       |lwc AS (SELECT lang AS lang_cand, bucket, cast(count(*) AS BIGINT) AS cnt
+       |        FROM ltr GROUP BY 1, 2),
+       |lwt AS (SELECT lang AS lang_cand, cast(count(*) AS BIGINT) AS tot
+       |        FROM ltr GROUP BY 1),
+       |lw AS (SELECT lang_cand, bucket, cnt * 1000000 // tot AS w
+       |       FROM lwc JOIN lwt USING (lang_cand)),
+       |lte AS (SELECT doc_id, lang, bucket, cast(count(*) AS BIGINT) AS cnt
+       |        FROM ltb WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+       |lsc AS (SELECT lte.doc_id, lte.lang, lw.lang_cand,
+       |          cast(sum(lte.cnt * lw.w) AS BIGINT) AS score
+       |        FROM lte JOIN lw USING (bucket) GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang, lang_cand AS lang_pred FROM (
+       |  SELECT doc_id, lang, lang_cand,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, lang_cand) AS rn
+       |  FROM lsc) WHERE rn = 1)""".stripMargin
+  }
 }

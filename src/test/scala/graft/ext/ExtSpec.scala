@@ -1365,4 +1365,40 @@ class ExtSpec extends SparkSuite {
     assert(hist == Map(2L -> 1L, 1L -> 2L), hist)
     assert(hist.map { case (sz, n) => sz * n }.sum == 4L)
   }
+
+  test("trained langId: strong-marked holdout docs classify perfectly, weak markers break natural ties") {
+    // natural text IDENTICAL across langs — all signal is the injected
+    // markers, so strong docs must classify 100% and even the weak-
+    // marked hard docs win on the marker tie-break (no natural noise)
+    val docs = (0L until 40L).map { i =>
+      // lang keyed on i/2 so every lang lands in BOTH the even-id train
+      // slice and the odd-id holdout (i%4 would alias lang with parity)
+      val lang = TextAnalysis.TrainedLangs((i / 2 % 4).toInt)
+      (i, lang, "w1 w2 w3 w1 w2")
+    }.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.trainedLangId(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    // output = exactly the odd-id holdout
+    assert(got.map(_._1).sorted.toSeq == (1L until 40L by 2).toSeq)
+    assert(got.forall(_._4), s"misrouted: ${got.filterNot(_._4).toSeq}")
+  }
+
+  test("trained langId: per-label diagonal >= 0.9 on the sf0.01 fixture holdout") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+    val conf = TextAnalysis.trainedLangId(docs)
+      .groupBy($"lang", $"lang_pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = conf.keys.map(_._1).toSeq.distinct
+    assert(langs.size == TextAnalysis.TrainedLangs.size)
+    for (l <- langs) {
+      val row = conf.filter(_._1._1 == l)
+      val diag = row.getOrElse((l, l), 0L).toDouble / row.values.sum
+      assert(diag >= 0.9, s"lang $l diagonal $diag < 0.9 ($row)")
+    }
+    // the hard (weak-marked) subset is the honest off-diagonal source:
+    // it must exist in the holdout (doc_id % 20 = 3 ids are odd)
+    val hard = TextAnalysis.trainedLangId(docs)
+      .where($"doc_id" % 20 === 3)
+    assert(hard.count() > 0)
+  }
 }
