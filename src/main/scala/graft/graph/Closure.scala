@@ -117,6 +117,41 @@ object Closure {
     }
   }
 
+  /** INCREMENTAL root maintenance: extend a settled root map with an
+    * append-only edge batch WITHOUT re-traversing the settled graph —
+    * at 100 TB with a continuous crawl, each batch's closure work must
+    * be O(batch), not O(corpus).
+    *
+    * `settled`: (id, root) — [[resolveRoots]]' output for the existing
+    * forest. `newEdges`: (id, parent) — an APPEND-ONLY batch: its
+    * child ids are new (never re-parents a node the settled map
+    * already resolves), which is exactly the arrival order a crawl
+    * produces (children arrive after their parents). Under that
+    * contract the result is EXACTLY `resolveRoots(old ∪ new)` (the
+    * spec and q180's shared batch oracle pin hash-equality):
+    *
+    *  - the batch resolves INTERNALLY first — `resolveRoots(newEdges)`
+    *    is O(log batch-depth) joins over batch-sized relations only —
+    *    landing each new child on its first ancestor WITHOUT a batch
+    *    edge; that ancestor is either an old child (settled, final by
+    *    induction) or a root (old or new);
+    *  - then ONE equi-join PROBES the settled relation to lift
+    *    batch-internal ancestors onto their final roots. The settled
+    *    map is read once and never rewritten (PlanSpec pins the single
+    *    probe); its partitioning on `id` is exactly the join key, so a
+    *    bucketed settled table makes the probe exchange-free on the
+    *    corpus side.
+    */
+  def addEdges(settled: DataFrame, newEdges: DataFrame,
+               maxIter: Int = 50): DataFrame = {
+    val batchRoots = resolveRoots(newEdges, maxIter)
+    val lifted = batchRoots.as("n")
+      .join(settled.as("s"), col("n.root") === col("s.id"), "left")
+      .select(col("n.id"),
+        coalesce(col("s.root"), col("n.root")).as("root"))
+    settled.select(col("id"), col("root")).unionByName(lifted)
+  }
+
   /** Attach `ur_conversation_id = COALESCE(root, conversation_id)` — the
     * reference's final enrichment join
     * (`2_enrich_ur_conversation_ids.py:49-52`). */

@@ -60,4 +60,52 @@ object ConnectedComponents {
           "are not minimal")
     labels.withColumnRenamed("lab", "component")
   }
+
+  /** INCREMENTAL component maintenance: merge a NEW edge batch into an
+    * existing labeling without re-traversing the settled graph. New
+    * edges may BRIDGE existing components (a near-dup batch linking
+    * two old clusters), so unlike forest closure this needs a real
+    * merge step — but only over the CONTRACTED graph:
+    *
+    *  - each new edge's endpoints map through the old labeling
+    *    (identity for genuinely new ids) — old components collapse to
+    *    their single label node, so the contracted edge set is
+    *    batch-sized no matter how large the settled graph is;
+    *  - [[run]] on the contracted edges computes the merged labels in
+    *    O(log batch-diameter) batch-sized jobs. Labels stay exact
+    *    min-ids: an old label is the min of its component, so the min
+    *    over merged {labels ∪ new ids} is the true global min;
+    *  - old nodes then take ONE label-keyed equi-join to lift their
+    *    label onto the merged component (labels untouched by the batch
+    *    pass through); genuinely new ids come straight from the
+    *    contracted result.
+    *
+    * Result is EXACTLY `run(old ∪ new)` (spec + q181's shared batch
+    * oracle pin hash-equality). The settled labeling is probed twice
+    * (endpoint mapping, label lift) and never rewritten; both probes
+    * are equi-joins on its own key columns.
+    *
+    * `oldLabels`: (id, component) — [[run]]'s output for the settled
+    * edge set. `newEdges`: (a, b) undirected new pairs.
+    */
+  def addEdges(oldLabels: DataFrame, newEdges: DataFrame,
+               maxIter: Int = 50): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("component"))
+    val contracted = newEdges.select(col("a"), col("b"))
+      .join(lab.select(col("id").as("a"), col("component").as("_ca")),
+        Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("component").as("_cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("_ca"), col("a")).as("a"),
+        coalesce(col("_cb"), col("b")).as("b"))
+    val cc = run(contracted, maxIter)
+    val merged = lab
+      .join(cc.select(col("id").as("component"), col("component").as("_new")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
+    // contracted-result rows whose id is NOT an old node are genuinely
+    // new ids (old component labels are themselves old node ids)
+    val newNodes = cc.join(lab.select(col("id")), Seq("id"), "left_anti")
+    merged.unionByName(newNodes)
+  }
 }

@@ -569,25 +569,40 @@ object ExtQueries {
     // ── end-to-end near-dedup: pairs → connected components → clusters ─
     "q45_dedup_clusters" -> Q(
       (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5),
-      shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
-        """, qual AS (
-          |  SELECT doc_a, doc_b FROM pairs
-          |  JOIN cnt ca ON doc_a = ca.doc_id
-          |  JOIN cnt cb ON doc_b = cb.doc_id
-          |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-          |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
-          |        UNION ALL SELECT doc_b, doc_a FROM qual),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM sym
-          |  UNION
-          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-          |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
-          |          FROM reach GROUP BY a),
-          |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
-          |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id)
-          |SELECT doc_id, canonical_id,
-          |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-          |FROM lab""".stripMargin),
+      nearDupClustersOracleSql),
+
+    // ── INCREMENTAL component maintenance (continuous-dedup contract) ──
+    // q45 re-clusters the whole corpus; a continuous crawl folds each
+    // batch in: the settled labeling comes from the OLD-only pair
+    // subgraph (both endpoints outside the doc_id%7=3 batch), then
+    // ConnectedComponents.addEdges merges the batch-incident pairs —
+    // batch endpoints CONTRACT through the old labels, so the merge CC
+    // runs on a batch-sized edge set and the settled labeling is only
+    // probed (two equi-joins), never re-traversed. New edges may
+    // BRIDGE old clusters — the case forest closure (q180) never
+    // faces. The oracle is q45's full-corpus clustering VERBATIM: the
+    // driver proves incremental == full recompute, hash-equal.
+    "q181_cc_add" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 5, tau = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        def isNew(c: org.apache.spark.sql.Column) = c % 7 === 3
+        val oldLabels = graft.graph.ConnectedComponents.run(
+          pairs.where(!isNew(col("a")) && !isNew(col("b"))))
+        val labels = graft.graph.ConnectedComponents.addEdges(oldLabels,
+          pairs.where(isNew(col("a")) || isNew(col("b"))))
+        // q45's cluster wrapper over the incremental labels
+        val labeled = docs.select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        val sizes = labeled.groupBy(col("canonical_id").as("_c"))
+          .agg(count(lit(1)).as("cluster_size"))
+        labeled.join(sizes, labeled("canonical_id") === col("_c"))
+          .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+      },
+      nearDupClustersOracleSql),
 
     // ── survivor policy: same clusters, keep the LONGEST member ────────
     // q45's pipeline with clusterPairsBy(quality = text length): the
@@ -3898,6 +3913,30 @@ object ExtQueries {
          |       AS BIGINT) AS row_ppm
          |FROM lcm""".stripMargin),
   )
+
+  /** q45's full-corpus near-dup clustering oracle — shared VERBATIM by
+    * q181 (incremental maintenance must be hash-equal to the full
+    * recompute). */
+  private lazy val nearDupClustersOracleSql: String =
+    shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
+      """, qual AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE cast(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+        |        UNION ALL SELECT doc_b, doc_a FROM qual),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |canon AS (SELECT a AS id, least(a, min(b)) AS canonical
+        |          FROM reach GROUP BY a),
+        |lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+        |        FROM documents d LEFT JOIN canon c ON d.doc_id = c.id)
+        |SELECT doc_id, canonical_id,
+        |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        |FROM lab""".stripMargin
 
   /** [[TextAnalysis.trainedLangId]]'s oracle CTE chain, ending with
     * `pred(doc_id, lang, lang_pred)` in scope — generated from the

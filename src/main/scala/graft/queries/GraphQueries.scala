@@ -298,6 +298,39 @@ object GraphQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |) WHERE rn > 1""".stripMargin),
 
+    // ── INCREMENTAL closure maintenance (continuous-crawl contract) ────
+    // q22 recomputes the root map from scratch; a continuous crawl must
+    // fold each batch's edges in O(batch): the settled graph = all but
+    // each user's LAST TWO events (the append frontier — children
+    // arrive after parents, so the split is the arrival order), the
+    // batch resolves internally (batch-sized joins only) and takes ONE
+    // probe join against the settled map (Closure.addEdges; PlanSpec
+    // pins the probe count). The oracle is q22's full-graph closure
+    // VERBATIM — the driver proves incremental == full recompute,
+    // hash-equal.
+    "q180_closure_add" -> Q(
+      (s, dir) => {
+        val chainWDesc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val edges = Tables.events(s, dir)
+          .withColumn("parent", lag(col("event_id"), 1).over(chainW))
+          .withColumn("rrev", row_number().over(chainWDesc))
+          .where(col("parent").isNotNull)
+        val old = edges.where(col("rrev") > 2)
+          .select(col("event_id").as("id"), col("parent"))
+        val batch = edges.where(col("rrev") <= 2)
+          .select(col("event_id").as("id"), col("parent"))
+        Closure.addEdges(Closure.resolveRoots(old), batch)
+          .select(col("id").as("event_id"), col("root").as("root_id"))
+      },
+      """SELECT event_id, root_id FROM (
+        |  SELECT event_id,
+        |         first_value(event_id) OVER w AS root_id,
+        |         row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |) WHERE rn > 1""".stripMargin),
+
     // ── graph centrality: exact-integer damped PageRank ────────────────
     // Same per-user chain edges as q22; the engine runs the generic
     // iterative join/aggregate loop, the oracle replays the identical

@@ -507,4 +507,23 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q178/q179: trained router broadcasts the weight relation; no corpus-sized window") {
+    for (q <- Seq("q178_trained_langid", "q179_trained_confusion")) {
+      val plan = planOf(q)
+      // the ≤ |langs|·256-row weight relation rides a broadcast join
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // argmax is the encoding AGGREGATE, not a per-doc rank window
+      assert(!plan.contains("WindowGroupLimit"), s"$q:\n$plan")
+    }
+  }
+
+  test("q180/q181: incremental graph maintenance stays equi-join-only") {
+    for (q <- Seq("q180_closure_add", "q181_cc_add")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
 }

@@ -40,4 +40,36 @@ class ConnectedComponentsSpec extends SparkSuite {
       if (edges.nonEmpty) assert(cc(edges) == naive(edges))
     }
   }
+
+  private def ccAdd(old: Seq[(Long, Long)], nu: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.addEdges(
+      ConnectedComponents.run(old.toDF("a", "b")), nu.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("addEdges: bridges old components, admits new nodes, leaves untouched components alone") {
+    val old = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L, 21L -> 22L,
+      30L -> 31L, 50L -> 51L)
+    // one batch: bridge {1,2,3}–{10,11}, bridge {20..22}–{30,31} via a
+    // brand-new node 40, and a fully-new component {60,61}
+    val nu = Seq(3L -> 10L, 22L -> 40L, 40L -> 30L, 60L -> 61L)
+    assert(ccAdd(old, nu) == cc(old ++ nu))
+    // the untouched {50,51} kept its label
+    assert(ccAdd(old, nu)(51L) == 50L)
+  }
+
+  test("addEdges property: ANY old/new split of a random graph matches the full recompute") {
+    // unlike forest closure, incremental CC needs no append contract —
+    // contraction handles arbitrary bridging, so any split is exact
+    val rnd = new Random(17)
+    for (_ <- 1 to 6) {
+      val n = 10 + rnd.nextInt(60)
+      val edges = (1 to n).map(_ =>
+        (1L + rnd.nextInt(25), 1L + rnd.nextInt(25))).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val (old, nu) = edges.partition(_ => rnd.nextBoolean())
+        if (old.nonEmpty && nu.nonEmpty)
+          assert(ccAdd(old, nu) == cc(edges), s"split old=$old new=$nu")
+      }
+    }
+  }
 }
