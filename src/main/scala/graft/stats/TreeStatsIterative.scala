@@ -388,14 +388,63 @@ object TreeStatsIterative {
     * only inside the two compute paths themselves.
     */
   def computeHybrid(tweets: Dataset[TreeInput], threshold: Long = 2000000L,
-                    maxIter: Int = 30): Dataset[TreeStatsRow] = {
+                    maxIter: Int = 30): Dataset[TreeStatsRow] =
+    hybridFromSizes(tweets, tweets.groupBy(col("group_id")).count(),
+      threshold, maxIter)
+
+  /** [[computeHybrid]] with the routing threshold derived from the data
+    * instead of a caller guess: one metadata-sized log2 group-size
+    * histogram (≤ 64 buckets — the q176 bounded-histogram discipline)
+    * picks the smallest power-of-two boundary that keeps ≥ 99% of
+    * groups on the in-memory path, capped at `capRows` (the physical
+    * per-task memory bound that made 2 M the manual default). The
+    * sizing aggregate is computed ONCE and shared between the
+    * histogram and the over-threshold id collection — auto-routing
+    * costs no extra corpus pass. Same results as any threshold (the
+    * two compute paths are formulation-equivalent, spec-pinned);
+    * auto-tuning only moves the split point.
+    */
+  def computeAuto(tweets: Dataset[TreeInput], capRows: Long = 2000000L,
+                  maxIter: Int = 30): Dataset[TreeStatsRow] = {
+    val sizes = tweets.groupBy(col("group_id")).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try hybridFromSizes(tweets, sizes, autoThresholdFrom(sizes, capRows), maxIter)
+    finally { sizes.unpersist(blocking = false); () }
+  }
+
+  /** The auto-routing boundary from a (group_id, count) relation: with
+    * b(s) = floor(log2 s) + 1 (= the binary digit count, exact via
+    * string conv — no FP log), the threshold is 2^b* for the smallest
+    * bucket b* whose cumulative group share reaches 99%, capped at
+    * `capRows`. Groups in buckets ≤ b* have size < 2^b* ≤ threshold,
+    * so ≥ 99% of groups stay on the in-memory path and only the tail
+    * routes relational. */
+  private[stats] def autoThresholdFrom(sizes: DataFrame, capRows: Long): Long = {
+    val hist = sizes
+      .select(length(expr("conv(count, 10, 2)")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (hist.isEmpty) capRows
+    else {
+      val total = hist.map(_._2).sum
+      val need = (total * 99L + 99L) / 100L // ceil(0.99 · total)
+      var cum = 0L
+      var bStar = hist.head._1
+      for ((b, n) <- hist) if (cum < need) { cum += n; bStar = b }
+      math.min(capRows, 1L << math.min(bStar, 62))
+    }
+  }
+
+  private def hybridFromSizes(tweets: Dataset[TreeInput], sizes: DataFrame,
+                              threshold: Long,
+                              maxIter: Int): Dataset[TreeStatsRow] = {
     val spark = tweets.sparkSession
     import spark.implicits._
     // one sizing pass: the over-threshold id list is outlier-sized by
     // definition, so it is collected once and both side-splits become
     // literal isin filters — the probe and the two join branches would
     // otherwise each re-run the full group-size aggregation
-    val bigIds = tweets.groupBy(col("group_id")).count()
+    val bigIds = sizes
       .where(col("count") > threshold)
       .select(col("group_id")).as[Long].collect()
     if (bigIds.isEmpty) TreeStats.compute(tweets)

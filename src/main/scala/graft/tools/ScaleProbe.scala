@@ -227,6 +227,49 @@ object ScaleProbe {
       println(s"[scaleprobe] bpe_train_hybrid m40=${fmt(th40)}s m400=${fmt(th400)}s " +
         s"alpha_vs_merges=${fmt(aM)} corpus10x_m40=${fmt(th40x10)}s relational_m40=${fmt(tr40)}s")
     }
+    // Production-WIDTH BPE probe: a 32k-merge vocabulary over an OPEN
+    // vocabulary. The fixture's 31-word vocabulary saturates the merge
+    // loop after a handful of merges, so this probe synthesizes a
+    // Zipf-ish corpus (64 hot words + a hapax-rich ~1.1M-word long
+    // tail drawn from a 3M-word domain via xxhash64 (Poisson collisions: ~20% of tail words recur), ~2M tokens) and measures
+    // wall-clock + the driver-histogram row count at minCount 1 vs 2 —
+    // minCount is THE knob that bounds driver memory on an
+    // open-vocabulary crawl, and the probe records what it buys
+    // (histogram shrink) and costs (merges trained on fewer words'
+    // pair counts).
+    if (only.forall(_.contains("bpe_train_32k"))) {
+      import org.apache.spark.sql.functions.{col, collect_list, concat, concat_ws, count, length, lit, pmod, when}
+      val words = spark.range(0L, 2000000L).select(
+        (col("id") / 50L).cast("long").as("d"),
+        concat(lit("t"),
+          when(col("id") % 3 === 0, pmod(col("id") * 31L, lit(64L)))
+            .otherwise(pmod(xxhash64(col("id")), lit(3000000L)))
+          ).as("w"))
+      val corpus = words.groupBy(col("d"))
+        .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      def histRows(minCount: Long): Long = corpus
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount).count()
+      val (h1, h2) = (histRows(1L), histRows(2L))
+      val t0 = System.nanoTime()
+      val m1 = TextAnalysis.bpeTrain(corpus, nMerges = 32768, minCount = 1L).count()
+      val t32k1 = (System.nanoTime() - t0) / 1e9
+      val t1b = System.nanoTime()
+      val m2 = TextAnalysis.bpeTrain(corpus, nMerges = 32768, minCount = 2L).count()
+      val t32k2 = (System.nanoTime() - t1b) / 1e9
+      corpus.unpersist(blocking = false)
+      if (out.length > 1) out ++= ","
+      out ++= s""""bpe_train_32k":{"t_minCount1":${fmt(t32k1)},"t_minCount2":${fmt(t32k2)}"""
+      out ++= s""","hist_minCount1":$h1,"hist_minCount2":$h2"""
+      out ++= s""","merges_minCount1":$m1,"merges_minCount2":$m2}"""
+      println(s"[scaleprobe] bpe_train_32k minCount1=${fmt(t32k1)}s ($h1 hist rows, $m1 merges) " +
+        s"minCount2=${fmt(t32k2)}s ($h2 hist rows, $m2 merges)")
+    }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

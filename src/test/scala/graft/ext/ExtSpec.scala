@@ -1366,6 +1366,23 @@ class ExtSpec extends SparkSuite {
     assert(hist.map { case (sz, n) => sz * n }.sum == 4L)
   }
 
+  test("bpeTrain: minCount bounds the driver histogram on an adversarial open vocabulary") {
+    // EVERY word unique (hapax-only corpus — the adversarial open
+    // vocabulary): minCount = 2 prunes the histogram to EMPTY before
+    // the collect, so the driver never materializes the unbounded
+    // vocabulary and the trainer returns zero merges — the contract
+    // that bounds driver memory on an open-vocabulary 100 TB crawl
+    val docs = (0 until 500).map(i =>
+      (i.toLong, s"uq${i}ax uq${i}by uq${i}cz")).toDF("doc_id", "text")
+    val pruned = TextAnalysis.bpeTrain(docs, nMerges = 100, minCount = 2L)
+    assert(pruned.count() == 0L)
+    // the same corpus at minCount = 1 trains real merges (shared char
+    // structure across the hapax words), so the empty result above is
+    // the PRUNE, not a degenerate corpus
+    val full = TextAnalysis.bpeTrain(docs, nMerges = 100, minCount = 1L)
+    assert(full.count() > 0L)
+  }
+
   test("trained langId: strong-marked holdout docs classify perfectly, weak markers break natural ties") {
     // natural text IDENTICAL across langs — all signal is the injected
     // markers, so strong docs must classify 100% and even the weak-

@@ -118,6 +118,44 @@ class TreeStatsIterativeSpec extends SparkSuite {
       TreeStats.compute(ds))
   }
 
+  test("auto router: histogram-derived threshold matches the manual routing on a mixed corpus") {
+    import spark.implicits._
+    val rnd = new Random(9)
+    // 99 shallow groups (≤ 30 rows) + one deep outlier (300 rows): the
+    // p99 bucket boundary lands between them, so auto picks the same
+    // routing a hand-tuned threshold would (outlier relational, bulk
+    // in-memory)
+    val rows = (0 until 100).flatMap { g =>
+      val size = if (g == 99) 300 else 10 + rnd.nextInt(21)
+      (1 to size).map { i =>
+        val id = g * 1000 + i
+        val parent = if (i == 1) None else Some((g * 1000 + 1 + rnd.nextInt(i - 1)).toLong)
+        row(id,
+          reply = if (i % 3 != 2) parent else None,
+          q = if (i % 3 == 2) parent else None,
+          author = i % 5, counts = (i % 3, i % 5, i % 2, i % 4),
+          group = g)
+      }
+    }
+    val ds = spark.createDataset(rows)
+    val sizes = ds.groupBy(org.apache.spark.sql.functions.col("group_id")).count()
+    val auto = TreeStatsIterative.autoThresholdFrom(sizes, capRows = 2000000L)
+    // bulk sizes ≤ 30 → buckets ≤ 5 (2^5 = 32); the 300-row outlier sits
+    // in bucket 9 and is < 1% of groups, so the boundary is 32
+    assert(auto == 32L, s"derived threshold $auto")
+    // routing identity: the auto threshold splits groups exactly like a
+    // manual threshold in the same gap, and the output is unchanged
+    val manual = 40L
+    val routeAuto = sizes.where(org.apache.spark.sql.functions.col("count") > auto)
+      .select("group_id").as[Long].collect().toSet
+    val routeManual = sizes.where(org.apache.spark.sql.functions.col("count") > manual)
+      .select("group_id").as[Long].collect().toSet
+    assert(routeAuto == routeManual && routeAuto == Set(99L))
+    assertSame(TreeStatsIterative.computeAuto(ds), TreeStats.compute(ds))
+    // capRows stays the hard ceiling even when the histogram asks higher
+    assert(TreeStatsIterative.autoThresholdFrom(sizes, capRows = 16L) == 16L)
+  }
+
   test("cyclic parent pointers fail loudly; the in-memory path breaks them deterministically") {
     import spark.implicits._
     // 3-cycle plus a tail hanging off it — constructible, impossible in
