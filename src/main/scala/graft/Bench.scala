@@ -71,11 +71,22 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    // execution economics (shuffle/spill/tasks per query) ride pass 1
+    // via a SparkListener — telemetry for the artifact, not timing (the
+    // listener drain happens AFTER runOnce's internal clock stops, and
+    // per-query minima virtually always come from the later passes).
+    // SPARK_GRAFT_BENCH_EXEC=0 disables.
+    val withExec = !sys.env.get("SPARK_GRAFT_BENCH_EXEC").contains("0")
+    val execStats = scala.collection.mutable.Map.empty[String, graft.tools.ExecStats.Metrics]
     for (p <- 1 to passes; name <- names) {
-      val (sec, ok) = runOnce(name)
+      val (sec, ok) =
+        if (p == 1 && withExec) {
+          val (r, m) = graft.tools.ExecStats.measure(spark)(runOnce(name))
+          execStats(name) = m
+          r
+        } else runOnce(name)
       samples(name) = samples(name) :+ sec
       if (!ok) failedSet += name
-      val _ = p
     }
 
     def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -87,7 +98,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    val execJson =
+      if (execStats.isEmpty) ""
+      else names.filter(execStats.contains)
+        .map(n => "\"" + n + "\":" + execStats(n).json)
+        .mkString(""","exec":{""", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed$execJson,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but its capture truncates
     // (BENCH_r05/r06 lost every per-query number past ~q99 to a 2000-char
