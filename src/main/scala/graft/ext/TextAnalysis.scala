@@ -207,18 +207,27 @@ object TextAnalysis {
     * (doc_id, n_tokens, score_raw, keep) for every doc — an empty doc
     * scores exactly `bias`.
     */
-  def linearQualityScore(docs: DataFrame, weights: Array[Long],
-                         bias: Long = 0L): DataFrame = {
-    require(weights.nonEmpty, "linearQualityScore needs a weight vector")
-    graft.functions.Md5Prefix64.register(docs.sparkSession)
+  /** The [[linearQualityScore]] scoring expression alone — for callers
+    * that need the score alongside their own projection (e.g. the
+    * per-language gate) without a join-back. Callers must register
+    * Md5Prefix64 first. */
+  def linearScoreCol(text: Column, weights: Array[Long],
+                     bias: Long = 0L): Column = {
+    require(weights.nonEmpty, "linearScoreCol needs a weight vector")
     val d = weights.length
     val wArr = array(weights.map(lit): _*)
-    val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    val score = aggregate(toks, lit(bias),
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    aggregate(toks, lit(bias),
       (acc, t) => acc + element_at(wArr, (Dedup.hash64(t) % d).cast("int") + 1))
+  }
+
+  def linearQualityScore(docs: DataFrame, weights: Array[Long],
+                         bias: Long = 0L): DataFrame = {
+    graft.functions.Md5Prefix64.register(docs.sparkSession)
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
     docs
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        score.as("score_raw"))
+        linearScoreCol(col("text"), weights, bias).as("score_raw"))
       .withColumn("keep", col("score_raw") > 0)
   }
 

@@ -3912,6 +3912,219 @@ object ExtQueries {
          |  cast(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang)
          |       AS BIGINT) AS row_ppm
          |FROM lcm""".stripMargin),
+
+    // ── sequence-packing efficiency report ─────────────────────────────
+    // What a trainer wastes per shard: q149's layout cuts documents
+    // across boundaries, so only each shard's LAST sequence can be
+    // partial — but the report derives n_full/waste generically from
+    // the packed relation, so it prices ANY packing layout. A reader
+    // padding partial sequences to the context length pays waste_ppm
+    // of its token budget; ≤ |shards| output rows at any corpus scale.
+    "q182_packing_efficiency" -> Q(
+      (s, dir) => SeqPack.packSequences(Tables.documents(s, dir), "doc_id",
+          "text", shards = 8, seqLen = 256)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(when(col("n_tok_filled") === 256, 1L).otherwise(0L)).as("n_full"),
+          sum(col("n_tok_filled")).as("n_tokens"))
+        .withColumn("waste_ppm", org.apache.spark.sql.functions.expr(
+          "(n_seqs * 256 - n_tokens) * 1000000 div (n_seqs * 256)")),
+      s"""WITH pk AS (
+         |${SeqPack.packSequencesOracleSql("documents", "doc_id", "text", 8, 256)})
+         |SELECT shard, cast(count(*) AS BIGINT) AS n_seqs,
+         |  cast(sum(CASE WHEN n_tok_filled = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  cast(sum(n_tok_filled) AS BIGINT) AS n_tokens,
+         |  cast((count(*) * 256 - sum(n_tok_filled)) * 1000000
+         |       // (count(*) * 256) AS BIGINT) AS waste_ppm
+         |FROM pk GROUP BY shard""".stripMargin),
+
+    // ── per-LANGUAGE percentile quality gate ───────────────────────────
+    // q176's decile cut is global — on a multilingual corpus that
+    // deletes whole low-scoring languages instead of each language's
+    // own bottom decile. Same bounded-integer histogram discipline,
+    // keyed by lang: the per-lang cumulative cut runs over a
+    // |langs|·|distinct scores| metadata relation and the |langs|-row
+    // threshold relation broadcasts back as the filter. The score
+    // rides the SAME one-scan projection as lang (linearScoreCol — no
+    // corpus join-back).
+    "q183_lang_quantile_gate" -> Q(
+      (s, dir) => {
+        graft.functions.Md5Prefix64.register(s)
+        val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.linearScoreCol(col("text"),
+            TextAnalysis.DefaultQualityWeights).as("score_raw"))
+        val hist = scored.groupBy(col("lang"), col("score_raw"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum", org.apache.spark.sql.functions.expr(
+            "sum(cnt) over (partition by lang order by score_raw)"))
+          .withColumn("tot", org.apache.spark.sql.functions.expr(
+            "sum(cnt) over (partition by lang)"))
+        val thr = cum.where(col("cum") * 10 >= col("tot"))
+          .groupBy(col("lang"))
+          .agg(org.apache.spark.sql.functions.min(col("score_raw")).as("thr"))
+        scored.join(org.apache.spark.sql.functions.broadcast(thr), "lang")
+          .where(col("score_raw") > col("thr"))
+          .select(col("doc_id"), col("lang"), col("score_raw"))
+      },
+      {
+        val w = TextAnalysis.DefaultQualityWeights
+        val d = w.length
+        s"""WITH tf AS (SELECT doc_id, tok
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |sc AS (SELECT d.doc_id, d.lang,
+           |    cast(coalesce(s.sr, 0) AS BIGINT) AS score_raw
+           |  FROM documents d LEFT JOIN (
+           |    SELECT doc_id, sum(([${w.mkString(", ")}])[
+           |      cast(${sqlHash64("tok")} % $d AS INT) + 1]) AS sr
+           |    FROM tf GROUP BY doc_id) s USING (doc_id)),
+           |hist AS (SELECT lang, score_raw, cast(count(*) AS BIGINT) AS cnt
+           |         FROM sc GROUP BY 1, 2),
+           |cum AS (SELECT lang, score_raw,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY score_raw) AS cum,
+           |    sum(cnt) OVER (PARTITION BY lang) AS tot
+           |  FROM hist),
+           |thr AS (SELECT lang, min(score_raw) AS t FROM cum
+           |        WHERE cum * 10 >= tot GROUP BY lang)
+           |SELECT sc.doc_id, sc.lang, sc.score_raw
+           |FROM sc JOIN thr ON sc.lang = thr.lang AND sc.score_raw > thr.t""".stripMargin
+      }),
+
+    // ── vocabulary-growth curve (Heaps'-law report) ────────────────────
+    // Distinct token types vs corpus size at doc-id-prefix powers of
+    // two — the WIMBD-class diversity curve an operator reads to spot
+    // a corpus going stale (new types flattening while tokens grow).
+    // Types travel as 64-bit hashes (collisions merge identically on
+    // both engines); the growth arithmetic runs over a ≤ 64-bucket
+    // relation (exact log2 via binary digit count — no FP).
+    "q184_vocab_growth" -> Q(
+      (s, dir) => {
+        graft.functions.Md5Prefix64.register(s)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "),
+            t => length(t) > 0)).as("tok"))
+          .select(col("doc_id"), Dedup.hash64(col("tok")).as("th"))
+        val newTypes = toks.groupBy(col("th"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("first_doc"))
+          .select(length(org.apache.spark.sql.functions.expr(
+            "conv(first_doc + 1, 10, 2)")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+        val tokMass = toks
+          .select(length(org.apache.spark.sql.functions.expr(
+            "conv(doc_id + 1, 10, 2)")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+        newTypes.join(tokMass, Seq("bucket"), "full")
+          .select(col("bucket").cast("long").as("bucket"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+          .withColumn("cum_types", org.apache.spark.sql.functions.expr(
+            "sum(new_types) over (order by bucket)"))
+          .withColumn("cum_tokens", org.apache.spark.sql.functions.expr(
+            "sum(n_tokens) over (order by bucket)"))
+      },
+      s"""WITH tf AS (SELECT doc_id, ${sqlHash64("tok")} AS th
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) WHERE len(tok) > 0),
+         |nt AS (SELECT cast(length(bin(first_doc + 1)) AS BIGINT) AS bucket,
+         |         cast(count(*) AS BIGINT) AS new_types
+         |       FROM (SELECT th, min(doc_id) AS first_doc FROM tf GROUP BY th)
+         |       GROUP BY 1),
+         |tm AS (SELECT cast(length(bin(doc_id + 1)) AS BIGINT) AS bucket,
+         |         cast(count(*) AS BIGINT) AS n_tokens
+         |       FROM tf GROUP BY 1)
+         |SELECT coalesce(nt.bucket, tm.bucket) AS bucket,
+         |  coalesce(new_types, 0) AS new_types,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  cast(sum(coalesce(new_types, 0))
+         |       OVER (ORDER BY coalesce(nt.bucket, tm.bucket)) AS BIGINT) AS cum_types,
+         |  cast(sum(coalesce(n_tokens, 0))
+         |       OVER (ORDER BY coalesce(nt.bucket, tm.bucket)) AS BIGINT) AS cum_tokens
+         |FROM nt FULL JOIN tm ON nt.bucket = tm.bucket""".stripMargin),
+
+    // ── cross-source content-overlap matrix (mirror detection) ─────────
+    // Which feeds mirror each other: per source pair, the count of
+    // shared content hashes and the overlap share relative to the
+    // smaller side. The fixture has no natural cross-source exact dups
+    // (measured), so a mirror feed is INJECTED deterministically
+    // (doc_id%10=6 docs re-appear verbatim under 'mirror_feed' — the
+    // q64 typed-injection discipline). Hash-only columns move, never
+    // text (the q152 snapshot-diff economics); output is bounded by
+    // |sources|² pairs with ≥ 1 shared hash.
+    "q185_source_overlap" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mirrored = docs.where(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("mirror_feed").as("source"))
+        val v = docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(mirrored)
+        val h = v.select(col("source"),
+          org.apache.spark.sql.functions.md5(col("text")).as("h")).distinct()
+        val tot = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = h.select(col("source").as("source_a"), col("h"))
+          .join(h.select(col("source").as("source_b"), col("h")), "h")
+          .where(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(tot.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+          .join(tot.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            org.apache.spark.sql.functions.expr(
+              "n_shared * 1000000 div least(n_a, n_b)").as("overlap_ppm"))
+      },
+      """WITH v AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror_feed' FROM documents
+        |  WHERE doc_id % 10 = 6),
+        |h AS (SELECT DISTINCT source, md5(text) AS h FROM v),
+        |tot AS (SELECT source, cast(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         cast(count(*) AS BIGINT) AS n_shared
+        |       FROM h a JOIN h b USING (h) WHERE a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+        |  cast(n_shared * 1000000 // least(ta.n, tb.n) AS BIGINT) AS overlap_ppm
+        |FROM sh JOIN tot ta ON source_a = ta.source
+        |JOIN tot tb ON source_b = tb.source""".stripMargin),
+
+    // ── token-mass inequality across sources (Gini, exact ppm) ─────────
+    // One number for "is this corpus dominated by a few feeds": the
+    // Gini coefficient of per-source token mass via the rank formula
+    // G = (2·Σ i·mᵢ − (n+1)·Σm) / (n·Σm) over sources sorted by
+    // (mass, name) — all exact integers, truncating ppm. The rank
+    // window runs over the |sources|-row rollup (metadata — single
+    // partition is correct there, the q176 histogram discipline).
+    "q186_token_gini" -> Q(
+      (s, dir) => {
+        val m = Tables.documents(s, dir).groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("m"))
+        val ranked = m.withColumn("i",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("m"), col("source"))).cast("long"))
+        ranked.agg(count(lit(1)).as("n_sources"),
+            sum(col("m")).as("total_tokens"),
+            sum(col("i") * col("m")).as("_s"))
+          .select(col("n_sources"), col("total_tokens"),
+            org.apache.spark.sql.functions.expr(
+              "(2 * _s - (n_sources + 1) * total_tokens) * 1000000" +
+                " div (n_sources * total_tokens)").as("gini_ppm"))
+      },
+      """WITH m AS (SELECT source,
+        |    cast(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT m, cast(row_number() OVER (ORDER BY m, source) AS BIGINT) AS i
+        |      FROM m)
+        |SELECT cast(count(*) AS BIGINT) AS n_sources,
+        |  cast(sum(m) AS BIGINT) AS total_tokens,
+        |  cast((2 * sum(i * m) - (count(*) + 1) * sum(m)) * 1000000
+        |       // (count(*) * sum(m)) AS BIGINT) AS gini_ppm
+        |FROM r""".stripMargin),
   )
 
   /** q45's full-corpus near-dup clustering oracle — shared VERBATIM by

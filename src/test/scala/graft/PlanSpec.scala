@@ -526,4 +526,13 @@ class PlanSpec extends SparkSuite {
         && !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
   }
+
+  test("q183/q185: per-lang gate broadcasts its threshold; overlap matrix stays equi-join-only") {
+    val gPlan = planOf("q183_lang_quantile_gate")
+    assert(gPlan.contains("BroadcastHashJoin"), gPlan)
+    assert(!gPlan.contains("SortMergeJoin"), gPlan)
+    val oPlan = planOf("q185_source_overlap")
+    assert(!oPlan.contains("CartesianProduct")
+      && !oPlan.contains("BroadcastNestedLoopJoin"), oPlan)
+  }
 }
