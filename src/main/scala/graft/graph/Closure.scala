@@ -135,21 +135,39 @@ object Closure {
     *    landing each new child on its first ancestor WITHOUT a batch
     *    edge; that ancestor is either an old child (settled, final by
     *    induction) or a root (old or new);
-    *  - then ONE equi-join PROBES the settled relation to lift
-    *    batch-internal ancestors onto their final roots. The settled
-    *    map is read once and never rewritten (PlanSpec pins the single
-    *    probe); its partitioning on `id` is exactly the join key, so a
-    *    bucketed settled table makes the probe exchange-free on the
-    *    corpus side.
+    *  - then the settled map streams ONCE past a BROADCAST of the
+    *    batch ancestors to lift them onto their final roots (see
+    *    [[addEdgesDelta]]) — the settled relation is never shuffled
+    *    and never rewritten (the spec pins exactly two scans: probe +
+    *    union pass-through, zero exchanges on it).
     */
   def addEdges(settled: DataFrame, newEdges: DataFrame,
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50): DataFrame =
+    settled.select(col("id"), col("root"))
+      .unionByName(addEdgesDelta(settled, newEdges, maxIter))
+
+  /** The APPEND a batch contributes — just the new children's rows,
+    * the relation a production deployment appends to its settled
+    * store ([[addEdges]] = settled ∪ delta; under the append-only
+    * contract the key sets are disjoint, spec-pinned).
+    *
+    * Scale shape — ZERO corpus-side shuffles: the batch resolves
+    * internally first (batch-sized pointer jumping), then the settled
+    * map streams ONCE past a BROADCAST of the batch ancestors (the
+    * inner probe) — the settled relation is never shuffled and never
+    * rewritten; the remaining join is batch × batch. A partition-
+    * pruned / bucketed settled store cuts even the scan.
+    */
+  def addEdgesDelta(settled: DataFrame, newEdges: DataFrame,
+                    maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val batchRoots = resolveRoots(newEdges, maxIter)
-    val lifted = batchRoots.as("n")
-      .join(settled.as("s"), col("n.root") === col("s.id"), "left")
-      .select(col("n.id"),
-        coalesce(col("s.root"), col("n.root")).as("root"))
-    settled.select(col("id"), col("root")).unionByName(lifted)
+    val lifted = settled.as("s")
+      .join(broadcast(batchRoots.as("n")), col("s.id") === col("n.root"))
+      .select(col("n.id").as("id"), col("s.root").as("_lifted"))
+    batchRoots
+      .join(broadcast(lifted), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_lifted"), col("root")).as("root"))
   }
 
   /** Attach `ur_conversation_id = COALESCE(root, conversation_id)` — the

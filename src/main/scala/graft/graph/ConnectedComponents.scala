@@ -91,21 +91,62 @@ object ConnectedComponents {
   def addEdges(oldLabels: DataFrame, newEdges: DataFrame,
                maxIter: Int = 50): DataFrame = {
     val lab = oldLabels.select(col("id"), col("component"))
+    val (cc, newIds) = mergeBatch(lab, newEdges, maxIter)
+    val merged = lab
+      .join(broadcast(cc.select(col("id").as("component"),
+        col("component").as("_new"))), Seq("component"), "left")
+      .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
+    val newNodes = cc.join(broadcast(newIds), Seq("id"))
+    merged.unionByName(newNodes)
+  }
+
+  /** The UPSERT a batch contributes — (id, component) for every node
+    * whose label the batch may have changed (old nodes in merged
+    * components) plus the genuinely new nodes; applying it key-wise
+    * over the settled store reproduces [[addEdges]] exactly
+    * (spec-pinned law). This is the relation a production deployment
+    * writes per batch: batch-sized output, the settled labeling
+    * streamed ONCE (the endpoint probe) with ZERO corpus-side
+    * shuffles — every big-side join has the batch side broadcast.
+    */
+  def addEdgesDelta(oldLabels: DataFrame, newEdges: DataFrame,
+                    maxIter: Int = 50): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("component"))
+    val (cc, newIds) = mergeBatch(lab, newEdges, maxIter)
+    // old nodes in merged components: their component label appears in
+    // the contracted result — batch-sized relation broadcast, settled
+    // labeling streams once
+    val touched = lab
+      .join(broadcast(cc.select(col("id").as("component"),
+        col("component").as("_new"))), Seq("component"))
+      .select(col("id"), col("_new").as("component"))
+    touched.unionByName(cc.join(broadcast(newIds), Seq("id")))
+  }
+
+  /** Shared merge core: contract new-edge endpoints through the old
+    * labeling (ONE streamed pass of `lab` against a broadcast of the
+    * batch's endpoint set — no corpus shuffle), run CC over the
+    * batch-sized contracted edges. Returns (contracted components,
+    * genuinely-new ids). An endpoint absent from `lab` is new-or-
+    * isolated and participates under its own id — exactly [[run]]'s
+    * semantics for the full edge set. */
+  private def mergeBatch(lab: DataFrame, newEdges: DataFrame,
+                         maxIter: Int): (DataFrame, DataFrame) = {
+    val keys = newEdges.select(col("a").as("k"))
+      .union(newEdges.select(col("b").as("k"))).distinct()
+      .localCheckpoint(true)
+    val kmap = lab.join(broadcast(keys), col("id") === col("k"))
+      .select(col("k"), col("component").as("kc"))
+      .localCheckpoint(true)
     val contracted = newEdges.select(col("a"), col("b"))
-      .join(lab.select(col("id").as("a"), col("component").as("_ca")),
+      .join(broadcast(kmap.select(col("k").as("a"), col("kc").as("_ca"))),
         Seq("a"), "left")
-      .join(lab.select(col("id").as("b"), col("component").as("_cb")),
+      .join(broadcast(kmap.select(col("k").as("b"), col("kc").as("_cb"))),
         Seq("b"), "left")
       .select(coalesce(col("_ca"), col("a")).as("a"),
         coalesce(col("_cb"), col("b")).as("b"))
-    val cc = run(contracted, maxIter)
-    val merged = lab
-      .join(cc.select(col("id").as("component"), col("component").as("_new")),
-        Seq("component"), "left")
-      .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
-    // contracted-result rows whose id is NOT an old node are genuinely
-    // new ids (old component labels are themselves old node ids)
-    val newNodes = cc.join(lab.select(col("id")), Seq("id"), "left_anti")
-    merged.unionByName(newNodes)
+    val newIds = keys.join(kmap, Seq("k"), "left_anti")
+      .select(col("k").as("id"))
+    (run(contracted, maxIter), newIds)
   }
 }

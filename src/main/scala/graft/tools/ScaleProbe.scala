@@ -270,6 +270,63 @@ object ScaleProbe {
       println(s"[scaleprobe] bpe_train_32k minCount1=${fmt(t32k1)}s ($h1 hist rows, $m1 merges) " +
         s"minCount2=${fmt(t32k2)}s ($h2 hist rows, $m2 merges)")
     }
+    // Incremental-graph thesis measured: with a FIXED batch, the
+    // per-batch cost of closure/CC maintenance must stay ~flat as the
+    // settled corpus grows 10× (the delta path streams the settled
+    // relation once past a broadcast batch — no corpus shuffle), while
+    // the full recompute grows at least linearly. Chains of 20 per
+    // group; the batch is the last-2 edges of the first 5k chains at
+    // BOTH scales.
+    if (only.forall(_.contains("incremental_graph"))) {
+      import org.apache.spark.sql.functions.{col, xxhash64 => xh}
+      def chainEdges(n: Long): DataFrame = spark.range(n)
+        .where(col("id") % 20 =!= 0)
+        .select(col("id"), (col("id") - 1).as("parent"))
+      val isBatch = (col("id") % 20 >= 18) && (col("id") < 100000L)
+      def closureProbe(n: Long): (Double, Double) = {
+        val e = chainEdges(n).localCheckpoint(true)
+        val batch = e.where(isBatch).localCheckpoint(true)
+        val settled = graft.graph.Closure
+          .resolveRoots(e.where(!isBatch)).localCheckpoint(true)
+        val (tInc, _) = timeMin(
+          graft.graph.Closure.addEdgesDelta(settled, batch).count())
+        val (tFull, _) = timeMin(graft.graph.Closure.resolveRoots(e).count())
+        (tInc, tFull)
+      }
+      def ccEdges(n: Long): DataFrame = spark.range(n).select(
+        pmod(xh(col("id"), lit("a")), lit(n / 2)).as("a"),
+        pmod(xh(col("id"), lit("b")), lit(n / 2)).as("b"))
+        .where(col("a") =!= col("b"))
+      def ccProbe(n: Long): (Double, Double) = {
+        val e = ccEdges(n).localCheckpoint(true)
+        val batch = e.limit(5000).localCheckpoint(true)
+        val old = e.exceptAll(batch).localCheckpoint(true)
+        val lab = graft.graph.ConnectedComponents.run(old).localCheckpoint(true)
+        val (tInc, _) = timeMin(
+          graft.graph.ConnectedComponents.addEdgesDelta(lab, batch).count())
+        val (tFull, _) = timeMin(graft.graph.ConnectedComponents.run(e).count())
+        (tInc, tFull)
+      }
+      val (ci1, cf1) = closureProbe(500000L)
+      val (ci10, cf10) = closureProbe(5000000L)
+      val (gi1, gf1) = ccProbe(100000L)
+      val (gi10, gf10) = ccProbe(1000000L)
+      if (out.length > 1) out ++= ","
+      out ++= s""""closure_add":{"t_inc1":${fmt(ci1)},"t_inc10":${fmt(ci10)}"""
+      out ++= s""","alpha_inc":${fmt(math.log10(ci10 / ci1))}"""
+      out ++= s""","t_full1":${fmt(cf1)},"t_full10":${fmt(cf10)}"""
+      out ++= s""","alpha_full":${fmt(math.log10(cf10 / cf1))}},"""
+      out ++= s""""cc_add":{"t_inc1":${fmt(gi1)},"t_inc10":${fmt(gi10)}"""
+      out ++= s""","alpha_inc":${fmt(math.log10(gi10 / gi1))}"""
+      out ++= s""","t_full1":${fmt(gf1)},"t_full10":${fmt(gf10)}"""
+      out ++= s""","alpha_full":${fmt(math.log10(gf10 / gf1))}}"""
+      println(s"[scaleprobe] closure_add inc ${fmt(ci1)}->${fmt(ci10)}s " +
+        s"(alpha ${fmt(math.log10(ci10 / ci1))}) full ${fmt(cf1)}->${fmt(cf10)}s " +
+        s"(alpha ${fmt(math.log10(cf10 / cf1))})")
+      println(s"[scaleprobe] cc_add inc ${fmt(gi1)}->${fmt(gi10)}s " +
+        s"(alpha ${fmt(math.log10(gi10 / gi1))}) full ${fmt(gf1)}->${fmt(gf10)}s " +
+        s"(alpha ${fmt(math.log10(gf10 / gf1))})")
+    }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

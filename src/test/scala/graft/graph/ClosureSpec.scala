@@ -81,6 +81,14 @@ class ClosureSpec extends SparkSuite {
     // THROUGH the settled graph
     assert(full.values.toSet == Set(4L, 5L, 6L, 7L))
     assert(full(320L) == full(300L))
+    // delta law: the append relation is exactly the full result minus
+    // the settled keys (disjoint key sets under the append contract)
+    val settled = Closure.resolveRoots(old.toDF("id", "parent"))
+    val settledMap = settled.as[(Long, Long)].collect().toMap
+    val delta = Closure.addEdgesDelta(settled, batch.toDF("id", "parent"))
+      .as[(Long, Long)].collect().toMap
+    assert(delta.keySet.intersect(settledMap.keySet).isEmpty)
+    assert(settledMap ++ delta == full)
   }
 
   test("addEdges: the settled relation is probed, not re-resolved") {

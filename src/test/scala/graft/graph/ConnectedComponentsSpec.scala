@@ -57,6 +57,21 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(ccAdd(old, nu)(51L) == 50L)
   }
 
+  test("addEdgesDelta: applying the upsert over the old labels reproduces the full recompute") {
+    val old = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L, 21L -> 22L,
+      30L -> 31L, 50L -> 51L)
+    val nu = Seq(3L -> 10L, 22L -> 40L, 40L -> 30L, 60L -> 61L)
+    val oldLabels = ConnectedComponents.run(old.toDF("a", "b"))
+    val oldMap = oldLabels.as[(Long, Long)].collect().toMap
+    val delta = ConnectedComponents.addEdgesDelta(oldLabels, nu.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    // key-wise upsert of the delta over the settled store == full CC
+    assert(oldMap ++ delta == cc(old ++ nu))
+    // the untouched component {50,51} is NOT in the upsert (batch-sized
+    // delta — a production store never rewrites settled rows)
+    assert(!delta.contains(50L) && !delta.contains(51L))
+  }
+
   test("addEdges property: ANY old/new split of a random graph matches the full recompute") {
     // unlike forest closure, incremental CC needs no append contract —
     // contraction handles arbitrary bridging, so any split is exact
