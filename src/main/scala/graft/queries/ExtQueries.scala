@@ -4092,6 +4092,112 @@ object ExtQueries {
         |FROM sh JOIN tot ta ON source_a = ta.source
         |JOIN tot tb ON source_b = tb.source""".stripMargin),
 
+    // ── DSIR-style importance selection against a target distribution ──
+    // Data Selection via Importance Resampling, exact-integer variant:
+    // hashed-token bucket frequencies of a curated TARGET slice
+    // (source src0–src3, the q177 reference discipline) vs the whole
+    // corpus; each document scores Σ_tokens (target_ppm − corpus_ppm)
+    // — the linear analog of DSIR's log-ratio (log is an FP-model
+    // concern, documented deviation) — and is kept by a deterministic
+    // weighted Bernoulli: keep iff hash(doc) % 10⁶ < p_ppm, with
+    // p_ppm = clamp(score, 0, CAP)·10⁶/CAP. One corpus scan; both
+    // weight relations are ≤ 256 rows and broadcast; selection is a
+    // pure projection — the whole recipe is scan + broadcast join +
+    // rollup at any corpus scale.
+    "q187_dsir_importance" -> Q(
+      (s, dir) => {
+        graft.functions.Md5Prefix64.register(s)
+        val cap = 20000L
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), col("source"),
+            explode(org.apache.spark.sql.functions.filter(
+              split(col("text"), " "), t => length(t) > 0)).as("tok"))
+          .select(col("doc_id"), col("source"),
+            (Dedup.hash64(col("tok")) % 256).cast("int").as("bucket"))
+        // bucket ppm with the total as a window over the ≤256-row
+        // aggregate (metadata — no second corpus pass, no driver action)
+        def ppm(src: org.apache.spark.sql.DataFrame) =
+          src.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+            .select(col("bucket"),
+              org.apache.spark.sql.functions.expr(
+                "cnt * 1000000 div sum(cnt) over ()").as("w"))
+        val refW = ppm(toks.where(col("source").isin("src0", "src1", "src2", "src3")))
+          .withColumnRenamed("w", "wr")
+        val corpW = ppm(toks).withColumnRenamed("w", "wc")
+        val wts = refW.join(corpW, Seq("bucket"), "full")
+          .select(col("bucket"),
+            (coalesce(col("wr"), lit(0L)) - coalesce(col("wc"), lit(0L))).as("w"))
+        val scored = toks.groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(org.apache.spark.sql.functions.broadcast(wts), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt") * col("w")).as("score_raw"))
+        val pPpm = org.apache.spark.sql.functions.expr(
+          s"least(greatest(score_raw, 0) * 1000000 div $cap, 1000000)")
+        scored.select(col("doc_id"), col("score_raw"), pPpm.as("p_ppm"),
+          (Sampling.rowHash(scored, col("doc_id"), "dsir") % 1000000L
+            < pPpm).as("keep"))
+      },
+      {
+        val cap = 20000L
+        s"""WITH dt AS (SELECT doc_id, source,
+           |    cast(${sqlHash64("tok")} % 256 AS INT) AS bucket
+           |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |rw AS (SELECT bucket,
+           |         cast(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS wr
+           |       FROM dt WHERE source IN ('src0','src1','src2','src3')
+           |       GROUP BY bucket),
+           |cw AS (SELECT bucket,
+           |         cast(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS wc
+           |       FROM dt GROUP BY bucket),
+           |wt AS (SELECT coalesce(rw.bucket, cw.bucket) AS bucket,
+           |         coalesce(wr, 0) - coalesce(wc, 0) AS w
+           |       FROM rw FULL JOIN cw ON rw.bucket = cw.bucket),
+           |dc AS (SELECT doc_id, bucket, cast(count(*) AS BIGINT) AS cnt
+           |       FROM dt GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, cast(sum(cnt * w) AS BIGINT) AS score_raw
+           |       FROM dc JOIN wt USING (bucket) GROUP BY doc_id),
+           |pr AS (SELECT doc_id, score_raw,
+           |    cast(least(greatest(score_raw, 0) * 1000000 // $cap, 1000000)
+           |         AS BIGINT) AS p_ppm
+           |  FROM sc)
+           |SELECT doc_id, score_raw, p_ppm,
+           |  ${Sampling.rowHashSql("doc_id", "dsir")} % 1000000 < p_ppm AS keep
+           |FROM pr""".stripMargin
+      }),
+
+    // ── edit-distance near-dup verify (blocked Levenshtein) ────────────
+    // The verify stage fuzzy string dedup runs on SHORT fields (titles,
+    // URLs, headings) where token-set measures are too coarse:
+    // candidates block on prefix equality (a pure equi-join — blocking
+    // IS the scale lever; Levenshtein is O(len²) per pair and must
+    // never see the full cross product), then exact unit-cost edit
+    // distance confirms dist ≤ 8 on the 48-char head. Both engines
+    // compute classic Levenshtein. The fixture yields a natural
+    // 28-candidate / 25-verified set — no injection needed.
+    "q188_edit_distance_verify" -> Q(
+      (s, dir) => {
+        val p = Tables.documents(s, dir).select(col("doc_id"),
+          org.apache.spark.sql.functions.substring(col("text"), 1, 16).as("blk"),
+          org.apache.spark.sql.functions.substring(col("text"), 1, 48).as("t"))
+        p.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
+          .join(p.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
+            Seq("blk"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            org.apache.spark.sql.functions.levenshtein(
+              col("ta"), col("tb")).cast("long").as("dist"))
+          .where(col("dist") <= 8)
+      },
+      """WITH p AS (SELECT doc_id, substr(text, 1, 16) AS blk,
+        |    substr(text, 1, 48) AS t
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 8""".stripMargin),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

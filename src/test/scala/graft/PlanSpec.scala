@@ -527,6 +527,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q187/q188: DSIR weights broadcast; edit-distance verify is blocked, never all-pairs") {
+    val dPlan = planOf("q187_dsir_importance")
+    assert(dPlan.contains("BroadcastHashJoin"), dPlan)
+    assert(!dPlan.contains("CartesianProduct"), dPlan)
+    val ePlan = planOf("q188_edit_distance_verify")
+    // Levenshtein only runs under the prefix-equality equi-join
+    assert(!ePlan.contains("CartesianProduct")
+      && !ePlan.contains("BroadcastNestedLoopJoin"), ePlan)
+  }
+
   test("q183/q185: per-lang gate broadcasts its threshold; overlap matrix stays equi-join-only") {
     val gPlan = planOf("q183_lang_quantile_gate")
     assert(gPlan.contains("BroadcastHashJoin"), gPlan)
