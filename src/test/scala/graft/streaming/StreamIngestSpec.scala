@@ -527,6 +527,38 @@ class StreamIngestSpec extends SparkSuite {
     assert(updates.count(u => u.closed && u.user_id == 1L) == 2)
   }
 
+  test("maintainComponents: streamed upserts fold to the batch CC; re-delivered edges are idempotent") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("cc_src").toString
+    val chk = Files.createTempDirectory("cc_chk").toString
+    val out = Files.createTempDirectory("cc_out").toString + "/labels"
+    def write(name: String, es: Seq[(Long, Long)]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$src/$name"),
+        es.map { case (a, b) => s"""{"a": $a, "b": $b}""" }.mkString("\n").getBytes)
+      ()
+    }
+    val q = StreamIngest.maintainComponents(spark, src, chk, out)
+    val b1 = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 50L -> 51L)
+    val b2 = Seq(3L -> 10L, 20L -> 21L) // bridges {1,2,3}–{10,11}
+    write("b1.json", b1); q.processAllAvailable()
+    write("b2.json", b2); q.processAllAvailable()
+    def labels() = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.graph.ConnectedComponents.run((b1 ++ b2).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels() == want)
+    // the bridge actually merged across batches
+    assert(labels()(11L) == 1L)
+    // idempotence law: re-delivered edges recompute their delta against
+    // the already-merged labeling — same values, fold unchanged
+    write("b3.json", b2); q.processAllAvailable(); q.stop()
+    assert(labels() == want)
+    // the store is append-only: settled rows were upserted, not rewritten
+    // (the log holds per-batch rows; untouched {50,51} has ONE log row)
+    val log = spark.read.parquet(out)
+    assert(log.where(org.apache.spark.sql.functions.col("id") === 50L).count() == 1L)
+  }
+
   test("manifest on a text-less layout: absent, signalled, and rebuild-safe") {
     import spark.implicits._
     val out = Files.createTempDirectory("mf_notext").toString + "/layout"
