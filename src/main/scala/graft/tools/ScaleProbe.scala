@@ -191,7 +191,62 @@ object ScaleProbe {
           d.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", nShards = 64, nStripes = 32).count(),
-        d1, d10))
+        d1, d10),
+      ("trained_langid",
+        (d: DataFrame) => TextAnalysis.trainedLangId(d).count(),
+        d1, d10),
+      ("dsir_importance",
+        (d: DataFrame) => {
+          // synthDocs has no source column; a deterministic 20-way
+          // split stands in for the feed id (shape, not semantics)
+          val withSrc = d.withColumn("source",
+            concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20)).cast("string")))
+          val toks = withSrc.select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+            .select(col("doc_id"), col("source"),
+              (Dedup.hash64(col("tok")) % 256).cast("int").as("bucket"))
+          def ppm(src: DataFrame) =
+            src.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+              .select(col("bucket"), expr("cnt * 1000000 div sum(cnt) over ()").as("w"))
+          val wts = ppm(toks.where(col("source").isin("src0", "src1", "src2", "src3")))
+            .withColumnRenamed("w", "wr")
+            .join(ppm(toks).withColumnRenamed("w", "wc"), Seq("bucket"), "full")
+            .select(col("bucket"), (coalesce(col("wr"), lit(0L))
+              - coalesce(col("wc"), lit(0L))).as("w"))
+          toks.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+            .join(broadcast(wts), "bucket")
+            .groupBy(col("doc_id")).agg(sum(col("cnt") * col("w")).as("s"))
+            .where(col("s") > 0).count()
+        }, d1, d10),
+      ("source_overlap",
+        (d: DataFrame) => {
+          val withSrc = d.withColumn("source",
+            concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20)).cast("string")))
+          val h = withSrc.select(col("source"), md5(col("text")).as("h")).distinct()
+          h.select(col("source").as("sa"), col("h"))
+            .join(h.select(col("source").as("sb"), col("h")), Seq("h"))
+            .where(col("sa") < col("sb"))
+            .groupBy(col("sa"), col("sb")).count().count()
+        }, d1, d10),
+      ("edit_distance_verify",
+        (d: DataFrame) => {
+          val p = d.select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+            substring(col("text"), 1, 48).as("t"))
+          p.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
+            .join(p.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
+              Seq("blk"))
+            .where(col("doc_a") < col("doc_b"))
+            .where(levenshtein(col("ta"), col("tb")) <= 8).count()
+        }, d1, d10),
+      ("vocab_growth",
+        (d: DataFrame) => {
+          val toks = d.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("tok"))
+            .select(col("doc_id"), Dedup.hash64(col("tok")).as("th"))
+          toks.groupBy(col("th")).agg(min(col("doc_id")).as("fd"))
+            .select(length(expr("conv(fd + 1, 10, 2)")).as("b"))
+            .groupBy(col("b")).count().count()
+        }, d1, d10))
 
     // SPARK_GRAFT_PROBE_ONLY=fam1,fam2 — subset filter for targeted
     // probes of a new family without re-running the full table
