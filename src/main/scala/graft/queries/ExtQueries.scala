@@ -4181,14 +4181,18 @@ object ExtQueries {
         val p = Tables.documents(s, dir).select(col("doc_id"),
           org.apache.spark.sql.functions.substring(col("text"), 1, 16).as("blk"),
           org.apache.spark.sql.functions.substring(col("text"), 1, 48).as("t"))
+        // the THRESHOLD form runs the banded O(k·n) DP and returns -1
+        // above the bound — per-pair cost scales with the threshold,
+        // not len², exactly what a verify stage wants; kept distances
+        // are identical to the oracle's full Levenshtein
         p.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
           .join(p.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
             Seq("blk"))
           .where(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             org.apache.spark.sql.functions.levenshtein(
-              col("ta"), col("tb")).cast("long").as("dist"))
-          .where(col("dist") <= 8)
+              col("ta"), col("tb"), 8).cast("long").as("dist"))
+          .where(col("dist") >= 0)
       },
       """WITH p AS (SELECT doc_id, substr(text, 1, 16) AS blk,
         |    substr(text, 1, 48) AS t
