@@ -80,7 +80,7 @@ object AsOfJoin {
     unioned
       .withColumn("_asof_m", matched)
       .where(col("_asof_tag") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(c => col("_asof_m").getField(c).as(c)): _*)
   }
 }

@@ -215,7 +215,7 @@ object TextAnalysis {
                      bias: Long = 0L): Column = {
     require(weights.nonEmpty, "linearScoreCol needs a weight vector")
     val d = weights.length
-    val wArr = array(weights.map(lit): _*)
+    val wArr = array(weights.toIndexedSeq.map(lit): _*)
     val toks = filter(split(text, " "), t => length(t) > 0)
     aggregate(toks, lit(bias),
       (acc, t) => acc + element_at(wArr, (Dedup.hash64(t) % d).cast("int") + 1))
@@ -952,7 +952,7 @@ object TextAnalysis {
         val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
         for (w <- text.split(" ") if w.nonEmpty) {
           var syms: scala.collection.mutable.ArrayBuffer[String] =
-            scala.collection.mutable.ArrayBuffer(w.split(""): _*)
+            scala.collection.mutable.ArrayBuffer.from(w.split(""))
           for ((l, r) <- table) {
             val out = scala.collection.mutable.ArrayBuffer.empty[String]
             for (x <- syms) {

@@ -32,7 +32,7 @@ object ScaleProbe {
     * one appended token — shingle overlap ~ 1). */
   def synthDocs(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
     val v = vocab.toArray
-    val vLit = array(v.map(lit): _*)
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
     // content seed: near-dup pairs share it, so texts match except tail
     val seed = when(col("id") % 40 === 1, col("id") - 1).otherwise(col("id"))
     val len = (pmod(xxhash64(seed, lit("len")), lit(70)) + 20).cast("int")

@@ -103,7 +103,7 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
     val salted = big.withColumn("_salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(factor)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(factor)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
