@@ -4048,14 +4048,16 @@ object ExtQueries {
     // shared content hashes and the overlap share relative to the
     // smaller side. The fixture has no natural cross-source exact dups
     // (measured), so a mirror feed is INJECTED deterministically
-    // (doc_id%10=6 docs re-appear verbatim under 'mirror_feed' — the
+    // (doc_id%7=2 docs re-appear verbatim under 'mirror_feed'; 7 is
+    // coprime to the 20-way source cycle, so the mirror overlaps
+    // EVERY source — the
     // q64 typed-injection discipline). Hash-only columns move, never
     // text (the q152 snapshot-diff economics); output is bounded by
     // |sources|² pairs with ≥ 1 shared hash.
     "q185_source_overlap" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val mirrored = docs.where(col("doc_id") % 10 === 6)
+        val mirrored = docs.where(col("doc_id") % 7 === 2)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
             lit("mirror_feed").as("source"))
         val v = docs.select(col("doc_id"), col("text"), col("source"))
@@ -4080,7 +4082,7 @@ object ExtQueries {
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text, 'mirror_feed' FROM documents
-        |  WHERE doc_id % 10 = 6),
+        |  WHERE doc_id % 7 = 2),
         |h AS (SELECT DISTINCT source, md5(text) AS h FROM v),
         |tot AS (SELECT source, cast(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
         |sh AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -4201,6 +4203,46 @@ object ExtQueries {
         |  cast(levenshtein(a.t, b.t) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.t, b.t) <= 8""".stripMargin),
+
+    // ── clean pipeline gated by the TRAINED router ─────────────────────
+    // q74's cleaning chain with the language gate swapped from the
+    // marker-word heuristic to the q178 TRAINED router — the
+    // "downstream consumer" wiring that makes a better router matter.
+    // Scope is the router's holdout (odd doc_ids — predictions on
+    // training rows would flatter the gate); a doc passes iff the
+    // trained prediction matches its label AND the q74 length /
+    // repetition gates hold. Oracle composes the q178 CTE chain with
+    // the q74 predicates.
+    "q189_clean_trained" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val langOk = TextAnalysis.trainedLangId(docs)
+          .where(col("is_match")).select("doc_id")
+        val longEnough = TextAnalysis.qualityScore(docs)
+          .where(col("n_tokens") >= 25).select("doc_id")
+        val lowRep = TextAnalysis.repetitionScore(docs, n = 2)
+          .where(col("rep_ratio") < 0.05).select("doc_id")
+        docs.join(langOk, Seq("doc_id"), "left_semi")
+          .join(longEnough, Seq("doc_id"), "left_semi")
+          .join(lowRep, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang")
+      },
+      s"""WITH $trainedLangCtes,
+         |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
+         |longok AS (SELECT doc_id FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 25),
+         |reps AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+         |  (SELECT doc_id, g, count(*) AS c FROM
+         |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |                 FROM documents) WHERE len(t) >= 2))
+         |   GROUP BY 1, 2) GROUP BY doc_id),
+         |repok AS (SELECT doc_id FROM reps WHERE rep_ratio < 0.05)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM lok)
+         |  AND doc_id IN (SELECT doc_id FROM longok)
+         |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin),
 
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
