@@ -585,8 +585,12 @@ object ExtQueries {
     "q181_cc_add" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // checkpoint the pair relation: the old-CC loop, the merge
+        // stage, and the endpoint sets otherwise each re-derive the
+        // full Jaccard join through their own lineages
         val pairs = Dedup.ngramJaccardPairs(docs, n = 5, tau = 0.5)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint(true)
         def isNew(c: org.apache.spark.sql.Column) = c % 7 === 3
         val oldLabels = graft.graph.ConnectedComponents.run(
           pairs.where(!isNew(col("a")) && !isNew(col("b"))))
