@@ -316,6 +316,9 @@ object GraphQueries {
           .withColumn("parent", lag(col("event_id"), 1).over(chainW))
           .withColumn("rrev", row_number().over(chainWDesc))
           .where(col("parent").isNotNull)
+        // NOT checkpointed: both splits re-derive the two window stages,
+        // but measured (r9, q22/q31-controlled min-of-3) the recompute is
+        // cheaper than eagerly materializing the full edge relation
         val old = edges.where(col("rrev") > 2)
           .select(col("event_id").as("id"), col("parent"))
         val batch = edges.where(col("rrev") <= 2)
