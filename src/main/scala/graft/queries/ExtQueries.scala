@@ -4248,6 +4248,80 @@ object ExtQueries {
          |  AND doc_id IN (SELECT doc_id FROM longok)
          |  AND doc_id IN (SELECT doc_id FROM repok)""".stripMargin),
 
+    // ── the RELEASE PIPELINE capstone (trained gate → dedup → mix →
+    //    shards → manifest) ──────────────────────────────────────────────
+    // The terminal composition of the round-9 surface: documents pass
+    // the TRAINED-router cleaning gate (q189's chain), exact first-wins
+    // dedup (q30), α=1/2 temperature mixing to a token budget (q157),
+    // the deterministic shard layout (q124), and emit the per-shard
+    // integrity MANIFEST (q165's arithmetic) — the |shards|-row
+    // artifact a training run validates before reading. Every stage is
+    // its already-verified fragment; ONE oracle replays raw documents →
+    // manifest end-to-end, so the driver hash-verifies the whole
+    // release path in a single gate. No new exchange classes.
+    "q190_release_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val langOk = TextAnalysis.trainedLangId(docs)
+          .where(col("is_match")).select("doc_id")
+        val longEnough = TextAnalysis.qualityScore(docs)
+          .where(col("n_tokens") >= 25).select("doc_id")
+        val lowRep = TextAnalysis.repetitionScore(docs, n = 2)
+          .where(col("rep_ratio") < 0.05).select("doc_id")
+        val clean = docs.join(langOk, Seq("doc_id"), "left_semi")
+          .join(longEnough, Seq("doc_id"), "left_semi")
+          .join(lowRep, Seq("doc_id"), "left_semi")
+        val keeper = clean
+          .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        val deduped = clean.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val mixed = Sampling.sampleToTemperature(deduped, "doc_id", "lang",
+          "n_tokens", totalBudget = 6000L)
+        graft.streaming.StreamIngest.manifestOf(
+          Sampling.shuffleShards(
+            mixed.select(col("doc_id"), col("text")), "doc_id", nShards = 4))
+      },
+      {
+        val dedSql = "SELECT doc_id, lang, n_tokens FROM ded"
+        s"""WITH $trainedLangCtes,
+           |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
+           |longok AS (SELECT doc_id FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 25),
+           |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+           |  (SELECT doc_id, g, count(*) AS c FROM
+           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |                 FROM documents) WHERE len(t) >= 2))
+           |   GROUP BY 1, 2) GROUP BY doc_id),
+           |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
+           |clean AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM lok)
+           |    AND doc_id IN (SELECT doc_id FROM longok)
+           |    AND doc_id IN (SELECT doc_id FROM repok)),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+           |ded AS (SELECT c.doc_id, c.lang, c.text,
+           |    cast(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM clean c JOIN keep USING (doc_id)),
+           |${Sampling.temperatureBudgetCtes(dedSql, "lang", "n_tokens", 6000L)},
+           |tmixed AS (SELECT doc_id, lang, text, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
+           |  FROM ded),
+           |mx AS (SELECT m.doc_id, m.text FROM tmixed m
+           |       JOIN tbudget b ON m.lang = b.domain WHERE m.cum <= b.b),
+           |shd AS (SELECT doc_id, text,
+           |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    ${Sampling.rowHashSql("doc_id", "shard")} % 4 AS shard,
+           |    ${sqlHash64("cast(doc_id AS VARCHAR) || ':' || text")} AS h
+           |  FROM mx)
+           |SELECT shard, cast(count(*) AS BIGINT) AS n_docs,
+           |  cast(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  cast(bit_xor(h) AS BIGINT) AS checksum
+           |FROM shd GROUP BY shard""".stripMargin
+      }),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

@@ -537,6 +537,12 @@ class PlanSpec extends SparkSuite {
       && !ePlan.contains("BroadcastNestedLoopJoin"), ePlan)
   }
 
+  test("q190: the release capstone stays equi-join-only end to end") {
+    val plan = planOf("q190_release_pipeline")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q183/q185: per-lang gate broadcasts its threshold; overlap matrix stays equi-join-only") {
     val gPlan = planOf("q183_lang_quantile_gate")
     assert(gPlan.contains("BroadcastHashJoin"), gPlan)
