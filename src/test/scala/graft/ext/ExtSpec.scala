@@ -1366,6 +1366,105 @@ class ExtSpec extends SparkSuite {
     assert(hist.map { case (sz, n) => sz * n }.sum == 4L)
   }
 
+  test("packing efficiency law: per-shard waste is bounded by one partial sequence") {
+    // the q149 layout cuts documents across boundaries, so only each
+    // shard's LAST sequence can be partial — per shard,
+    // capacity − filled < seqLen (the q182 report's structural law)
+    val docs = (1L to 200L)
+      .map(i => (i, (1 to (5 + (i % 37)).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val L = 64
+    val eff = SeqPack.packSequences(docs, "doc_id", "text", shards = 4, seqLen = L)
+      .groupBy($"shard")
+      .agg(org.apache.spark.sql.functions.count($"seq_id").as("n_seqs"),
+        org.apache.spark.sql.functions.sum($"n_tok_filled").as("n_tokens"))
+      .collect()
+    assert(eff.length == 4)
+    for (r <- eff) {
+      val waste = r.getAs[Long]("n_seqs") * L - r.getAs[Long]("n_tokens")
+      assert(waste >= 0 && waste < L, s"shard ${r.get(0)} waste $waste")
+    }
+  }
+
+  test("DSIR-shape scoring separates target-like from anti-target documents") {
+    graft.functions.Md5Prefix64.register(spark)
+    // target slice speaks vocabulary A, the rest vocabulary B; a held
+    // doc written in A must outscore one written in B under the
+    // ppm-difference weights (the q187 discipline, minus the registry
+    // plumbing — weights derived exactly as the query does)
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, if (i <= 10) a else b))).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .select($"doc_id", (Dedup.hash64($"tok") % 256).cast("int").as("bucket"))
+    def ppm(src: org.apache.spark.sql.DataFrame) =
+      src.groupBy($"bucket").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .select($"bucket", org.apache.spark.sql.functions.expr(
+          "cnt * 1000000 div sum(cnt) over ()").as("w"))
+    val wts = ppm(toks.where($"doc_id" <= 10)).withColumnRenamed("w", "wr")
+      .join(ppm(toks).withColumnRenamed("w", "wc"), Seq("bucket"), "full")
+      .select($"bucket", (org.apache.spark.sql.functions.coalesce($"wr",
+        org.apache.spark.sql.functions.lit(0L))
+        - org.apache.spark.sql.functions.coalesce($"wc",
+          org.apache.spark.sql.functions.lit(0L))).as("w"))
+    val scores = toks.groupBy($"doc_id", $"bucket")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .join(wts, "bucket")
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sum($"cnt" * $"w").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every A-doc (incl. held-out ids 1..10 == the target slice here)
+    // scores strictly above every B-doc
+    val aScores = (1L to 10L).map(scores)
+    val bScores = (11L to 40L).map(scores)
+    assert(aScores.min > bScores.max,
+      s"A ${aScores.min} must exceed B ${bScores.max}")
+  }
+
+  test("token Gini bounds: equal masses score 0, total concentration approaches (n-1)/n") {
+    def gini(masses: Seq[(String, Long)]): Long = {
+      val m = masses.toDF("source", "m")
+        .groupBy($"source").agg(org.apache.spark.sql.functions.sum($"m").as("m"))
+      val ranked = m.withColumn("i",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"m", $"source")).cast("long"))
+      ranked.agg(org.apache.spark.sql.functions.expr(
+          "(2 * sum(i * m) - (count(1) + 1) * sum(m)) * 1000000" +
+            " div (count(1) * sum(m))").as("g"))
+        .collect().head.getLong(0)
+    }
+    assert(gini(Seq("a" -> 100L, "b" -> 100L, "c" -> 100L, "d" -> 100L)) == 0L)
+    // one source holds ~everything: G → (n−1)/n = 0.75 for n = 4
+    val g = gini(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 100000L))
+    assert(g > 700000L && g < 750000L, s"gini $g")
+  }
+
+  test("vocab growth conservation: cumulative types equal total distinct hashes and grow monotonically") {
+    graft.functions.Md5Prefix64.register(spark)
+    val docs = (0L until 64L)
+      .map(i => (i, (0 to 4).map(j => s"t${(i * 5 + j) % 90}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .select($"doc_id", Dedup.hash64($"tok").as("th"))
+    val total = toks.select($"th").distinct().count()
+    val curve = toks.groupBy($"th")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("fd"))
+      .select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.expr("conv(fd + 1, 10, 2)")).as("b"))
+      .groupBy($"b").count()
+      .orderBy($"b")
+      .collect().map(r => r.getLong(1))
+    assert(curve.sum == total)
+    val cums = curve.scanLeft(0L)(_ + _).drop(1).toSeq
+    assert(cums == cums.sorted)
+  }
+
   test("bpeTrain: minCount bounds the driver histogram on an adversarial open vocabulary") {
     // EVERY word unique (hapax-only corpus — the adversarial open
     // vocabulary): minCount = 2 prunes the histogram to EMPTY before
