@@ -256,27 +256,48 @@ object KMeans {
   // assignments should pay assignment-read cost, not retraining. The
   // fit is DETERMINISTIC (integer arithmetic, fixed init), so the cache
   // is semantically invisible — the memoization spec pins both.
-  private val sessionAssign =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sessionAssign = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   /** Number of actual training runs [[sessionCluster]] has paid this
     * session — exposed so the memoization spec can pin train-once. */
   private[graft] val sessionFitCount =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** [[cluster]] memoized per (corpus key, k, iters) for this JVM
-    * session: the (vec_id, cluster) assignment persists to a scratch
-    * parquet once and later callers read the artifact (two index-sized
-    * columns, never a retrain). */
+  /** [[cluster]] memoized per (corpus key, CONTENT fingerprint, k,
+    * iters) for this JVM session: the (vec_id, cluster) assignment
+    * persists to a scratch parquet once and later callers read the
+    * artifact (two index-sized columns, never a retrain).
+    *
+    * The key folds in a content fingerprint (row count + order-free
+    * vec_id hash — a pruned single-column aggregate, negligible next to
+    * any training run) so the cache stays invisible even if the data
+    * under a corpus key changes mid-session (fixture regeneration,
+    * tests sharing a SparkSession). The fit itself runs OUTSIDE any map
+    * lock: `putIfAbsent` installs a future in O(1) and losers block on
+    * the future, not on a ConcurrentHashMap bin held for the duration
+    * of a multi-second Spark job. */
   def sessionCluster(embeddings: DataFrame, corpusKey: String,
                      k: Int, iters: Int): DataFrame = {
-    val path = sessionAssign.computeIfAbsent(s"km|$corpusKey|$k|$iters", _ => {
-      sessionFitCount.incrementAndGet()
-      val p = Similarity.scratchIndexDir("km")
-      cluster(embeddings, k, iters).write.parquet(p)
-      p
-    })
-    embeddings.sparkSession.read.parquet(path)
+    val fp = embeddings
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)))
+      .head()
+    val key = s"km|$corpusKey|${fp.getLong(0)}:${fp.getLong(1)}|$k|$iters"
+    val holder = new java.util.concurrent.CompletableFuture[String]
+    val fut = Option(sessionAssign.putIfAbsent(key, holder)).getOrElse {
+      try {
+        sessionFitCount.incrementAndGet()
+        val p = Similarity.scratchIndexDir("km")
+        cluster(embeddings, k, iters).write.parquet(p)
+        holder.complete(p)
+      } catch { case e: Throwable =>
+        sessionAssign.remove(key, holder)
+        holder.completeExceptionally(e)
+        throw e
+      }
+      holder
+    }
+    embeddings.sparkSession.read.parquet(fut.join())
   }
 
   /** DuckDB oracle for [[cluster]] — the identical unrolled computation

@@ -126,9 +126,14 @@ object Closure {
     * forest. `newEdges`: (id, parent) — an APPEND-ONLY batch: its
     * child ids are new (never re-parents a node the settled map
     * already resolves), which is exactly the arrival order a crawl
-    * produces (children arrive after their parents). Under that
-    * contract the result is EXACTLY `resolveRoots(old ∪ new)` (the
-    * spec and q180's shared batch oracle pin hash-equality):
+    * produces (children arrive after their parents). The contract is
+    * ENFORCED, not assumed: a batch child found among the settled ids
+    * (delta probe join) or among the old roots (pass-through join)
+    * raises loudly instead of emitting conflicting rows — the spec
+    * plants both violation shapes and a depth-ordered ANY-prefix-split
+    * property pins exactly what holds. Under the contract the result
+    * is EXACTLY `resolveRoots(old ∪ new)` (the spec and q180's shared
+    * batch oracle pin hash-equality):
     *
     *  - the batch resolves INTERNALLY first — `resolveRoots(newEdges)`
     *    is O(log batch-depth) joins over batch-sized relations only —
@@ -162,9 +167,40 @@ object Closure {
                     maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val batchRoots = resolveRoots(newEdges, maxIter)
-    val lifted = settled.as("s")
-      .join(broadcast(batchRoots.as("n")), col("s.id") === col("n.root"))
-      .select(col("n.id").as("id"), col("s.root").as("_lifted"))
+    // Append-only contract GUARD (the repo's fail-loudly discipline): a
+    // batch edge that re-parents an id the settled forest already
+    // contains would make [[addEdges]]' union silently emit conflicting
+    // rows (if the id is a settled CHILD) or silently strand every
+    // settled descendant on a stale root (if the id is an old ROOT —
+    // present only in the root column). Both halves of the guard ride
+    // the EXISTING single probe scan: the broadcast side carries every
+    // batch child id tagged _viol=true alongside the root probe keys,
+    // and the stream side generates both match keys map-side (id for
+    // the lift probe + the child-vs-settled-id half; root for the
+    // child-vs-old-root half) — one settled scan, zero exchanges on
+    // the corpus-sized relation, exactly as before.
+    val probeSide = batchRoots
+        .select(col("id"), col("root").as("_pk"), lit(false).as("_viol"))
+      .unionByName(batchRoots
+        .select(col("id"), col("id").as("_pk"), lit(true).as("_viol")))
+    val keyed = settled
+      .select(col("id"), col("root"), explode(array(
+        struct(col("id").as("_k"), lit(true).as("_isId")),
+        struct(col("root").as("_k"), lit(false).as("_isId")))).as("_e"))
+      .select(col("root").as("_sroot"), col("_e._k").as("_k"),
+        col("_e._isId").as("_isId"))
+    val lifted = keyed
+      .join(broadcast(probeSide), col("_k") === col("_pk"))
+      .where(col("_viol") || col("_isId"))
+      .select(
+        when(col("_viol"), raise_error(concat(
+          lit("Closure.addEdges: append-only contract violated — " +
+            "batch edge re-parents "),
+          when(col("_isId"), lit("already-settled id "))
+            .otherwise(lit("old root ")),
+          col("_k").cast("string"))))
+          .otherwise(col("id")).as("id"),
+        col("_sroot").as("_lifted"))
     batchRoots
       .join(broadcast(lifted), Seq("id"), "left")
       .select(col("id"), coalesce(col("_lifted"), col("root")).as("root"))

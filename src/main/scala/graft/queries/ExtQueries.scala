@@ -4337,13 +4337,18 @@ object ExtQueries {
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("m"), col("source"))).cast("long"))
+        // The rank-formula numerator is ~n·(Σm)·1e6 — at the 100 TB
+        // target (Σm ≈ 1e13 tokens) that overflows Long, so the whole
+        // numerator/denominator chain runs in DECIMAL(38,0) (HUGEINT on
+        // the oracle side), the same widening as the temperature budgets.
         ranked.agg(count(lit(1)).as("n_sources"),
             sum(col("m")).as("total_tokens"),
-            sum(col("i") * col("m")).as("_s"))
+            sum(col("i").cast("decimal(38,0)") * col("m")).as("_s"))
           .select(col("n_sources"), col("total_tokens"),
             org.apache.spark.sql.functions.expr(
-              "(2 * _s - (n_sources + 1) * total_tokens) * 1000000" +
-                " div (n_sources * total_tokens)").as("gini_ppm"))
+              "cast((2 * _s - (cast(n_sources as decimal(38,0)) + 1) * total_tokens)" +
+                " * 1000000 div (cast(n_sources as decimal(38,0)) * total_tokens)" +
+                " as bigint)").as("gini_ppm"))
       },
       """WITH m AS (SELECT source,
         |    cast(sum(len(string_split(text, ' '))) AS BIGINT) AS m
@@ -4352,8 +4357,9 @@ object ExtQueries {
         |      FROM m)
         |SELECT cast(count(*) AS BIGINT) AS n_sources,
         |  cast(sum(m) AS BIGINT) AS total_tokens,
-        |  cast((2 * sum(i * m) - (count(*) + 1) * sum(m)) * 1000000
-        |       // (count(*) * sum(m)) AS BIGINT) AS gini_ppm
+        |  cast((2 * sum(cast(i AS HUGEINT) * m)
+        |        - (count(*) + 1) * cast(sum(m) AS HUGEINT)) * 1000000
+        |       // (count(*) * cast(sum(m) AS HUGEINT)) AS BIGINT) AS gini_ppm
         |FROM r""".stripMargin),
   )
 

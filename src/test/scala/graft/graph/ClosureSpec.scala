@@ -91,6 +91,55 @@ class ClosureSpec extends SparkSuite {
     assert(settledMap ++ delta == full)
   }
 
+  test("addEdges guard: a batch edge re-parenting a settled id raises loudly") {
+    val settled = Closure.resolveRoots(Seq(2L -> 1L, 3L -> 2L).toDF("id", "parent"))
+    val batch = Seq(3L -> 9L).toDF("id", "parent") // 3 is already settled
+    val e = intercept[Exception] {
+      Closure.addEdges(settled, batch).collect()
+    }
+    assert(e.getMessage.contains("append-only contract"), e.getMessage)
+  }
+
+  test("addEdges guard: a batch edge re-parenting an OLD ROOT raises loudly") {
+    // 1 never appears as a settled id (it has no parent row) but it IS
+    // the old forest's root — re-parenting it would silently strand 2
+    // and 3 on the stale root, so the guard's root-column half fires
+    val settled = Closure.resolveRoots(Seq(2L -> 1L, 3L -> 2L).toDF("id", "parent"))
+    val batch = Seq(1L -> 9L).toDF("id", "parent")
+    val e = intercept[Exception] {
+      Closure.addEdges(settled, batch).collect()
+    }
+    assert(e.getMessage.contains("old root"), e.getMessage)
+  }
+
+  test("addEdges property: ANY depth-ordered prefix split matches full recompute") {
+    // Exactly what the append-only contract guarantees (and no more):
+    // children arrive after their parents. Depth-ordering the edges and
+    // cutting at ANY point produces a contract-respecting split — the
+    // incremental result must be hash-equal to the full recompute, and
+    // the guard must stay silent.
+    val rnd = new Random(7)
+    for (_ <- 1 to 8) {
+      val n = 20 + rnd.nextInt(150)
+      val edges = (2 to n).flatMap { id =>
+        if (rnd.nextDouble() < 0.85) Some(id.toLong -> (1 + rnd.nextInt(id - 1)).toLong)
+        else None
+      }
+      val parent = edges.toMap
+      def depth(x: Long): Int = parent.get(x).map(depth(_) + 1).getOrElse(0)
+      val ordered = edges.sortBy { case (id, _) => (depth(id), id) }
+      val cut = 1 + rnd.nextInt(ordered.size - 1)
+      val (old, batch) = ordered.splitAt(cut)
+      val full = Closure.resolveRoots(edges.toDF("id", "parent"))
+        .as[(Long, Long)].collect().toMap
+      val inc = Closure.addEdges(
+          Closure.resolveRoots(old.toDF("id", "parent")),
+          batch.toDF("id", "parent"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"cut=$cut n=$n")
+    }
+  }
+
   test("addEdges: the settled relation is probed, not re-resolved") {
     val dir = java.nio.file.Files.createTempDirectory("settled").toString + "/roots"
     val old = (8 to 200).map(i => (i.toLong, (i / 2).toLong))
