@@ -97,13 +97,25 @@ object Bench {
       "\"" + n + "\":[" + samples(n).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // DISCLOSURE: queries whose plan reads a session-scoped artifact
+    // (trained codebook / BPE merges / settled graph store) pay the
+    // build on pass 1 only — their min-of-N prices the amortized
+    // operating cost a train-once deployment runs, not the build.
+    // Listed explicitly so the artifact is honest about which rows
+    // carry that pricing contract (see samples[] for the pass-1 cost).
+    val sessionCached = Seq(
+      "q100_ann_pq", "q101_ann_ivfpq", "q110_bpe_segment", "q119_bpe_stats",
+      "q121_bpe_encode_ids", "q127_bpe_persisted", "q137_semantic_dedup",
+      "q147_dedup_cascade", "q191_closure_delta", "q192_cc_delta")
+      .filter(samples.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
     val execJson =
       if (execStats.isEmpty) ""
       else names.filter(execStats.contains)
         .map(n => "\"" + n + "\":" + execStats(n).json)
         .mkString(""","exec":{""", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed$execJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"session_cached":$sessionCached$execJson,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but its capture truncates
     // (BENCH_r05/r06 lost every per-query number past ~q99 to a 2000-char

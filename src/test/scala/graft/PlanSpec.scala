@@ -527,6 +527,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q191: delta closure scans the settled parquet exactly twice, batch joins broadcast-only") {
+    val plan = planOf("q191_closure_delta")
+    // probe join + union pass-through — never re-resolved, never shuffled
+    assert("/settled".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q192: delta CC probes the persisted labeling (≤2 scans), batch joins broadcast-only") {
+    val plan = planOf("q192_cc_delta")
+    assert("/labels".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q187/q188: DSIR weights broadcast; edit-distance verify is blocked, never all-pairs") {
     val dPlan = planOf("q187_dsir_importance")
     assert(dPlan.contains("BroadcastHashJoin"), dPlan)

@@ -1,0 +1,40 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionStoreSpec extends AnyFunSuite {
+
+  test("getOrBuild builds once per key and returns the same artifact") {
+    val before = SessionStore.buildCount.get()
+    var builds = 0
+    def build(p: String): Unit = { builds += 1; assert(new java.io.File(p).mkdirs()) }
+    val p1 = SessionStore.getOrBuild("spec|once", "t")(build)
+    val p2 = SessionStore.getOrBuild("spec|once", "t")(build)
+    assert(p1 == p2)
+    assert(builds == 1)
+    assert(SessionStore.buildCount.get() == before + 1)
+  }
+
+  test("a failed build is not cached — the key rebuilds on retry") {
+    val e = intercept[RuntimeException] {
+      SessionStore.getOrBuild("spec|bad", "t")(_ => throw new RuntimeException("boom"))
+    }
+    assert(e.getMessage == "boom")
+    val p = SessionStore.getOrBuild("spec|bad", "t") { p =>
+      assert(new java.io.File(p).mkdirs())
+    }
+    assert(new java.io.File(p).exists())
+  }
+
+  test("dirFingerprint moves when a file's content length changes") {
+    val d = java.nio.file.Files.createTempDirectory("fp_spec").toFile
+    val f = new java.io.File(d, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, "one".getBytes("UTF-8"))
+    val fp1 = SessionStore.dirFingerprint(d.toString)
+    java.nio.file.Files.write(f.toPath, "longer".getBytes("UTF-8"))
+    val fp2 = SessionStore.dirFingerprint(d.toString)
+    assert(fp1 != fp2)
+    // and it is stable when nothing changed
+    assert(SessionStore.dirFingerprint(d.toString) == fp2)
+  }
+}
