@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteDot, LongDot, Md5Prefix64, RollingFingerprint}
+import graft.functions.{ByteDot, LongDot, Md5Prefix64, NfcNormalize, PctDecodeUnreserved, RollingFingerprint}
 
 /** Library entry point for the SQL surface: the custom codegen
   * expressions as SQL-callable functions.
@@ -56,7 +56,12 @@ object GraftExtensions {
     (FunctionIdentifier("md5_prefix64"), info("md5_prefix64", classOf[Md5Prefix64]),
       arity("md5_prefix64", 1)(exprs => Md5Prefix64(exprs.head))),
     (FunctionIdentifier("rolling_fp"), info("rolling_fp", classOf[RollingFingerprint]),
-      arity("rolling_fp", 1)(exprs => RollingFingerprint(exprs.head))))
+      arity("rolling_fp", 1)(exprs => RollingFingerprint(exprs.head))),
+    (FunctionIdentifier("graft_nfc"), info("graft_nfc", classOf[NfcNormalize]),
+      arity("graft_nfc", 1)(exprs => NfcNormalize(exprs.head))),
+    (FunctionIdentifier("graft_pct_decode"),
+      info("graft_pct_decode", classOf[PctDecodeUnreserved]),
+      arity("graft_pct_decode", 1)(exprs => PctDecodeUnreserved(exprs.head))))
 
   /** Register every function on an existing session (temp-function
     * registry — same names the extension path injects). */

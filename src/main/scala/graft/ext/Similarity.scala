@@ -253,6 +253,43 @@ object Similarity {
       .distinct()
   }
 
+  /** DuckDB oracle for [[cosineDupPairs]] at ANY (bits, bands) preset —
+    * the banded sign-LSH replayed STRUCTURALLY: per-plane sign bits from
+    * the same deterministic [[hyperplane]] family (±1 literal arrays
+    * generated into the SQL), per-band keys, the band equi-join, the
+    * inline cosine gate, the pair distinct. Because the oracle mirrors
+    * the banding itself (not the brute-force pair set), equality holds
+    * at ANY preset regardless of LSH recall — which is exactly what
+    * lets the PRODUCTION 8×8 preset be driver-priced: the fixture-tau
+    * brute-force oracle (q46) only works because 2×16 banding recalls
+    * everything at tau 0.4. The band key here is the band's bits as a
+    * small integer rather than the engine's masked-in-place long —
+    * equality of either representation partitions pairs identically.
+    * `vSql` overrides the vector source CTE body (must yield
+    * (vec_id, embedding)) — the q195 twin injection rides it. */
+  def cosineLshOracleSql(dim: Int, tau: Double, bits: Int, bands: Int,
+                         vSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+    val cosExpr = "list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))"
+    val bandArms = (0 until bands).map { b =>
+      val key = (0 until bits).map { i =>
+        val plane = hyperplane(b * bits + i, dim).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $plane::DOUBLE[]) >= 0" +
+          s" THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, q, $b AS band, $key AS kb FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS ($vSql),
+       |e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |  FROM v),
+       |bnd AS ($bandArms)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
+       |FROM bnd a JOIN bnd b ON a.band = b.band AND a.kb = b.kb
+       |  AND a.vec_id < b.vec_id
+       |WHERE $cosExpr >= $tau""".stripMargin
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * ranked per query by (cos desc, vec_id).
     */

@@ -243,6 +243,46 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_uniq"))
   }
 
+  /** Blocked threshold-edit-distance verify over the leading `window`
+    * characters: candidate pairs block on PREFIX-`blockLen` equality
+    * UNION SUFFIX-`blockLen` equality (suffix realised as a prefix of
+    * the reversed window so both engines index identically), deduped,
+    * then verified with the banded O(maxDist·n) Levenshtein DP — per-
+    * pair cost scales with the threshold, not len², and kept distances
+    * are exact.
+    *
+    * Recall contract: a near-dup pair is found iff its edits leave the
+    * window's first OR last `blockLen` characters untouched — the
+    * two-block union catches the common "typo in the first word" case
+    * a prefix-only block structurally drops. Pairs edited at BOTH ends
+    * within the window are still missed: that residue is inherent to
+    * equi-join blocking (an all-pairs verify is the O(n²) this stage
+    * exists to avoid); the q107 positional-q-gram spans are the
+    * finer-grained tool when it matters. Blocks carry a kind tag so a
+    * prefix never collides with a suffix. Scale shape: two map-side
+    * projections of one scan, one equi-join on the block key, volume
+    * bounded by block-bucket² (the q77 banded discipline).
+    */
+  def editDistancePairs(docs: DataFrame, window: Int = 48,
+                        blockLen: Int = 16, maxDist: Int = 8): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      substring(col("text"), 1, window).as("t"))
+    val blocks = p.select(
+        concat(lit("P|"), substring(col("t"), 1, blockLen)).as("blk"),
+        col("doc_id"), col("t"))
+      .unionByName(p.select(
+        concat(lit("S|"), substring(reverse(col("t")), 1, blockLen)).as("blk"),
+        col("doc_id"), col("t")))
+    blocks.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
+      .join(blocks.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
+        Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0)
+  }
+
   /** Intra-document repetition score (the Gopher-style quality filter):
     * fraction of the document's word n-grams occupied by its single most
     * repeated n-gram. Grams are counted with multiplicity — a document
@@ -402,6 +442,32 @@ object TextAnalysis {
   def normalizeTextSql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** MULTILINGUAL normalization key: Unicode NFC + casefold + space
+    * squeeze — [[normalizeTextCol]] without the ASCII alphabet strip
+    * (which would delete every non-Latin script outright). NFC first
+    * ([[graft.functions.NfcNormalize]], codegen'd, ASCII fast path):
+    * crawls deliver `é` both composed (U+00E9) and decomposed
+    * (`e`+U+0301) and the two spellings hash apart, so multilingual
+    * dedup keys MUST compose before hashing. Casefold is `lower()` on
+    * both engines — identical on Latin/Cyrillic/Greek simple mappings;
+    * residual locale divergences are DOCUMENTED descopes: Turkish
+    * İ/dotless-i (Java applies the full SpecialCasing expansion
+    * İ→i+U+0307, utf8proc the simple map) and Greek final-sigma
+    * (Java is position-aware, utf8proc isn't) — a corpus needing those
+    * locales correct wants ICU casefolding, not lower(). Self-
+    * registers [[graft.functions.NfcNormalize]] on the active session.
+    * Idempotent: NFC∘NFC = NFC and lower of a lowered string is
+    * itself (law spec-pinned). */
+  def normalizeTextUnicodeCol(text: Column): Column = {
+    graft.functions.NfcNormalize.register(org.apache.spark.sql.SparkSession.active)
+    trim(regexp_replace(lower(call_function("graft_nfc", text)), " +", " "))
+  }
+
+  /** [[normalizeTextUnicodeCol]] in DuckDB SQL (oracle twin —
+    * `nfc_normalize` is DuckDB's Unicode canonical composition). */
+  def normalizeTextUnicodeSql(e: String): String =
+    s"trim(regexp_replace(lower(nfc_normalize($e)), ' +', ' ', 'g'))"
+
   /** Known tracking query parameters stripped by [[canonicalUrlCol]] —
     * an alternation of exact param NAMES (each match is anchored by a
     * preceding `?`/`&` and a following `=`, so `said`/`sident` never
@@ -422,35 +488,84 @@ object TextAnalysis {
     * shuffles; patterns use the Java/RE2-identical subset (the
     * normalizeTextCol discipline; the replacement backreference is
     * `$1` in Java, `\\1` in RE2 — syntax differs, semantics agree).
-    * Deliberately NOT full RFC 3986 canonicalization (percent-
-    * decoding, path-segment dot removal, default-port folding are
-    * ICU/URI-library concerns) — the contract is the high-yield folds
-    * crawl dedup actually runs. Folds apply ONCE per call: a
-    * pathological `www.www.` host loses one `www.` per application
-    * (idempotence holds for well-formed URLs, spec-pinned, not for
-    * stacked prefixes — documented, not silent).
+    * RFC 3986 folds covered: percent-decoding of UNRESERVED octets
+    * (§2.3, via the codegen'd [[graft.functions.PctDecodeUnreserved]]
+    * — reserved escapes like `%2f` survive, decoding them would merge
+    * distinct paths; decoding runs FIRST so `%2e` participates in the
+    * dot-segment fold exactly as the RFC requires), default-port strip
+    * (`:80` for http / `:443` for https, §3.2.3), and dot-segment
+    * removal (`/./` runs collapse; ONE level of `/seg/../` folds per
+    * call — stacked `a/b/../../c` needs one application per level,
+    * the same once-per-call discipline as the `www.` fold below;
+    * segments that are all dots never count as the folded `seg`).
+    * Full generic-URI resolution (scheme-relative refs, userinfo
+    * folds, IDN hosts) stays an ICU/URI-library concern — documented,
+    * not silent. Folds apply ONCE per call: a pathological `www.www.`
+    * host loses one `www.` per application (idempotence holds for
+    * well-formed URLs, spec-pinned, not for stacked prefixes or
+    * stacked `..` — documented, not silent). Self-registers
+    * [[graft.functions.PctDecodeUnreserved]] on the active session.
     */
   def canonicalUrlCol(url: Column): Column = {
+    graft.functions.PctDecodeUnreserved.register(
+      org.apache.spark.sql.SparkSession.active)
     val noFrag = regexp_replace(lower(url), "#.*$", "")
+    // unreserved %-escapes decode before any structural fold (so %2e
+    // joins dot-segments, %70 joins the path text) — reserved escapes
+    // survive by construction of the expression
+    val decoded = call_function("graft_pct_decode", noFrag)
     // tracking params drop to their leading separator; separator runs
     // then collapse and dangling ?/& trim away
-    val noTrack = regexp_replace(noFrag, s"([?&])($TrackingParams)=[^&]*", "$1")
+    val noTrack = regexp_replace(decoded, s"([?&])($TrackingParams)=[^&]*", "$1")
     val cleanSep = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "&+", "&"), "\\?&", "?"), "[?&]$", "")
+    // dot-segments: collapse `/./` runs, then fold one `/seg/../`
+    // level (seg must contain a non-dot char — `..` is never the seg)
+    val dotSeg = regexp_replace(regexp_replace(
+      cleanSep, "(/\\.)+/", "/"), "/([^/?]*[^./?][^/?]*)/\\.\\./", "/")
+    // default ports: only when the port ends the authority
+    val noPort = regexp_replace(regexp_replace(dotSeg,
+      "^(http://[^/?:]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/?:]+):443([/?]|$)", "$1$2")
     regexp_replace(regexp_replace(regexp_replace(
-      cleanSep, "/\\?", "?"), "://www\\.", "://"), "/$", "")
+      noPort, "/\\?", "?"), "://www\\.", "://"), "/$", "")
   }
 
   /** [[canonicalUrlCol]] in DuckDB SQL (oracle twin — same regexes in
     * the same order; `g` flag matches Spark's replace-all default). */
+  /** The unreserved-octet decode table (RFC 3986 §2.3) shared by the
+    * engine expression's scaladoc contract and the generated oracle
+    * chain: lowercase-hex escape → decoded char, letters folding to
+    * lowercase (the canonical key is lowercase; `lower()` runs before
+    * the decode on both engines, so only lowercase-hex forms arrive). */
+  private[graft] val UnreservedDecodes: Seq[(String, String)] = {
+    val selfCase = (('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => f"%%${c.toInt}%02x" -> c.toString)
+    val upperToLower = ('A' to 'Z').map(c => f"%%${c.toInt}%02x" -> c.toLower.toString)
+    selfCase ++ upperToLower
+  }
+
   def canonicalUrlSql(e: String): String = {
     val noFrag = s"regexp_replace(lower($e), '#.*$$', '', 'g')"
+    // unreserved %-escape decode: a replace() per code, generated from
+    // the shared table. Pass-per-code equals the engine's single scan
+    // except on self-referential encodings (see PctDecodeUnreserved
+    // scaladoc) — absent from every injection.
+    val decoded = UnreservedDecodes.foldLeft(noFrag) { case (acc, (code, ch)) =>
+      val lit = if (ch == "'") "''" else ch
+      s"replace($acc, '$code', '$lit')"
+    }
     val noTrack =
-      s"regexp_replace($noFrag, '([?&])($TrackingParams)=[^&]*', '\\1', 'g')"
+      s"regexp_replace($decoded, '([?&])($TrackingParams)=[^&]*', '\\1', 'g')"
     val cleanSep = s"regexp_replace(regexp_replace(regexp_replace(" +
       s"$noTrack, '&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]$$', '', 'g')"
+    val dotSeg = s"regexp_replace(regexp_replace(" +
+      s"$cleanSep, '(/\\.)+/', '/', 'g'), '/([^/?]*[^./?][^/?]*)/\\.\\./', '/', 'g')"
+    val noPort = s"regexp_replace(regexp_replace($dotSeg, " +
+      s"'^(http://[^/?:]+):80([/?]|$$)', '\\1\\2', 'g'), " +
+      s"'^(https://[^/?:]+):443([/?]|$$)', '\\1\\2', 'g')"
     s"regexp_replace(regexp_replace(regexp_replace(" +
-      s"$cleanSep, '/\\?', '?', 'g'), '://www\\.', '://', 'g'), '/$$', '', 'g')"
+      s"$noPort, '/\\?', '?', 'g'), '://www\\.', '://', 'g'), '/$$', '', 'g')"
   }
 
   /** Main-text extraction from raw HTML (the first transform of every

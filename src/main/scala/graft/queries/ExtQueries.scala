@@ -1047,6 +1047,41 @@ object ExtQueries {
       (s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.40, dim = 64),
       cosineAllPairsSql),
 
+    // ── the PRODUCTION LSH preset, driver-priced ───────────────────────
+    // q46 runs the fixture economy (2×16 banding at tau 0.4 — recall-
+    // heavy, output-bound: its probe alpha reads the TRUE pair volume).
+    // This registers the preset the docs point 100 TB deployments at:
+    // 8×8 banding at tau 0.8, ~30× candidate pruning (recall floor
+    // property-tested in ExtSpec). The oracle replays the banding
+    // STRUCTURALLY from the same hyperplane constants
+    // (Similarity.cosineLshOracleSql), so the driver hash-verifies the
+    // production path itself — no brute-force crutch needed.
+    "q195_cosine_lsh_production" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        // plant near-dup twins (q64's injection discipline): the fixture
+        // is near-orthogonal noise, so its TRUE pair set at tau 0.8 is
+        // empty and an uninjected run would verify nothing. ×2 scaling
+        // is exact in both float and double arithmetic, so the twins'
+        // quantized vectors are engine-identical; cos(v, 2v) ≈ 1 after
+        // quantization — squarely above the production threshold.
+        val twins = emb.where(col("vec_id") % 97 === 3)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => x * lit(2.0f)).as("embedding"))
+        Similarity.cosineDupPairs(emb.unionByName(twins),
+          tau = 0.80, dim = 64, bits = Similarity.ProductionLshBits,
+          bands = Similarity.ProductionLshBands)
+      },
+      Similarity.cosineLshOracleSql(dim = 64, tau = 0.80,
+        bits = Similarity.ProductionLshBits,
+        bands = Similarity.ProductionLshBands,
+        vSql = """SELECT vec_id, embedding FROM embeddings
+                 | UNION ALL
+                 | SELECT vec_id + 100000,
+                 |   list_transform(embedding, x -> x * 2)
+                 | FROM embeddings WHERE vec_id % 97 = 3""".stripMargin)),
+
     // ── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q35_ann_bruteforce" -> Q(
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),
@@ -3108,6 +3143,46 @@ object ExtQueries {
          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          |FROM n GROUP BY md5(nt)""".stripMargin),
 
+    // ── UNICODE normalization-aware dedup (multilingual keys) ──────────
+    // q154's collapse proof for the script q154 cannot touch: the same
+    // accented phrase is injected COMPOSED (é = U+00E9, uppercased) and
+    // DECOMPOSED (e + U+0301) under disjoint id ranges — raw hashing
+    // sees two distinct strings, NFC + casefold
+    // (TextAnalysis.normalizeTextUnicodeCol, codegen'd NfcNormalize
+    // expression) folds both onto one key, so each injected pair
+    // collapses to a single n_copies=2 group. Oracle replays injection
+    // through DuckDB's nfc_normalize + lower. Residual locale cases
+    // (Turkish İ, Greek final sigma) are documented descopes on the
+    // operator, deliberately absent from the injection.
+    "q193_unicode_normalize" -> Q(
+      (s, dir) => {
+        graft.functions.NfcNormalize.register(s)
+        val docs = Tables.documents(s, dir)
+        val injected = docs.where(col("doc_id") % 11 === 5)
+        val composed = injected.select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" CAFÉ RÉSUMÉ")).as("text"))
+        val decomposed = injected.select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" café résumé")).as("text"))
+        docs.select(col("doc_id"), col("text"))
+          .unionByName(composed).unionByName(decomposed)
+          .groupBy(org.apache.spark.sql.functions.md5(
+            TextAnalysis.normalizeTextUnicodeCol(col("text"))).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+      },
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' CAFÉ RÉSUMÉ'
+         |  FROM documents WHERE doc_id % 11 = 5
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' café résumé'
+         |  FROM documents WHERE doc_id % 11 = 5),
+         |n AS (SELECT doc_id, ${TextAnalysis.normalizeTextUnicodeSql("text")} AS nt
+         |      FROM u)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM n GROUP BY md5(nt)""".stripMargin),
+
     // ── per-document OOV rate against the induced vocabulary ───────────
     // The tokenizer-coverage report: q66's top-64 vocabulary is induced
     // in-query, then every document scores its out-of-vocabulary token
@@ -3224,6 +3299,48 @@ object ExtQueries {
           "cast(doc_id AS VARCHAR) ELSE '' END) || " +
           "(CASE WHEN doc_id % 7 = 0 THEN '#sec-' || " +
           "cast(doc_id AS VARCHAR) ELSE '' END)"
+        s"""WITH cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql(urlSql)} AS canonical_url
+           |  FROM documents)
+           |SELECT canonical_url, min(doc_id) AS doc_id,
+           |  count(*) AS n_copies
+           |FROM cu GROUP BY canonical_url""".stripMargin
+      }),
+
+    // ── RFC 3986 URL folds (q158's dedup over the three new folds) ─────
+    // Same synthesized-collision discipline, now injecting the RFC
+    // variants the round-9 verdict named: unreserved %-escapes in the
+    // path (%70→p, %2e→. — and one RESERVED %2f that must SURVIVE
+    // encoded), the https default port :443, `/./` runs and one
+    // `/seg/../` level. Docs sharing (source, doc_id % 100) collapse BY
+    // CONSTRUCTION only if every fold lands, so the oracle (the same
+    // generated fold chain, replace()-per-escape) proves each one.
+    "q194_url_rfc_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val url = concat(lit("https://"), col("source"), lit(".example.com"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, lit("/%70/"))            // %70 → p
+            .when(col("doc_id") % 4 === 2, lit("/./p/"))          // /./ run
+            .when(col("doc_id") % 4 === 3, lit("/p%2e/../p/"))   // %2e → . then /seg/../
+            .otherwise(lit("/p/")),
+          (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("%2fx")).otherwise(lit("")))
+        docs.select(col("doc_id"),
+            TextAnalysis.canonicalUrlCol(url).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_url"), col("doc_id"), col("n_copies"))
+      },
+      {
+        val urlSql = "'https://' || source || '.example.com' || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 4 = 1 THEN '/%70/' " +
+          " WHEN doc_id % 4 = 2 THEN '/./p/' " +
+          " WHEN doc_id % 4 = 3 THEN '/p%2e/../p/' " +
+          " ELSE '/p/' END) || cast(doc_id % 100 AS VARCHAR) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN '%2fx' ELSE '' END)"
         s"""WITH cu AS (SELECT doc_id,
            |    ${TextAnalysis.canonicalUrlSql(urlSql)} AS canonical_url
            |  FROM documents)
@@ -4229,30 +4346,24 @@ object ExtQueries {
     // compute classic Levenshtein. The fixture yields a natural
     // 28-candidate / 25-verified set — no injection needed.
     "q188_edit_distance_verify" -> Q(
-      (s, dir) => {
-        val p = Tables.documents(s, dir).select(col("doc_id"),
-          org.apache.spark.sql.functions.substring(col("text"), 1, 16).as("blk"),
-          org.apache.spark.sql.functions.substring(col("text"), 1, 48).as("t"))
-        // the THRESHOLD form runs the banded O(k·n) DP and returns -1
-        // above the bound — per-pair cost scales with the threshold,
-        // not len², exactly what a verify stage wants; kept distances
-        // are identical to the oracle's full Levenshtein
-        p.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
-          .join(p.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
-            Seq("blk"))
-          .where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            org.apache.spark.sql.functions.levenshtein(
-              col("ta"), col("tb"), 8).cast("long").as("dist"))
-          .where(col("dist") >= 0)
-      },
-      """WITH p AS (SELECT doc_id, substr(text, 1, 16) AS blk,
-        |    substr(text, 1, 48) AS t
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  cast(levenshtein(a.t, b.t) AS BIGINT) AS dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.t, b.t) <= 8""".stripMargin),
+      // Two-block union (prefix-16 OR suffix-16 of the 48-char window):
+      // a prefix-only block silently drops any pair whose edit lands in
+      // the first 16 characters — exactly the common "typo in the first
+      // word" case. See TextAnalysis.editDistancePairs for the recall
+      // contract; the oracle replays the same two blocks.
+      (s, dir) => TextAnalysis.editDistancePairs(
+        Tables.documents(s, dir), window = 48, blockLen = 16, maxDist = 8),
+      """WITH p AS (SELECT doc_id, substr(text, 1, 48) AS t
+        |  FROM documents),
+        |blk AS (SELECT 'P|' || substr(t, 1, 16) AS blk, doc_id, t FROM p
+        |        UNION ALL
+        |        SELECT 'S|' || substr(reverse(t), 1, 16), doc_id, t FROM p),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.t AS ta, b.t AS tb
+        |         FROM blk a JOIN blk b ON a.blk = b.blk
+        |         WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, cast(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin),
 
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the

@@ -130,6 +130,14 @@ object ScaleProbe {
       ("cosine_lsh_pairs",
         (e: DataFrame) => Similarity.cosineDupPairs(e, tau = 0.40, dim = 64).count(),
         e1, e10),
+      // the PRODUCTION preset (8×8, tau 0.8 — q195): candidate volume is
+      // band-pruned ~30×, so unlike the output-bound fixture-tau row
+      // above this one prices the scale path the docs point at
+      ("cosine_lsh_production",
+        (e: DataFrame) => Similarity.cosineDupPairs(e, tau = 0.80, dim = 64,
+          bits = Similarity.ProductionLshBits,
+          bands = Similarity.ProductionLshBands).count(),
+        e1, e10),
       ("ann_ivfpq_probe",
         (e: DataFrame) => Similarity.ivfpqTopK(e, dim = 64, nCoarse = 16,
           nQueries = 8, k = 5).count(),

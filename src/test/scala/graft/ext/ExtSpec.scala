@@ -1163,6 +1163,33 @@ class ExtSpec extends SparkSuite {
     assert(twice == out.values.toSet)
   }
 
+  test("unicode normalization: composed/decomposed fold to one key, idempotent, ASCII untouched") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.NfcNormalize.register(spark)
+    val composed = "café résumé"            // é = U+00E9
+    val decomposedUpper = "CAFÉ RÉSUMÉ"  // E + U+0301
+    val d = Seq(
+      (1L, composed),
+      (2L, decomposedUpper),
+      (3L, "plain  ASCII   Text!"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.normalizeTextUnicodeCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both spellings collapse to the COMPOSED lowercase form
+    assert(out(1L) == composed)
+    assert(out(2L) == composed)
+    // no ASCII alphabet strip (unlike normalizeTextCol): punctuation
+    // survives, only case and space runs fold
+    assert(out(3L) == "plain ascii text!")
+    assert(out(4L) == "")
+    // idempotence: NFC∘NFC = NFC, lower∘lower = lower
+    val twice = d.select(TextAnalysis.normalizeTextUnicodeCol(
+        TextAnalysis.normalizeTextUnicodeCol(col("text"))).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+  }
+
   test("top n-grams: counted with multiplicity, deterministic bytewise cutoff on ties") {
     val d = Seq(
       (1L, "a a a a"),       // "a a" ×3
@@ -1213,7 +1240,14 @@ class ExtSpec extends SparkSuite {
       (7L, "https://site.io/p?sid=1&page=2&gclid=x"), // mixed
       (8L, "https://site.io/p?page=2"),
       (9L, "https://site.io/p?page=3"),
-      (10L, "https://site.io/p?said=1&sident=2")) // NOT sid — names anchor on =
+      (10L, "https://site.io/p?said=1&sident=2"), // NOT sid — names anchor on =
+      // RFC 3986 folds (round-10): default ports, dot-segments,
+      // unreserved %-decode with reserved escapes surviving
+      (11L, "https://site.io:443/a/./b/x"),
+      (12L, "http://site.io:80/p"),
+      (13L, "https://site.io/%70%41th/x%2Fy"),
+      (14L, "https://site.io/a/b/../c"),
+      (15L, "https://site.io:8080/p")) // NOT a default port — kept
       .toDF("doc_id", "url")
     val got = urls.select($"doc_id",
         TextAnalysis.canonicalUrlCol($"url").as("c"))
@@ -1230,6 +1264,15 @@ class ExtSpec extends SparkSuite {
     assert(got(9L) == "https://site.io/p?page=3")
     assert(got(8L) != got(9L))
     assert(got(10L) == "https://site.io/p?said=1&sident=2")
+    // default ports strip only when they end the authority; /./ folds
+    assert(got(11L) == "https://site.io/a/b/x")
+    assert(got(12L) == "http://site.io/p")
+    // %70/%41 decode (letters fold lowercase); RESERVED %2f survives
+    assert(got(13L) == "https://site.io/path/x%2fy")
+    // one /seg/../ level folds
+    assert(got(14L) == "https://site.io/a/c")
+    // a non-default port is content, not chrome
+    assert(got(15L) == "https://site.io:8080/p")
     // idempotence: canonicalizing a canonical url is the identity
     val twice = urls.select(TextAnalysis.canonicalUrlCol(
         TextAnalysis.canonicalUrlCol($"url")).as("c"))
@@ -1516,5 +1559,24 @@ class ExtSpec extends SparkSuite {
     val hard = TextAnalysis.trainedLangId(docs)
       .where($"doc_id" % 20 === 3)
     assert(hard.count() > 0)
+  }
+
+  test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
+    val docs = Seq(
+      1L -> base,
+      2L -> base.updated(2, 'X'),            // substitution at char 3: prefix block misses
+      3L -> (base.dropRight(1) + "X"),       // substitution at the END: suffix block misses
+      4L -> base,                            // identical: BOTH blocks collide — must emit once
+      5L -> "totally unrelated text sharing no block with the others at all")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.editDistancePairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2): early edit, found via the suffix block (prefix-only blocking drops it)
+    // (1,3)/(3,4): late edit, found via the prefix block
+    // (2,3): edits at BOTH ends — the documented blocking residue, absent
+    // (1,4): exact dup matched by both blocks, exactly one row
+    assert(out == Set((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (1L, 4L, 0L)))
   }
 }
