@@ -421,18 +421,32 @@ object StreamIngest {
     * labeling (the settled relation streams once past a broadcast of
     * the batch endpoints — zero corpus shuffles, the probed scaling)
     * and APPENDS it with its batch id; [[readComponents]] folds the
-    * log last-wins. The store is append-only — settled rows are never
-    * rewritten, exactly the production KV-upsert shape expressed on a
-    * file store.
+    * log last-wins. Between compactions the store is append-only —
+    * settled rows are never rewritten, exactly the production
+    * KV-upsert shape expressed on a file store.
+    *
+    * The log is BOUNDED, not unbounded: every `compactEvery` batches
+    * the last-wins fold is rewritten in place (tmp-dir + rename, the
+    * Sinks.compact swap discipline — single writer by construction:
+    * the stream's own sequential foreachBatch), truncating every
+    * superseded row. Without this the per-batch fold window ran over
+    * ALL history — cost growing with total batches processed, not
+    * batch size; with it the fold input is ≤ one corpus-sized
+    * snapshot + `compactEvery` batch deltas, so steady-state per-batch
+    * cost is O(corpus + K·batch) with one bounded exchange, and the
+    * compaction's corpus-sized rewrite amortizes to 1/K per batch
+    * (spec pins the post-compaction row bound and label equality).
     *
     * Exactly-once by idempotence, not suppression: a REPLAYED batch
     * recomputes its delta against the already-merged labeling —
     * contracted edges then connect already-shared labels, so the
     * recomputed upsert carries the SAME values and the last-wins fold
-    * is unchanged (spec-pinned replay law).
+    * is unchanged (spec-pinned replay law; compaction preserves the
+    * fold, so the law is unaffected by where compaction lands).
     */
   def maintainComponents(spark: SparkSession, srcDir: String,
-                         checkpointDir: String, outDir: String): StreamingQuery =
+                         checkpointDir: String, outDir: String,
+                         compactEvery: Int = 8): StreamingQuery =
     spark.readStream.schema(edgeSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -445,13 +459,45 @@ object StreamIngest {
             .withColumn("batch_id", lit(bid))
             .write.mode("append").parquet(outDir)
         }
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+          compactComponentLog(spark, outDir, bid)
         ()
       }
       .start()
 
+  /** Rewrite the component upsert log as its own last-wins fold (one
+    * row per id, stamped with the compacting batch id) — tmp-dir write
+    * + rename swap; a failed swap restores the original log before
+    * throwing, so the store is never left absent. Caller must be the
+    * log's only writer (maintainComponents calls from inside its own
+    * sequential foreachBatch). */
+  def compactComponentLog(spark: SparkSession, outDir: String, bid: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(hconf)
+    if (!fs.exists(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(outDir + "._fold_tmp")
+    fs.delete(tmp, true)
+    readComponents(spark, outDir).withColumn("batch_id", lit(bid))
+      .write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(outDir + "._fold_old")
+    fs.delete(old, true)
+    require(fs.rename(path, old),
+      s"component-log compaction: could not stage $outDir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore — never leave the store absent
+      throw new IllegalStateException(
+        s"component-log compaction: could not swap into $outDir; original restored")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
   /** The current labeling from the upsert log: last-wins per id by
-    * batch id — a log-sized fold, never a corpus recompute. Empty
-    * relation when no log exists yet (first batch). */
+    * batch id — a fold over the COMPACTION-BOUNDED log (≤ one folded
+    * snapshot + compactEvery batch deltas, see [[maintainComponents]]),
+    * never a corpus recompute and never all history. Empty relation
+    * when no log exists yet (first batch). */
   def readComponents(spark: SparkSession, outDir: String): DataFrame =
     readIfExists(spark, outDir) match {
       case Some(log) => log
