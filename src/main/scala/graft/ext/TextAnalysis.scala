@@ -283,6 +283,103 @@ object TextAnalysis {
       .where(col("dist") >= 0)
   }
 
+  /** EXACT-substring duplicate spans at byte resolution — the Lee et
+    * al. (2021) "Deduplicating Training Data Makes Language Models
+    * Better" capability, re-shaped for Spark: instead of a sequential
+    * suffix array, a distributed anchor-group-extend pass.
+    *
+    *  1. ANCHOR: every character position emits the xxhash64 of its
+    *     length-`minLen` window (one generate + project — only the
+    *     8-byte hash and coordinates shuffle, never the anchor text);
+    *  2. GROUP: the hash equi-join yields cross-document candidate
+    *     alignments (doc_a < doc_b);
+    *  3. EXTEND: candidates re-attach their texts (two docs-sized
+    *     joins), keep only LEFT-MAXIMAL alignments (preceding
+    *     characters differ, or a document starts), and extend right
+    *     with the codegen'd [[graft.functions.CommonPrefixChars]]
+    *     kernel. `match_len >= minLen` both enforces the floor and
+    *     kills hash collisions (no unverified hash survives).
+    *
+    * Output: one row per MAXIMAL cross-document match — (doc_a, doc_b,
+    * pos_a, pos_b, match_len), 1-based positions, lengths in
+    * characters (== bytes on ASCII; multi-byte codepoints match
+    * whole-or-not via the kernel). Periodic text yields one row per
+    * distinct maximal alignment — the correct, complete answer.
+    *
+    * Scale economics, stated honestly: the anchor relation is ~24
+    * bytes per corpus CHARACTER — a corpus-bytes-sized shuffle, the
+    * price Lee et al. pay in suffix-array construction. That is the
+    * cost of byte-exact longest matches; the k-gram span operators
+    * (q107/q113, alpha ≈ 0.55 measured) remain the cheap tier when
+    * k-gram resolution suffices, and production deployments of THIS
+    * operator shard the anchor join by corpus partition (the hash key
+    * distributes uniformly, no skew) or sample anchors
+    * (winnowing/minimizers) at a documented recall floor. */
+  def exactSubstringPairs(docs: DataFrame, minLen: Int): DataFrame = {
+    val L = minLen
+    val spark = docs.sparkSession
+    graft.functions.CommonPrefixChars.register(spark)
+    val d = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= L)
+    val g = d
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(expr(s"substring(text, i, $L)")).as("h"))
+    // shuffle_hash pinned on BOTH sides: the anchor relation is one row
+    // per corpus character, so Catalyst's size estimate (propagated from
+    // the tiny parquet through the Generate) undershoots by ~50× and
+    // would BROADCAST a corpus-character-sized hash table — fine on a
+    // fixture, an executor/driver OOM at scale (PlanSpec pins the
+    // shuffle). Measured at sf0.1 the shuffle is also FASTER than the
+    // mis-chosen broadcast: 1.9 s vs 3.9 s.
+    val pairs = g.select(col("h"), col("doc_id").as("doc_a"), col("i").as("pos_a"))
+      .hint("shuffle_hash")
+      .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i").as("pos_b"))
+        .hint("shuffle_hash"), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .where(col("pos_a") === 1 || col("pos_b") === 1 ||
+        expr("substring(ta, pos_a - 1, 1) != substring(tb, pos_b - 1, 1)"))
+      .withColumn("match_len", call_function("common_prefix_chars",
+        expr("substring(ta, pos_a)"), expr("substring(tb, pos_b)")))
+      .where(col("match_len") >= L)
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        col("match_len"))
+  }
+
+  /** [[exactSubstringPairs]]' DuckDB oracle — the identical
+    * anchor-group-extend pass replayed on raw substrings (no hashing:
+    * anchors join on their text, so the oracle needs no collision
+    * argument), the extension as a correlated min-mismatch subquery
+    * over the few left-maximal rows. Generated from the same `minLen`. */
+  def exactSubstringOracleSql(minLen: Int): String = {
+    val L = minLen
+    s"""WITH doc AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
+       |a AS (SELECT doc_id, text,
+       |        unnest(range(1, len(text) - ${L - 1} + 1)) AS i
+       |      FROM doc),
+       |g AS (SELECT substr(text, i, $L) AS anc, doc_id, i, text FROM a),
+       |pairs AS (SELECT x.doc_id AS doc_a, x.i AS pos_a, x.text AS ta,
+       |                 y.doc_id AS doc_b, y.i AS pos_b, y.text AS tb
+       |          FROM g x JOIN g y ON x.anc = y.anc AND x.doc_id < y.doc_id),
+       |lm AS (SELECT * FROM pairs
+       |       WHERE pos_a = 1 OR pos_b = 1
+       |          OR substr(ta, pos_a - 1, 1) <> substr(tb, pos_b - 1, 1)),
+       |ext AS (SELECT doc_a, doc_b, pos_a, pos_b,
+       |  coalesce((SELECT min(j) FROM
+       |      (SELECT unnest(range(1, least(len(ta) - pos_a, len(tb) - pos_b) + 2)) AS j) s
+       |      WHERE substr(ta, pos_a + j - 1, 1) <> substr(tb, pos_b + j - 1, 1)),
+       |    least(len(ta) - pos_a, len(tb) - pos_b) + 2) - 1 AS match_len
+       |  FROM lm)
+       |SELECT doc_a, doc_b, pos_a, pos_b, match_len
+       |FROM ext WHERE match_len >= $L""".stripMargin
+  }
+
   /** Intra-document repetition score (the Gopher-style quality filter):
     * fraction of the document's word n-grams occupied by its single most
     * repeated n-gram. Grams are counted with multiplicity — a document

@@ -4365,6 +4365,21 @@ object ExtQueries {
         |SELECT doc_a, doc_b, cast(levenshtein(ta, tb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin),
 
+    // ── byte-exact substring dedup (Lee et al. suffix-grouping shape) ──
+    // The last capability descope of the span family closed: maximal
+    // CROSS-DOCUMENT byte-exact matches ≥ 40 chars via the distributed
+    // anchor-group-extend pass (every position's 40-char window hashes,
+    // hash equi-join, left-maximal filter, CommonPrefixChars
+    // extension). The fixture generator reuses sentences, so the match
+    // relation is real data, not injection (25–259 maximal matches at
+    // sf0.01–0.1, spans up to ~570 chars). The oracle replays the
+    // identical pass on raw substrings — no hash in the oracle, so the
+    // engine's collision-kill (match_len >= L) is itself verified.
+    "q196_exact_substring" -> Q(
+      (s, dir) => TextAnalysis.exactSubstringPairs(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.exactSubstringOracleSql(minLen = 40)),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the

@@ -149,6 +149,13 @@ object ScaleProbe {
         (d: DataFrame) => TextAnalysis.cutSharedSpans(d, k = 8)
           .where(col("n_removed") > 0).count(),
         d1, d10),
+      // byte-exact longest matches (q196): anchor volume is one row per
+      // corpus character BY DESIGN — alpha ≈ 1 is this operator's honest
+      // floor (the Lee et al. price), with the k-gram span family above
+      // as the sub-linear tier
+      ("exact_substring",
+        (d: DataFrame) => TextAnalysis.exactSubstringPairs(d, minLen = 40).count(),
+        d1, d10),
       ("crossmodal_dedup",
         (d: DataFrame) => {
           val ap = graft.ext.Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)

@@ -543,6 +543,15 @@ class PlanSpec extends SparkSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q196: exact-substring anchors SHUFFLE — never a corpus-character broadcast") {
+    // the anchor relation is one row per corpus character — Catalyst's
+    // undershooting size estimate must not be allowed to broadcast it
+    val plan = planOf("q196_exact_substring")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q187/q188: DSIR weights broadcast; edit-distance verify is blocked, never all-pairs") {
     val dPlan = planOf("q187_dsir_importance")
     assert(dPlan.contains("BroadcastHashJoin"), dPlan)

@@ -1561,6 +1561,45 @@ class ExtSpec extends SparkSuite {
     assert(hard.count() > 0)
   }
 
+  test("exactSubstringPairs: maximal byte-exact matches, one row per alignment") {
+    // shared passage planted at DIFFERENT positions; the match extends
+    // LEFT through the shared leading space to the differing letters
+    // ('X'/'t') and RIGHT through the shared trailing space — so the
+    // maximal span is " passage " exactly
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ") // 63 chars
+    val d1 = s"XX $passage tail one"
+    val d2 = s"completely different lead-in text $passage YY"
+    val docs = Seq(
+      1L -> d1,
+      2L -> d2,
+      3L -> "no shared content here at all, long enough to anchor windows",
+      4L -> d1) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstringPairs(docs, minLen = 40)
+      .as[(Long, Long, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // (1,2): " passage " — starts at the space BEFORE the passage
+    assert(out((1L, 2L)) == (3, 34, passage.length + 2L))
+    // (1,4): whole-document match from position 1
+    assert(out((1L, 4L)) == (1, 1, d1.length.toLong))
+    // (2,4) mirrors (1,2); doc 3 pairs with nothing
+    assert(out((2L, 4L)) == (34, 3, passage.length + 2L))
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("exactSubstringPairs: multi-byte codepoints match whole-or-not") {
+    // non-periodic accented prefix shared for exactly 40 CHARACTERS
+    // (80 utf-8 bytes), then é vs è — the kernel must report 40, the
+    // character count the oracle's per-character compare sees
+    val s = ('a' to 'z').map(c => s"é$c").mkString // 52 chars, aperiodic
+    val a = s.take(40) + "é" + s.drop(41) + " one tail long enough"
+    val b = s.take(40) + "è" + s.drop(41) + " two tail long enough"
+    val docs = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstringPairs(docs, minLen = 40)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1, 1, 40L)))
+  }
+
   test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
     val docs = Seq(
