@@ -380,6 +380,183 @@ object TextAnalysis {
        |FROM ext WHERE match_len >= $L""".stripMargin
   }
 
+  /** [[exactSubstringPairs]]' sub-linear tier: WINNOWED fingerprints
+    * (Schleimer et al. 2003, the MOSS local sampling scheme) instead of
+    * one anchor per character.
+    *
+    * Per document — entirely INSIDE the row, zero shuffle before the
+    * fingerprint join — every position's `k`-gram hashes; each window
+    * of `w` consecutive hashes selects its rightmost minimum; the
+    * distinct selected positions (expected density 2/(w+1), an ~
+    * (w+1)/2× reduction of the q196 anchor volume) are the only rows
+    * that reach the hash equi-join. Candidates then extend BOTH ways
+    * (the selected anchor sits mid-match, unlike q196's left-maximal
+    * anchors): left via the [[graft.functions.CommonPrefixChars]]
+    * kernel over reversed prefixes, right over suffixes; one row per
+    * distinct maximal alignment survives.
+    *
+    * GUARANTEED-RECALL CONTRACT: every maximal cross-document match
+    * with `match_len >= w + k - 1` is found. (Such a match spans >= w
+    * consecutive aligned k-gram anchors, so one window lies entirely
+    * inside it in BOTH documents; identical hash sequences with the
+    * shared rightmost-min tie-break select the same aligned anchor on
+    * both sides.) Every emitted row is a true maximal match regardless
+    * of hash collisions — extension verifies bytes, a colliding anchor
+    * merely wastes a candidate. Output is therefore EXACTLY
+    * [[exactSubstringPairs]] (minLen = w+k-1): the registered oracle is
+    * [[exactSubstringOracleSql]] VERBATIM, so the driver gate itself
+    * proves the sampled pass loses nothing above the guarantee.
+    *
+    * Scale economics: one O(n) kernel pass per document
+    * ([[graft.functions.WinnowFingerprints]] — rolling hash +
+    * monotonic-deque sliding minimum, computed map-side and never
+    * shuffled); what shrinks ~(w+1)/2× is everything the q196 shape
+    * SHUFFLES — the anchor relation feeding the self-join and the
+    * candidate volume. (A declarative per-window slice-and-fold
+    * selection was measured 4× SLOWER than the unsampled pass it was
+    * meant to undercut — O(n·w) with three allocations per window;
+    * the deque kernel is why this tier actually wins.)
+    */
+  def winnowedSubstringPairs(docs: DataFrame, k: Int = 20, w: Int = 21)
+      : DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
+    val G = w + k - 1
+    graft.functions.CommonPrefixChars.register(docs.sparkSession)
+    graft.functions.WinnowFingerprints.register(docs.sparkSession)
+    val d = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= G)
+    val fp = d
+      .select(col("doc_id"),
+        explode(call_function("winnow_fingerprints",
+          col("text"), lit(k), lit(w))).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("pos").as("pos"),
+        col("f").getField("h").as("h"))
+    // same shuffle_hash pin as q196: Catalyst's estimate undershoots the
+    // exploded fingerprint relation and would broadcast it
+    val pairs = fp
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .hint("shuffle_hash")
+      .join(fp.select(col("h"), col("doc_id").as("doc_b"),
+          col("pos").as("pb")).hint("shuffle_hash"), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .withColumn("left_ext", call_function("common_prefix_chars",
+        reverse(expr("substring(ta, 1, pa - 1)")),
+        reverse(expr("substring(tb, 1, pb - 1)"))))
+      .withColumn("match_len", col("left_ext") +
+        call_function("common_prefix_chars",
+          expr("substring(ta, pa)"), expr("substring(tb, pb)")))
+      .where(col("match_len") >= G)
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("left_ext")).cast("int").as("pos_a"),
+        (col("pb") - col("left_ext")).cast("int").as("pos_b"),
+        col("match_len"))
+      .distinct()
+  }
+
+  /** Exact-substring dedup's REMOVAL half — Lee et al.'s actual edit:
+    * instead of dropping whole near-dup documents, cut the duplicated
+    * BYTES. Every maximal cross-document match >= `minLen` chars
+    * (found by the winnowed tier [[winnowedSubstringPairs]], proven
+    * equal to the exact pass at this floor) marks its span in the pair's
+    * LATER document (doc_b of the doc_a < doc_b ordering — keep-earliest,
+    * the q30/q57 survivor discipline); per document the spans union
+    * (overlaps and adjacency merge), and the kept segments reassemble.
+    *
+    * Output: one row per AFFECTED document — (doc_id, n_spans,
+    * cut_chars, kept_len, cleaned), where `cleaned` is the document
+    * with every duplicated span excised. Untouched documents pass
+    * through a real corpus copy unchanged, so they are not re-emitted.
+    * Intra-document repeats are NOT cut (cross-document matches only;
+    * q130/q132 are the within-doc grain).
+    *
+    * Scale shape: the pair pass is the winnowed join above; everything
+    * after is one groupBy(doc_id) of the span relation (match-count-
+    * sized, far below corpus-sized), an in-row merge fold, and one join
+    * back to documents for the text. */
+  def exactSubstringCut(docs: DataFrame, minLen: Int, k: Int = 20)
+      : DataFrame = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+    val spans = pairs.select(col("doc_b").as("doc_id"),
+        col("pos_b").cast("long").as("s"),
+        (col("pos_b") + col("match_len") - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("s"), col("e")))).as("spans"))
+    // in-row interval union: fold the sorted spans, extending the
+    // current interval on overlap OR adjacency, emitting it on a gap
+    val merged = expr(
+      """aggregate(spans,
+        |  struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>) AS done,
+        |         CAST(NULL AS STRUCT<s: BIGINT, e: BIGINT>) AS cur),
+        |  (acc, sp) -> IF(acc.cur IS NULL,
+        |    struct(acc.done AS done, sp AS cur),
+        |    IF(sp.s <= acc.cur.e + 1,
+        |      struct(acc.done AS done,
+        |             struct(acc.cur.s AS s,
+        |                    greatest(acc.cur.e, sp.e) AS e) AS cur),
+        |      struct(array_append(acc.done, acc.cur) AS done, sp AS cur))),
+        |  acc -> array_append(acc.done, acc.cur))""".stripMargin)
+    // reassemble: the gap before each merged span, then the tail
+    val cleaned = expr(
+      """aggregate(merged,
+        |  struct(CAST(1 AS BIGINT) AS nxt, '' AS acc),
+        |  (a, m) -> struct(m.e + 1 AS nxt,
+        |    concat(a.acc, substring(text, CAST(a.nxt AS INT),
+        |                            CAST(m.s - a.nxt AS INT))) AS acc),
+        |  a -> concat(a.acc, substring(text, CAST(a.nxt AS INT))))""".stripMargin)
+    spans
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("merged", merged)
+      .select(col("doc_id"),
+        size(col("merged")).cast("long").as("n_spans"),
+        expr("aggregate(merged, CAST(0 AS BIGINT), (a, m) -> a + m.e - m.s + 1)")
+          .as("cut_chars"),
+        col("text"), col("merged"))
+      .select(col("doc_id"), col("n_spans"), col("cut_chars"),
+        (length(col("text")).cast("long") - col("cut_chars")).as("kept_len"),
+        cleaned.as("cleaned"))
+  }
+
+  /** [[exactSubstringCut]]'s DuckDB oracle: the [[exactSubstringOracleSql]]
+    * pass, spans marked in doc_b, the classic gaps-and-islands interval
+    * union, and ordered string_agg reassembly. */
+  def exactSubstringCutOracleSql(minLen: Int): String = {
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+       |spans0 AS (SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
+       |                  pos_b + match_len - 1 AS e FROM pass),
+       |m1 AS (SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_e
+       |       FROM spans0),
+       |m2 AS (SELECT doc_id, s, e,
+       |         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+       |       FROM m1),
+       |mg AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+       |       FROM m2 GROUP BY 1, 2),
+       |seg AS (SELECT doc_id, s, e,
+       |          lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+       |        FROM mg)
+       |SELECT d.doc_id,
+       |  count(*) AS n_spans,
+       |  CAST(sum(g.e - g.s + 1) AS BIGINT) AS cut_chars,
+       |  CAST(len(d.text) - sum(g.e - g.s + 1) AS BIGINT) AS kept_len,
+       |  string_agg(substr(d.text, CAST(g.pe + 1 AS INT),
+       |                    CAST(g.s - g.pe - 1 AS INT)), '' ORDER BY g.s)
+       |    || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS cleaned
+       |FROM seg g JOIN documents d USING (doc_id)
+       |GROUP BY d.doc_id, d.text""".stripMargin
+  }
+
   /** Intra-document repetition score (the Gopher-style quality filter):
     * fraction of the document's word n-grams occupied by its single most
     * repeated n-gram. Grams are counted with multiplicity — a document

@@ -4380,6 +4380,32 @@ object ExtQueries {
         Tables.documents(s, dir), minLen = 40),
       TextAnalysis.exactSubstringOracleSql(minLen = 40)),
 
+    // q196's SUB-LINEAR tier: winnowed fingerprints (rightmost-min of
+    // each 21-hash window, selected entirely in-row) replace the
+    // one-anchor-per-character relation in the self-join — an ~11×
+    // shuffle/candidate reduction with a PROVEN recall floor. The
+    // oracle is q196's VERBATIM (the winnowing guarantee: every maximal
+    // match >= w+k-1 = 40 chars is found, and extension verifies bytes
+    // so collisions add nothing) — the driver gate itself is the proof
+    // that sampling lost no match above the guarantee.
+    "q197_winnow_substring" -> Q(
+      (s, dir) => TextAnalysis.winnowedSubstringPairs(
+        Tables.documents(s, dir), k = 20, w = 21),
+      TextAnalysis.exactSubstringOracleSql(minLen = 40)),
+
+    // the REMOVAL half of exact-substring dedup (Lee et al.'s actual
+    // edit): every maximal cross-doc match >= 40 chars cuts its span
+    // from the pair's LATER document, spans union per doc, kept
+    // segments reassemble. One row per affected doc with the full
+    // cleaned text — the oracle replays pass -> islands -> string_agg,
+    // so the driver hash-verifies the reassembled bytes themselves.
+    // Runs on the winnowed tier; the oracle is exact-pass-based, so
+    // this gate also re-proves q197's recall floor end-to-end.
+    "q198_substring_cut" -> Q(
+      (s, dir) => TextAnalysis.exactSubstringCut(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.exactSubstringCutOracleSql(minLen = 40)),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the

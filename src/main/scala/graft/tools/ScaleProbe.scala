@@ -156,6 +156,13 @@ object ScaleProbe {
       ("exact_substring",
         (d: DataFrame) => TextAnalysis.exactSubstringPairs(d, minLen = 40).count(),
         d1, d10),
+      // winnowed tier (q197): same output as exact_substring at the
+      // guarantee floor, fingerprint volume ~2/(w+1) of the anchor
+      // relation — the sub-linear path the q196 scaladoc points to
+      ("winnow_substring",
+        (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 20, w = 21)
+          .count(),
+        d1, d10),
       ("crossmodal_dedup",
         (d: DataFrame) => {
           val ap = graft.ext.Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)

@@ -552,6 +552,23 @@ class PlanSpec extends SparkSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q197: winnowed fingerprints SHUFFLE into the self-join; selection adds no exchange") {
+    val plan = planOf("q197_winnow_substring")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the winnow selection is in-row HOF work: no Window operator, no
+    // exchange between the documents scan and the fingerprint join
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q198: span cut is the winnowed join + one groupBy, never all-pairs") {
+    val plan = planOf("q198_substring_cut")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q187/q188: DSIR weights broadcast; edit-distance verify is blocked, never all-pairs") {
     val dPlan = planOf("q187_dsir_importance")
     assert(dPlan.contains("BroadcastHashJoin"), dPlan)

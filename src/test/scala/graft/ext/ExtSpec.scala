@@ -1600,6 +1600,122 @@ class ExtSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 1, 1, 40L)))
   }
 
+  test("winnowedSubstringPairs: equals the exact pass at the guarantee floor") {
+    // adversarial shapes for the winnow selection: a shared passage
+    // mid-document, a whole-document duplicate (match at doc START and
+    // END — boundary windows), TIE-heavy periodic text (the rightmost-
+    // min tie-break must pick aligned anchors), and an unrelated doc
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val periodic = "ab " * 30 // 90 chars of period-3 text → equal hashes
+    val d1 = s"XX $passage tail one"
+    val docs = Seq(
+      1L -> d1,
+      2L -> s"completely different lead-in text $passage YY",
+      3L -> "no shared content here at all, long enough to anchor windows",
+      4L -> d1,
+      5L -> s"$periodic left flank",
+      6L -> s"right flank $periodic")
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.exactSubstringPairs(docs, minLen = 40)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val winnowed = TextAnalysis.winnowedSubstringPairs(docs, k = 20, w = 21)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.exists(_._5 >= 90)) // periodic pair found
+    assert(winnowed == exact)
+  }
+
+  test("winnowedSubstringPairs: fingerprint density is near 2/(w+1), never above 1") {
+    import org.apache.spark.sql.functions.{explode, call_function, length, lit, sum}
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val k = 20; val w = 21
+    graft.functions.WinnowFingerprints.register(spark)
+    val d = docs.select($"doc_id", $"text").where(length($"text") >= k + w - 1)
+    val anchors = d.select(sum(length($"text") - (k - 1))).as[Long].head()
+    val selected = d
+      .select(explode(call_function("winnow_fingerprints",
+        $"text", lit(k), lit(w))))
+      .count()
+    val density = selected.toDouble / anchors
+    // expected 2/(w+1) ≈ 0.091 on random-ish text; the fixture's reused
+    // sentences push it a little off — pin the order of magnitude
+    assert(density > 0.03 && density < 0.25,
+      s"winnow density $density out of band (selected $selected of $anchors)")
+  }
+
+  test("winnow_fingerprints kernel: rightmost-min selection, window law on planted hashes") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    graft.functions.WinnowFingerprints.register(spark)
+    // every window of w consecutive k-gram positions must contain a
+    // selected position (the density law that drives the guarantee)
+    val text = new Random(42).alphanumeric.take(400).mkString
+    val k = 8; val w = 5
+    val sel = Seq(Tuple1(text)).toDF("text")
+      .select(call_function("winnow_fingerprints", $"text", lit(k), lit(w)))
+      .as[Seq[(Int, Long)]].head().map(_._1).toSet
+    val nk = text.length - k + 1
+    for (p <- 1 to nk - w + 1)
+      assert((p until p + w).exists(sel.contains),
+        s"window [$p, ${p + w - 1}] has no selected position")
+    // short text: fewer than w k-grams → exactly one selection
+    val short = Seq(Tuple1(text.take(k + 2))).toDF("text")
+      .select(call_function("winnow_fingerprints", $"text", lit(k), lit(w)))
+      .as[Seq[(Int, Long)]].head()
+    assert(short.size == 1)
+    // shorter than k → empty, not null/crash
+    val none = Seq(Tuple1("tiny")).toDF("text")
+      .select(call_function("winnow_fingerprints", $"text", lit(k), lit(w)))
+      .as[Seq[(Int, Long)]].head()
+    assert(none.isEmpty)
+  }
+
+  test("exactSubstringCut: spans merge and cut from the later doc only") {
+    // doc 1 is the early survivor (never cut); doc 2 shares passage A
+    // at its start AND passage B at its end with doc 1 — both spans cut
+    // from doc 2, survivors "<mid>" remain; doc 3 duplicates doc 1
+    // ENTIRELY → cleaned to ""
+    val pa = (1 to 8).map(i => s"alpha$i").mkString(" ") // 55+ chars
+    val pb = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val d1 = s"$pa middle-of-doc-one $pb"
+    val d2 = s"$pa <mid> $pb"
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d1,
+      4L -> "nothing shared with anybody here, long enough to anchor")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstringCut(docs, minLen = 40)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out.keySet == Set(2L, 3L)) // docs 1 and 4 untouched
+    val (n2, cut2, kept2, clean2) = out(2L)
+    // matches extend through the shared spaces around <mid>: spans are
+    // "<pa> " and " <pb>", leaving exactly "<mid>"
+    assert(clean2 == "<mid>", s"got '$clean2'")
+    assert(n2 == 2 && cut2 == d2.length - 5L && kept2 == 5L)
+    val (n3, cut3, kept3, clean3) = out(3L)
+    assert(n3 == 1 && cut3 == d1.length.toLong && kept3 == 0L
+      && clean3 == "")
+  }
+
+  test("exactSubstringCut: overlapping and adjacent spans union before cutting") {
+    // doc 3 shares [1..60] with doc 1 and [41..100] with doc 2 — the
+    // two spans overlap inside doc 3 and must merge to one cut [1..100]
+    val s1 = (1 to 20).map(i => f"w$i%02d").mkString("") // 60 chars, aperiodic
+    val s2 = (21 to 40).map(i => f"v$i%02d").mkString("") // 60 chars
+    val whole = s1 + s2.take(40) // 100 chars
+    // tails start with DISTINCT separator chars so no match extends
+    // past its planted span
+    val docs = Seq(
+      1L -> (s1 + "!one tail making this its own document"),
+      2L -> (whole.drop(40) + "#two tail making this its own document"),
+      3L -> (whole + "@three tail never shared with anything"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstringCut(docs, minLen = 40)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out.keySet == Set(3L), s"got $out")
+    val (n3, cut3, _, clean3) = out(3L)
+    assert(n3 == 1 && cut3 == 100L, s"expected one merged 100-char span, got $out")
+    assert(clean3 == "@three tail never shared with anything")
+  }
+
   test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
     val docs = Seq(
