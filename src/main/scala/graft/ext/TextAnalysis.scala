@@ -842,6 +842,113 @@ object TextAnalysis {
       s"$noPort, '/\\?', '?', 'g'), '://www\\.', '://', 'g'), '/$$', '', 'g')"
   }
 
+  /** The dot-segment fold chain shared by [[resolveUrlCol]] and its
+    * oracle twin — (java-syntax pattern, `$n`-syntax replacement),
+    * applied in order, [[DotSegmentDepth]] times. Every construct is
+    * Java/RE2-identical; the oracle translates `$n` → `\\n`.
+    *
+    * The SEG class is RFC-exact: any path segment that is neither `.`
+    * nor `..` (so `...` IS a poppable segment, unlike the
+    * canonicalUrlCol once-per-call fold whose narrower class is a
+    * documented deviation). One application folds one NESTING level
+    * (Java and RE2 both resume scanning after a replacement, so
+    * `/a/../b/../c` needs two passes); [[DotSegmentDepth]] applications
+    * resolve any stack a real crawl emits, and deeper residue survives
+    * visibly rather than corrupting. */
+  private val UrlSeg = "[^/.?#][^/?#]*|\\.[^/.?#][^/?#]*|\\.\\.[^/?#]+"
+  private[graft] val DotSegmentFolds: Seq[(String, String)] = Seq(
+    // /./ runs collapse FIRST so a revealed leading /../ is visible to
+    // the clamp below within the same application
+    ("(/\\.)+/", "/"),
+    // leading /../ clamps at the root BEFORE any pop rule can mistake
+    // the authority for a poppable segment ("http://h/../x"); the $
+    // alternative covers the authority-ending "http://h/.."
+    ("^([a-z][a-z0-9+.-]*://[^/?#]*)(/\\.\\.)+(/|$)", "$1$3"),
+    // trailing pops run BEFORE the interior seg-pop: the interior pop
+    // can leave an authority-ending "/.." behind ("/a/../.." → "/..")
+    // which must wait for the NEXT application's clamp, not be eaten
+    // by a same-pass trailing match against the authority
+    (s"/($UrlSeg)/\\.\\.$$", "/"),                      // trailing /seg/..
+    ("(/\\.)+$", "/"),                                  // trailing /.
+    (s"/($UrlSeg)/\\.\\./", "/"))                       // one /seg/../
+  private[graft] val DotSegmentDepth = 8
+
+  /** RFC 3986 §5 reference resolution — the crawl-pipeline transform
+    * between HTML extraction and URL dedup: every href a page links is
+    * resolved against the page's own URL before canonicalization, or
+    * the link graph fragments into relative-path noise.
+    *
+    * Case chain (§5.2.2, merge-paths §5.2.3): absolute refs (any
+    * scheme, `mailto:` included) pass through; `//host/...` inherits
+    * the base scheme; `/path` replaces the base path; `?q` replaces
+    * the base query; `#frag` and the empty ref are same-document
+    * (base, fragment dropped); anything else joins the base
+    * DIRECTORY. The merged string then folds dot-segments with the
+    * RFC-exact segment class, [[DotSegmentDepth]] nesting levels per
+    * call ([[DotSegmentFolds]]) — `../../css/x.css` against a
+    * two-deep page lands where a browser lands it.
+    *
+    * Contract bounds (documented, not silent): the base must be an
+    * absolute `scheme://host` URL (a crawl frontier always is);
+    * userinfo and IDN hosts pass through unfolded (the
+    * canonicalUrlCol descope); dot-segment-SHAPED text inside a query
+    * string folds too (the q158 whole-string discipline); trailing
+    * `/.`/`/..` leave a trailing slash exactly as the RFC does —
+    * [[canonicalUrlCol]] downstream strips it from the dedup key.
+    * Pure projection, zero shuffles, zero UDFs. */
+  def resolveUrlCol(base: Column, ref: Column): Column = {
+    val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    val noQF = regexp_replace(base, "[?#].*$", "")
+    val noF = regexp_replace(base, "#.*$", "")
+    val dir0 = regexp_replace(noQF, "[^/]*$", "")
+    // authority-only base ("http://h"): the regex would strip into the
+    // authority — the directory is the root
+    val dir = when(dir0.rlike("^[a-z][a-z0-9+.-]*://[^/?#]*/"), dir0)
+      .otherwise(concat(origin, lit("/")))
+    val merged = when(ref.rlike("^[a-z][a-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref.startsWith("?"), concat(noQF, ref))
+      .when(ref.startsWith("#"), concat(noF, ref))
+      .when(ref === "", noF)
+      .otherwise(concat(dir, ref))
+    (1 to DotSegmentDepth).foldLeft(merged) { (u, _) =>
+      DotSegmentFolds.foldLeft(u) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      }
+    }
+  }
+
+  /** [[resolveUrlCol]] in DuckDB SQL — same case chain, same fold
+    * chain, generated from the same constants. */
+  def resolveUrlSql(baseE: String, refE: String): String = {
+    val scheme = s"regexp_extract($baseE, '^([a-z][a-z0-9+.-]*):', 1)"
+    val origin = s"regexp_extract($baseE, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)"
+    val noQF = s"regexp_replace($baseE, '[?#].*$$', '', 'g')"
+    val noF = s"regexp_replace($baseE, '#.*$$', '', 'g')"
+    val dir0 = s"regexp_replace($noQF, '[^/]*$$', '', 'g')"
+    val dir = s"(CASE WHEN regexp_matches($dir0, " +
+      s"'^[a-z][a-z0-9+.-]*://[^/?#]*/') THEN $dir0 " +
+      s"ELSE $origin || '/' END)"
+    val merged =
+      s"""(CASE
+         |  WHEN regexp_matches($refE, '^[a-z][a-z0-9+.-]*:') THEN $refE
+         |  WHEN $refE LIKE '//%' THEN $scheme || ':' || $refE
+         |  WHEN $refE LIKE '/%' THEN $origin || $refE
+         |  WHEN $refE LIKE '?%' THEN $noQF || $refE
+         |  WHEN $refE LIKE '#%' THEN $noF || $refE
+         |  WHEN $refE = '' THEN $noF
+         |  ELSE $dir || $refE END)""".stripMargin
+    (1 to DotSegmentDepth).foldLeft(merged) { (u, _) =>
+      DotSegmentFolds.foldLeft(u) { case (c, (p, r)) =>
+        val sqlPat = p.replace("'", "''")
+        val sqlRep = r.replace("$", "\\")
+        s"regexp_replace($c, '$sqlPat', '$sqlRep', 'g')"
+      }
+    }
+  }
+
   /** Main-text extraction from raw HTML (the first transform of every
     * web-crawl pipeline): drop `<script>`/`<style>` subtrees
     * WITH their contents (tag-stripping alone would leak JavaScript

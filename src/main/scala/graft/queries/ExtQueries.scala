@@ -3349,6 +3349,68 @@ object ExtQueries {
            |FROM cu GROUP BY canonical_url""".stripMargin
       }),
 
+    // ── RFC 3986 §5 reference resolution → link-graph rollup ───────────
+    // The transform BETWEEN html extraction and URL dedup: every href a
+    // page links resolves against the page's own URL, then
+    // canonicalizes, then the link graph rolls up in-link counts per
+    // target. Eight injected ref classes cover the full case chain —
+    // absolute, scheme-relative, absolute-path, query-only,
+    // fragment-only, one- and two-level ../ climbs (which must land on
+    // the SAME target as the absolute-path class — the collision that
+    // proves dot-segment folding), and a plain relative. Pure
+    // projection + one groupBy; oracle replays case chain + fold chain
+    // from the shared constants.
+    "q199_link_resolve" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n25 = (col("doc_id") % 25).cast("string")
+        val base = concat(lit("https://"), col("source"),
+          lit(".example.com/a/b/page"), (col("doc_id") % 100).cast("string"))
+        val href = when(col("doc_id") % 8 === 0,
+            concat(lit("https://mirror.example.org/abs/t"), n25))
+          .when(col("doc_id") % 8 === 1,
+            concat(lit("//cdn.example.net/lib/t"), n25))
+          .when(col("doc_id") % 8 === 2, concat(lit("/a/up/t"), n25))
+          .when(col("doc_id") % 8 === 3,
+            concat(lit("?page="), (col("doc_id") % 10).cast("string")))
+          .when(col("doc_id") % 8 === 4,
+            concat(lit("#sec-"), (col("doc_id") % 10).cast("string")))
+          .when(col("doc_id") % 8 === 5, concat(lit("../up/t"), n25))
+          .when(col("doc_id") % 8 === 6,
+            concat(lit("img/t"), n25, lit(".png")))
+          .otherwise(concat(lit("../../a/up/t"), n25))
+        docs.select(col("doc_id"),
+            TextAnalysis.canonicalUrlCol(
+              TextAnalysis.resolveUrlCol(base, href)).as("target"))
+          .groupBy(col("target"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_links"))
+          .select(col("target"), col("doc_id"), col("n_links"))
+      },
+      {
+        val n25 = "cast(doc_id % 25 AS VARCHAR)"
+        val baseSql = "'https://' || source || '.example.com/a/b/page' || " +
+          "cast(doc_id % 100 AS VARCHAR)"
+        val refSql = "(CASE " +
+          s"WHEN doc_id % 8 = 0 THEN 'https://mirror.example.org/abs/t' || $n25 " +
+          s"WHEN doc_id % 8 = 1 THEN '//cdn.example.net/lib/t' || $n25 " +
+          s"WHEN doc_id % 8 = 2 THEN '/a/up/t' || $n25 " +
+          "WHEN doc_id % 8 = 3 THEN '?page=' || cast(doc_id % 10 AS VARCHAR) " +
+          "WHEN doc_id % 8 = 4 THEN '#sec-' || cast(doc_id % 10 AS VARCHAR) " +
+          s"WHEN doc_id % 8 = 5 THEN '../up/t' || $n25 " +
+          s"WHEN doc_id % 8 = 6 THEN 'img/t' || $n25 || '.png' " +
+          s"ELSE '../../a/up/t' || $n25 END)"
+        s"""WITH lk AS (SELECT doc_id,
+           |    ${TextAnalysis.resolveUrlSql(baseSql, refSql)} AS resolved
+           |  FROM documents),
+           |cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql("resolved")} AS target
+           |  FROM lk),
+           |final AS (SELECT target, min(doc_id) AS doc_id,
+           |    count(*) AS n_links FROM cu GROUP BY target)
+           |SELECT target, doc_id, n_links FROM final""".stripMargin
+      }),
+
     // ── HTML main-text extraction ──────────────────────────────────────
     // The first transform of every web-crawl pipeline: documents are
     // wrapped in deterministic HTML chrome (title, a <script> whose

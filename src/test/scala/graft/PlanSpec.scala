@@ -569,6 +569,12 @@ class PlanSpec extends SparkSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q199: link resolution is a pure projection plus one rollup — no join") {
+    val plan = planOf("q199_link_resolve")
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q187/q188: DSIR weights broadcast; edit-distance verify is blocked, never all-pairs") {
     val dPlan = planOf("q187_dsir_importance")
     assert(dPlan.contains("BroadcastHashJoin"), dPlan)

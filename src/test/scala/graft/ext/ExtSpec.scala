@@ -1668,6 +1668,45 @@ class ExtSpec extends SparkSuite {
     assert(none.isEmpty)
   }
 
+  test("resolveUrlCol: the RFC 3986 case chain and dot-segment folds") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // absolute refs pass through, any scheme
+      ("http://h/a/b", "https://x.org/p", "https://x.org/p"),
+      ("http://h/a/b", "mailto:a@b.c", "mailto:a@b.c"),
+      // scheme-relative inherits the base scheme
+      ("https://h/a/b", "//cdn.net/x", "https://cdn.net/x"),
+      // absolute path replaces the base path
+      ("http://h/a/b?q=1", "/root/x", "http://h/root/x"),
+      // query-only replaces query, keeps path
+      ("http://h/p?x=1#z", "?y=2", "http://h/p?y=2"),
+      // fragment-only keeps query, replaces fragment
+      ("http://h/p?x=1#z", "#w", "http://h/p?x=1#w"),
+      // empty ref: same document, fragment dropped
+      ("http://h/p?x=1#z", "", "http://h/p?x=1"),
+      // plain relative joins the base directory
+      ("http://h/a/b/page", "img/t.png", "http://h/a/b/img/t.png"),
+      // ../ climbs, one and two levels
+      ("http://h/a/b/page", "../up/t", "http://h/a/up/t"),
+      ("http://h/a/b/c/page", "../../css/x.css", "http://h/a/css/x.css"),
+      // authority-only base: directory is the root
+      ("http://h", "img.png", "http://h/img.png"),
+      // over-popping clamps at the root, like a browser
+      ("http://h/a", "../../../x", "http://h/x"),
+      // "..." is a NORMAL segment — poppable, never a popper
+      ("http://h/x/", "a/.../../b", "http://h/x/a/b"),
+      // trailing .. and . leave the RFC's trailing slash
+      ("http://h/a/b", "..", "http://h/"),
+      ("http://h/a/b", ".", "http://h/a/"),
+      // six-deep stack resolves within the depth bound
+      ("http://h/1/2/3/4/5/6/page", "../../../../../../x", "http://h/x"))
+    val df = cases.toDF("base", "ref", "expected")
+    val got = df.select(col("expected"),
+        TextAnalysis.resolveUrlCol(col("base"), col("ref")).as("got"))
+      .as[(String, String)].collect()
+    for ((exp, act) <- got) assert(act == exp, s"expected $exp, got $act")
+  }
+
   test("exactSubstringCut: spans merge and cut from the later doc only") {
     // doc 1 is the early survivor (never cut); doc 2 shares passage A
     // at its start AND passage B at its end with doc 1 — both spans cut
