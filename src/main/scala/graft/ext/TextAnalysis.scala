@@ -480,6 +480,23 @@ object TextAnalysis {
     * after is one groupBy(doc_id) of the span relation (match-count-
     * sized, far below corpus-sized), an in-row merge fold, and one join
     * back to documents for the text. */
+  /** In-row interval union over a sorted `spans` array column: fold,
+    * extending the current interval on overlap OR adjacency, emitting
+    * on a gap. Shared by [[exactSubstringCut]] and
+    * [[substringCoverage]]. */
+  private def mergedIntervals: Column = expr(
+    """aggregate(spans,
+      |  struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>) AS done,
+      |         CAST(NULL AS STRUCT<s: BIGINT, e: BIGINT>) AS cur),
+      |  (acc, sp) -> IF(acc.cur IS NULL,
+      |    struct(acc.done AS done, sp AS cur),
+      |    IF(sp.s <= acc.cur.e + 1,
+      |      struct(acc.done AS done,
+      |             struct(acc.cur.s AS s,
+      |                    greatest(acc.cur.e, sp.e) AS e) AS cur),
+      |      struct(array_append(acc.done, acc.cur) AS done, sp AS cur))),
+      |  acc -> array_append(acc.done, acc.cur))""".stripMargin)
+
   def exactSubstringCut(docs: DataFrame, minLen: Int, k: Int = 20)
       : DataFrame = {
     require(minLen > k, s"need minLen > k, got ($minLen, $k)")
@@ -489,20 +506,7 @@ object TextAnalysis {
         (col("pos_b") + col("match_len") - 1).as("e"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(struct(col("s"), col("e")))).as("spans"))
-    // in-row interval union: fold the sorted spans, extending the
-    // current interval on overlap OR adjacency, emitting it on a gap
-    val merged = expr(
-      """aggregate(spans,
-        |  struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>) AS done,
-        |         CAST(NULL AS STRUCT<s: BIGINT, e: BIGINT>) AS cur),
-        |  (acc, sp) -> IF(acc.cur IS NULL,
-        |    struct(acc.done AS done, sp AS cur),
-        |    IF(sp.s <= acc.cur.e + 1,
-        |      struct(acc.done AS done,
-        |             struct(acc.cur.s AS s,
-        |                    greatest(acc.cur.e, sp.e) AS e) AS cur),
-        |      struct(array_append(acc.done, acc.cur) AS done, sp AS cur))),
-        |  acc -> array_append(acc.done, acc.cur))""".stripMargin)
+    val merged = mergedIntervals
     // reassemble: the gap before each merged span, then the tail
     val cleaned = expr(
       """aggregate(merged,
@@ -555,6 +559,64 @@ object TextAnalysis {
        |    || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS cleaned
        |FROM seg g JOIN documents d USING (doc_id)
        |GROUP BY d.doc_id, d.text""".stripMargin
+  }
+
+  /** Per-pair SUBSTRING COVERAGE — the graded dup score between
+    * containment (q155) and whole-document equality: for each candidate
+    * pair, the fraction of the LATER document's characters covered by
+    * maximal shared spans >= `minLen`. coverage 1000000 ppm = doc_b is
+    * a substring-exact copy; ~500000 = half its bytes are lifted. The
+    * score dedup policies threshold on when whole-doc dropping is too
+    * blunt and span cutting ([[exactSubstringCut]]) too surgical.
+    *
+    * Same machinery as the cut: winnowed pairs, spans unioned per
+    * (doc_a, doc_b) with [[mergedIntervals]], exact-integer ppm (the
+    * novelty_ppm discipline). Output: (doc_a, doc_b, covered_chars,
+    * len_b, cov_ppm), one row per pair with any span >= minLen. */
+  def substringCoverage(docs: DataFrame, minLen: Int, k: Int = 20)
+      : DataFrame = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+    pairs.select(col("doc_a"), col("doc_b"),
+        col("pos_b").cast("long").as("s"),
+        (col("pos_b") + col("match_len") - 1).as("e"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sort_array(collect_set(struct(col("s"), col("e")))).as("spans"))
+      .withColumn("merged", mergedIntervals)
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(merged, CAST(0 AS BIGINT), (a, m) -> a + m.e - m.s + 1)")
+          .as("covered_chars"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        length(col("text")).cast("long").as("len_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("covered_chars"), col("len_b"),
+        expr("covered_chars * 1000000 div len_b").as("cov_ppm"))
+  }
+
+  /** [[substringCoverage]]'s DuckDB oracle — pass, per-pair islands,
+    * covered sum, `//` integer ppm. */
+  def substringCoverageOracleSql(minLen: Int): String = {
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+       |spans0 AS (SELECT DISTINCT doc_a, doc_b, pos_b AS s,
+       |                  pos_b + match_len - 1 AS e FROM pass),
+       |m1 AS (SELECT doc_a, doc_b, s, e,
+       |         max(e) OVER (PARTITION BY doc_a, doc_b ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_e
+       |       FROM spans0),
+       |m2 AS (SELECT doc_a, doc_b, s, e,
+       |         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_a, doc_b ORDER BY s, e) AS isl
+       |       FROM m1),
+       |mg AS (SELECT doc_a, doc_b, isl, min(s) AS s, max(e) AS e
+       |       FROM m2 GROUP BY 1, 2, 3),
+       |cov AS (SELECT doc_a, doc_b,
+       |          CAST(sum(e - s + 1) AS BIGINT) AS covered_chars
+       |        FROM mg GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.covered_chars,
+       |  CAST(len(d.text) AS BIGINT) AS len_b,
+       |  c.covered_chars * 1000000 // CAST(len(d.text) AS BIGINT) AS cov_ppm
+       |FROM cov c JOIN documents d ON d.doc_id = c.doc_b""".stripMargin
   }
 
   /** Intra-document repetition score (the Gopher-style quality filter):

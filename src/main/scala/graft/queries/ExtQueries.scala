@@ -4468,6 +4468,17 @@ object ExtQueries {
         Tables.documents(s, dir), minLen = 40),
       TextAnalysis.exactSubstringCutOracleSql(minLen = 40)),
 
+    // the GRADED score between containment and equality: per candidate
+    // pair, the ppm of the later doc's characters covered by maximal
+    // shared spans >= 40 — what a dedup policy thresholds on when
+    // whole-doc dropping is too blunt and span cutting too surgical.
+    // Exact-integer ppm (the novelty_ppm discipline); per-pair interval
+    // union shares the q198 merge fold.
+    "q200_substring_coverage" -> Q(
+      (s, dir) => TextAnalysis.substringCoverage(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.substringCoverageOracleSql(minLen = 40)),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the

@@ -1755,6 +1755,26 @@ class ExtSpec extends SparkSuite {
     assert(clean3 == "@three tail never shared with anything")
   }
 
+  test("substringCoverage: exact copy scores 1000000 ppm, partial lift scores its share") {
+    val pa = (1 to 8).map(i => s"alpha$i").mkString(" ")
+    val pb = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val d1 = s"$pa middle-of-doc-one $pb"
+    val d2 = s"$pa <mid> $pb"
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d1,
+      4L -> "nothing shared with anybody here, long enough to anchor")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringCoverage(docs, minLen = 40)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // (1,3): doc 3 is an exact copy — full coverage
+    assert(out((1L, 3L)) == (d1.length.toLong, d1.length.toLong, 1000000L))
+    // (1,2): doc 2 keeps only "<mid>" of its own — 104 of 109 chars lifted
+    val (cov12, len12, ppm12) = out((1L, 2L))
+    assert(len12 == d2.length.toLong && cov12 == d2.length - 5L)
+    assert(ppm12 == cov12 * 1000000L / len12)
+  }
+
   test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
     val docs = Seq(
