@@ -163,6 +163,12 @@ object ScaleProbe {
         (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 20, w = 21)
           .count(),
         d1, d10),
+      // removal half (q198): winnowed pairs + per-doc interval union +
+      // reassembly — the rollup rides the pair pass's economics
+      ("substring_cut",
+        (d: DataFrame) => TextAnalysis.exactSubstringCut(d, minLen = 40)
+          .count(),
+        d1, d10),
       ("crossmodal_dedup",
         (d: DataFrame) => {
           val ap = graft.ext.Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)
