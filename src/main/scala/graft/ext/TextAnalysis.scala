@@ -619,6 +619,38 @@ object TextAnalysis {
        |FROM cov c JOIN documents d ON d.doc_id = c.doc_b""".stripMargin
   }
 
+  /** The DECISION layer of substring dedup — what a release pipeline
+    * actually executes: per document, the strongest duplication
+    * evidence against any EARLIER partner (max [[substringCoverage]]
+    * ppm as doc_b) routes it to an action — `drop` (≥ `dropPpm`:
+    * mostly lifted, remove the document), `cut` (≥ `cutPpm`: lift the
+    * spans, keep the rest — [[exactSubstringCut]] is the executor),
+    * `keep` below. One row per document WITH evidence; untouched
+    * documents are implicitly `keep` and not re-emitted (the q198
+    * discipline). Thresholds are exact-integer ppm so the routing is
+    * engine-reproducible. */
+  def substringPolicy(docs: DataFrame, minLen: Int,
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L): DataFrame = {
+    substringCoverage(docs, minLen)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(max(col("cov_ppm")).as("max_cov_ppm"))
+      .select(col("doc_id"), col("max_cov_ppm"),
+        when(col("max_cov_ppm") >= dropPpm, lit("drop"))
+          .when(col("max_cov_ppm") >= cutPpm, lit("cut"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
+  /** [[substringPolicy]]'s DuckDB oracle. */
+  def substringPolicyOracleSql(minLen: Int,
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L): String = {
+    s"""WITH cov AS (${substringCoverageOracleSql(minLen)})
+       |SELECT doc_b AS doc_id, max(cov_ppm) AS max_cov_ppm,
+       |  CASE WHEN max(cov_ppm) >= $dropPpm THEN 'drop'
+       |       WHEN max(cov_ppm) >= $cutPpm THEN 'cut'
+       |       ELSE 'keep' END AS action
+       |FROM cov GROUP BY doc_b""".stripMargin
+  }
+
   /** Intra-document repetition score (the Gopher-style quality filter):
     * fraction of the document's word n-grams occupied by its single most
     * repeated n-gram. Grams are counted with multiplicity — a document

@@ -4479,6 +4479,15 @@ object ExtQueries {
         Tables.documents(s, dir), minLen = 40),
       TextAnalysis.substringCoverageOracleSql(minLen = 40)),
 
+    // the DECISION layer: per document, its strongest coverage against
+    // any earlier partner routes it to drop / cut / keep — the routing
+    // a release pipeline executes before q198 does the cutting.
+    // Exact-integer ppm thresholds; oracle composes the q200 CTE.
+    "q201_substring_policy" -> Q(
+      (s, dir) => TextAnalysis.substringPolicy(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.substringPolicyOracleSql(minLen = 40)),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the

@@ -1775,6 +1775,29 @@ class ExtSpec extends SparkSuite {
     assert(ppm12 == cov12 * 1000000L / len12)
   }
 
+  test("substringPolicy: coverage routes to drop, cut, and keep") {
+    val pa = (1 to 8).map(i => s"alpha$i").mkString(" ")  // 55 chars
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    val d1 = s"$pa! $filler"
+    val docs = Seq(
+      1L -> d1,
+      2L -> d1,                        // exact copy → 1000000 ppm → drop
+      3L -> (s"$pa! " + "its own second half long enough to dilute " * 2),
+      4L -> (s"$pa! " + filler.replace("unique", "other") + " " +
+        filler.replace("unique", "more") + " " +
+        filler.replace("unique", "yet") + " tail"),
+      5L -> "never shares anything with the others, long enough to anchor")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringPolicy(docs, minLen = 40)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(1L) && !out.contains(5L)) // earliest + unshared: keep, unemitted
+    assert(out(2L)._1 == 1000000L && out(2L)._2 == "drop")
+    // doc 3: shared prefix ≈ 57 of ~91 chars → cut band
+    assert(out(3L)._2 == "cut", s"doc3 got ${out(3L)}")
+    // doc 4: shared prefix ≈ 57 of ~350 chars → under 300000 ppm → keep
+    assert(out(4L)._2 == "keep", s"doc4 got ${out(4L)}")
+  }
+
   test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
     val docs = Seq(
