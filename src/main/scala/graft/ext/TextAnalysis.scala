@@ -421,17 +421,9 @@ object TextAnalysis {
       : DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
     val G = w + k - 1
-    graft.functions.CommonPrefixChars.register(docs.sparkSession)
-    graft.functions.WinnowFingerprints.register(docs.sparkSession)
     val d = docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= G)
-    val fp = d
-      .select(col("doc_id"),
-        explode(call_function("winnow_fingerprints",
-          col("text"), lit(k), lit(w))).as("f"))
-      .select(col("doc_id"),
-        col("f").getField("pos").as("pos"),
-        col("f").getField("h").as("h"))
+    val fp = winnowFingerprintsOf(d, k, w)
     // same shuffle_hash pin as q196: Catalyst's estimate undershoots the
     // exploded fingerprint relation and would broadcast it
     val pairs = fp
@@ -441,7 +433,31 @@ object TextAnalysis {
           col("pos").as("pb")).hint("shuffle_hash"), Seq("h"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
-    pairs
+    extendAnchorCandidates(pairs, d, G)
+  }
+
+  /** The winnowed fingerprint relation (doc_id, pos, h) of `d` —
+    * one O(n) kernel pass per document, map-side, never shuffled. `d`
+    * must already be projected to (doc_id, text) and length-filtered. */
+  private def winnowFingerprintsOf(d: DataFrame, k: Int, w: Int)
+      : DataFrame = {
+    graft.functions.WinnowFingerprints.register(d.sparkSession)
+    d.select(col("doc_id"),
+        explode(call_function("winnow_fingerprints",
+          col("text"), lit(k), lit(w))).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("pos").as("pos"),
+        col("f").getField("h").as("h"))
+  }
+
+  /** BOTH-WAYS extension of aligned anchor candidates (doc_a, pa,
+    * doc_b, pb) over the text relation `d` (doc_id, text): left via
+    * the CommonPrefixChars kernel on reversed prefixes, right on
+    * suffixes; keeps maximal matches >= G and dedups alignments. */
+  private def extendAnchorCandidates(cand: DataFrame, d: DataFrame,
+      G: Int): DataFrame = {
+    graft.functions.CommonPrefixChars.register(d.sparkSession)
+    cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
@@ -458,6 +474,65 @@ object TextAnalysis {
         (col("pb") - col("left_ext")).cast("int").as("pos_b"),
         col("match_len"))
       .distinct()
+  }
+
+  /** Persists the winnowed fingerprint INDEX of a settled corpus —
+    * the artifact that makes substring dedup INCREMENTALLY
+    * maintainable: a new batch probes this relation without the
+    * engine ever recomputing corpus fingerprints (the q134/q191
+    * persisted-store discipline applied to the newest tier). Layout:
+    * (doc_id, pos, h) parquet. */
+  def saveSubstringIndex(corpus: DataFrame, path: String, minLen: Int,
+      k: Int = 20): Unit = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val w = minLen - k + 1
+    val d = corpus.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= minLen)
+    winnowFingerprintsOf(d, k, w).write.mode("overwrite").parquet(path)
+  }
+
+  /** Cross-corpus maximal matches of a NEW BATCH against the persisted
+    * fingerprint index — incremental exact-substring dedup's probe
+    * half. The batch pays its own winnow kernel pass (batch-sized);
+    * the corpus contributes only (a) the index parquet scan and (b)
+    * one text re-attach join (match-sized keys, so the candidate side
+    * broadcasts and the corpus never shuffles). Output rows are
+    * oriented doc_a < doc_b with positions swapped accordingly, so the
+    * result is EXACTLY [[winnowedSubstringPairs]] over corpus ∪ batch
+    * restricted to cross pairs — which the oracle states as the exact
+    * pass filtered to cross-split pairs (the recall guarantee holds
+    * per pair: a window inside the match selects the same aligned
+    * anchor in index build and batch probe alike). */
+  def substringPairsAgainstIndex(batch: DataFrame, corpus: DataFrame,
+      indexPath: String, minLen: Int, k: Int = 20): DataFrame = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val w = minLen - k + 1
+    val spark = batch.sparkSession
+    val bd = batch.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= minLen)
+    val bf = winnowFingerprintsOf(bd, k, w)
+    val cf = spark.read.parquet(indexPath)
+    // shuffle_hash pin: the BATCH fingerprint relation is generate-
+    // exploded (Catalyst undershoots it), and the index side is
+    // corpus-sized — neither may be broadcast on size guesses
+    val cand = cf
+      .select(col("h"), col("doc_id").as("ci"), col("pos").as("cp"))
+      .hint("shuffle_hash")
+      .join(bf.select(col("h"), col("doc_id").as("bi"),
+          col("pos").as("bp")).hint("shuffle_hash"), Seq("h"))
+      .select(
+        when(col("ci") < col("bi"), col("ci")).otherwise(col("bi"))
+          .as("doc_a"),
+        when(col("ci") < col("bi"), col("cp")).otherwise(col("bp"))
+          .as("pa"),
+        when(col("ci") < col("bi"), col("bi")).otherwise(col("ci"))
+          .as("doc_b"),
+        when(col("ci") < col("bi"), col("bp")).otherwise(col("cp"))
+          .as("pb"))
+    val texts = corpus.select(col("doc_id"), col("text"))
+      .unionByName(bd)
+      .where(length(col("text")) >= minLen)
+    extendAnchorCandidates(cand, texts, minLen)
   }
 
   /** Exact-substring dedup's REMOVAL half — Lee et al.'s actual edit:
@@ -500,7 +575,13 @@ object TextAnalysis {
   def exactSubstringCut(docs: DataFrame, minLen: Int, k: Int = 20)
       : DataFrame = {
     require(minLen > k, s"need minLen > k, got ($minLen, $k)")
-    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+    cutFromPairs(winnowedSubstringPairs(docs, k = k, w = minLen - k + 1), docs)
+  }
+
+  /** [[exactSubstringCut]] from an already-computed pair relation —
+    * lets [[substringRelease]] pay the winnowed pass ONCE for both its
+    * branches. */
+  private def cutFromPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val spans = pairs.select(col("doc_b").as("doc_id"),
         col("pos_b").cast("long").as("s"),
         (col("pos_b") + col("match_len") - 1).as("e"))
@@ -576,7 +657,13 @@ object TextAnalysis {
   def substringCoverage(docs: DataFrame, minLen: Int, k: Int = 20)
       : DataFrame = {
     require(minLen > k, s"need minLen > k, got ($minLen, $k)")
-    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+    coverageFromPairs(winnowedSubstringPairs(docs, k = k, w = minLen - k + 1),
+      docs)
+  }
+
+  /** [[substringCoverage]] from an already-computed pair relation. */
+  private def coverageFromPairs(pairs: DataFrame, docs: DataFrame)
+      : DataFrame = {
     pairs.select(col("doc_a"), col("doc_b"),
         col("pos_b").cast("long").as("s"),
         (col("pos_b") + col("match_len") - 1).as("e"))
@@ -630,8 +717,13 @@ object TextAnalysis {
     * discipline). Thresholds are exact-integer ppm so the routing is
     * engine-reproducible. */
   def substringPolicy(docs: DataFrame, minLen: Int,
-      dropPpm: Long = 900000L, cutPpm: Long = 300000L): DataFrame = {
-    substringCoverage(docs, minLen)
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L): DataFrame =
+    policyFromCoverage(substringCoverage(docs, minLen), dropPpm, cutPpm)
+
+  /** [[substringPolicy]] from an already-computed coverage relation. */
+  private def policyFromCoverage(cov: DataFrame, dropPpm: Long,
+      cutPpm: Long): DataFrame = {
+    cov
       .groupBy(col("doc_b").as("doc_id"))
       .agg(max(col("cov_ppm")).as("max_cov_ppm"))
       .select(col("doc_id"), col("max_cov_ppm"),
@@ -649,6 +741,240 @@ object TextAnalysis {
        |       WHEN max(cov_ppm) >= $cutPpm THEN 'cut'
        |       ELSE 'keep' END AS action
        |FROM cov GROUP BY doc_b""".stripMargin
+  }
+
+  /** The EXECUTED release edit of the substring tier — [[substringPolicy]]
+    * routing applied to the corpus: dropped documents vanish, cut
+    * documents carry [[exactSubstringCut]]'s cleaned text, everything
+    * else (including documents with no duplication evidence at all)
+    * passes through verbatim. Output is the full post-edit corpus —
+    * (doc_id, action, final_len, final_text) — the relation a shard
+    * writer consumes next, so this is the composition proof that the
+    * q196–q201 family chains into an actual release step (the q190
+    * capstone discipline).
+    *
+    * Scale shape: the winnowed pair pass — the only corpus-sized work —
+    * runs ONCE and is localCheckpoint'd (the pair relation is
+    * match-sized, far below corpus-sized), then BOTH branches (policy
+    * routing and span cutting) derive from the materialized pairs; the
+    * final assembly is one corpus-sized left join against each
+    * match-sized branch — no new shuffle classes beyond q198/q201. */
+  def substringRelease(docs: DataFrame, minLen: Int,
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L,
+      k: Int = 20): DataFrame = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+      .localCheckpoint(true)
+    val policy = policyFromCoverage(coverageFromPairs(pairs, docs),
+      dropPpm, cutPpm)
+    val cut = cutFromPairs(pairs, docs)
+    docs.select(col("doc_id"), col("text"))
+      .join(policy.select(col("doc_id"), col("action")), Seq("doc_id"), "left")
+      .withColumn("action", coalesce(col("action"), lit("keep")))
+      .where(col("action") =!= "drop")
+      .join(cut.select(col("doc_id"), col("cleaned")), Seq("doc_id"), "left")
+      .withColumn("final_text",
+        when(col("action") === "cut", col("cleaned")).otherwise(col("text")))
+      .select(col("doc_id"), col("action"),
+        length(col("final_text")).cast("long").as("final_len"),
+        col("final_text"))
+  }
+
+  /** [[substringRelease]]'s DuckDB oracle — the policy and cut CTEs
+    * composed exactly like the Spark plan. */
+  def substringReleaseOracleSql(minLen: Int,
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L): String = {
+    // the cut CTE is concatenated OUTSIDE any stripMargin: its SQL has
+    // lines starting with the `||` concat operator, which an enclosing
+    // stripMargin would truncate to `|`
+    s"WITH pol AS (${substringPolicyOracleSql(minLen, dropPpm, cutPpm)}),\n" +
+      s"cutq AS (${exactSubstringCutOracleSql(minLen)}),\n" +
+      """act AS (SELECT d.doc_id, d.text, coalesce(p.action, 'keep') AS action
+        |        FROM documents d LEFT JOIN pol p USING (doc_id))
+        |SELECT a.doc_id, a.action,
+        |  CAST(len(CASE WHEN a.action = 'cut' THEN c.cleaned ELSE a.text END)
+        |       AS BIGINT) AS final_len,
+        |  CASE WHEN a.action = 'cut' THEN c.cleaned ELSE a.text END AS final_text
+        |FROM act a LEFT JOIN cutq c USING (doc_id)
+        |WHERE a.action <> 'drop'""".stripMargin
+  }
+
+  /** Train→eval contamination at BYTE resolution — the leak check a
+    * benchmark owner actually wants: for every val/test document, the
+    * exact characters it shares (in maximal spans >= `minLen`) with ANY
+    * train document. The n-gram split guard (q135) prevents assigning
+    * near-dup CLUSTERS across splits; this measures what still leaks
+    * through at substring resolution — quotations, boilerplate, lifted
+    * passages — and reports it per contaminated eval document as
+    * (doc_id, split, max_match_len, leaked_chars, len, leak_ppm).
+    * Clean eval documents are not re-emitted (the q198 affected-only
+    * discipline).
+    *
+    * Splits are the deterministic q51 hash buckets (salt "split",
+    * 80/10/10) computed INLINE as a pure expression of doc_id — the
+    * pair relation never joins a corpus-sized split table. Pairs come
+    * from the winnowed tier ([[winnowedSubstringPairs]], recall proven
+    * complete at >= minLen); spans union per eval document with the
+    * shared interval merge. */
+  def substringLeak(docs: DataFrame, minLen: Int, k: Int = 20)
+      : DataFrame = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    def splitOf(id: Column): Column = {
+      val b = Sampling.bucket(docs, id, "split")
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+    val evalSpans = pairs
+      .where(col("split_a") === "train" && col("split_b") =!= "train")
+      .select(col("doc_b").as("doc_id"), col("pos_b").cast("long").as("s"),
+        (col("pos_b") + col("match_len") - 1).as("e"), col("match_len"))
+      .unionByName(pairs
+        .where(col("split_b") === "train" && col("split_a") =!= "train")
+        .select(col("doc_a").as("doc_id"), col("pos_a").cast("long").as("s"),
+          (col("pos_a") + col("match_len") - 1).as("e"), col("match_len")))
+    evalSpans
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("s"), col("e")))).as("spans"),
+        max(col("match_len")).as("max_match_len"))
+      .withColumn("merged", mergedIntervals)
+      .select(col("doc_id"), col("max_match_len"),
+        expr("aggregate(merged, CAST(0 AS BIGINT), (a, m) -> a + m.e - m.s + 1)")
+          .as("leaked_chars"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), Seq("doc_id"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        col("max_match_len"), col("leaked_chars"), col("len"),
+        expr("leaked_chars * 1000000 div len").as("leak_ppm"))
+  }
+
+  /** [[substringLeak]]'s DuckDB oracle — the exact pass, hash-bucket
+    * splits, train→eval span orientation (both pair directions),
+    * gaps-and-islands union, integer ppm. */
+  def substringLeakOracleSql(minLen: Int): String = {
+    def splitSql(idExpr: String): String =
+      s"""CASE WHEN ${Sampling.bucketSql(idExpr, "split")} < 80 THEN 'train'
+         |     WHEN ${Sampling.bucketSql(idExpr, "split")} < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+       |lab AS (SELECT doc_a, doc_b, pos_a, pos_b, match_len,
+       |          ${splitSql("doc_a")} AS split_a,
+       |          ${splitSql("doc_b")} AS split_b
+       |        FROM pass),
+       |sp AS (SELECT doc_b AS doc_id, pos_b AS s,
+       |              pos_b + match_len - 1 AS e, match_len
+       |       FROM lab WHERE split_a = 'train' AND split_b <> 'train'
+       |       UNION ALL
+       |       SELECT doc_a, pos_a, pos_a + match_len - 1, match_len
+       |       FROM lab WHERE split_b = 'train' AND split_a <> 'train'),
+       |spd AS (SELECT DISTINCT doc_id, s, e FROM sp),
+       |m1 AS (SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_e
+       |       FROM spd),
+       |m2 AS (SELECT doc_id, s, e,
+       |         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+       |       FROM m1),
+       |mg AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+       |       FROM m2 GROUP BY 1, 2),
+       |lk AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS leaked_chars
+       |       FROM mg GROUP BY 1),
+       |mm AS (SELECT doc_id, max(match_len) AS max_match_len
+       |       FROM sp GROUP BY 1)
+       |SELECT l.doc_id, ${splitSql("l.doc_id")} AS split,
+       |  m.max_match_len, l.leaked_chars,
+       |  CAST(len(d.text) AS BIGINT) AS len,
+       |  l.leaked_chars * 1000000 // CAST(len(d.text) AS BIGINT) AS leak_ppm
+       |FROM lk l JOIN mm m USING (doc_id) JOIN documents d USING (doc_id)""".stripMargin
+  }
+
+  /** Quality-distribution DRIFT monitor — the report a production
+    * pipeline runs when a new crawl snapshot (here: each `source`)
+    * lands: per source, the histogram of an exact-integer quality
+    * signal (stopword-density ppm, [[qualityScore]]'s ratio kept in
+    * integer arithmetic, fixed-width deciles) side by side with the
+    * corpus-wide histogram, plus the total-variation distance between
+    * the two in ppm. TVD instead of PSI/KL keeps the whole report in
+    * exact integers (no engine-divergent `ln`), and is the standard
+    * drift statistic when distributions may have empty buckets.
+    *
+    * Output: one row per (source, corpus-occupied bucket) — DENSE, so
+    * a bucket the source misses entirely still contributes its corpus
+    * mass to the TVD — with (cnt, src_ppm, corpus_ppm, tvd_ppm);
+    * tvd_ppm repeats per source (window sum over a ≤10-row group).
+    *
+    * Scale shape: ONE corpus scan into groupBy(source, bucket); the
+    * dense lattice is built from that single aggregate by windows +
+    * a map explode (never by re-referencing the scan — a naive
+    * three-branch join compiles to three corpus scans), so every
+    * operator after the first exchange runs on the (sources × ≤10
+    * buckets)-sized relation. The partition-free windows are fine
+    * here for exactly that reason: they move metadata, not corpus. */
+  def qualityDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nStop = Stopwords
+      .map(w => size(filter(toks, t => t === w)).cast("long")).reduce(_ + _)
+    val scored = docs
+      .select(col("source"), nStop.as("n_stop"), nTok.as("n_tok"))
+      .select(col("source"),
+        least(expr("n_stop * 1000000 div n_tok div 100000"), lit(9L))
+          .as("bucket"))
+    val sb = scored.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    val enriched = sb
+      .withColumn("ccnt", sum(col("cnt")).over(Window.partitionBy("bucket")))
+      .withColumn("ctot", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("allm", map_from_entries(array_distinct(
+        collect_list(struct(col("bucket"), col("ccnt")))
+          .over(Window.partitionBy()))))
+    val perSrc = enriched.groupBy("source")
+      .agg(first(col("ctot")).as("ctot"), first(col("allm")).as("allm"),
+        sum(col("cnt")).as("tot"),
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("mine"))
+    perSrc
+      .select(col("source"), col("tot"), col("ctot"), col("mine"),
+        explode(col("allm")).as(Seq("bucket", "ccnt")))
+      .withColumn("cnt", coalesce(expr("mine[bucket]"), lit(0L)))
+      .select(col("source"), col("bucket"), col("cnt"),
+        expr("cnt * 1000000 div tot").as("src_ppm"),
+        expr("ccnt * 1000000 div ctot").as("corpus_ppm"))
+      .withColumn("tvd_ppm",
+        expr("sum(abs(src_ppm - corpus_ppm)) over (partition by source) div 2"))
+  }
+
+  /** [[qualityDrift]]'s DuckDB oracle — identical bucketing, dense
+    * source×bucket lattice, integer `//` ppm, window TVD. */
+  def qualityDriftOracleSql: String = {
+    val nStopSql = Stopwords
+      .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+    s"""WITH q AS (SELECT source,
+       |    least(($nStopSql) * 1000000 // len(t) // 100000, 9) AS bucket
+       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+       |sb AS (SELECT source, bucket, count(*) AS cnt FROM q GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+       |       FROM sb GROUP BY 1),
+       |cb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |       FROM sb GROUP BY 1),
+       |ct AS (SELECT CAST(sum(cnt) AS BIGINT) AS ctot FROM sb),
+       |dense AS (SELECT s.source, b.bucket,
+       |            CAST(coalesce(x.cnt, 0) AS BIGINT) AS cnt,
+       |            s.tot, b.ccnt, t.ctot
+       |          FROM st s CROSS JOIN cb b CROSS JOIN ct t
+       |          LEFT JOIN sb x ON x.source = s.source AND x.bucket = b.bucket),
+       |pp AS (SELECT source, bucket, cnt,
+       |         CAST(cnt * 1000000 // tot AS BIGINT) AS src_ppm,
+       |         CAST(ccnt * 1000000 // ctot AS BIGINT) AS corpus_ppm
+       |       FROM dense)
+       |SELECT source, bucket, cnt, src_ppm, corpus_ppm,
+       |  CAST(sum(abs(src_ppm - corpus_ppm))
+       |         OVER (PARTITION BY source) // 2 AS BIGINT) AS tvd_ppm
+       |FROM pp""".stripMargin
   }
 
   /** Intra-document repetition score (the Gopher-style quality filter):

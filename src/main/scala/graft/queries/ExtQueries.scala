@@ -4488,6 +4488,60 @@ object ExtQueries {
         Tables.documents(s, dir), minLen = 40),
       TextAnalysis.substringPolicyOracleSql(minLen = 40)),
 
+    // the EXECUTED release edit: q201's routing applied — drops vanish,
+    // cuts carry q198's cleaned text, keeps pass through verbatim.
+    // Output is the full post-edit corpus; oracle composes the policy
+    // and cut CTEs exactly like the Spark plan.
+    "q202_substring_release" -> Q(
+      (s, dir) => TextAnalysis.substringRelease(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.substringReleaseOracleSql(minLen = 40)),
+
+    // train→eval contamination at byte resolution: for every val/test
+    // document (deterministic q51 hash splits computed inline), the
+    // exact characters shared in maximal spans >= 40 with any train
+    // document — what still leaks through the n-gram split guard
+    // (q135). Affected-only output; winnowed pair pass.
+    "q203_substring_leak" -> Q(
+      (s, dir) => TextAnalysis.substringLeak(
+        Tables.documents(s, dir), minLen = 40),
+      TextAnalysis.substringLeakOracleSql(minLen = 40)),
+
+    // per-source quality-distribution drift vs the corpus: dense
+    // stopword-ppm decile histograms + total-variation distance in
+    // exact-integer ppm (no engine-divergent ln) — the monitoring
+    // report a pipeline runs when a new crawl snapshot lands.
+    "q204_quality_drift" -> Q(
+      (s, dir) => TextAnalysis.qualityDrift(Tables.documents(s, dir)),
+      TextAnalysis.qualityDriftOracleSql),
+
+    // ── INCREMENTAL substring dedup: probe a batch vs the persisted
+    // fingerprint index ──────────────────────────────────────────────
+    // q196/q197 price the full corpus pass; a deployment ingesting
+    // batches must not recompute corpus fingerprints per batch. The
+    // settled corpus's winnowed index is a session artifact (q191's
+    // pricing contract — pass 1 pays and verifies the build); the
+    // registered plan winnows ONLY the batch and equi-joins the index
+    // parquet. The oracle is the exact pass over the WHOLE corpus
+    // filtered to cross-split pairs, so the driver proves the probe
+    // loses nothing vs a full recompute.
+    "q205_substring_indexed" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.where(col("doc_id") % 7 =!= 3)
+        val store = graft.util.SessionStore.getOrBuild(
+          s"subidx|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "subidx") { p =>
+          TextAnalysis.saveSubstringIndex(corpus, s"$p/fp", minLen = 40)
+        }
+        TextAnalysis.substringPairsAgainstIndex(
+          docs.where(col("doc_id") % 7 === 3), corpus, s"$store/fp",
+          minLen = 40)
+      },
+      s"WITH pass AS (${TextAnalysis.exactSubstringOracleSql(40)})\n" +
+        """SELECT doc_a, doc_b, pos_a, pos_b, match_len FROM pass
+          |WHERE (doc_a % 7 = 3) <> (doc_b % 7 = 3)""".stripMargin),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the

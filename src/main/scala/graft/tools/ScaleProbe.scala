@@ -169,6 +169,18 @@ object ScaleProbe {
         (d: DataFrame) => TextAnalysis.exactSubstringCut(d, minLen = 40)
           .count(),
         d1, d10),
+      // executed release edit (q202): ONE winnowed pass (checkpointed,
+      // match-sized) feeding both the policy and cut branches, then the
+      // corpus-sized assembly joins
+      ("substring_release",
+        (d: DataFrame) => TextAnalysis.substringRelease(d, minLen = 40)
+          .count(),
+        d1, d10),
+      // byte-resolution split-leak check (q203): winnowed pairs +
+      // inline hash splits + per-eval-doc interval union
+      ("substring_leak",
+        (d: DataFrame) => TextAnalysis.substringLeak(d, minLen = 40).count(),
+        d1, d10),
       ("crossmodal_dedup",
         (d: DataFrame) => {
           val ap = graft.ext.Multimodal.audioDupPairs(d, maxDist = 4, nBands = 8)
@@ -409,6 +421,37 @@ object ScaleProbe {
       println(s"[scaleprobe] cc_add inc ${fmt(gi1)}->${fmt(gi10)}s " +
         s"(alpha ${fmt(math.log10(gi10 / gi1))}) full ${fmt(gf1)}->${fmt(gf10)}s " +
         s"(alpha ${fmt(math.log10(gf10 / gf1))})")
+    }
+
+    // incremental substring dedup (q205): FIXED batch probed against the
+    // persisted fingerprint index of a growing corpus, vs the full
+    // winnowed pass over corpus ∪ batch — the same inc-vs-full framing
+    // as the graph block (index build is the untimed artifact cost)
+    if (only.forall(_.contains("incremental_substring"))) {
+      import org.apache.spark.sql.functions.col
+      def subProbe(n: Long): (Double, Double) = {
+        val all = synthDocs(spark, n, vocab).localCheckpoint(true)
+        val bcond = col("doc_id") < 5000L && col("doc_id") % 5 === 1
+        val batch = all.where(bcond).localCheckpoint(true)
+        val corpus = all.where(!bcond).localCheckpoint(true)
+        val idx = java.nio.file.Files.createTempDirectory("subidx").toString
+        TextAnalysis.saveSubstringIndex(corpus, s"$idx/fp", minLen = 40)
+        val (tInc, _) = timeMin(TextAnalysis.substringPairsAgainstIndex(
+          batch, corpus, s"$idx/fp", minLen = 40).count())
+        val (tFull, _) = timeMin(
+          TextAnalysis.winnowedSubstringPairs(all, k = 20, w = 21).count())
+        (tInc, tFull)
+      }
+      val (si1, sf1) = subProbe(5000L)
+      val (si10, sf10) = subProbe(50000L)
+      if (out.length > 1) out ++= ","
+      out ++= s""""substring_indexed":{"t_inc1":${fmt(si1)},"t_inc10":${fmt(si10)}"""
+      out ++= s""","alpha_inc":${fmt(math.log10(si10 / si1))}"""
+      out ++= s""","t_full1":${fmt(sf1)},"t_full10":${fmt(sf10)}"""
+      out ++= s""","alpha_full":${fmt(math.log10(sf10 / sf1))}}"""
+      println(s"[scaleprobe] substring_indexed inc ${fmt(si1)}->${fmt(si10)}s " +
+        s"(alpha ${fmt(math.log10(si10 / si1))}) full ${fmt(sf1)}->${fmt(sf10)}s " +
+        s"(alpha ${fmt(math.log10(sf10 / sf1))})")
     }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")

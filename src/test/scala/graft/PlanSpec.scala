@@ -569,6 +569,43 @@ class PlanSpec extends SparkSuite {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q202/q203: release edit and leak check stay on the winnowed equi-join, never all-pairs") {
+    // q202's winnowed pass runs ONCE at construction (localCheckpoint'd,
+    // match-sized), so the registered plan derives both branches from
+    // the materialized pair RDD — and must never fall back to all-pairs
+    val rPlan = planOf("q202_substring_release")
+    assert(rPlan.contains("Scan ExistingRDD"), rPlan)
+    assert(!rPlan.contains("CartesianProduct")
+      && !rPlan.contains("BroadcastNestedLoopJoin"), rPlan)
+    val lPlan = planOf("q203_substring_leak")
+    assert(lPlan.contains("ShuffledHashJoin"), lPlan)
+    assert(!lPlan.contains("CartesianProduct")
+      && !lPlan.contains("BroadcastNestedLoopJoin"), lPlan)
+    // the leak check's splits are inline hash expressions of doc_id —
+    // no corpus-sized split table is ever joined, so the plan has no
+    // SortMergeJoin anywhere
+    assert(!lPlan.contains("SortMergeJoin"), lPlan)
+  }
+
+  test("q204: drift report scans the corpus ONCE; the dense lattice is post-aggregate") {
+    val plan = planOf("q204_quality_drift")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan) // windows + map explode, no self-join
+    // one corpus-sized exchange (the partial-agg groupBy); the
+    // SinglePartition exchange moves only the metadata-sized aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q205: the index probe winnows ONLY the batch — the corpus is never re-fingerprinted") {
+    val plan = planOf("q205_substring_indexed")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exactly ONE winnow kernel evaluation in the plan: the batch side;
+    // the corpus side arrives as the persisted index parquet
+    assert("winnow_fingerprints".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q199: link resolution is a pure projection plus one rollup — no join") {
     val plan = planOf("q199_link_resolve")
     assert(!plan.contains("Join"), plan)

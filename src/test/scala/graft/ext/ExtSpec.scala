@@ -1798,6 +1798,95 @@ class ExtSpec extends SparkSuite {
     assert(out(4L)._2 == "keep", s"doc4 got ${out(4L)}")
   }
 
+  test("substringRelease: drops vanish, cuts carry cleaned text, keeps pass through verbatim") {
+    val pa = (1 to 8).map(i => s"alpha$i").mkString(" ")  // 55 chars
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    val d1 = s"$pa! $filler"
+    val d3 = s"$pa! " + "its own second half long enough to dilute " * 2
+    val d4 = s"$pa! " + filler.replace("unique", "other") + " " +
+      filler.replace("unique", "more") + " " +
+      filler.replace("unique", "yet") + " tail"
+    val d5 = "never shares anything with the others, long enough to anchor"
+    val docs = Seq(1L -> d1, 2L -> d1, 3L -> d3, 4L -> d4, 5L -> d5)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringRelease(docs, minLen = 40)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(!out.contains(2L))                    // exact copy → dropped
+    assert(out(1L) == (("keep", d1.length.toLong, d1)))  // earliest: untouched
+    assert(out(5L) == (("keep", d5.length.toLong, d5)))  // no evidence
+    assert(out(4L)._1 == "keep" && out(4L)._3 == d4)     // under cut band
+    // doc 3: cut band — the shared maximal span is excised
+    assert(out(3L)._1 == "cut")
+    assert(!out(3L)._3.contains(pa) && out(3L)._3.contains("dilute"))
+    assert(out(3L)._2 == out(3L)._3.length.toLong && out(3L)._2 < d3.length)
+  }
+
+  test("substringLeak: a train passage inside an eval doc is measured; same-split sharing is not") {
+    def bucketOf(id: Long): Int = TextAnalysis.md5Bucket(s"split:$id", 100)
+    val trainIds = (1L to 400L).filter(bucketOf(_) < 80)
+    val testIds = (1L to 400L).filter(bucketOf(_) >= 90)
+    val (tr1, tr2, te1, te2) = (trainIds(0), trainIds(1), testIds(0), testIds(1))
+    val pa = (1 to 8).map(i => s"leak$i").mkString(" ")   // 47+ chars
+    val pb = (1 to 8).map(i => s"twin$i").mkString(" ")
+    val docs = Seq(
+      tr1 -> s"$pa! train-side filler keeps the surroundings distinct here",
+      te1 -> s"prefix differs. $pa? and a long unique tail for the eval doc",
+      // same-split pair (both test) sharing pb: must NOT be emitted
+      te2 -> s"$pb! first test doc with its own long unique continuation",
+      tr2 -> "train doc with no shared content at all, just long filler text")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringLeak(docs, minLen = 40)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(te1), s"got ${out.keySet}")
+    val (_, split, maxLen, leaked, len, ppm) = out(te1)
+    assert(split == "test")
+    assert(maxLen == pa.length.toLong && leaked == pa.length.toLong)
+    assert(ppm == leaked * 1000000L / len)
+  }
+
+  test("qualityDrift: dense buckets, exact ppm, and the planted TVD") {
+    val stopDoc = Seq.fill(30)("the").mkString(" ")       // stop_ppm 1e6 → bucket 9
+    val cleanDoc = (1 to 30).map(i => s"w$i").mkString(" ") // bucket 0
+    val docs = (1 to 4).map(i => (i.toLong, stopDoc, "srcA")) ++
+      (5 to 8).map(i => (i.toLong, cleanDoc, "srcB"))
+    val out = TextAnalysis.qualityDrift(
+      docs.toDF("doc_id", "text", "source"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out.size == 4)                                  // 2 sources × 2 corpus buckets
+    assert(out(("srcA", 9L)) == ((4L, 1000000L, 500000L, 500000L)))
+    assert(out(("srcA", 0L)) == ((0L, 0L, 500000L, 500000L)))
+    assert(out(("srcB", 0L)) == ((4L, 1000000L, 500000L, 500000L)))
+    assert(out(("srcB", 9L)) == ((0L, 0L, 500000L, 500000L)))
+  }
+
+  test("substringPairsAgainstIndex: batch probe equals the full pass restricted to cross pairs") {
+    val pa = (1 to 8).map(i => s"cross$i").mkString(" ")
+    val pb = (1 to 8).map(i => s"inner$i").mkString(" ")
+    // corpus = doc_id % 7 != 3; batch = doc_id % 7 == 3
+    val docs = Seq(
+      1L -> s"$pa! corpus one with a long unique continuation string here",
+      2L -> s"$pb! corpus two with its own long unique filler afterwards",
+      9L -> s"$pb? corpus nine shares with corpus two only, never batch",
+      3L -> s"lead-in differs. $pa and then a batch-only unique tail",
+      10L -> "batch ten with nothing shared at all, long enough to pass")
+      .toDF("doc_id", "text")
+    val corpus = docs.where($"doc_id" % 7 =!= 3)
+    val batch = docs.where($"doc_id" % 7 === 3)
+    val path = java.nio.file.Files.createTempDirectory("subidx").toString
+    TextAnalysis.saveSubstringIndex(corpus, s"$path/fp", minLen = 40)
+    val probe = TextAnalysis.substringPairsAgainstIndex(
+      batch, corpus, s"$path/fp", minLen = 40)
+    val full = TextAnalysis.winnowedSubstringPairs(docs, k = 20, w = 21)
+      .where(($"doc_a" % 7 === 3) =!= ($"doc_b" % 7 === 3))
+    assert(probe.count() > 0)
+    assert(probe.except(full).count() == 0 && full.except(probe).count() == 0)
+    // the corpus-corpus pair (2, 9) never reaches the probe output
+    assert(probe.where($"doc_a" === 2L && $"doc_b" === 9L).count() == 0)
+  }
+
   test("editDistancePairs: suffix block catches an early edit; dedup keeps one row per pair") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars < window
     val docs = Seq(
