@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteDot, LongDot, Md5Prefix64, NfcNormalize, PctDecodeUnreserved, RollingFingerprint}
+import graft.functions.{ByteDot, DotSegmentFold, LongDot, Md5Prefix64, NfcNormalize, PctDecodeUnreserved, RollingFingerprint}
 
 /** Library entry point for the SQL surface: the custom codegen
   * expressions as SQL-callable functions.
@@ -61,7 +61,10 @@ object GraftExtensions {
       arity("graft_nfc", 1)(exprs => NfcNormalize(exprs.head))),
     (FunctionIdentifier("graft_pct_decode"),
       info("graft_pct_decode", classOf[PctDecodeUnreserved]),
-      arity("graft_pct_decode", 1)(exprs => PctDecodeUnreserved(exprs.head))))
+      arity("graft_pct_decode", 1)(exprs => PctDecodeUnreserved(exprs.head))),
+    (FunctionIdentifier("dot_segment_fold"),
+      info("dot_segment_fold", classOf[DotSegmentFold]),
+      arity("dot_segment_fold", 1)(exprs => DotSegmentFold(exprs.head))))
 
   /** Register every function on an existing session (temp-function
     * registry — same names the extension path injects). */

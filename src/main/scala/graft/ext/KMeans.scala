@@ -270,17 +270,21 @@ object KMeans {
     * artifact (two index-sized columns, never a retrain).
     *
     * The key folds in a content fingerprint (row count + order-free
-    * vec_id hash — a pruned single-column aggregate, negligible next to
-    * any training run) so the cache stays invisible even if the data
-    * under a corpus key changes mid-session (fixture regeneration,
-    * tests sharing a SparkSession). The fit itself runs OUTSIDE any map
-    * lock: `putIfAbsent` installs a future in O(1) and losers block on
-    * the future, not on a ConcurrentHashMap bin held for the duration
-    * of a multi-second Spark job. */
+    * hash over vec_id AND the embedding VALUES — one aggregate scan of
+    * the two columns training itself reads, negligible next to any
+    * training run) so the cache stays invisible even if the data under
+    * a corpus key changes mid-session (fixture regeneration, tests
+    * sharing a SparkSession) — including a regeneration that keeps the
+    * same vec_ids but rewrites the vectors, which a vec_id-only hash
+    * would miss and serve stale assignments for. The fit itself runs
+    * OUTSIDE any map lock: `putIfAbsent` installs a future in O(1) and
+    * losers block on the future, not on a ConcurrentHashMap bin held
+    * for the duration of a multi-second Spark job. */
   def sessionCluster(embeddings: DataFrame, corpusKey: String,
                      k: Int, iters: Int): DataFrame = {
     val fp = embeddings
-      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)))
+      .agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)))
       .head()
     val key = s"km|$corpusKey|${fp.getLong(0)}:${fp.getLong(1)}|$k|$iters"
     val holder = new java.util.concurrent.CompletableFuture[String]

@@ -245,11 +245,14 @@ object TextAnalysis {
 
   /** Blocked threshold-edit-distance verify over the leading `window`
     * characters: candidate pairs block on PREFIX-`blockLen` equality
-    * UNION SUFFIX-`blockLen` equality (suffix realised as a prefix of
-    * the reversed window so both engines index identically), deduped,
-    * then verified with the banded O(maxDist·n) Levenshtein DP — per-
-    * pair cost scales with the threshold, not len², and kept distances
-    * are exact.
+    * UNION SUFFIX-`blockLen` equality (suffix taken by explicit start
+    * arithmetic, `substr(t, max(len-blockLen+1, 1), blockLen)`, NOT by
+    * reversing — Spark's reverse() works on codepoints while DuckDB's
+    * works on grapheme clusters, so on combining sequences the two
+    * engines would derive different "S|" keys; the arithmetic form
+    * indexes identical codepoints in both), deduped, then verified with
+    * the banded O(maxDist·n) Levenshtein DP — per-pair cost scales with
+    * the threshold, not len², and kept distances are exact.
     *
     * Recall contract: a near-dup pair is found iff its edits leave the
     * window's first OR last `blockLen` characters untouched — the
@@ -271,7 +274,9 @@ object TextAnalysis {
         concat(lit("P|"), substring(col("t"), 1, blockLen)).as("blk"),
         col("doc_id"), col("t"))
       .unionByName(p.select(
-        concat(lit("S|"), substring(reverse(col("t")), 1, blockLen)).as("blk"),
+        concat(lit("S|"), col("t").substr(
+          greatest(length(col("t")) - (blockLen - 1), lit(1)),
+          lit(blockLen))).as("blk"),
         col("doc_id"), col("t")))
     blocks.select(col("blk"), col("doc_id").as("doc_a"), col("t").as("ta"))
       .join(blocks.select(col("blk"), col("doc_id").as("doc_b"), col("t").as("tb")),
@@ -356,10 +361,13 @@ object TextAnalysis {
     * anchor-group-extend pass replayed on raw substrings (no hashing:
     * anchors join on their text, so the oracle needs no collision
     * argument), the extension as a correlated min-mismatch subquery
-    * over the few left-maximal rows. Generated from the same `minLen`. */
-  def exactSubstringOracleSql(minLen: Int): String = {
+    * over the few left-maximal rows. Generated from the same `minLen`.
+    * `src` parameterizes the corpus relation (default the raw
+    * `documents` table; q206 passes its post-dedup CTE) — every
+    * downstream substring oracle threads it through. */
+  def exactSubstringOracleSql(minLen: Int, src: String = "documents"): String = {
     val L = minLen
-    s"""WITH doc AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
+    s"""WITH doc AS (SELECT doc_id, text FROM $src WHERE len(text) >= $L),
        |a AS (SELECT doc_id, text,
        |        unnest(range(1, len(text) - ${L - 1} + 1)) AS i
        |      FROM doc),
@@ -612,8 +620,8 @@ object TextAnalysis {
   /** [[exactSubstringCut]]'s DuckDB oracle: the [[exactSubstringOracleSql]]
     * pass, spans marked in doc_b, the classic gaps-and-islands interval
     * union, and ordered string_agg reassembly. */
-  def exactSubstringCutOracleSql(minLen: Int): String = {
-    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+  def exactSubstringCutOracleSql(minLen: Int, src: String = "documents"): String = {
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen, src)}),
        |spans0 AS (SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
        |                  pos_b + match_len - 1 AS e FROM pass),
        |m1 AS (SELECT doc_id, s, e,
@@ -638,7 +646,7 @@ object TextAnalysis {
        |  string_agg(substr(d.text, CAST(g.pe + 1 AS INT),
        |                    CAST(g.s - g.pe - 1 AS INT)), '' ORDER BY g.s)
        |    || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS cleaned
-       |FROM seg g JOIN documents d USING (doc_id)
+       |FROM seg g JOIN $src d USING (doc_id)
        |GROUP BY d.doc_id, d.text""".stripMargin
   }
 
@@ -681,8 +689,8 @@ object TextAnalysis {
 
   /** [[substringCoverage]]'s DuckDB oracle — pass, per-pair islands,
     * covered sum, `//` integer ppm. */
-  def substringCoverageOracleSql(minLen: Int): String = {
-    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+  def substringCoverageOracleSql(minLen: Int, src: String = "documents"): String = {
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen, src)}),
        |spans0 AS (SELECT DISTINCT doc_a, doc_b, pos_b AS s,
        |                  pos_b + match_len - 1 AS e FROM pass),
        |m1 AS (SELECT doc_a, doc_b, s, e,
@@ -703,7 +711,7 @@ object TextAnalysis {
        |SELECT c.doc_a, c.doc_b, c.covered_chars,
        |  CAST(len(d.text) AS BIGINT) AS len_b,
        |  c.covered_chars * 1000000 // CAST(len(d.text) AS BIGINT) AS cov_ppm
-       |FROM cov c JOIN documents d ON d.doc_id = c.doc_b""".stripMargin
+       |FROM cov c JOIN $src d ON d.doc_id = c.doc_b""".stripMargin
   }
 
   /** The DECISION layer of substring dedup — what a release pipeline
@@ -712,10 +720,21 @@ object TextAnalysis {
     * ppm as doc_b) routes it to an action — `drop` (≥ `dropPpm`:
     * mostly lifted, remove the document), `cut` (≥ `cutPpm`: lift the
     * spans, keep the rest — [[exactSubstringCut]] is the executor),
-    * `keep` below. One row per document WITH evidence; untouched
-    * documents are implicitly `keep` and not re-emitted (the q198
-    * discipline). Thresholds are exact-integer ppm so the routing is
-    * engine-reproducible. */
+    * `keep` below. Thresholds are exact-integer ppm so the routing is
+    * engine-reproducible.
+    *
+    * NON-COVERING OUTPUT CONTRACT — read before joining: this relation
+    * has one row per document WITH match evidence ONLY. Evidence-free
+    * documents (the clean majority of any real corpus) are implicitly
+    * `keep` and are NOT re-emitted (the q198 affected-only discipline:
+    * the output stays match-sized, never corpus-sized). A consumer
+    * that inner-joins the corpus to this relation — or treats absence
+    * as `drop` — silently loses every clean document. The
+    * corpus-covering composition is [[substringRelease]] (q202), whose
+    * left-join + `coalesce(action, 'keep')` pass-through is the ONLY
+    * supported way to apply this policy to a corpus; use it rather
+    * than re-deriving the join. Spec-pinned (TextAnalysisSpec:
+    * evidence-free ids absent here, present in substringRelease). */
   def substringPolicy(docs: DataFrame, minLen: Int,
       dropPpm: Long = 900000L, cutPpm: Long = 300000L): DataFrame =
     policyFromCoverage(substringCoverage(docs, minLen), dropPpm, cutPpm)
@@ -734,8 +753,9 @@ object TextAnalysis {
 
   /** [[substringPolicy]]'s DuckDB oracle. */
   def substringPolicyOracleSql(minLen: Int,
-      dropPpm: Long = 900000L, cutPpm: Long = 300000L): String = {
-    s"""WITH cov AS (${substringCoverageOracleSql(minLen)})
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L,
+      src: String = "documents"): String = {
+    s"""WITH cov AS (${substringCoverageOracleSql(minLen, src)})
        |SELECT doc_b AS doc_id, max(cov_ppm) AS max_cov_ppm,
        |  CASE WHEN max(cov_ppm) >= $dropPpm THEN 'drop'
        |       WHEN max(cov_ppm) >= $cutPpm THEN 'cut'
@@ -783,14 +803,15 @@ object TextAnalysis {
   /** [[substringRelease]]'s DuckDB oracle — the policy and cut CTEs
     * composed exactly like the Spark plan. */
   def substringReleaseOracleSql(minLen: Int,
-      dropPpm: Long = 900000L, cutPpm: Long = 300000L): String = {
+      dropPpm: Long = 900000L, cutPpm: Long = 300000L,
+      src: String = "documents"): String = {
     // the cut CTE is concatenated OUTSIDE any stripMargin: its SQL has
     // lines starting with the `||` concat operator, which an enclosing
     // stripMargin would truncate to `|`
-    s"WITH pol AS (${substringPolicyOracleSql(minLen, dropPpm, cutPpm)}),\n" +
-      s"cutq AS (${exactSubstringCutOracleSql(minLen)}),\n" +
-      """act AS (SELECT d.doc_id, d.text, coalesce(p.action, 'keep') AS action
-        |        FROM documents d LEFT JOIN pol p USING (doc_id))
+    s"WITH pol AS (${substringPolicyOracleSql(minLen, dropPpm, cutPpm, src)}),\n" +
+      s"cutq AS (${exactSubstringCutOracleSql(minLen, src)}),\n" +
+      s"""act AS (SELECT d.doc_id, d.text, coalesce(p.action, 'keep') AS action
+        |        FROM $src d LEFT JOIN pol p USING (doc_id))
         |SELECT a.doc_id, a.action,
         |  CAST(len(CASE WHEN a.action = 'cut' THEN c.cleaned ELSE a.text END)
         |       AS BIGINT) AS final_len,
@@ -1188,16 +1209,18 @@ object TextAnalysis {
     * distinct paths; decoding runs FIRST so `%2e` participates in the
     * dot-segment fold exactly as the RFC requires), default-port strip
     * (`:80` for http / `:443` for https, §3.2.3), and dot-segment
-    * removal (`/./` runs collapse; ONE level of `/seg/../` folds per
-    * call — stacked `a/b/../../c` needs one application per level,
-    * the same once-per-call discipline as the `www.` fold below;
-    * segments that are all dots never count as the folded `seg`).
-    * Full generic-URI resolution (scheme-relative refs, userinfo
-    * folds, IDN hosts) stays an ICU/URI-library concern — documented,
-    * not silent. Folds apply ONCE per call: a pathological `www.www.`
-    * host loses one `www.` per application (idempotence holds for
-    * well-formed URLs, spec-pinned, not for stacked prefixes or
-    * stacked `..` — documented, not silent). Self-registers
+    * removal via the SAME [[foldDotSegments]] chain [[resolveUrlCol]]
+    * uses (RFC-exact segment class, [[DotSegmentDepth]] nesting levels
+    * per call — stacked `a/b/../../c` fully resolves; the round-10
+    * two-folds-that-can-disagree split is gone, and the agreement law
+    * canonicalize(url) == canonicalize(resolve(base, ref)) on the same
+    * merged string is spec-pinned). Full generic-URI resolution
+    * (scheme-relative refs, userinfo folds, IDN hosts) stays an
+    * ICU/URI-library concern — documented, not silent. The `www.` fold
+    * still applies ONCE per call: a pathological `www.www.` host loses
+    * one `www.` per application (idempotence holds for well-formed
+    * URLs, spec-pinned, not for stacked prefixes — documented, not
+    * silent). Self-registers
     * [[graft.functions.PctDecodeUnreserved]] on the active session.
     */
   def canonicalUrlCol(url: Column): Column = {
@@ -1213,10 +1236,10 @@ object TextAnalysis {
     val noTrack = regexp_replace(decoded, s"([?&])($TrackingParams)=[^&]*", "$1")
     val cleanSep = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "&+", "&"), "\\?&", "?"), "[?&]$", "")
-    // dot-segments: collapse `/./` runs, then fold one `/seg/../`
-    // level (seg must contain a non-dot char — `..` is never the seg)
-    val dotSeg = regexp_replace(regexp_replace(
-      cleanSep, "(/\\.)+/", "/"), "/([^/?]*[^./?][^/?]*)/\\.\\./", "/")
+    // dot-segments: the SAME depth-8 RFC-exact chain resolveUrlCol
+    // uses ([[foldDotSegments]]) — the two entry points cannot
+    // disagree on stacked `..` or exotic segments
+    val dotSeg = foldDotSegments(cleanSep)
     // default ports: only when the port ends the authority
     val noPort = regexp_replace(regexp_replace(dotSeg,
       "^(http://[^/?:]+):80([/?]|$)", "$1$2"),
@@ -1253,8 +1276,7 @@ object TextAnalysis {
       s"regexp_replace($decoded, '([?&])($TrackingParams)=[^&]*', '\\1', 'g')"
     val cleanSep = s"regexp_replace(regexp_replace(regexp_replace(" +
       s"$noTrack, '&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]$$', '', 'g')"
-    val dotSeg = s"regexp_replace(regexp_replace(" +
-      s"$cleanSep, '(/\\.)+/', '/', 'g'), '/([^/?]*[^./?][^/?]*)/\\.\\./', '/', 'g')"
+    val dotSeg = foldDotSegmentsSql(cleanSep)
     val noPort = s"regexp_replace(regexp_replace($dotSeg, " +
       s"'^(http://[^/?:]+):80([/?]|$$)', '\\1\\2', 'g'), " +
       s"'^(https://[^/?:]+):443([/?]|$$)', '\\1\\2', 'g')"
@@ -1262,36 +1284,61 @@ object TextAnalysis {
       s"$noPort, '/\\?', '?', 'g'), '://www\\.', '://', 'g'), '/$$', '', 'g')"
   }
 
-  /** The dot-segment fold chain shared by [[resolveUrlCol]] and its
-    * oracle twin — (java-syntax pattern, `$n`-syntax replacement),
-    * applied in order, [[DotSegmentDepth]] times. Every construct is
-    * Java/RE2-identical; the oracle translates `$n` → `\\n`.
+  /** The dot-segment fold chain shared by [[canonicalUrlCol]],
+    * [[resolveUrlCol]], and their oracle twins — now a re-export of
+    * [[graft.functions.DotSegmentFold.Folds]], the single source of
+    * truth the engine KERNEL and the oracle's generated
+    * regexp_replace chain both derive from. (java-syntax pattern,
+    * `$n`-syntax replacement), applied in order, [[DotSegmentDepth]]
+    * times. Every construct is Java/RE2-identical; the oracle
+    * translates `$n` → `\\n`. Pattern-order rationale lives on the
+    * kernel's scaladoc.
     *
     * The SEG class is RFC-exact: any path segment that is neither `.`
-    * nor `..` (so `...` IS a poppable segment, unlike the
-    * canonicalUrlCol once-per-call fold whose narrower class is a
-    * documented deviation). One application folds one NESTING level
-    * (Java and RE2 both resume scanning after a replacement, so
-    * `/a/../b/../c` needs two passes); [[DotSegmentDepth]] applications
-    * resolve any stack a real crawl emits, and deeper residue survives
-    * visibly rather than corrupting. */
-  private val UrlSeg = "[^/.?#][^/?#]*|\\.[^/.?#][^/?#]*|\\.\\.[^/?#]+"
-  private[graft] val DotSegmentFolds: Seq[(String, String)] = Seq(
-    // /./ runs collapse FIRST so a revealed leading /../ is visible to
-    // the clamp below within the same application
-    ("(/\\.)+/", "/"),
-    // leading /../ clamps at the root BEFORE any pop rule can mistake
-    // the authority for a poppable segment ("http://h/../x"); the $
-    // alternative covers the authority-ending "http://h/.."
-    ("^([a-z][a-z0-9+.-]*://[^/?#]*)(/\\.\\.)+(/|$)", "$1$3"),
-    // trailing pops run BEFORE the interior seg-pop: the interior pop
-    // can leave an authority-ending "/.." behind ("/a/../.." → "/..")
-    // which must wait for the NEXT application's clamp, not be eaten
-    // by a same-pass trailing match against the authority
-    (s"/($UrlSeg)/\\.\\.$$", "/"),                      // trailing /seg/..
-    ("(/\\.)+$", "/"),                                  // trailing /.
-    (s"/($UrlSeg)/\\.\\./", "/"))                       // one /seg/../
-  private[graft] val DotSegmentDepth = 8
+    * nor `..` (so `...` IS a poppable segment). One application folds
+    * one NESTING level (Java and RE2 both resume scanning after a
+    * replacement, so `/a/../b/../c` needs two passes);
+    * [[DotSegmentDepth]] applications resolve any stack a real crawl
+    * emits, and deeper residue survives visibly rather than
+    * corrupting. */
+  private[graft] def DotSegmentFolds: Seq[(String, String)] =
+    graft.functions.DotSegmentFold.Folds
+  private[graft] def DotSegmentDepth: Int = graft.functions.DotSegmentFold.Depth
+
+  /** The ONE dot-segment normalizer both URL entry points share
+    * (round-10 verdict: two folds that can disagree on the same input
+    * are a defect class, not a feature): [[DotSegmentFolds]] applied
+    * [[DotSegmentDepth]] times — RFC-exact segment class, any nesting
+    * a real crawl emits resolved, deeper residue surviving visibly.
+    * [[canonicalUrlCol]] and [[resolveUrlCol]] both route here, so
+    * canonicalize(url) and canonicalize(resolve(base, ref)) can never
+    * derive different dot-segment answers for the same merged string
+    * (agreement law spec-pinned in ExtSpec).
+    *
+    * Engine side this is the codegen'd
+    * [[graft.functions.DotSegmentFold]] KERNEL, not 40 chained
+    * regexp_replace: the declarative chain measured ~2× on the URL
+    * query family (q158 0.28→0.59 s etc. at sf0.1), while the kernel's
+    * `indexOf("/.")` fast path makes the dot-free majority of URLs
+    * one byte-scan — kernel-vs-chain equality is spec-pinned on the
+    * adversarial case table. */
+  private def foldDotSegments(u: Column): Column = {
+    graft.functions.DotSegmentFold.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("dot_segment_fold", u)
+  }
+
+  /** [[foldDotSegments]]' DuckDB twin, generated from the same
+    * constants (`$n` → `\n` replacement syntax is the only dialect
+    * difference). */
+  private def foldDotSegmentsSql(e: String): String =
+    (1 to DotSegmentDepth).foldLeft(e) { (u, _) =>
+      DotSegmentFolds.foldLeft(u) { case (c, (p, r)) =>
+        val sqlPat = p.replace("'", "''")
+        val sqlRep = r.replace("$", "\\")
+        s"regexp_replace($c, '$sqlPat', '$sqlRep', 'g')"
+      }
+    }
 
   /** RFC 3986 §5 reference resolution — the crawl-pipeline transform
     * between HTML extraction and URL dedup: every href a page links is
@@ -1333,11 +1380,7 @@ object TextAnalysis {
       .when(ref.startsWith("#"), concat(noF, ref))
       .when(ref === "", noF)
       .otherwise(concat(dir, ref))
-    (1 to DotSegmentDepth).foldLeft(merged) { (u, _) =>
-      DotSegmentFolds.foldLeft(u) { case (c, (p, r)) =>
-        regexp_replace(c, p, r)
-      }
-    }
+    foldDotSegments(merged)
   }
 
   /** [[resolveUrlCol]] in DuckDB SQL — same case chain, same fold
@@ -1360,13 +1403,7 @@ object TextAnalysis {
          |  WHEN $refE LIKE '#%' THEN $noF || $refE
          |  WHEN $refE = '' THEN $noF
          |  ELSE $dir || $refE END)""".stripMargin
-    (1 to DotSegmentDepth).foldLeft(merged) { (u, _) =>
-      DotSegmentFolds.foldLeft(u) { case (c, (p, r)) =>
-        val sqlPat = p.replace("'", "''")
-        val sqlRep = r.replace("$", "\\")
-        s"regexp_replace($c, '$sqlPat', '$sqlRep', 'g')"
-      }
-    }
+    foldDotSegmentsSql(merged)
   }
 
   /** Main-text extraction from raw HTML (the first transform of every

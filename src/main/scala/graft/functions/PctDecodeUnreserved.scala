@@ -18,14 +18,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * fold exists to avoid. A `%` not followed by two hex digits passes
   * through untouched. Single left-to-right scan, no rescan of decoded
   * output: `%2541` yields `%2541` (the `%25` stays), so the decode
-  * cannot cascade and is idempotent on its own output.
+  * never cascades WITHIN one application.
+  *
+  * Idempotence holds only for inputs without self-referential `%`
+  * assembly: a scan output can contain a NEW unreserved escape
+  * assembled from a passed-through `%` plus decoded digits (e.g.
+  * `%%341` → `%41`, which a second application would take to `a`), so
+  * decode∘decode ≠ decode on such adversarial inputs. Real crawl URLs
+  * never percent-encode the hex digits of another escape; the
+  * canonical key is defined as ONE application of this scan, applied
+  * exactly once per URL inside canonicalUrlCol — the single-pass
+  * definition is the contract, not a fixpoint.
   *
   * The DuckDB oracle twin is a per-code `replace()` chain generated
   * from the same constant table
   * ([[graft.ext.TextAnalysis.UnreservedDecodes]]); its pass-per-code
   * shape matches the single scan except on self-referential encodings
-  * (a decoded octet completing ANOTHER `%` sequence, e.g. `%6%311`) —
-  * outside the parity contract and absent from the query injections.
+  * (a decoded octet completing ANOTHER `%` sequence — `%6%311`, or the
+  * `%%341` assembly above) — outside the parity contract and absent
+  * from the query injections.
   */
 case class PctDecodeUnreserved(child: Expression) extends UnaryExpression {
 

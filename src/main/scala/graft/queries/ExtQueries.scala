@@ -3299,9 +3299,14 @@ object ExtQueries {
           "cast(doc_id AS VARCHAR) ELSE '' END) || " +
           "(CASE WHEN doc_id % 7 = 0 THEN '#sec-' || " +
           "cast(doc_id AS VARCHAR) ELSE '' END)"
-        s"""WITH cu AS (SELECT doc_id,
-           |    ${TextAnalysis.canonicalUrlSql(urlSql)} AS canonical_url
-           |  FROM documents)
+        // raw url hoisted into its own CTE: the unified fold chain is
+        // ~112 expression levels deep and DuckDB's binder recurses at
+        // most 128 — the canonical stage must start from a bare column
+        // ref, never a nested synthesis expression
+        s"""WITH raw AS (SELECT doc_id, $urlSql AS url_raw FROM documents),
+           |cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql("url_raw")} AS canonical_url
+           |  FROM raw)
            |SELECT canonical_url, min(doc_id) AS doc_id,
            |  count(*) AS n_copies
            |FROM cu GROUP BY canonical_url""".stripMargin
@@ -3341,9 +3346,11 @@ object ExtQueries {
           " WHEN doc_id % 4 = 3 THEN '/p%2e/../p/' " +
           " ELSE '/p/' END) || cast(doc_id % 100 AS VARCHAR) || " +
           "(CASE WHEN doc_id % 5 = 0 THEN '%2fx' ELSE '' END)"
-        s"""WITH cu AS (SELECT doc_id,
-           |    ${TextAnalysis.canonicalUrlSql(urlSql)} AS canonical_url
-           |  FROM documents)
+        // raw-url CTE: the q158 binder-depth discipline
+        s"""WITH raw AS (SELECT doc_id, $urlSql AS url_raw FROM documents),
+           |cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql("url_raw")} AS canonical_url
+           |  FROM raw)
            |SELECT canonical_url, min(doc_id) AS doc_id,
            |  count(*) AS n_copies
            |FROM cu GROUP BY canonical_url""".stripMargin
@@ -3706,10 +3713,12 @@ object ExtQueries {
         val urlSql = "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' " +
           "ELSE '' END) || source || '.Example.com/p/' || " +
           "cast(doc_id % 100 AS VARCHAR)"
-        s"""WITH dom AS (SELECT doc_id, regexp_extract(
-           |    ${TextAnalysis.canonicalUrlSql(urlSql)}, '://([^/]+)', 1)
+        // raw-url CTE: the q158 binder-depth discipline
+        s"""WITH raw AS (SELECT doc_id, $urlSql AS url_raw FROM documents),
+           |dom AS (SELECT doc_id, regexp_extract(
+           |    ${TextAnalysis.canonicalUrlSql("url_raw")}, '://([^/]+)', 1)
            |    AS domain
-           |  FROM documents)
+           |  FROM raw)
            |SELECT doc_id, domain FROM dom
            |WHERE domain NOT IN ('src3.example.com', 'src7.example.com',
            |                     'src11.example.com')""".stripMargin
@@ -4419,7 +4428,8 @@ object ExtQueries {
         |  FROM documents),
         |blk AS (SELECT 'P|' || substr(t, 1, 16) AS blk, doc_id, t FROM p
         |        UNION ALL
-        |        SELECT 'S|' || substr(reverse(t), 1, 16), doc_id, t FROM p),
+        |        SELECT 'S|' || substr(t, greatest(length(t) - 15, 1), 16),
+        |               doc_id, t FROM p),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |                a.t AS ta, b.t AS tb
         |         FROM blk a JOIN blk b ON a.blk = b.blk

@@ -468,10 +468,16 @@ object StreamIngest {
   /** Rewrite the component upsert log as its own last-wins fold (one
     * row per id, stamped with the compacting batch id) — tmp-dir write
     * + rename swap; a failed swap restores the original log before
-    * throwing, so the store is never left absent. Caller must be the
-    * log's only writer (maintainComponents calls from inside its own
-    * sequential foreachBatch). */
+    * throwing. A HARD crash between the two renames can still leave
+    * the store absent with the only copy at `outDir._fold_old` — that
+    * window is closed on the READ side: [[recoverComponentLog]] runs
+    * before every fold and every compaction and restores the
+    * staged-aside log, so no path ever observes an empty store after
+    * an interrupted swap. Caller must be the log's only writer
+    * (maintainComponents calls from inside its own sequential
+    * foreachBatch). */
   def compactComponentLog(spark: SparkSession, outDir: String, bid: Long): Unit = {
+    recoverComponentLog(spark, outDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(hconf)
@@ -493,12 +499,40 @@ object StreamIngest {
     ()
   }
 
+  /** Crash recovery for [[compactComponentLog]]'s two-rename swap: a
+    * HARD process crash (kill -9, OOM — not an exception, which the
+    * restore branch already handles) landing between
+    * `rename(path, old)` and `rename(tmp, path)` leaves `outDir`
+    * absent with the only surviving copy staged at `outDir._fold_old`.
+    * Without recovery the next batch would read an EMPTY labeling and
+    * silently restart the store from scratch. Detect exactly that
+    * shape (outDir absent AND _fold_old present) and restore before
+    * any read or compaction proceeds. Idempotent; two existence
+    * probes when nothing is wrong. The stale `_fold_tmp` from the
+    * interrupted compaction is deleted by the next compaction's own
+    * `fs.delete(tmp, true)` preamble. */
+  def recoverComponentLog(spark: SparkSession, outDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(outDir + "._fold_old")
+    if (!fs.exists(path) && fs.exists(old)) {
+      require(fs.rename(old, path),
+        s"component-log recovery: could not restore $outDir from ._fold_old")
+    }
+    ()
+  }
+
   /** The current labeling from the upsert log: last-wins per id by
     * batch id — a fold over the COMPACTION-BOUNDED log (≤ one folded
     * snapshot + compactEvery batch deltas, see [[maintainComponents]]),
     * never a corpus recompute and never all history. Empty relation
-    * when no log exists yet (first batch). */
-  def readComponents(spark: SparkSession, outDir: String): DataFrame =
+    * when no log exists yet (first batch). Recovers a
+    * crash-interrupted compaction swap first (see
+    * [[recoverComponentLog]]) so a restart after a hard crash folds
+    * the surviving staged-aside log, never an empty one. */
+  def readComponents(spark: SparkSession, outDir: String): DataFrame = {
+    recoverComponentLog(spark, outDir)
     readIfExists(spark, outDir) match {
       case Some(log) => log
         .withColumn("_rn", expr(
@@ -509,6 +543,7 @@ object StreamIngest {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id", "component")
     }
+  }
 
   /** Watermark-scoped alternative to [[ingest]]: the dedup window is
     * EXPLICIT and watermark-driven instead of implicit-by-partitioning.

@@ -34,7 +34,7 @@ class GraftExtensionsSpec extends SparkSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)   // must not throw; builders are shared
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("byte_dot", "graft_nfc", "graft_pct_decode", "long_dot",
-          "md5_prefix64", "rolling_fp"))
+      Seq("byte_dot", "dot_segment_fold", "graft_nfc", "graft_pct_decode",
+          "long_dot", "md5_prefix64", "rolling_fp"))
   }
 }

@@ -1280,6 +1280,95 @@ class ExtSpec extends SparkSuite {
     assert(twice == got.values.toSet)
   }
 
+  test("DotSegmentFold kernel == the declarative 40-regexp chain, case by case") {
+    // the kernel's contract: bit-identical to DotSegmentFolds applied
+    // DotSegmentDepth times via chained regexp_replace (the form the
+    // DuckDB oracle still replays) — the fast paths (dot-free skip,
+    // fixpoint early-exit) must be invisible
+    import org.apache.spark.sql.functions.{call_function, regexp_replace => rr}
+    graft.functions.DotSegmentFold.register(spark)
+    val chain: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      u => (1 to graft.functions.DotSegmentFold.Depth).foldLeft(u) { (c0, _) =>
+        graft.functions.DotSegmentFold.Folds.foldLeft(c0) {
+          case (c, (p, r)) => rr(c, p, r)
+        }
+      }
+    val cases = Seq(
+      "https://h.io/plain/path?q=1",          // dot-free fast path
+      "https://h.io/a/./b/x",
+      "https://h.io/a/b/../../c",
+      "https://h.io/../x",                    // root clamp
+      "https://h.io/..",                      // authority-ending ..
+      "https://h.io/a/../..",                 // pop then clamp (two rounds)
+      "https://h.io/.../../x",                // exotic poppable seg
+      "https://h.io/a/.",                     // trailing /.
+      "https://h.io/a/b/..",                  // trailing /seg/..
+      "https://h.io/p?x=/a/../b",             // dot-segment-shaped query
+      "https://h.io" + "/a/.." * 10 + "/x",   // 10 levels: beyond Depth? (each round pops several)
+      "https://h.io/" + "a/" * 9 + "../" * 9 + "x", // 9-deep stack
+      "http://h/./../x",
+      "no-scheme/relative/../x")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    val rows = cases.select($"id",
+        call_function("dot_segment_fold", $"u").as("kernel"),
+        chain($"u").as("declarative"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"case ${r.getLong(0)}: kernel ${r.getString(1)} != chain ${r.getString(2)}")
+    }
+  }
+
+  test("url entry points share ONE dot-segment fold: canonical == canonical∘resolve") {
+    // the round-10 unification law: the two URL entry points route
+    // through the same depth-8 RFC-exact fold chain, so canonicalizing
+    // an absolute URL directly and canonicalizing the same string
+    // arrived at via reference resolution can never disagree — and
+    // stacked `..` (which the old once-per-call canonical fold left
+    // as visible residue) now fully resolves on both paths
+    val cases = Seq(
+      (1L, "https://h.io/a/b/page", "../../c/x"),    // two-level climb
+      (2L, "https://h.io/a/b/page", "../c/../d/x"),  // interleaved pops
+      (3L, "https://h.io/a/page", "..."),            // exotic poppable seg
+      (4L, "https://h.io/", "a/b/../../../x"),       // over-pop clamps at root
+      (5L, "https://h.io/d/page", "./x/./y"))
+      .toDF("id", "base", "ref")
+    val got = cases.select($"id",
+        TextAnalysis.canonicalUrlCol(
+          TextAnalysis.resolveUrlCol($"base", $"ref")).as("via_resolve"),
+        TextAnalysis.canonicalUrlCol(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.regexp_replace(
+            $"base", "[^/]*$", ""), $"ref")).as("direct"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    got.foreach { case (id, (viaResolve, direct)) =>
+      assert(viaResolve == direct, s"case $id: $viaResolve != $direct")
+    }
+    assert(got(1L)._1 == "https://h.io/c/x")
+    assert(got(2L)._1 == "https://h.io/a/d/x")
+    assert(got(3L)._1 == "https://h.io/a/...")  // '...' kept when not popped
+    assert(got(4L)._1 == "https://h.io/x")      // root clamp, both paths
+    assert(got(5L)._1 == "https://h.io/d/x/y")
+    // stacked `..` directly into canonicalUrlCol fully folds now
+    val stacked = Seq("https://h.io/a/b/../../c").toDF("u")
+      .select(TextAnalysis.canonicalUrlCol($"u")).collect().head.getString(0)
+    assert(stacked == "https://h.io/c")
+  }
+
+  test("pct-decode: single-pass contract — self-referential % assembly is NOT a fixed point") {
+    // The scaladoc's stated boundary, pinned: one scan never cascades
+    // ('%2541' keeps its '%25'), but a passed-through '%' plus decoded
+    // digits can ASSEMBLE a new escape ('%%341' -> '%41'), so the
+    // canonical key is defined as exactly ONE application — decode is
+    // not idempotent on such adversarial inputs, by contract.
+    graft.functions.PctDecodeUnreserved.register(spark)
+    def dec(s: String) = Seq(s).toDF("u")
+      .selectExpr("graft_pct_decode(u)").collect().head.getString(0)
+    assert(dec("%2541") == "%2541")        // no cascade within one pass
+    assert(dec("%%341") == "%41")          // assembled escape survives pass 1
+    assert(dec(dec("%%341")) == "a")       // ...and a second pass would decode it
+    assert(dec("%41%7E%2F") == "a~%2F")    // unreserved decode, reserved kept
+  }
+
   test("html extract: script/style contents dropped, tags stripped, entity order right") {
     val html = Seq((1L,
       "<html><head><script>if (a < b && c > d) { alert('leak'); }</script>" +
@@ -1796,6 +1885,27 @@ class ExtSpec extends SparkSuite {
     assert(out(3L)._2 == "cut", s"doc3 got ${out(3L)}")
     // doc 4: shared prefix ≈ 57 of ~350 chars → under 300000 ppm → keep
     assert(out(4L)._2 == "keep", s"doc4 got ${out(4L)}")
+  }
+
+  test("substringPolicy is NON-COVERING; substringRelease is the corpus-covering form") {
+    // The contract stated in substringPolicy's scaladoc, pinned: the
+    // policy relation emits ONLY documents with match evidence — an
+    // evidence-free document is absent (implicit keep), and the only
+    // supported corpus-covering composition is substringRelease, which
+    // must carry every non-dropped doc_id including the evidence-free.
+    val pa = (1 to 8).map(i => s"alpha$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    val d1 = s"$pa! $filler"
+    val clean = "never shares anything with the others, long enough to anchor"
+    val docs = Seq(1L -> d1, 2L -> d1, 5L -> clean).toDF("doc_id", "text")
+    val policyIds = TextAnalysis.substringPolicy(docs, minLen = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(policyIds == Set(2L),
+      s"policy must emit evidence-bearing docs only, got $policyIds")
+    val releaseIds = TextAnalysis.substringRelease(docs, minLen = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(releaseIds == Set(1L, 5L),
+      s"release must cover every non-dropped doc incl. evidence-free, got $releaseIds")
   }
 
   test("substringRelease: drops vanish, cuts carry cleaned text, keeps pass through verbatim") {

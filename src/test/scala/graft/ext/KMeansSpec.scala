@@ -73,6 +73,29 @@ class KMeansSpec extends SparkSuite {
     assert(KMeans.sessionFitCount.get() == before + 2)
   }
 
+  test("sessionCluster fingerprint covers embedding VALUES, not just vec_ids") {
+    // fixture regeneration that keeps the same vec_ids but rewrites the
+    // vectors must MISS the cache and retrain — a vec_id-only
+    // fingerprint would serve the stale assignment (round-10 advice)
+    val key = s"content-fp-${System.nanoTime()}"
+    val vsA = (0 until 30).map(i => Seq((i % 3) * 1.0f, (i % 4) * 0.5f))
+    val vsB = vsA.map(v => v.map(_ + 2.0f)) // same ids, different values
+    val before = KMeans.sessionFitCount.get()
+    def run(vs: Seq[Seq[Float]]) = KMeans.sessionCluster(embDf(vs), key, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    val a = run(vsA)
+    assert(KMeans.sessionFitCount.get() == before + 1)
+    val b = run(vsB)
+    assert(KMeans.sessionFitCount.get() == before + 2,
+      "regenerated embedding values under the same ids must retrain")
+    // and the retrained assignment equals a fresh fit on the new data
+    assert(b == KMeans.cluster(embDf(vsB), k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap)
+    // re-asking with the ORIGINAL data is its own cache entry — no retrain
+    assert(run(vsA) == a)
+    assert(KMeans.sessionFitCount.get() == before + 2)
+  }
+
   private implicit class ToSorted(xs: Array[(Long, Long)]) {
     def toSortedMap: Seq[(Long, Long)] = xs.sortBy(_._1).toSeq
   }

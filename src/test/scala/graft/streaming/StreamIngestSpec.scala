@@ -593,6 +593,46 @@ class StreamIngestSpec extends SparkSuite {
     assert(labels() == want)
   }
 
+  test("component log: a hard crash between the compaction renames is recovered on read") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ccr_out").toString + "/labels"
+    // build a small labeling the batch way (no stream needed — the
+    // crash window is a pure file-store shape)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("a", "b")
+    graft.graph.ConnectedComponents.run(edges)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(out)
+    val want = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    assert(want.nonEmpty)
+    // simulate the hard-crash window: compactComponentLog staged the
+    // log aside (rename path -> _fold_old) and died before renaming the
+    // fold into place — outDir absent, only copy at _fold_old, plus a
+    // stale _fold_tmp from the interrupted write
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(out + "._fold_old")
+    val tmp = new org.apache.hadoop.fs.Path(out + "._fold_tmp")
+    StreamIngest.readComponents(spark, out).withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(1L)).write.parquet(tmp.toString)
+    assert(fs.rename(path, old))
+    assert(!fs.exists(path) && fs.exists(old))
+    // WITHOUT recovery this read would fold an EMPTY labeling and the
+    // store would silently restart from scratch; the read-side recovery
+    // restores the staged-aside log first
+    val recovered = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    assert(recovered == want, s"recovered labeling $recovered != $want")
+    assert(fs.exists(path) && !fs.exists(old))
+    // and a subsequent compaction runs clean over the recovered store
+    // (deleting the stale tmp on its way)
+    StreamIngest.compactComponentLog(spark, out, bid = 2L)
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(!fs.exists(tmp) && !fs.exists(old))
+  }
+
   test("manifest on a text-less layout: absent, signalled, and rebuild-safe") {
     import spark.implicits._
     val out = Files.createTempDirectory("mf_notext").toString + "/layout"
