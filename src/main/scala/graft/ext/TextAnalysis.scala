@@ -499,6 +499,21 @@ object TextAnalysis {
     winnowFingerprintsOf(d, k, w).write.mode("overwrite").parquet(path)
   }
 
+  /** APPEND a batch's fingerprints to an existing (or new) substring
+    * index — the incremental-maintenance half
+    * ([[graft.streaming.StreamIngest.maintainSubstringIndex]]'s per-
+    * batch write): the settled index files are never rewritten, the
+    * batch contributes only its own O(batch) kernel pass. Caller owns
+    * the replay guard (ids must not be appended twice). */
+  def appendSubstringIndex(batch: DataFrame, path: String, minLen: Int,
+      k: Int = 20): Unit = {
+    require(minLen > k, s"need minLen > k, got ($minLen, $k)")
+    val w = minLen - k + 1
+    val d = batch.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= minLen)
+    winnowFingerprintsOf(d, k, w).write.mode("append").parquet(path)
+  }
+
   /** Cross-corpus maximal matches of a NEW BATCH against the persisted
     * fingerprint index — incremental exact-substring dedup's probe
     * half. The batch pays its own winnow kernel pass (batch-sized);
@@ -818,6 +833,69 @@ object TextAnalysis {
         |  CASE WHEN a.action = 'cut' THEN c.cleaned ELSE a.text END AS final_text
         |FROM act a LEFT JOIN cutq c USING (doc_id)
         |WHERE a.action <> 'drop'""".stripMargin
+  }
+
+  /** MATCH-LENGTH PROFILE — the measurement that turns the winnow
+    * tier's guarantee floor (w + k − 1 = 40 chars for the production
+    * k=20/w=21 preset) from a chosen constant into a measured
+    * decision: per source (of the later document, the one an edit
+    * would touch), how many maximal cross-document matches — and how
+    * much character mass — lie BELOW the floor (found by the exact
+    * pass, invisible to the winnowed tier's guarantee) vs AT/ABOVE it
+    * (guaranteed found). A below-mass near zero says the floor is
+    * free; a heavy below-mass argues for a smaller (k, w) — the
+    * ScaleProbe `winnow_kw` sweep prices those.
+    *
+    * Resolution bound, stated: matches shorter than `minLen` (the
+    * exact pass's own anchor length) are not measurable at all — this
+    * report quantifies [minLen, floorLen) vs [floorLen, ∞), with
+    * minLen = k so the unmeasured residue is exactly the sub-k-gram
+    * scrap no tier of this family can see.
+    *
+    * Output: (source, n_below, n_above, chars_below, chars_above,
+    * below_mass_ppm) — ppm exact-integer over the total matched mass.
+    * Scale shape: the q196 exact pass (the honest corpus-linear price,
+    * documented there) + one match-sized join to attach sources + one
+    * |sources|-row aggregate. */
+  def matchLengthProfile(docs: DataFrame, minLen: Int, floorLen: Int)
+      : DataFrame = {
+    require(floorLen > minLen, s"need floorLen > minLen, got ($floorLen, $minLen)")
+    exactSubstringPairs(docs, minLen)
+      .join(docs.select(col("doc_id").as("doc_b"), col("source")), Seq("doc_b"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("match_len") < floorLen, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("match_len") >= floorLen, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("match_len") < floorLen, col("match_len"))
+          .otherwise(0L)).cast("long").as("chars_below"),
+        sum(when(col("match_len") >= floorLen, col("match_len"))
+          .otherwise(0L)).cast("long").as("chars_above"))
+      .select(col("source"), col("n_below"), col("n_above"),
+        col("chars_below"), col("chars_above"),
+        expr("chars_below * 1000000 div (chars_below + chars_above)")
+          .as("below_mass_ppm"))
+  }
+
+  /** [[matchLengthProfile]]'s DuckDB oracle — the exact pass at
+    * `minLen`, source attach, the same partitioned sums. */
+  def matchLengthProfileOracleSql(minLen: Int, floorLen: Int): String = {
+    s"""WITH pass AS (${exactSubstringOracleSql(minLen)}),
+       |j AS (SELECT p.match_len, d.source
+       |      FROM pass p JOIN documents d ON d.doc_id = p.doc_b),
+       |agg AS (SELECT source,
+       |    cast(sum(CASE WHEN match_len < $floorLen THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_below,
+       |    cast(sum(CASE WHEN match_len >= $floorLen THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_above,
+       |    cast(sum(CASE WHEN match_len < $floorLen THEN match_len
+       |             ELSE 0 END) AS BIGINT) AS chars_below,
+       |    cast(sum(CASE WHEN match_len >= $floorLen THEN match_len
+       |             ELSE 0 END) AS BIGINT) AS chars_above
+       |  FROM j GROUP BY source)
+       |SELECT source, n_below, n_above, chars_below, chars_above,
+       |  chars_below * 1000000 // (chars_below + chars_above)
+       |    AS below_mass_ppm
+       |FROM agg""".stripMargin
   }
 
   /** Train→eval contamination at BYTE resolution — the leak check a
@@ -1163,23 +1241,39 @@ object TextAnalysis {
     * ([[graft.functions.NfcNormalize]], codegen'd, ASCII fast path):
     * crawls deliver `é` both composed (U+00E9) and decomposed
     * (`e`+U+0301) and the two spellings hash apart, so multilingual
-    * dedup keys MUST compose before hashing. Casefold is `lower()` on
-    * both engines — identical on Latin/Cyrillic/Greek simple mappings;
-    * residual locale divergences are DOCUMENTED descopes: Turkish
-    * İ/dotless-i (Java applies the full SpecialCasing expansion
-    * İ→i+U+0307, utf8proc the simple map) and Greek final-sigma
-    * (Java is position-aware, utf8proc isn't) — a corpus needing those
-    * locales correct wants ICU casefolding, not lower(). Self-
-    * registers [[graft.functions.NfcNormalize]] on the active session.
-    * Idempotent: NFC∘NFC = NFC and lower of a lowered string is
-    * itself (law spec-pinned). */
+    * dedup keys MUST compose before hashing.
+    *
+    * Casefold is the Unicode SIMPLE MAPPING
+    * ([[graft.functions.SimpleLower]], codegen'd) — NOT Spark's
+    * `lower()`: Java's String.toLowerCase applies full SpecialCasing
+    * (Turkish İ → i+U+0307, position-aware Greek final sigma) while
+    * DuckDB's utf8proc applies the simple map, so a `lower()` key
+    * hashes apart across the engines the moment a crawl delivers
+    * Turkish or Greek capitals — the round-10 documented descope. The
+    * simple map is what BOTH engines implement identically (İ → i,
+    * Σ → σ everywhere), so the descope is closed by construction
+    * (q209 injects exactly those cases and oracle-proves the keys);
+    * the remaining contract is stated on the kernel's scaladoc:
+    * locale-TAILORED folding is a non-goal of a locale-independent
+    * key, and ς-form vs σ-form lowercase Greek stay distinct keys —
+    * consistently in both engines. Self-registers
+    * [[graft.functions.NfcNormalize]] and
+    * [[graft.functions.SimpleLower]] on the active session.
+    * Idempotent: NFC∘NFC = NFC and the simple map is the identity on
+    * its own image (law spec-pinned). */
   def normalizeTextUnicodeCol(text: Column): Column = {
-    graft.functions.NfcNormalize.register(org.apache.spark.sql.SparkSession.active)
-    trim(regexp_replace(lower(call_function("graft_nfc", text)), " +", " "))
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.NfcNormalize.register(spark)
+    graft.functions.SimpleLower.register(spark)
+    trim(regexp_replace(
+      call_function("simple_lower", call_function("graft_nfc", text)),
+      " +", " "))
   }
 
   /** [[normalizeTextUnicodeCol]] in DuckDB SQL (oracle twin —
-    * `nfc_normalize` is DuckDB's Unicode canonical composition). */
+    * `nfc_normalize` is DuckDB's Unicode canonical composition, and
+    * DuckDB's `lower()` is the utf8proc SIMPLE mapping, i.e. exactly
+    * what the engine's SimpleLower kernel computes). */
   def normalizeTextUnicodeSql(e: String): String =
     s"trim(regexp_replace(lower(nfc_normalize($e)), ' +', ' ', 'g'))"
 

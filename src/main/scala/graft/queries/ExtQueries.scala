@@ -3151,9 +3151,9 @@ object ExtQueries {
     // (TextAnalysis.normalizeTextUnicodeCol, codegen'd NfcNormalize
     // expression) folds both onto one key, so each injected pair
     // collapses to a single n_copies=2 group. Oracle replays injection
-    // through DuckDB's nfc_normalize + lower. Residual locale cases
-    // (Turkish İ, Greek final sigma) are documented descopes on the
-    // operator, deliberately absent from the injection.
+    // through DuckDB's nfc_normalize + lower. The Turkish/Greek locale
+    // cases the round-10 operator descoped are CLOSED by the
+    // simple_lower casefold and proven by q209's injections.
     "q193_unicode_normalize" -> Q(
       (s, dir) => {
         graft.functions.NfcNormalize.register(s)
@@ -3178,6 +3178,65 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT doc_id + 40000, text || ' café résumé'
          |  FROM documents WHERE doc_id % 11 = 5),
+         |n AS (SELECT doc_id, ${TextAnalysis.normalizeTextUnicodeSql("text")} AS nt
+         |      FROM u)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM n GROUP BY md5(nt)""".stripMargin),
+
+    // ── locale casefold parity: the round-10 descope, closed ───────────
+    // q193 deliberately avoided Turkish İ and Greek capital-sigma
+    // because Spark's lower() (Java full SpecialCasing: İ → i+U+0307,
+    // position-aware final sigma) and DuckDB's lower() (utf8proc
+    // SIMPLE map: İ → i, Σ → σ everywhere) disagree — a multilingual
+    // key would hash apart across the engines. normalizeTextUnicodeCol
+    // now casefolds with the codegen'd SimpleLower kernel (per-
+    // codepoint Character.toLowerCase = the same UnicodeData simple
+    // map utf8proc implements), so THIS query injects exactly the
+    // formerly-descoped cases and lets the driver's hash gate prove
+    // engine == oracle on them:
+    //  - 'İSTANBUL ŞEHİR' and 'istanbul şehir' MUST collapse
+    //    (n_copies 2 — under Java lower() the İ expansion would keep
+    //    them apart in the engine while the oracle merged them);
+    //  - 'ΑΘΗΝΑΣ ΟΔΟΣ' collapses with its σ-form lowercase 'αθηνασ
+    //    οδοσ' (the simple map of Σ), while the natural ς-form
+    //    'αθηνας οδος' stays its OWN key — in BOTH engines, which is
+    //    the contract: the simple map never folds final sigma, and it
+    //    never disagrees about it either.
+    "q209_unicode_casefold" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.where(col("doc_id") % 13 === 6)
+        def inj(off: Int, suffix: String) = base.select(
+          (col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(suffix)).as("text"))
+        docs.select(col("doc_id"), col("text"))
+          .unionByName(inj(30000, " İSTANBUL ŞEHİR"))
+          .unionByName(inj(40000, " istanbul şehir"))
+          .unionByName(inj(50000, " ΑΘΗΝΑΣ ΟΔΟΣ"))
+          .unionByName(inj(60000, " αθηνασ οδοσ"))
+          .unionByName(inj(70000, " αθηνας οδος"))
+          .groupBy(org.apache.spark.sql.functions.md5(
+            TextAnalysis.normalizeTextUnicodeCol(col("text"))).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+      },
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' İSTANBUL ŞEHİR'
+         |  FROM documents WHERE doc_id % 13 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' istanbul şehir'
+         |  FROM documents WHERE doc_id % 13 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text || ' ΑΘΗΝΑΣ ΟΔΟΣ'
+         |  FROM documents WHERE doc_id % 13 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text || ' αθηνασ οδοσ'
+         |  FROM documents WHERE doc_id % 13 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 70000, text || ' αθηνας οδος'
+         |  FROM documents WHERE doc_id % 13 = 6),
          |n AS (SELECT doc_id, ${TextAnalysis.normalizeTextUnicodeSql("text")} AS nt
          |      FROM u)
          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -4338,7 +4397,8 @@ object ExtQueries {
     // (source src0–src3, the q177 reference discipline) vs the whole
     // corpus; each document scores Σ_tokens (target_ppm − corpus_ppm)
     // — the linear analog of DSIR's log-ratio (log is an FP-model
-    // concern, documented deviation) — and is kept by a deterministic
+    // concern; q208 is the exact-integer LOG variant that closes the
+    // deviation) — and is kept by a deterministic
     // weighted Bernoulli: keep iff hash(doc) % 10⁶ < p_ppm, with
     // p_ppm = clamp(score, 0, CAP)·10⁶/CAP. One corpus scan; both
     // weight relations are ≤ 256 rows and broadcast; selection is a
@@ -4404,6 +4464,84 @@ object ExtQueries {
            |  FROM sc)
            |SELECT doc_id, score_raw, p_ppm,
            |  ${Sampling.rowHashSql("doc_id", "dsir")} % 1000000 < p_ppm AS keep
+           |FROM pr""".stripMargin
+      }),
+
+    // ── DSIR with the standard LOG-ratio weights, exact-integer ────────
+    // q187's documented deviation closed: DSIR's importance weight is
+    // log p_target(f) − log p_corpus(f); floating-point log is an
+    // FP-model concern, so the log runs as BINARY DIGIT COUNT (the
+    // q184 discipline): bitlen(x) = length(bin(x)) = ⌊log2 x⌋ + 1, at
+    // CUBE resolution — w = bitlen((target_ppm+1)³) −
+    // bitlen((corpus_ppm+1)³) ≈ 3·log2(target/corpus), i.e. ~1/3-bit
+    // resolution per term, exact in BIGINT
+    // ((10⁶+1)³ < 2⁶³), +1-smoothed so absent buckets contribute the
+    // maximum penalty instead of −∞. Same plan shape as q187: one
+    // corpus scan, two ≤256-row broadcast weight relations, projection
+    // selection.
+    "q208_dsir_log" -> Q(
+      (s, dir) => {
+        graft.functions.Md5Prefix64.register(s)
+        val cap = 3000L
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), col("source"),
+            explode(org.apache.spark.sql.functions.filter(
+              split(col("text"), " "), t => length(t) > 0)).as("tok"))
+          .select(col("doc_id"), col("source"),
+            (Dedup.hash64(col("tok")) % 256).cast("int").as("bucket"))
+        def ppm(src: org.apache.spark.sql.DataFrame) =
+          src.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+            .select(col("bucket"),
+              org.apache.spark.sql.functions.expr(
+                "cnt * 1000000 div sum(cnt) over ()").as("w"))
+        val refW = ppm(toks.where(col("source").isin("src0", "src1", "src2", "src3")))
+          .withColumnRenamed("w", "wr")
+        val corpW = ppm(toks).withColumnRenamed("w", "wc")
+        def bitlen3(c: String) = org.apache.spark.sql.functions.expr(
+          s"length(conv((coalesce($c, 0) + 1) * (coalesce($c, 0) + 1)" +
+            s" * (coalesce($c, 0) + 1), 10, 2))").cast("long")
+        val wts = refW.join(corpW, Seq("bucket"), "full")
+          .select(col("bucket"), (bitlen3("wr") - bitlen3("wc")).as("w"))
+        val scored = toks.groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(org.apache.spark.sql.functions.broadcast(wts), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt") * col("w")).as("score_raw"))
+        val pPpm = org.apache.spark.sql.functions.expr(
+          s"least(greatest(score_raw, 0) * 1000000 div $cap, 1000000)")
+        scored.select(col("doc_id"), col("score_raw"), pPpm.as("p_ppm"),
+          (Sampling.rowHash(scored, col("doc_id"), "dsirlog") % 1000000L
+            < pPpm).as("keep"))
+      },
+      {
+        val cap = 3000L
+        def bitlen3(c: String) =
+          s"cast(length(bin((coalesce($c, 0) + 1) * (coalesce($c, 0) + 1)" +
+            s" * (coalesce($c, 0) + 1))) AS BIGINT)"
+        s"""WITH dt AS (SELECT doc_id, source,
+           |    cast(${sqlHash64("tok")} % 256 AS INT) AS bucket
+           |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) WHERE len(tok) > 0),
+           |rw AS (SELECT bucket,
+           |         cast(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS wr
+           |       FROM dt WHERE source IN ('src0','src1','src2','src3')
+           |       GROUP BY bucket),
+           |cw AS (SELECT bucket,
+           |         cast(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS wc
+           |       FROM dt GROUP BY bucket),
+           |wt AS (SELECT coalesce(rw.bucket, cw.bucket) AS bucket,
+           |         ${bitlen3("wr")} - ${bitlen3("wc")} AS w
+           |       FROM rw FULL JOIN cw ON rw.bucket = cw.bucket),
+           |dc AS (SELECT doc_id, bucket, cast(count(*) AS BIGINT) AS cnt
+           |       FROM dt GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, cast(sum(cnt * w) AS BIGINT) AS score_raw
+           |       FROM dc JOIN wt USING (bucket) GROUP BY doc_id),
+           |pr AS (SELECT doc_id, score_raw,
+           |    cast(least(greatest(score_raw, 0) * 1000000 // $cap, 1000000)
+           |         AS BIGINT) AS p_ppm
+           |  FROM sc)
+           |SELECT doc_id, score_raw, p_ppm,
+           |  ${Sampling.rowHashSql("doc_id", "dsirlog")} % 1000000 < p_ppm AS keep
            |FROM pr""".stripMargin
       }),
 
@@ -4552,6 +4690,19 @@ object ExtQueries {
         """SELECT doc_a, doc_b, pos_a, pos_b, match_len FROM pass
           |WHERE (doc_a % 7 = 3) <> (doc_b % 7 = 3)""".stripMargin),
 
+    // ── winnow-floor decision data: match-length distribution ──────────
+    // q197's recall contract is complete for matches >= w+k-1 = 40
+    // chars; this report measures what that floor actually costs on
+    // the organic corpus — per source, matches and character mass in
+    // [k, 40) (exact-pass-only territory) vs >= 40 (guaranteed by the
+    // winnowed tier). minLen = k = 20, so the unmeasured residue is
+    // exactly the sub-k-gram scrap no tier of the family can see.
+    // Companion: the ScaleProbe winnow_kw sweep prices smaller (k, w).
+    "q207_match_length_profile" -> Q(
+      (s, dir) => TextAnalysis.matchLengthProfile(
+        Tables.documents(s, dir), minLen = 20, floorLen = 40),
+      TextAnalysis.matchLengthProfileOracleSql(minLen = 20, floorLen = 40)),
+
     // ── clean pipeline gated by the TRAINED router ─────────────────────
     // q74's cleaning chain with the language gate swapped from the
     // marker-word heuristic to the q178 TRAINED router — the
@@ -4618,9 +4769,14 @@ object ExtQueries {
         val keeper = clean
           .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("_h"))
           .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        // materialize the gate+dedup chain once — sampleToTemperature's
+        // budget CTEs and the mix window re-reference it, and each
+        // reference re-ran the trained gate (the q206 lesson applied
+        // back: 5.96 s -> 3.61 s measured)
         val deduped = clean.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"), col("text"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .localCheckpoint(true)
         val mixed = Sampling.sampleToTemperature(deduped, "doc_id", "lang",
           "n_tokens", totalBudget = 6000L)
         graft.streaming.StreamIngest.manifestOf(
@@ -4664,6 +4820,102 @@ object ExtQueries {
            |  cast(sum(n_toks) AS BIGINT) AS n_tokens,
            |  cast(bit_xor(h) AS BIGINT) AS checksum
            |FROM shd GROUP BY shard""".stripMargin
+      }),
+
+    // ── release capstone WITH the byte-exact substring tier ────────────
+    // q190 extended by the round-10 headline: between exact dedup and
+    // temperature mixing, the corpus routes through the substring
+    // POLICY EDIT (q201/q202's drop/cut/keep — mostly-lifted documents
+    // vanish, partially-lifted documents lose exactly their duplicated
+    // spans, the clean majority passes through verbatim), and the mix /
+    // shards / manifest all price the EDITED text. This makes the
+    // substring tier a verified stage of the terminal release path
+    // instead of a side report. ONE oracle replays raw documents →
+    // manifest, composing q190's gate/dedup CTEs with the
+    // source-parameterized substring-release chain (src = the
+    // post-dedup CTE — the round-11 parameterization). Scale shape: no
+    // new exchange classes beyond q190 + q202; the winnowed pair pass
+    // (the only corpus-sized work of the new stage) runs once,
+    // localCheckpoint'd, on the post-gate post-dedup corpus.
+    "q206_release_substring" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val langOk = TextAnalysis.trainedLangId(docs)
+          .where(col("is_match")).select("doc_id")
+        val longEnough = TextAnalysis.qualityScore(docs)
+          .where(col("n_tokens") >= 25).select("doc_id")
+        val lowRep = TextAnalysis.repetitionScore(docs, n = 2)
+          .where(col("rep_ratio") < 0.05).select("doc_id")
+        val clean = docs.join(langOk, Seq("doc_id"), "left_semi")
+          .join(longEnough, Seq("doc_id"), "left_semi")
+          .join(lowRep, Seq("doc_id"), "left_semi")
+        val keeper = clean
+          .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        // the gate+dedup chain is referenced FOUR times downstream
+        // (winnow input, coverage length join, cut text join, final
+        // assembly) — materialize it ONCE or the trained gate re-runs
+        // per reference (measured: 11.0 s -> 5.2 s, the q202 discipline)
+        val deduped = clean.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .localCheckpoint(true)
+        val edited = TextAnalysis.substringRelease(
+          deduped.select("doc_id", "text"), minLen = 40)
+        val mixIn = edited
+          .join(deduped.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            col("final_text").as("text"),
+            size(split(col("final_text"), " ")).cast("long").as("n_tokens"))
+        val mixed = Sampling.sampleToTemperature(mixIn, "doc_id", "lang",
+          "n_tokens", totalBudget = 6000L)
+        graft.streaming.StreamIngest.manifestOf(
+          Sampling.shuffleShards(
+            mixed.select(col("doc_id"), col("text")), "doc_id", nShards = 4))
+      },
+      {
+        val redSql = "SELECT doc_id, lang, n_tokens FROM red"
+        // the substring-release SQL contains lines starting with `||`
+        // (the cut reassembly) — it is concatenated OUTSIDE the
+        // stripMargin blocks, never embedded in one (the q202 rule)
+        val head = s"""WITH $trainedLangCtes,
+           |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
+           |longok AS (SELECT doc_id FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 25),
+           |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+           |  (SELECT doc_id, g, count(*) AS c FROM
+           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |                 FROM documents) WHERE len(t) >= 2))
+           |   GROUP BY 1, 2) GROUP BY doc_id),
+           |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
+           |clean AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM lok)
+           |    AND doc_id IN (SELECT doc_id FROM longok)
+           |    AND doc_id IN (SELECT doc_id FROM repok)),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+           |ded AS (SELECT c.doc_id, c.lang, c.text
+           |        FROM clean c JOIN keep USING (doc_id))""".stripMargin
+        val tail = s"""red AS (SELECT r.doc_id, d.lang, r.final_text AS text,
+           |    cast(len(string_split(r.final_text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM rel r JOIN ded d USING (doc_id)),
+           |${Sampling.temperatureBudgetCtes(redSql, "lang", "n_tokens", 6000L)},
+           |tmixed AS (SELECT doc_id, lang, text, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
+           |  FROM red),
+           |mx AS (SELECT m.doc_id, m.text FROM tmixed m
+           |       JOIN tbudget b ON m.lang = b.domain WHERE m.cum <= b.b),
+           |shd AS (SELECT doc_id, text,
+           |    cast(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    ${Sampling.rowHashSql("doc_id", "shard")} % 4 AS shard,
+           |    ${sqlHash64("cast(doc_id AS VARCHAR) || ':' || text")} AS h
+           |  FROM mx)
+           |SELECT shard, cast(count(*) AS BIGINT) AS n_docs,
+           |  cast(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  cast(bit_xor(h) AS BIGINT) AS checksum
+           |FROM shd GROUP BY shard""".stripMargin
+        head + ",\nrel AS (" +
+          TextAnalysis.substringReleaseOracleSql(40, src = "ded") + "),\n" + tail
       }),
 
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────

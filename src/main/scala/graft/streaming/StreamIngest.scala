@@ -410,6 +410,98 @@ object StreamIngest {
       }
       .start()
 
+  /** CONTINUOUS byte-exact substring-dedup maintenance — q205's
+    * persisted winnow index wired into foreachBatch (the
+    * ingestNearDedup / appendShardBatch discipline applied to the
+    * round-10 substring tier): each micro-batch
+    *
+    *  1. winnows ONLY ITSELF (one O(batch) kernel pass — the settled
+    *     corpus's fingerprints are never recomputed),
+    *  2. PROBES the persisted index for maximal cross matches against
+    *     everything settled so far
+    *     ([[graft.ext.TextAnalysis.substringPairsAgainstIndex]]) and
+    *     appends the batch-stamped match report to the `pairs`
+    *     sidecar,
+    *  3. APPENDS its own fingerprints and texts, so later batches
+    *     probe against it.
+    *
+    * Store layout under `outDir`: `fp` (the winnow index — doc_id,
+    * pos, h), `texts` (the settled documents the extension step
+    * re-attaches), `pairs` (the accumulated cross-batch match log).
+    * All three are APPEND-ONLY: settled files are never rewritten
+    * (spec pins byte-stability of prior index files across unrelated
+    * batches).
+    *
+    * Semantics: the accumulated pairs log (read through
+    * [[readSubstringPairs]]) equals `winnowedSubstringPairs` over the
+    * union of all delivered batches RESTRICTED TO CROSS-BATCH pairs —
+    * within-batch duplicates are deliberately not reported here (the
+    * batch's own q197 pass is that tool); the parity law is
+    * spec-pinned against the sequential batch probe.
+    *
+    * Exactly-once: a replay guard anti-joins the batch against the
+    * settled TEXT ids, so a re-delivered batch appends nothing to any
+    * of the three stores (fresh = ∅ short-circuits the whole body).
+    * The guard keys on `texts` because it is written LAST: a crash
+    * mid-batch (after `pairs`/`fp`, before `texts`) replays the whole
+    * batch — `fp`/`texts` appends are suppressed-by-recomputation
+    * (same fresh set), and the one true crash window (`pairs` written
+    * twice, same batch id, same rows) is folded away by
+    * [[readSubstringPairs]]' distinct — the readComponents last-wins
+    * discipline, here degenerate because replayed rows are identical.
+    */
+  def maintainSubstringIndex(spark: SparkSession, srcDir: String,
+                             checkpointDir: String, outDir: String,
+                             minLen: Int = 40, k: Int = 20): StreamingQuery =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val (fpDir, txDir, prDir) =
+          (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs")
+        val b0 = batch.where(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .where(length(col("text")) >= minLen)
+        val fresh = readIfExists(s, txDir) match {
+          case Some(settled) =>
+            b0.join(settled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          case None => b0
+        }
+        if (!fresh.isEmpty) {
+          // one materialization feeds the probe and both appends —
+          // never three source re-reads
+          val freshC = fresh.localCheckpoint(true)
+          readIfExists(s, txDir).foreach { corpus =>
+            graft.ext.TextAnalysis.substringPairsAgainstIndex(
+                freshC, corpus, fpDir, minLen, k)
+              .withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(prDir)
+          }
+          graft.ext.TextAnalysis.appendSubstringIndex(freshC, fpDir, minLen, k)
+          freshC.write.mode("append").parquet(txDir)
+        }
+        ()
+      }
+      .start()
+
+  /** The accumulated cross-batch substring match log of a
+    * [[maintainSubstringIndex]] store — distinct() folds the
+    * crash-window double-append (replayed rows are identical, batch id
+    * included). Empty relation when no pairs were ever found. */
+  def readSubstringPairs(spark: SparkSession, outDir: String): DataFrame =
+    readIfExists(spark, s"$outDir/pairs") match {
+      case Some(log) => log.distinct()
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_a", LongType), StructField("doc_b", LongType),
+            StructField("pos_a", IntegerType), StructField("pos_b", IntegerType),
+            StructField("match_len", IntegerType),
+            StructField("batch_id", LongType))))
+    }
+
   val edgeSchema: StructType = StructType(Seq(
     StructField("a", LongType), StructField("b", LongType)))
 

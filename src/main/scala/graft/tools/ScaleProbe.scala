@@ -286,7 +286,28 @@ object ScaleProbe {
           toks.groupBy(col("th")).agg(min(col("doc_id")).as("fd"))
             .select(length(expr("conv(fd + 1, 10, 2)")).as("b"))
             .groupBy(col("b")).count().count()
-        }, d1, d10))
+        }, d1, d10),
+      // winnow (k, w) sweep — q207's companion: the production preset
+      // (k=20, w=21, floor 40) is priced by winnow_substring above;
+      // these rows price the smaller floors a heavy below-floor match
+      // mass would argue for. Expect: fingerprint density 2/(w+1)
+      // rises as w shrinks, candidate volume rises as k shrinks (more
+      // k-gram collisions), so both knobs trade recall floor against
+      // join volume — the sweep turns that into measured seconds.
+      ("winnow_kw_floor30",
+        (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 15, w = 16)
+          .count(),
+        d1, d10),
+      ("winnow_kw_floor20",
+        (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 10, w = 11)
+          .count(),
+        d1, d10),
+      // fixed k=20, narrow window: floor 30 via density (2/(w+1) doubles)
+      // rather than anchor-length — isolates the two knobs
+      ("winnow_kw_k20w11",
+        (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 20, w = 11)
+          .count(),
+        d1, d10))
 
     // SPARK_GRAFT_PROBE_ONLY=fam1,fam2 — subset filter for targeted
     // probes of a new family without re-running the full table

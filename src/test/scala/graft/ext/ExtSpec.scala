@@ -1183,11 +1183,37 @@ class ExtSpec extends SparkSuite {
     // survives, only case and space runs fold
     assert(out(3L) == "plain ascii text!")
     assert(out(4L) == "")
-    // idempotence: NFC∘NFC = NFC, lower∘lower = lower
+    // idempotence: NFC∘NFC = NFC, simple-lower∘simple-lower = simple-lower
     val twice = d.select(TextAnalysis.normalizeTextUnicodeCol(
         TextAnalysis.normalizeTextUnicodeCol(col("text"))).as("n"))
       .collect().map(_.getString(0)).toSet
     assert(twice == out.values.toSet)
+  }
+
+  test("simple_lower casefold: Turkish İ and Greek Σ take the utf8proc-identical simple map") {
+    import org.apache.spark.sql.functions.col
+    // the round-10 descope, closed: Java's String.toLowerCase would
+    // expand İ to i+U+0307 and pick ς word-finally — both diverge from
+    // DuckDB's utf8proc simple map. SimpleLower pins the simple map:
+    val d = Seq(
+      (1L, "İSTANBUL ŞEHİR"),
+      (2L, "ΑΘΗΝΑΣ ΟΔΟΣ"),
+      (3L, "αθηνας οδος"))   // natural ς-form lowercase: already folded
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.normalizeTextUnicodeCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "istanbul şehir",
+      s"İ must simple-map to plain i, got '${out(1L)}'")
+    assert(out(2L) == "αθηνασ οδοσ",
+      s"Σ must simple-map to σ everywhere (never ς), got '${out(2L)}'")
+    // ς-form input is untouched (already lowercase) and stays a
+    // DISTINCT key from the σ-form — the documented contract
+    assert(out(3L) == "αθηνας οδος")
+    assert(out(2L) != out(3L))
+    // and the Java full-casefold really would have diverged (the spec
+    // guards against a silent revert to lower()):
+    assert("İSTANBUL".toLowerCase(java.util.Locale.ROOT) != "istanbul")
   }
 
   test("top n-grams: counted with multiplicity, deterministic bytewise cutoff on ties") {

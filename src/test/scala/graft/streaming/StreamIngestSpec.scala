@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSuite
 
 /** Structured-streaming ingest: checkpointed file source + keyed dedup in
@@ -591,6 +593,66 @@ class StreamIngestSpec extends SparkSuite {
     // replay law still holds across a compaction boundary
     write("b3.json", batches(2)); q.processAllAvailable(); q.stop()
     assert(labels() == want)
+  }
+
+  test("maintainSubstringIndex: cross-batch matches accumulate, replay appends nothing, settled index files stay untouched") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ssi_src").toString
+    val chk = Files.createTempDirectory("ssi_chk").toString
+    val out = Files.createTempDirectory("ssi_out").toString + "/store"
+    def write(name: String, docs: Seq[(Long, String)]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$src/$name"),
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ")   // 78 chars
+    val pb = (1 to 10).map(i => s"twinxx$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha filler one with enough unique tail text here",
+      2L -> "completely unrelated long passage without any shared spans at all")
+    val b2 = Seq(
+      3L -> s"prefix words then $pa and its own different ending text",
+      4L -> s"$pb with a unique continuation for document number four",
+      5L -> s"$pb plus another distinct tail for document number five")
+    val q = StreamIngest.maintainSubstringIndex(spark, src, chk, out)
+    write("b1.json", b1); q.processAllAvailable()
+    // snapshot the settled index files — later batches must not touch them
+    val fpDir = java.nio.file.Paths.get(s"$out/fp")
+    def fpFiles() = java.nio.file.Files.walk(fpDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    val afterB1 = fpFiles()
+    assert(afterB1.nonEmpty)
+    write("b2.json", b2); q.processAllAvailable()
+    def pairs() = StreamIngest.readSubstringPairs(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // parity law: the accumulated log == the one-shot winnowed pass over
+    // ALL docs restricted to CROSS-BATCH pairs — (1,3) is cross-batch;
+    // (4,5) shares pb but is WITHIN b2 and must not be reported
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val batchOf = (b1.map(_._1 -> 1) ++ b2.map(_._1 -> 2)).toMap
+    val oneShotAll: Set[(Long, Long)] = graft.ext.TextAnalysis
+      .winnowedSubstringPairs(all, k = 20, w = 21)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oneShot = oneShotAll.filter { case (a, b) => batchOf(a) != batchOf(b) }
+    assert(oneShot == Set(1L -> 3L), s"fixture sanity: $oneShot")
+    assert(pairs() == oneShot)
+    // b1's settled index files are byte-stable across the b2 append
+    afterB1.foreach { case (f, sig) =>
+      assert(fpFiles().get(f).contains(sig), s"settled index file $f changed")
+    }
+    // replay law: re-delivering b2's content appends NOTHING anywhere
+    def counts() = (
+      spark.read.parquet(s"$out/fp").count(),
+      spark.read.parquet(s"$out/texts").count(),
+      StreamIngest.readSubstringPairs(spark, out).count())
+    val before = counts()
+    write("b3.json", b2); q.processAllAvailable(); q.stop()
+    assert(counts() == before, s"replay changed the store: $before -> ${counts()}")
+    assert(pairs() == oneShot)
   }
 
   test("component log: a hard crash between the compaction renames is recovered on read") {
