@@ -1308,9 +1308,16 @@ object TextAnalysis {
     * per call — stacked `a/b/../../c` fully resolves; the round-10
     * two-folds-that-can-disagree split is gone, and the agreement law
     * canonicalize(url) == canonicalize(resolve(base, ref)) on the same
-    * merged string is spec-pinned). Full generic-URI resolution
-    * (scheme-relative refs, userinfo folds, IDN hosts) stays an
-    * ICU/URI-library concern — documented, not silent. The `www.` fold
+    * merged string is spec-pinned), and userinfo fold (§3.2.1 —
+    * `user:pass@host` names the same resource as `host`, so the
+    * userinfo strips from the dedup key; an '@' in path/query never
+    * matches by char-class construction). IDN host normalization
+    * (punycode) remains the one documented URI descope: the JDK has
+    * java.net.IDN but DuckDB has no punycode function, so a
+    * cross-engine-verified key cannot include it — a corpus with
+    * significant internationalized-domain traffic wants a
+    * pre-canonicalization IDN pass outside the oracle-checked
+    * surface. The `www.` fold
     * still applies ONCE per call: a pathological `www.www.` host loses
     * one `www.` per application (idempotence holds for well-formed
     * URLs, spec-pinned, not for stacked prefixes — documented, not
@@ -1321,10 +1328,19 @@ object TextAnalysis {
     graft.functions.PctDecodeUnreserved.register(
       org.apache.spark.sql.SparkSession.active)
     val noFrag = regexp_replace(lower(url), "#.*$", "")
+    // userinfo fold (§3.2.1): `user:pass@` before the host names the
+    // same resource — strip it from the dedup key. The char class
+    // excludes /?#, so an '@' inside path/query/fragment can never
+    // match; '@' itself is excluded so a (grammar-invalid) double
+    // userinfo loses one layer per call, the www. discipline. Runs
+    // BEFORE the %-decode: '@' is reserved, so an escaped %40 never
+    // assembles a new userinfo boundary
+    val noUser = regexp_replace(noFrag,
+      "^([a-z][a-z0-9+.-]*://)[^/?#@]*@", "$1")
     // unreserved %-escapes decode before any structural fold (so %2e
     // joins dot-segments, %70 joins the path text) — reserved escapes
     // survive by construction of the expression
-    val decoded = call_function("graft_pct_decode", noFrag)
+    val decoded = call_function("graft_pct_decode", noUser)
     // tracking params drop to their leading separator; separator runs
     // then collapse and dangling ?/& trim away
     val noTrack = regexp_replace(decoded, s"([?&])($TrackingParams)=[^&]*", "$1")
@@ -1358,11 +1374,13 @@ object TextAnalysis {
 
   def canonicalUrlSql(e: String): String = {
     val noFrag = s"regexp_replace(lower($e), '#.*$$', '', 'g')"
+    val noUser = s"regexp_replace($noFrag, " +
+      s"'^([a-z][a-z0-9+.-]*://)[^/?#@]*@', '\\1', 'g')"
     // unreserved %-escape decode: a replace() per code, generated from
     // the shared table. Pass-per-code equals the engine's single scan
     // except on self-referential encodings (see PctDecodeUnreserved
     // scaladoc) — absent from every injection.
-    val decoded = UnreservedDecodes.foldLeft(noFrag) { case (acc, (code, ch)) =>
+    val decoded = UnreservedDecodes.foldLeft(noUser) { case (acc, (code, ch)) =>
       val lit = if (ch == "'") "''" else ch
       s"replace($acc, '$code', '$lit')"
     }

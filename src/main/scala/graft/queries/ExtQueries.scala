@@ -3382,7 +3382,12 @@ object ExtQueries {
     "q194_url_rfc_dedup" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val url = concat(lit("https://"), col("source"), lit(".example.com"),
+        val url = concat(lit("https://"),
+          // userinfo variant (round-11): must fold away or these docs
+          // never collapse with their (source, doc_id % 100) partners
+          when(col("doc_id") % 3 === 1, lit("crawler:tok3n@"))
+            .otherwise(lit("")),
+          col("source"), lit(".example.com"),
           when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
           when(col("doc_id") % 4 === 1, lit("/%70/"))            // %70 → p
             .when(col("doc_id") % 4 === 2, lit("/./p/"))          // /./ run
@@ -3398,7 +3403,9 @@ object ExtQueries {
           .select(col("canonical_url"), col("doc_id"), col("n_copies"))
       },
       {
-        val urlSql = "'https://' || source || '.example.com' || " +
+        val urlSql = "'https://' || " +
+          "(CASE WHEN doc_id % 3 = 1 THEN 'crawler:tok3n@' ELSE '' END) || " +
+          "source || '.example.com' || " +
           "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
           "(CASE WHEN doc_id % 4 = 1 THEN '/%70/' " +
           " WHEN doc_id % 4 = 2 THEN '/./p/' " +
