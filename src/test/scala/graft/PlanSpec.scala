@@ -606,6 +606,44 @@ class PlanSpec extends SparkSuite {
     assert("winnow_fingerprints".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("q206: the capstone's substring stage derives from ONE materialized winnow pass") {
+    // substringRelease inside q206 runs its winnowed pair pass once
+    // (localCheckpoint) and the gate+dedup boundary is materialized
+    // once — the registered plan must contain NO winnow kernel at all
+    // (both branches read the checkpointed pair RDD) and never fall
+    // back to all-pairs
+    val plan = planOf("q206_release_substring")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("winnow_fingerprints"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q207: match-length profile rides the q196 shuffle pin; the rollup adds one exchange") {
+    val plan = planOf("q207_match_length_profile")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q208: log-ratio DSIR weights BROADCAST — the corpus never shuffles for a 256-row relation") {
+    val plan = planOf("q208_dsir_log")
+    // the corpus-sized scoring join builds on the broadcast ≤256-row
+    // weight relation; the weights' own full-outer merge (256×256,
+    // metadata-sized) may sort-merge — that one is free at any scale
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q209: casefold parity dedup is projection + one rollup exchange — no join") {
+    val plan = planOf("q209_unicode_casefold")
+    assert(!plan.contains("Join"), plan)
+    // the simple_lower kernel appears (lower() would silently revert
+    // to the engine-divergent Java full casefold)
+    assert(plan.contains("simple_lower"), plan)
+  }
+
   test("q199: link resolution is a pure projection plus one rollup — no join") {
     val plan = planOf("q199_link_resolve")
     assert(!plan.contains("Join"), plan)
