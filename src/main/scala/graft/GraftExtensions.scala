@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteDot, DotSegmentFold, LongDot, Md5Prefix64, NfcNormalize, PctDecodeUnreserved, RollingFingerprint, SimpleLower}
+import graft.functions.{ByteDot, DotSegmentFold, IdnHostAscii, LongDot, Md5Prefix64, NfcNormalize, PctDecodeUnreserved, RollingFingerprint, SimpleLower}
 
 /** Library entry point for the SQL surface: the custom codegen
   * expressions as SQL-callable functions.
@@ -67,7 +67,10 @@ object GraftExtensions {
       arity("dot_segment_fold", 1)(exprs => DotSegmentFold(exprs.head))),
     (FunctionIdentifier("simple_lower"),
       info("simple_lower", classOf[SimpleLower]),
-      arity("simple_lower", 1)(exprs => SimpleLower(exprs.head))))
+      arity("simple_lower", 1)(exprs => SimpleLower(exprs.head))),
+    (FunctionIdentifier("idn_host_ascii"),
+      info("idn_host_ascii", classOf[IdnHostAscii]),
+      arity("idn_host_ascii", 1)(exprs => IdnHostAscii(exprs.head))))
 
   /** Register every function on an existing session (temp-function
     * registry — same names the extension path injects). */

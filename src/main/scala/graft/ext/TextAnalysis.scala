@@ -1311,19 +1311,39 @@ object TextAnalysis {
     * merged string is spec-pinned), and userinfo fold (§3.2.1 —
     * `user:pass@host` names the same resource as `host`, so the
     * userinfo strips from the dedup key; an '@' in path/query never
-    * matches by char-class construction). IDN host normalization
-    * (punycode) remains the one documented URI descope: the JDK has
-    * java.net.IDN but DuckDB has no punycode function, so a
-    * cross-engine-verified key cannot include it — a corpus with
-    * significant internationalized-domain traffic wants a
-    * pre-canonicalization IDN pass outside the oracle-checked
-    * surface. The `www.` fold
+    * matches by char-class construction). IDN host normalization is
+    * the separate opt-in [[idnHostToAsciiCol]] pass applied BEFORE
+    * this fold (DuckDB has no punycode, so that fold is table-driven-
+    * verified via [[IdnFixtures]]/q210 rather than
+    * expression-replayed). The `www.` fold
     * still applies ONCE per call: a pathological `www.www.` host loses
     * one `www.` per application (idempotence holds for well-formed
     * URLs, spec-pinned, not for stacked prefixes — documented, not
     * silent). Self-registers
     * [[graft.functions.PctDecodeUnreserved]] on the active session.
     */
+  /** (unicode host label, its RFC 3490 punycode ToASCII form) — the
+    * ground-truth table behind the IDN fold's verification: q210
+    * synthesizes hosts from the LEFT column, its oracle replays the
+    * RIGHT column as literals, and the driver hash gate therefore
+    * proves `java.net.IDN.toASCII` reproduces every recorded form
+    * (DuckDB has no punycode function, so the fold is table-driven-
+    * verifiable, not expression-replayable — the q195 discipline). */
+  val IdnFixtures: Seq[(String, String)] = Seq(
+    ("bücher", "xn--bcher-kva"), ("münchen", "xn--mnchen-3ya"),
+    ("köln", "xn--kln-sna"), ("日本", "xn--wgv71a"),
+    ("ελλάδα", "xn--hxakic4aa"), ("россия", "xn--h1alffa9f"),
+    ("çağrı", "xn--ar-3ia9t9c"))
+
+  /** The IDN host fold as a Column — apply BEFORE [[canonicalUrlCol]]
+    * (see [[graft.functions.IdnHostAscii]] for parsing and
+    * error-passthrough contracts). Self-registers the kernel. */
+  def idnHostToAsciiCol(url: Column): Column = {
+    graft.functions.IdnHostAscii.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("idn_host_ascii", url)
+  }
+
   def canonicalUrlCol(url: Column): Column = {
     graft.functions.PctDecodeUnreserved.register(
       org.apache.spark.sql.SparkSession.active)

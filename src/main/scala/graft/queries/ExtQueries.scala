@@ -3422,6 +3422,57 @@ object ExtQueries {
            |FROM cu GROUP BY canonical_url""".stripMargin
       }),
 
+    // ── IDN host fold (punycode) → crawl dedup ─────────────────────────
+    // The last URL residue closed: real crawls deliver the SAME page as
+    // https://bücher.example/... and https://xn--bcher-kva.example/...
+    // and raw (or even RFC-folded) dedup keys miss the collision. Docs
+    // synthesize hosts from the IdnFixtures table — HALF in unicode
+    // form, half already in punycode — sharing (host, doc_id % 100)
+    // collide BY CONSTRUCTION iff the IDN fold lands. DuckDB has no
+    // punycode, so the oracle is TABLE-DRIVEN: it replays the EXPECTED
+    // punycode literal for every doc (both halves), which makes the
+    // driver's hash gate a proof that java.net.IDN.toASCII reproduces
+    // the recorded form for each injected host AND that the ASCII fast
+    // path passes punycode through untouched.
+    "q210_idn_url_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fx = TextAnalysis.IdnFixtures
+        def caseOf(pick: ((String, String)) => String) =
+          fx.zipWithIndex.tail.foldLeft(
+            when(col("doc_id") % 7 === 0, lit(pick(fx.head)))) {
+            case (acc, (pair, i)) =>
+              acc.when(col("doc_id") % 7 === i, lit(pick(pair)))
+          }
+        val host = when(org.apache.spark.sql.functions.expr(
+            "(doc_id div 7) % 2 = 0"), caseOf(_._1))
+          .otherwise(caseOf(_._2))
+        val url = concat(lit("https://"), host, lit(".example.com/p/"),
+          (col("doc_id") % 100).cast("string"))
+        docs.select(col("doc_id"),
+            TextAnalysis.canonicalUrlCol(
+              TextAnalysis.idnHostToAsciiCol(url)).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_url"), col("doc_id"), col("n_copies"))
+      },
+      {
+        val punyCase = TextAnalysis.IdnFixtures.zipWithIndex.map {
+          case ((_, puny), i) => s"WHEN doc_id % 7 = $i THEN '$puny'"
+        }.mkString("(CASE ", " ", " END)")
+        val urlSql = s"'https://' || $punyCase || '.example.com/p/' || " +
+          "cast(doc_id % 100 AS VARCHAR)"
+        // raw-url CTE: the q158 binder-depth discipline
+        s"""WITH raw AS (SELECT doc_id, $urlSql AS url_raw FROM documents),
+           |cu AS (SELECT doc_id,
+           |    ${TextAnalysis.canonicalUrlSql("url_raw")} AS canonical_url
+           |  FROM raw)
+           |SELECT canonical_url, min(doc_id) AS doc_id,
+           |  count(*) AS n_copies
+           |FROM cu GROUP BY canonical_url""".stripMargin
+      }),
+
     // ── RFC 3986 §5 reference resolution → link-graph rollup ───────────
     // The transform BETWEEN html extraction and URL dedup: every href a
     // page links resolves against the page's own URL, then

@@ -35,6 +35,7 @@ class GraftExtensionsSpec extends SparkSuite {
     new GraftExtensions()(ext)   // must not throw; builders are shared
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
       Seq("byte_dot", "dot_segment_fold", "graft_nfc", "graft_pct_decode",
-          "long_dot", "md5_prefix64", "rolling_fp", "simple_lower"))
+          "idn_host_ascii", "long_dot", "md5_prefix64", "rolling_fp",
+          "simple_lower"))
   }
 }

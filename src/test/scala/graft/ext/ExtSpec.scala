@@ -1352,6 +1352,43 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("idn host fold: punycode conversion in place, everything else byte-preserved") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // every ground-truth pair from the shared table round-trips
+      (1L, "https://bücher.example.com/p?q=1",
+        "https://xn--bcher-kva.example.com/p?q=1"),
+      (2L, "https://日本.example.com/x", "https://xn--wgv71a.example.com/x"),
+      // userinfo and port survive byte-for-byte; only the host folds
+      (3L, "https://user:pw@münchen.org:8443/a#f",
+        "https://user:pw@xn--mnchen-3ya.org:8443/a#f"),
+      // ASCII fast path: identity, including already-punycode hosts
+      (4L, "https://xn--kln-sna.de/p", "https://xn--kln-sna.de/p"),
+      (5L, "https://plain.example.com/p", "https://plain.example.com/p"),
+      // unicode in PATH only: host is ASCII, nothing folds
+      (6L, "https://plain.org/bücher", "https://plain.org/bücher"),
+      // no scheme: passthrough (kernel only parses absolute URLs)
+      (7L, "bücher.example/x", "bücher.example/x"))
+      .toDF("id", "u", "want")
+    val got = cases.select(col("id"),
+        TextAnalysis.idnHostToAsciiCol(col("u")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"case ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}")
+    }
+    // the whole ground-truth table holds (the q210 oracle's premise)
+    val table = TextAnalysis.IdnFixtures.map { case (uni, _) =>
+      (uni, s"https://$uni.example/x") }.toDF("uni", "u")
+    val folded = table.select(col("uni"),
+        TextAnalysis.idnHostToAsciiCol(col("u")).as("f")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    TextAnalysis.IdnFixtures.foreach { case (uni, puny) =>
+      assert(folded(uni) == s"https://$puny.example/x",
+        s"$uni -> ${folded(uni)}, want $puny")
+    }
+  }
+
   test("url entry points share ONE dot-segment fold: canonical == canonical∘resolve") {
     // the round-10 unification law: the two URL entry points route
     // through the same depth-8 RFC-exact fold chain, so canonicalizing
