@@ -835,6 +835,69 @@ object TextAnalysis {
         |WHERE a.action <> 'drop'""".stripMargin
   }
 
+  /** TOP DUPLICATED PASSAGES — the corpus-wide boilerplate report (the
+    * table Lee et al. publish alongside the dedup): which exact
+    * `len`-char windows recur across the most documents. The q196/q198
+    * family finds and cuts per-PAIR spans; this rolls the same
+    * evidence up corpus-wide — licence headers, navigation chrome,
+    * disclaimer paragraphs surface with their document counts.
+    *
+    * Scale shape (two phases, text never shuffles at corpus size):
+    *  1. every window ships only (xxhash64(window), doc_id) — 16
+    *     bytes/char, the q196 class; hash groups count distinct docs;
+    *  2. windows whose HASH group spans ≥ `minDocs` docs (a text
+    *     group can never outnumber its hash group, so this subset
+    *     provably contains every qualifying passage — collisions only
+    *     ever merge) re-attach their text and re-group by the PASSAGE
+    *     BYTES, killing collisions exactly; deterministic top-k by
+    *     (n_docs, n_occ, passage).
+    *
+    * Output: (passage, n_docs, n_occ). Overlapping windows of a longer
+    * repeated passage each report — the report grain is the fixed
+    * window, the right unit for "how much boilerplate" questions
+    * (q198's maximal spans are the removal grain). */
+  def topDuplicatedPassages(docs: DataFrame, len: Int = 40,
+      minDocs: Int = 2, k: Int = 20): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= len)
+    val wins = d
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $len)").as("passage"))
+    val hot = wins
+      .select(xxhash64(col("passage")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("hd"))
+      .where(col("hd") >= minDocs)
+    wins
+      .withColumn("h", xxhash64(col("passage")))
+      .hint("shuffle_hash") // generate-exploded: Catalyst undershoots it
+      .join(hot.select(col("h")).hint("shuffle_hash"), Seq("h"), "left_semi")
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+      .limit(k)
+  }
+
+  /** [[topDuplicatedPassages]]' DuckDB oracle — the direct one-phase
+    * form (group every window by its text): the engine's hash
+    * pre-filter is provably lossless, so the two agree exactly. */
+  def topDuplicatedPassagesOracleSql(len: Int = 40, minDocs: Int = 2,
+      k: Int = 20): String = {
+    s"""WITH w AS (SELECT doc_id, substr(text, CAST(i AS INT), $len) AS passage
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, len(text) - ${len - 1} + 1)) AS i
+       |        FROM documents WHERE len(text) >= $len))
+       |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM w GROUP BY passage
+       |HAVING count(DISTINCT doc_id) >= $minDocs
+       |ORDER BY n_docs DESC, n_occ DESC, passage LIMIT $k""".stripMargin
+  }
+
   /** MATCH-LENGTH PROFILE — the measurement that turns the winnow
     * tier's guarantee floor (w + k − 1 = 40 chars for the production
     * k=20/w=21 preset) from a chosen constant into a measured

@@ -4748,6 +4748,19 @@ object ExtQueries {
         """SELECT doc_a, doc_b, pos_a, pos_b, match_len FROM pass
           |WHERE (doc_a % 7 = 3) <> (doc_b % 7 = 3)""".stripMargin),
 
+    // ── corpus-wide boilerplate report: top duplicated passages ────────
+    // The rollup face of the substring family: which exact 40-char
+    // windows recur across the most documents (licence headers, nav
+    // chrome). Engine runs the lossless two-phase form (hashes shuffle,
+    // text re-groups only the duplicated subset — a hash group always
+    // ≥ its text groups, so the pre-filter drops nothing); the oracle
+    // is the direct group-every-window-by-text form — hash equality
+    // proves the phases collapse to the same table.
+    "q211_top_passages" -> Q(
+      (s, dir) => TextAnalysis.topDuplicatedPassages(
+        Tables.documents(s, dir), len = 40, minDocs = 2, k = 20),
+      TextAnalysis.topDuplicatedPassagesOracleSql(len = 40, minDocs = 2, k = 20)),
+
     // ── winnow-floor decision data: match-length distribution ──────────
     // q197's recall contract is complete for matches >= w+k-1 = 40
     // chars; this report measures what that floor actually costs on

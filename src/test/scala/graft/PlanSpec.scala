@@ -644,6 +644,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("simple_lower"), plan)
   }
 
+  test("q211: passage rollup shuffles HASHES; text re-groups only the duplicated subset") {
+    val plan = planOf("q211_top_passages")
+    // the window relation is generate-exploded (one row per corpus
+    // character) — the semi join must never broadcast it on Catalyst's
+    // undershot estimate, and no all-pairs shape may appear
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // deterministic top-k compiles to TakeOrdered, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q199: link resolution is a pure projection plus one rollup — no join") {
     val plan = planOf("q199_link_resolve")
     assert(!plan.contains("Join"), plan)
