@@ -4989,6 +4989,117 @@ object ExtQueries {
           TextAnalysis.substringReleaseOracleSql(40, src = "ded") + "),\n" + tail
       }),
 
+    // ── the release DECISION LOG: why did my document vanish ───────────
+    // Per-document terminal fate through q206's chain with
+    // first-reason-wins attribution — the debug relation an ops
+    // engineer joins when a source asks where its documents went:
+    // gate_lang → gate_len → gate_rep → dedup_exact → substring_drop
+    // → mix_budget → kept, evaluated in PIPELINE order (a document
+    // failing two gates reports the FIRST, matching what the pipeline
+    // actually did — the q142 funnel's exclusive-attribution law at
+    // per-document grain). Every stage relation is q206's verbatim;
+    // the oracle replays the same CTE chain and CASE order, so the
+    // driver proves the attribution against the composed pipeline
+    // itself. Scale shape: six id-sized left joins onto the corpus
+    // spine — no new exchange classes.
+    "q212_release_decisions" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def flag(ids: org.apache.spark.sql.DataFrame, name: String) =
+          ids.select(col("doc_id"), lit(true).as(name))
+        val langOk = TextAnalysis.trainedLangId(docs)
+          .where(col("is_match")).select("doc_id")
+        val longEnough = TextAnalysis.qualityScore(docs)
+          .where(col("n_tokens") >= 25).select("doc_id")
+        val lowRep = TextAnalysis.repetitionScore(docs, n = 2)
+          .where(col("rep_ratio") < 0.05).select("doc_id")
+        // id-sized gate SPINE, checkpointed: each gate relation is
+        // needed both to build `clean` and to attribute fates — without
+        // the spine every gate chain runs twice (the q206 rule)
+        val gates = docs.select(col("doc_id"))
+          .join(flag(langOk, "f_lang"), Seq("doc_id"), "left")
+          .join(flag(longEnough, "f_len"), Seq("doc_id"), "left")
+          .join(flag(lowRep, "f_rep"), Seq("doc_id"), "left")
+          .localCheckpoint(true)
+        val clean = docs.join(
+          gates.where(col("f_lang").isNotNull && col("f_len").isNotNull
+            && col("f_rep").isNotNull).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val keeper = clean
+          .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("_h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        val deduped = clean.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .localCheckpoint(true) // the q206 gate-boundary rule
+        // substring drops are the COMPLEMENT of the release output —
+        // one winnowed pass total (inside substringRelease's own
+        // checkpoint), never a second substringPolicy recompute
+        val edited = TextAnalysis.substringRelease(
+          deduped.select("doc_id", "text"), minLen = 40)
+        val dropped = deduped.select("doc_id")
+          .join(edited.select("doc_id"), Seq("doc_id"), "left_anti")
+        val mixIn = edited
+          .join(deduped.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            size(split(col("final_text"), " ")).cast("long").as("n_tokens"))
+        val mixed = Sampling.sampleToTemperature(mixIn, "doc_id", "lang",
+          "n_tokens", totalBudget = 6000L).select("doc_id")
+        gates
+          .join(flag(deduped.select("doc_id"), "f_ded"), Seq("doc_id"), "left")
+          .join(flag(dropped, "f_drop"), Seq("doc_id"), "left")
+          .join(flag(mixed, "f_mix"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("f_lang").isNull, lit("gate_lang"))
+              .when(col("f_len").isNull, lit("gate_len"))
+              .when(col("f_rep").isNull, lit("gate_rep"))
+              .when(col("f_ded").isNull, lit("dedup_exact"))
+              .when(col("f_drop").isNotNull, lit("substring_drop"))
+              .when(col("f_mix").isNull, lit("mix_budget"))
+              .otherwise(lit("kept")).as("fate"))
+      },
+      {
+        val redSql = "SELECT doc_id, lang, n_tokens FROM red"
+        val head = s"""WITH $trainedLangCtes,
+           |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
+           |longok AS (SELECT doc_id FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 25),
+           |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+           |  (SELECT doc_id, g, count(*) AS c FROM
+           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |                 FROM documents) WHERE len(t) >= 2))
+           |   GROUP BY 1, 2) GROUP BY doc_id),
+           |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
+           |clean AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM lok)
+           |    AND doc_id IN (SELECT doc_id FROM longok)
+           |    AND doc_id IN (SELECT doc_id FROM repok)),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+           |ded AS (SELECT c.doc_id, c.lang, c.text
+           |        FROM clean c JOIN keep USING (doc_id))""".stripMargin
+        val tail = s"""red AS (SELECT r.doc_id, d.lang, r.final_text AS text,
+           |    cast(len(string_split(r.final_text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM rel r JOIN ded d USING (doc_id)),
+           |${Sampling.temperatureBudgetCtes(redSql, "lang", "n_tokens", 6000L)},
+           |tmixed AS (SELECT doc_id, lang, n_tokens,
+           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
+           |  FROM red),
+           |mx AS (SELECT m.doc_id FROM tmixed m
+           |       JOIN tbudget b ON m.lang = b.domain WHERE m.cum <= b.b)
+           |SELECT d.doc_id,
+           |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM lok) THEN 'gate_lang'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM longok) THEN 'gate_len'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM repok) THEN 'gate_rep'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM ded) THEN 'dedup_exact'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM rel) THEN 'substring_drop'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM mx) THEN 'mix_budget'
+           |       ELSE 'kept' END AS fate
+           |FROM documents d""".stripMargin
+        head + ",\nrel AS (" +
+          TextAnalysis.substringReleaseOracleSql(40, src = "ded") + "),\n" + tail
+      }),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

@@ -657,6 +657,17 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q212: the decision log rides materialized boundaries — no winnow kernel, no all-pairs") {
+    // gates spine + deduped + substringRelease's pair pass are all
+    // checkpointed at construction; the registered plan is id-sized
+    // left joins over ExistingRDD scans
+    val plan = planOf("q212_release_decisions")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("winnow_fingerprints"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q199: link resolution is a pure projection plus one rollup — no join") {
     val plan = planOf("q199_link_resolve")
     assert(!plan.contains("Join"), plan)
