@@ -122,7 +122,13 @@ object Bench {
     // (BENCH_r05/r06 lost every per-query number past ~q99 to a 2000-char
     // stdout tail) — so the FULL artifact is also written to a file and
     // committed, making the bench record self-contained.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // SUBSET runs (SPARK_GRAFT_BENCH_ONLY) write a scratch file instead:
+    // a 4-query adjudication must never clobber the committed
+    // full-registry record (it did, twice, in round 11 — both times the
+    // subset artifact then slipped into a commit and the real record
+    // had to be dug out of git history).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET_LAST.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
