@@ -85,6 +85,21 @@ object KernelProps extends Properties("Kernels") {
       SimpleLower.lower(once).toString == once.toString
     }
 
+  // ── IdnHostAscii: ASCII identity ───────────────────────────────────
+  // the kernel's fast path contract: any all-ASCII input (host ASCII
+  // or no scheme at all) passes through as the SAME UTF8String —
+  // whatever shape the rest of the URL is in
+  private val genAsciiUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("https://", "http://", "", "notaurl ")
+    host <- Gen.oneOf("h.io", "xn--bcher-kva.de", "a:8080", "u@h.io", "")
+    rest <- Gen.oneOf("", "/p?q=@x", "/bücher", "#f@g")
+  } yield scheme + host + rest
+
+  property("IdnHostAscii is identity when the HOST is ASCII (unicode path/query untouched)") =
+    forAll(genAsciiUrl) { u =>
+      IdnHostAscii.fold(UTF8String.fromString(u)).toString == u
+    }
+
   property("SimpleLower preserves codepoint count (simple map is 1:1, never an expansion)") =
     forAll(genText) { s =>
       val lowered = SimpleLower.lower(UTF8String.fromString(s)).toString
