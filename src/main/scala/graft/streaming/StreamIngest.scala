@@ -485,6 +485,40 @@ object StreamIngest {
       }
       .start()
 
+  /** CONTINUOUS boilerplate monitoring — q211's top-duplicated-
+    * passages report derived from a [[maintainSubstringIndex]] store
+    * at ZERO added per-batch cost: the report reads the winnow
+    * fingerprint index the stream already maintains.
+    *
+    * Losslessness (the winnow guarantee, third use): any `len`-char
+    * window duplicated across D documents is a shared span ≥ the
+    * index's guarantee floor (this function REQUIRES len == the
+    * store's minLen), so one aligned fingerprint inside it is
+    * selected in EVERY one of the D documents — that fingerprint's
+    * doc count reaches D, every affected document lands in the
+    * candidate set, and the exact q211 rollup over the candidate
+    * TEXTS (affected-sized, not corpus-sized) counts every
+    * qualifying passage with exact n_docs/n_occ. Equality with the
+    * one-shot [[graft.ext.TextAnalysis.topDuplicatedPassages]] over
+    * all settled documents is spec-pinned.
+    *
+    * Read cost: one index-parquet fold (hash grain — the corpus text
+    * is NOT re-fingerprinted) + the exact rollup restricted to
+    * candidate documents. Per-batch cost: nothing beyond what
+    * [[maintainSubstringIndex]] already pays. */
+  def readTopPassages(spark: SparkSession, outDir: String, len: Int = 40,
+      minDocs: Int = 2, k: Int = 20): DataFrame = {
+    val fp = spark.read.parquet(s"$outDir/fp")
+    val hot = fp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+    val cand = fp.join(hot.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val docs = spark.read.parquet(s"$outDir/texts")
+      .join(cand, Seq("doc_id"), "left_semi")
+    graft.ext.TextAnalysis.topDuplicatedPassages(docs, len, minDocs, k)
+  }
+
   /** The accumulated cross-batch substring match log of a
     * [[maintainSubstringIndex]] store — distinct() folds the
     * crash-window double-append (replayed rows are identical, batch id

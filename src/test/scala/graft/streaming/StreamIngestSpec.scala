@@ -653,6 +653,19 @@ class StreamIngestSpec extends SparkSuite {
     write("b3.json", b2); q.processAllAvailable(); q.stop()
     assert(counts() == before, s"replay changed the store: $before -> ${counts()}")
     assert(pairs() == oneShot)
+    // CONTINUOUS BOILERPLATE REPORT: readTopPassages over the store
+    // equals the one-shot q211 rollup over all settled docs — and
+    // unlike the cross-batch pairs log, it sees WITHIN-batch
+    // duplication too (the pb pair), since the index is batch-agnostic
+    val fromIndex = StreamIngest.readTopPassages(spark, out, len = 40,
+        minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    val oneShotPassages = graft.ext.TextAnalysis
+      .topDuplicatedPassages(all, len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(fromIndex == oneShotPassages,
+      s"index report ${fromIndex.size} rows != one-shot ${oneShotPassages.size}")
+    assert(fromIndex.nonEmpty) // pa and pb windows both qualify
   }
 
   test("component log: a hard crash between the compaction renames is recovered on read") {
