@@ -134,5 +134,15 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    // The driver records only a 2000-char stdout TAIL, which front-
+    // truncates the full record above (samples+exec is ~50 KB) — that is
+    // why BENCH_r10/r11 carry `parsed: null`. So the canonical TOTALS
+    // record is re-emitted here, compact (<300 chars, fits any tail
+    // intact) and as the LAST pre-exit stdout line of this JVM (after
+    // spark.stop(), so no shutdown logging can trail it). Full per-query
+    // detail lives in the committed file above.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"passes":$passes,"n_failed":${failedSet.size},"full":"$outPath","sf":"$sfDir"}"""
+    println(compact)
+    Console.out.flush()
   }
 }

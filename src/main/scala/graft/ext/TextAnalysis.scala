@@ -534,7 +534,17 @@ object TextAnalysis {
     val bd = batch.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= minLen)
     val bf = winnowFingerprintsOf(bd, k, w)
+    // The index may already contain THIS batch's own fingerprints — the
+    // maintainSubstringIndex crash window between the fp append and the
+    // texts write replays the whole batch against a store that already
+    // indexed it. Probing such rows emits self-pairs (doc_a == doc_b)
+    // and within-batch pairs that the pairs-log distinct cannot fold
+    // (they did not exist in the first attempt's output). Restrict the
+    // probe to SETTLED documents by anti-joining the batch ids off the
+    // index side; the batch id relation broadcasts (batch-sized — the
+    // corpus-sized index is the left, streamed side).
     val cf = spark.read.parquet(indexPath)
+      .join(broadcast(bd.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     // shuffle_hash pin: the BATCH fingerprint relation is generate-
     // exploded (Catalyst undershoots it), and the index side is
     // corpus-sized — neither may be broadcast on size guesses

@@ -443,12 +443,23 @@ object StreamIngest {
     * settled TEXT ids, so a re-delivered batch appends nothing to any
     * of the three stores (fresh = ∅ short-circuits the whole body).
     * The guard keys on `texts` because it is written LAST: a crash
-    * mid-batch (after `pairs`/`fp`, before `texts`) replays the whole
-    * batch — `fp`/`texts` appends are suppressed-by-recomputation
-    * (same fresh set), and the one true crash window (`pairs` written
-    * twice, same batch id, same rows) is folded away by
-    * [[readSubstringPairs]]' distinct — the readComponents last-wins
-    * discipline, here degenerate because replayed rows are identical.
+    * mid-batch replays the whole batch, and every earlier write is
+    * individually idempotent against the partial state it may find —
+    *  - `pairs`: the probe anti-joins the batch ids off the INDEX side
+    *    ([[graft.ext.TextAnalysis.substringPairsAgainstIndex]]), so a
+    *    replay that finds its own fingerprints already appended still
+    *    emits exactly the first attempt's rows (no self-pairs, no
+    *    within-batch pairs), and the double-append (same batch id,
+    *    identical rows) folds away in [[readSubstringPairs]]' distinct;
+    *  - `fp`: the append anti-joins against doc_ids already indexed,
+    *    so the crash window between the fp append and the texts write
+    *    cannot duplicate fingerprints on replay (spec simulates exactly
+    *    that window).
+    *
+    * The store self-describes: `_meta.json` persists (minLen, k) on
+    * first batch; a stream resumed with different parameters fails
+    * fast instead of silently mixing winnow floors, and
+    * [[readTopPassages]] validates its `len` against the stored floor.
     */
   def maintainSubstringIndex(spark: SparkSession, srcDir: String,
                              checkpointDir: String, outDir: String,
@@ -457,33 +468,87 @@ object StreamIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val s = batch.sparkSession
-        val (fpDir, txDir, prDir) =
-          (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs")
-        val b0 = batch.where(col("text").isNotNull)
-          .select(col("doc_id"), col("text"))
-          .where(length(col("text")) >= minLen)
-        val fresh = readIfExists(s, txDir) match {
-          case Some(settled) =>
-            b0.join(settled.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          case None => b0
-        }
-        if (!fresh.isEmpty) {
-          // one materialization feeds the probe and both appends —
-          // never three source re-reads
-          val freshC = fresh.localCheckpoint(true)
-          readIfExists(s, txDir).foreach { corpus =>
-            graft.ext.TextAnalysis.substringPairsAgainstIndex(
-                freshC, corpus, fpDir, minLen, k)
-              .withColumn("batch_id", lit(bid))
-              .write.mode("append").parquet(prDir)
-          }
-          graft.ext.TextAnalysis.appendSubstringIndex(freshC, fpDir, minLen, k)
-          freshC.write.mode("append").parquet(txDir)
-        }
-        ()
+        substringIndexBatch(batch, outDir, bid, minLen, k)
       }
       .start()
+
+  /** One [[maintainSubstringIndex]] micro-batch — extracted so the
+    * crash-window specs can drive a batch directly against a store in
+    * any partial state the stream could leave behind. */
+  private[graft] def substringIndexBatch(batch: DataFrame, outDir: String,
+      bid: Long, minLen: Int, k: Int): Unit = {
+    val s = batch.sparkSession
+    val (fpDir, txDir, prDir) =
+      (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs")
+    checkOrWriteSubstringMeta(s, outDir, minLen, k)
+    val b0 = batch.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= minLen)
+    val fresh = readIfExists(s, txDir) match {
+      case Some(settled) =>
+        b0.join(settled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => b0
+    }
+    if (!fresh.isEmpty) {
+      // one materialization feeds the probe and both appends —
+      // never three source re-reads
+      val freshC = fresh.localCheckpoint(true)
+      readIfExists(s, txDir).foreach { corpus =>
+        graft.ext.TextAnalysis.substringPairsAgainstIndex(
+            freshC, corpus, fpDir, minLen, k)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(prDir)
+      }
+      // idempotent fp append: a crash AFTER the fp append but BEFORE
+      // the texts write replays the whole batch (the guard keys on
+      // texts) — anti-join against ids already indexed so the replay
+      // appends nothing here a second time
+      val fpFresh = readIfExists(s, fpDir) match {
+        case Some(fpEx) =>
+          freshC.join(fpEx.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        case None => freshC
+      }
+      graft.ext.TextAnalysis.appendSubstringIndex(fpFresh, fpDir, minLen, k)
+      freshC.write.mode("append").parquet(txDir)
+    }
+    ()
+  }
+
+  /** Persist (minLen, k) beside a [[maintainSubstringIndex]] store on
+    * first contact; on every later batch REQUIRE the parameters match
+    * the stored ones (mixed winnow floors would silently void the
+    * completeness guarantee the readers rely on). */
+  private def checkOrWriteSubstringMeta(spark: SparkSession, outDir: String,
+      minLen: Int, k: Int): Unit =
+    readSubstringMeta(spark, outDir) match {
+      case Some((m, kk)) =>
+        require(m == minLen && kk == k,
+          s"substring store $outDir was built with (minLen=$m, k=$kk); " +
+            s"refusing to maintain it with (minLen=$minLen, k=$k)")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, false)
+        try out.write(s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
+        finally out.close()
+    }
+
+  /** The (minLen, k) a substring store was built with, if its
+    * `_meta.json` exists (stores created before the sidecar landed
+    * have none — readers then trust the caller, the old contract). */
+  private[graft] def readSubstringMeta(spark: SparkSession,
+      outDir: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"minLen"\s*:\s*(\d+).*"k"\s*:\s*(\d+)""".r
+      re.findFirstMatchIn(txt).map(m => (m.group(1).toInt, m.group(2).toInt))
+    }
+  }
 
   /** CONTINUOUS boilerplate monitoring — q211's top-duplicated-
     * passages report derived from a [[maintainSubstringIndex]] store
@@ -508,6 +573,17 @@ object StreamIngest {
     * [[maintainSubstringIndex]] already pays. */
   def readTopPassages(spark: SparkSession, outDir: String, len: Int = 40,
       minDocs: Int = 2, k: Int = 20): DataFrame = {
+    // the losslessness argument above REQUIRES len >= the floor the
+    // store was winnowed at — below it, windows are not guaranteed a
+    // shared fingerprint and the report would be silently incomplete;
+    // the store self-describes via _meta.json, so validate, don't trust
+    readSubstringMeta(spark, outDir).foreach { case (storedMinLen, _) =>
+      require(len >= storedMinLen,
+        s"readTopPassages(len=$len) is below the store's winnow floor " +
+          s"(minLen=$storedMinLen): passages shorter than the floor are " +
+          s"not guaranteed a shared fingerprint in the index; raise len " +
+          s"or rebuild the store with a lower minLen")
+    }
     val fp = spark.read.parquet(s"$outDir/fp")
     val hot = fp.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -601,7 +677,12 @@ object StreamIngest {
     * staged-aside log, so no path ever observes an empty store after
     * an interrupted swap. Caller must be the log's only writer
     * (maintainComponents calls from inside its own sequential
-    * foreachBatch). */
+    * foreachBatch). Concurrent READERS in other sessions are safe but
+    * not free: one that observes the healthy compaction's mid-swap
+    * window runs the same recovery rename, which this writer then
+    * detects (store healthy again under the pre-fold log) and resolves
+    * by discarding THIS fold — the log stays correct and bounded, the
+    * rewrite is simply redone at the next compaction tick. */
   def compactComponentLog(spark: SparkSession, outDir: String, bid: Long): Unit = {
     recoverComponentLog(spark, outDir)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -616,8 +697,19 @@ object StreamIngest {
     fs.delete(old, true)
     require(fs.rename(path, old),
       s"component-log compaction: could not stage $outDir aside")
+    // A CONCURRENT READER's recoverComponentLog may observe the
+    // mid-swap window (path absent, _fold_old present) and rename the
+    // staged log back. Detect that BEFORE the swap rename — Hadoop
+    // rename into an existing directory target NESTS the source inside
+    // it rather than failing, which would litter the store — and
+    // resolve by discarding THIS fold (the store is healthy under the
+    // unfolded log; the next compaction redoes the rewrite).
+    if (fs.exists(path)) { fs.delete(tmp, true); fs.delete(old, true); return }
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // restore — never leave the store absent
+      if (fs.exists(path)) { fs.delete(tmp, true); fs.delete(old, true); return }
+      require(fs.rename(old, path) || fs.exists(path), // racing reader may restore first
+        s"component-log compaction: swap into $outDir failed AND the " +
+          s"staged copy at $old could not be restored — store needs manual recovery")
       throw new IllegalStateException(
         s"component-log compaction: could not swap into $outDir; original restored")
     }
@@ -643,7 +735,11 @@ object StreamIngest {
     val fs = path.getFileSystem(hconf)
     val old = new org.apache.hadoop.fs.Path(outDir + "._fold_old")
     if (!fs.exists(path) && fs.exists(old)) {
-      require(fs.rename(old, path),
+      // Tolerate races: another reader recovering the same window, or
+      // the compacting WRITER completing its swap between our two
+      // existence probes, makes this rename fail with the store
+      // healthy — only a failure that leaves the store absent is real.
+      require(fs.rename(old, path) || fs.exists(path),
         s"component-log recovery: could not restore $outDir from ._fold_old")
     }
     ()

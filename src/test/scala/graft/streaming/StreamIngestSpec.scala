@@ -668,6 +668,101 @@ class StreamIngestSpec extends SparkSuite {
     assert(fromIndex.nonEmpty) // pa and pb windows both qualify
   }
 
+  test("substring index: replay of the fp-appended/texts-missing crash window is exactly-once") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_crash").toString + "/store"
+    val minLen = 40; val k = 20
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ") // 78 chars
+    val b1 = Seq(
+      1L -> s"$pa alpha filler one with enough unique tail text here",
+      2L -> "completely unrelated long passage without any shared spans at all")
+    val b2 = Seq(
+      3L -> s"prefix words then $pa and its own different ending text",
+      4L -> s"$pa duplicated again within batch two unique ending four")
+    // settle batch 1 the normal way
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, minLen, k)
+    // first attempt at batch 2 CRASHES between the fp append and the
+    // texts write: pairs written once, fps appended once, texts absent —
+    // exactly the window where the old probe re-found the batch's own
+    // fingerprints in the index and emitted self/within-batch pairs
+    val b2df = b2.toDF("doc_id", "text")
+    val settled = spark.read.parquet(s"$out/texts")
+    graft.ext.TextAnalysis.substringPairsAgainstIndex(
+        b2df, settled, s"$out/fp", minLen, k)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("append").parquet(s"$out/pairs")
+    graft.ext.TextAnalysis.appendSubstringIndex(b2df, s"$out/fp", minLen, k)
+    val fpAfterCrash = spark.read.parquet(s"$out/fp").count()
+    // REPLAY the whole batch (the guard keys on texts, which is missing)
+    StreamIngest.substringIndexBatch(b2df, out, 1L, minLen, k)
+    // fp append was idempotent: nothing landed a second time
+    assert(spark.read.parquet(s"$out/fp").count() == fpAfterCrash,
+      "replay duplicated fingerprints in the index")
+    // no self-pairs, no within-batch pairs: the replayed probe excluded
+    // the batch's own crashed-in fingerprints from the index side, so
+    // the double-append carries identical rows and distinct() folds it
+    val pairs = StreamIngest.readSubstringPairs(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(1L -> 3L, 1L -> 4L), s"pairs after replay: $pairs")
+    // texts settled on replay; a further re-delivery is a full no-op
+    assert(spark.read.parquet(s"$out/texts").count() == 4)
+    val fpN = spark.read.parquet(s"$out/fp").count()
+    val prN = spark.read.parquet(s"$out/pairs").count()
+    StreamIngest.substringIndexBatch(b2df, out, 1L, minLen, k)
+    assert(spark.read.parquet(s"$out/fp").count() == fpN)
+    assert(spark.read.parquet(s"$out/pairs").count() == prN)
+  }
+
+  test("substring store self-describes: parameter drift and below-floor reads are refused") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_meta").toString + "/store"
+    val docs = Seq(1L -> ("x" * 60), 2L -> ("y" * 60)).toDF("doc_id", "text")
+    StreamIngest.substringIndexBatch(docs, out, 0L, 40, 20)
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    // resuming maintenance with different winnow parameters fails fast
+    // instead of silently mixing guarantee floors in one store
+    intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(docs, out, 1L, 30, 15)
+    }
+    // a below-floor report request is refused instead of returning a
+    // silently incomplete report (windows shorter than the floor are
+    // not guaranteed a shared fingerprint in the index)
+    intercept[IllegalArgumentException] {
+      StreamIngest.readTopPassages(spark, out, len = 39)
+    }
+    // at the floor the report runs (empty here: no shared passages)
+    assert(StreamIngest.readTopPassages(spark, out, len = 40).count() == 0)
+  }
+
+  test("component log: crash after a completed swap leaves a stale _fold_old that stays benign") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ccr_stale").toString + "/labels"
+    val edges = Seq(1L -> 2L, 2L -> 3L, 7L -> 8L).toDF("a", "b")
+    graft.graph.ConnectedComponents.run(edges)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(out)
+    val want = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    // crash window: compaction completed its swap (path healthy with
+    // the folded log) but died before deleting the staged-aside copy
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(out + "._fold_old")
+    StreamIngest.readComponents(spark, out).withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(9L)).write.parquet(old.toString)
+    // reads see the healthy store; recovery is a no-op (path exists)
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == want)
+    StreamIngest.recoverComponentLog(spark, out) // must not throw
+    assert(fs.exists(path) && fs.exists(old))
+    // the next compaction folds clean and clears the residue
+    StreamIngest.compactComponentLog(spark, out, bid = 2L)
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(!fs.exists(old))
+  }
+
   test("component log: a hard crash between the compaction renames is recovered on read") {
     import spark.implicits._
     val out = Files.createTempDirectory("ccr_out").toString + "/labels"
