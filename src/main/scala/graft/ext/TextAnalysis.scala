@@ -425,8 +425,35 @@ object TextAnalysis {
     * meant to undercut — O(n·w) with three allocations per window;
     * the deque kernel is why this tier actually wins.)
     */
-  def winnowedSubstringPairs(docs: DataFrame, k: Int = 20, w: Int = 21)
-      : DataFrame = {
+  /** `maxAnchorDf` — the HOT-ANCHOR cap (0 = uncapped, the exact
+    * clique semantics q197's oracle states). The anchor self-join is
+    * quadratic PER GROUP: a passage duplicated across a million
+    * documents (site chrome at crawl scale) puts ~10⁶ rows under one
+    * fingerprint and the clique emits ~10¹² pairs — the same
+    * one-hot-bucket blowup the q31 stop-shingle cap guards, except
+    * here every pair is a TRUE match, so pairs can't just be dropped.
+    * With the cap, anchors whose fingerprint group exceeds `maxAnchorDf`
+    * rows emit a STAR around the group's deterministic representative
+    * (min (doc_id, pos)) instead of the clique — group-linear volume.
+    *
+    * What the star preserves EXACTLY (the release semantics): every
+    * non-representative document still pairs with the representative
+    * (rep = min doc_id, so rep is always doc_a and the span lands in
+    * the member as doc_b), so coverage ppm, drop/cut/keep routing and
+    * the cut spans of [[substringRelease]] see the same hot-span
+    * evidence the clique gave — keep-earliest keeps exactly the
+    * representative, members lose the span. The DOCUMENTED trade, at
+    * the pair-report grain only: member×member pairs of a hot group
+    * are attributed through the representative, so a sub-pair sharing
+    * MORE context around the hot core than the representative does
+    * only reports the extension its own COLD anchors prove (sharing
+    * beyond the hot core ≥ the guarantee floor generates cold anchors
+    * of its own and is found; only sub-floor extra context on both
+    * sides can truncate). Spec-pinned on a planted 400-doc
+    * mega-boilerplate fixture (TextAnalysisSpec).
+    */
+  def winnowedSubstringPairs(docs: DataFrame, k: Int = 20, w: Int = 21,
+      maxAnchorDf: Int = 0): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
     val G = w + k - 1
     val d = docs.select(col("doc_id"), col("text"))
@@ -434,13 +461,31 @@ object TextAnalysis {
     val fp = winnowFingerprintsOf(d, k, w)
     // same shuffle_hash pin as q196: Catalyst's estimate undershoots the
     // exploded fingerprint relation and would broadcast it
-    val pairs = fp
+    def cliquePairs(f: DataFrame) = f
       .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .hint("shuffle_hash")
-      .join(fp.select(col("h"), col("doc_id").as("doc_b"),
+      .join(f.select(col("h"), col("doc_id").as("doc_b"),
           col("pos").as("pb")).hint("shuffle_hash"), Seq("h"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+    val pairs =
+      if (maxAnchorDf <= 0) cliquePairs(fp)
+      else {
+        val dfRel = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val cold = fp.join(dfRel.where(col("df") <= maxAnchorDf)
+          .select(col("h")).hint("shuffle_hash"), Seq("h"))
+        val hot = fp.join(dfRel.where(col("df") > maxAnchorDf)
+          .select(col("h")).hint("shuffle_hash"), Seq("h"))
+        val rep = hot.groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("r"))
+          .select(col("h"), col("r").getField("doc_id").as("doc_a"),
+            col("r").getField("pos").as("pa"))
+        val star = hot.join(rep.hint("shuffle_hash"), Seq("h"))
+          .where(col("doc_id") > col("doc_a"))
+          .select(col("doc_a"), col("pa"),
+            col("doc_id").as("doc_b"), col("pos").as("pb"))
+        cliquePairs(cold).unionByName(star)
+      }
     extendAnchorCandidates(pairs, d, G)
   }
 

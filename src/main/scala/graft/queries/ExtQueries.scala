@@ -4661,6 +4661,22 @@ object ExtQueries {
         Tables.documents(s, dir), k = 20, w = 21),
       TextAnalysis.exactSubstringOracleSql(minLen = 40)),
 
+    // q197 with the HOT-ANCHOR CAP armed (round-12): fingerprint groups
+    // larger than maxAnchorDf rows emit a star around the group
+    // representative instead of the clique — the guard that keeps the
+    // pair volume group-LINEAR when a passage is duplicated across ~10⁶
+    // documents (the q31 stop-shingle discipline on the anchor join).
+    // On the organic corpus no anchor group approaches the cap (top
+    // passage df is single digits at every SF), so the capped plan must
+    // produce EXACTLY the uncapped relation — the oracle is q196/q197's
+    // verbatim, and the driver gate proves the cap's no-op contract on
+    // real data. The planted mega-boilerplate behavior (bounded volume,
+    // release-semantics preservation) is spec-pinned in TextAnalysisSpec.
+    "q213_substring_anchor_cap" -> Q(
+      (s, dir) => TextAnalysis.winnowedSubstringPairs(
+        Tables.documents(s, dir), k = 20, w = 21, maxAnchorDf = 128),
+      TextAnalysis.exactSubstringOracleSql(minLen = 40)),
+
     // the REMOVAL half of exact-substring dedup (Lee et al.'s actual
     // edit): every maximal cross-doc match >= 40 chars cuts its span
     // from the pair's LATER document, spans union per doc, kept

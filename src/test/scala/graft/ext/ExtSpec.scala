@@ -1783,6 +1783,53 @@ class ExtSpec extends SparkSuite {
     assert(winnowed == exact)
   }
 
+  test("winnowedSubstringPairs: the hot-anchor cap bounds a planted mega-boilerplate clique") {
+    // 400 documents sharing one 60-char passage (site chrome at crawl
+    // scale, shrunk): the uncapped clique is C(400,2) = 79800 pairs —
+    // quadratic in the duplication count; at 10⁶ docs it would be 10¹².
+    // With the cap armed the hot anchor groups emit stars around the
+    // representative, so the volume is group-LINEAR.
+    val shared = (1 to 10).map(i => s"chrome$i").mkString(" ") // 78 chars
+    val docs = (1L to 400L).map { i =>
+      i -> s"${i.toString * 6} lead $shared tail ${i.toString * 5}"
+    }.toDF("doc_id", "text")
+    val capped = TextAnalysis
+      .winnowedSubstringPairs(docs, k = 20, w = 21, maxAnchorDf = 32)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    // bounded: star volume, not the 79800-pair clique (slack covers
+    // boundary anchors whose selection varies per document and lands
+    // below the cap — those small cliques are themselves capped)
+    assert(capped.length < 5000, s"capped pair volume ${capped.length}")
+    // release semantics preserved: the winnow guarantee pairs every
+    // member with doc 1 (the global min, hence every hot group's
+    // representative), so under keep-earliest every member still loses
+    // the full shared span and only doc 1 keeps it
+    val fromRep = capped.filter(_._1 == 1L)
+      .filter(_._5 >= shared.length)
+      .map(_._2).toSet
+    assert(fromRep == (2L to 400L).toSet,
+      s"docs missing their representative pair: ${((2L to 400L).toSet -- fromRep).take(5)}")
+    // and every emitted pair is a true >= floor match (extension is
+    // byte-verified regardless of which topology generated it)
+    assert(capped.forall(_._5 >= 40))
+  }
+
+  test("winnowedSubstringPairs: the cap is a no-op when no anchor group is hot") {
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"XX $passage tail one",
+      2L -> s"completely different lead-in text $passage YY",
+      3L -> "no shared content here at all, long enough to anchor windows",
+      4L -> s"XX $passage tail one")
+      .toDF("doc_id", "text")
+    val uncapped = TextAnalysis.winnowedSubstringPairs(docs, k = 20, w = 21)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val capped = TextAnalysis
+      .winnowedSubstringPairs(docs, k = 20, w = 21, maxAnchorDf = 128)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(uncapped.nonEmpty && capped == uncapped)
+  }
+
   test("winnowedSubstringPairs: fingerprint density is near 2/(w+1), never above 1") {
     import org.apache.spark.sql.functions.{explode, call_function, length, lit, sum}
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
