@@ -98,11 +98,14 @@ object TextAnalysis {
     * both engines (cannot happen when train and test share a natural
     * vocabulary — documented, not silent).
     */
-  def trainedLangId(docs: DataFrame): DataFrame = {
+  def trainedLangId(docs: DataFrame): DataFrame =
+    trainedLangIdWith(docs, langIdWeights(docs))
+
+  /** The marker-augmented hashed-bucket token relation both halves of
+    * the trained router share: (doc_id, lang, bucket). */
+  private def langIdToks(docs: DataFrame): DataFrame = {
     graft.functions.Md5Prefix64.register(docs.sparkSession)
     val d = LangFeatureBuckets
-    val langsSorted = TrainedLangs.sorted
-    val nL = langsSorted.length
     def markerExpr(rep: Int): Column =
       TrainedLangs.foldLeft(lit(null).cast("string")) {
         case (acc, l) =>
@@ -111,19 +114,37 @@ object TextAnalysis {
     val mtext = concat_ws(" ", col("text"),
       when(col("doc_id") % 20 === 3, markerExpr(LangMarkerWeakRep))
         .otherwise(markerExpr(LangMarkerRep)))
-    val toks = docs.select(col("doc_id"), col("lang"), mtext.as("mtext"))
+    docs.select(col("doc_id"), col("lang"), mtext.as("mtext"))
       .select(col("doc_id"), col("lang"),
         explode(filter(split(col("mtext"), " "), t => length(t) > 0)).as("tok"))
       .withColumn("bucket", (Dedup.hash64(col("tok")) % d).cast("int"))
-    val train = toks.where(col("doc_id") % 2 === 0)
+  }
+
+  /** The router's TRAINED MODEL as a relation — per-language bucket
+    * weights fit on the even-doc_id training half: (lang_cand, bucket,
+    * w). This is the artifact a production deployment freezes (write it
+    * to parquet once, apply it to every later batch via
+    * [[trainedLangIdWith]]): [[trainedLangId]] == train + apply on the
+    * same corpus, by construction. */
+  def langIdWeights(docs: DataFrame): DataFrame = {
+    val train = langIdToks(docs).where(col("doc_id") % 2 === 0)
     val wcnt = train.groupBy(col("lang").as("lang_cand"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val wtot = train.groupBy(col("lang").as("lang_cand"))
       .agg(count(lit(1)).as("tot"))
-    val wts = wcnt.join(wtot, "lang_cand")
+    wcnt.join(wtot, "lang_cand")
       .select(col("lang_cand"), col("bucket"),
         expr("cnt * 1000000 div tot").as("w"))
-    val te = toks.where(col("doc_id") % 2 === 1)
+  }
+
+  /** Score the holdout half (odd doc_ids) of `docs` with a FROZEN
+    * weight relation — the apply half of [[trainedLangId]], split out
+    * so a streaming consumer can gate each batch against a model trained
+    * once on a reference corpus instead of retraining per batch. */
+  def trainedLangIdWith(docs: DataFrame, wts: DataFrame): DataFrame = {
+    val langsSorted = TrainedLangs.sorted
+    val nL = langsSorted.length
+    val te = langIdToks(docs).where(col("doc_id") % 2 === 1)
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     // argmax via the q139 encoding: enc = score·nL + (nL−1−rank) so
@@ -659,7 +680,7 @@ object TextAnalysis {
   /** [[exactSubstringCut]] from an already-computed pair relation —
     * lets [[substringRelease]] pay the winnowed pass ONCE for both its
     * branches. */
-  private def cutFromPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def cutFromPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val spans = pairs.select(col("doc_b").as("doc_id"),
         col("pos_b").cast("long").as("s"),
         (col("pos_b") + col("match_len") - 1).as("e"))
@@ -740,7 +761,7 @@ object TextAnalysis {
   }
 
   /** [[substringCoverage]] from an already-computed pair relation. */
-  private def coverageFromPairs(pairs: DataFrame, docs: DataFrame)
+  private[graft] def coverageFromPairs(pairs: DataFrame, docs: DataFrame)
       : DataFrame = {
     pairs.select(col("doc_a"), col("doc_b"),
         col("pos_b").cast("long").as("s"),
@@ -810,7 +831,7 @@ object TextAnalysis {
     policyFromCoverage(substringCoverage(docs, minLen), dropPpm, cutPpm)
 
   /** [[substringPolicy]] from an already-computed coverage relation. */
-  private def policyFromCoverage(cov: DataFrame, dropPpm: Long,
+  private[graft] def policyFromCoverage(cov: DataFrame, dropPpm: Long,
       cutPpm: Long): DataFrame = {
     cov
       .groupBy(col("doc_b").as("doc_id"))

@@ -4677,6 +4677,47 @@ object ExtQueries {
         Tables.documents(s, dir), k = 20, w = 21, maxAnchorDf = 128),
       TextAnalysis.exactSubstringOracleSql(minLen = 40)),
 
+    // ── CONTINUOUSLY-MAINTAINED release decision log (round-12) ────────
+    // q212's "why did my document vanish" relation derived from the
+    // maintainRelease stores instead of a one-shot chain: the corpus is
+    // delivered as three id-ordered micro-batches through the stream's
+    // verbatim batch body (frozen router weights, per-batch gates, hash
+    // log, substring index + pair log), then readReleaseDecisions folds
+    // the stores — id-sized folds + match-sized coverage/cut, no gate
+    // or winnow re-run. The oracle is q212's VERBATIM, so the driver
+    // hash gate proves continuous == one-shot over the settled corpus.
+    // Session-cached pricing (the q205 contract): pass 1 builds the
+    // stores and verifies the full derivation; later reads price the
+    // ops-relation fold a deployment actually pays.
+    "q214_release_decisions_maintained" -> Q(
+      (s, dir) => {
+        val store = graft.util.SessionStore.getOrBuild(
+          s"relmaint|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "relmaint") { p =>
+          val docs = Tables.documents(s, dir)
+          TextAnalysis.langIdWeights(docs).write.parquet(s"$p/weights")
+          val (lo, hi) = docs
+            .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+              org.apache.spark.sql.functions.max(col("doc_id")))
+            .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+            .head()
+          val c1 = lo + (hi - lo) / 3
+          val c2 = lo + 2 * (hi - lo) / 3
+          val slices = Seq(
+            col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2)
+          slices.zipWithIndex.foreach { case (pred, bid) =>
+            graft.streaming.StreamIngest.releaseBatch(
+              docs.where(pred), s"$p/store", s"$p/weights", bid.toLong,
+              minLen = 40, k = 20)
+          }
+        }
+        graft.streaming.StreamIngest.readReleaseDecisions(
+          s, s"$store/store", totalBudget = 6000L)
+      },
+      releaseDecisionsOracleSql),
+
     // the REMOVAL half of exact-substring dedup (Lee et al.'s actual
     // edit): every maximal cross-doc match >= 40 chars cuts its span
     // from the pair's LATER document, spans union per doc, kept
@@ -5034,48 +5075,7 @@ object ExtQueries {
               .when(col("f_mix").isNull, lit("mix_budget"))
               .otherwise(lit("kept")).as("fate"))
       },
-      {
-        val redSql = "SELECT doc_id, lang, n_tokens FROM red"
-        val head = s"""WITH $trainedLangCtes,
-           |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
-           |longok AS (SELECT doc_id FROM documents
-           |           WHERE len(string_split(text, ' ')) >= 25),
-           |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
-           |  (SELECT doc_id, g, count(*) AS c FROM
-           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
-           |                 FROM documents) WHERE len(t) >= 2))
-           |   GROUP BY 1, 2) GROUP BY doc_id),
-           |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
-           |clean AS (SELECT doc_id, lang, text FROM documents
-           |  WHERE doc_id IN (SELECT doc_id FROM lok)
-           |    AND doc_id IN (SELECT doc_id FROM longok)
-           |    AND doc_id IN (SELECT doc_id FROM repok)),
-           |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
-           |ded AS (SELECT c.doc_id, c.lang, c.text
-           |        FROM clean c JOIN keep USING (doc_id))""".stripMargin
-        val tail = s"""red AS (SELECT r.doc_id, d.lang, r.final_text AS text,
-           |    cast(len(string_split(r.final_text, ' ')) AS BIGINT) AS n_tokens
-           |  FROM rel r JOIN ded d USING (doc_id)),
-           |${Sampling.temperatureBudgetCtes(redSql, "lang", "n_tokens", 6000L)},
-           |tmixed AS (SELECT doc_id, lang, n_tokens,
-           |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
-           |  FROM red),
-           |mx AS (SELECT m.doc_id FROM tmixed m
-           |       JOIN tbudget b ON m.lang = b.domain WHERE m.cum <= b.b)
-           |SELECT d.doc_id,
-           |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM lok) THEN 'gate_lang'
-           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM longok) THEN 'gate_len'
-           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM repok) THEN 'gate_rep'
-           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM ded) THEN 'dedup_exact'
-           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM rel) THEN 'substring_drop'
-           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM mx) THEN 'mix_budget'
-           |       ELSE 'kept' END AS fate
-           |FROM documents d""".stripMargin
-        head + ",\nrel AS (" +
-          TextAnalysis.substringReleaseOracleSql(40, src = "ded") + "),\n" + tail
-      }),
+      releaseDecisionsOracleSql),
 
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
@@ -5117,6 +5117,52 @@ object ExtQueries {
         |       // (count(*) * cast(sum(m) AS HUGEINT)) AS BIGINT) AS gini_ppm
         |FROM r""".stripMargin),
   )
+
+  /** q212's per-document release-fate oracle — shared VERBATIM by q214
+    * (the continuously-maintained decision log must be hash-equal to
+    * the one-shot chain over the same settled corpus). */
+  private lazy val releaseDecisionsOracleSql: String = {
+    val redSql = "SELECT doc_id, lang, n_tokens FROM red"
+    val head = s"""WITH $trainedLangCtes,
+       |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
+       |longok AS (SELECT doc_id FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 25),
+       |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
+       |  (SELECT doc_id, g, count(*) AS c FROM
+       |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+       |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |                 FROM documents) WHERE len(t) >= 2))
+       |   GROUP BY 1, 2) GROUP BY doc_id),
+       |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
+       |clean AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM lok)
+       |    AND doc_id IN (SELECT doc_id FROM longok)
+       |    AND doc_id IN (SELECT doc_id FROM repok)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+       |ded AS (SELECT c.doc_id, c.lang, c.text
+       |        FROM clean c JOIN keep USING (doc_id))""".stripMargin
+    val tail = s"""red AS (SELECT r.doc_id, d.lang, r.final_text AS text,
+       |    cast(len(string_split(r.final_text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM rel r JOIN ded d USING (doc_id)),
+       |${Sampling.temperatureBudgetCtes(redSql, "lang", "n_tokens", 6000L)},
+       |tmixed AS (SELECT doc_id, lang, n_tokens,
+       |    ${Sampling.cumTokensSql("doc_id", "lang", "n_tokens", "temp")} AS cum
+       |  FROM red),
+       |mx AS (SELECT m.doc_id FROM tmixed m
+       |       JOIN tbudget b ON m.lang = b.domain WHERE m.cum <= b.b)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM lok) THEN 'gate_lang'
+       |       WHEN d.doc_id NOT IN (SELECT doc_id FROM longok) THEN 'gate_len'
+       |       WHEN d.doc_id NOT IN (SELECT doc_id FROM repok) THEN 'gate_rep'
+       |       WHEN d.doc_id NOT IN (SELECT doc_id FROM ded) THEN 'dedup_exact'
+       |       WHEN d.doc_id NOT IN (SELECT doc_id FROM rel) THEN 'substring_drop'
+       |       WHEN d.doc_id NOT IN (SELECT doc_id FROM mx) THEN 'mix_budget'
+       |       ELSE 'kept' END AS fate
+       |FROM documents d""".stripMargin
+    head + ",\nrel AS (" +
+      TextAnalysis.substringReleaseOracleSql(40, src = "ded") + "),\n" + tail
+  }
 
   /** q45's full-corpus near-dup clustering oracle — shared VERBATIM by
     * q181 (incremental maintenance must be hash-equal to the full

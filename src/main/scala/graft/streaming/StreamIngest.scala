@@ -612,6 +612,173 @@ object StreamIngest {
             StructField("batch_id", LongType))))
     }
 
+  /** CONTINUOUS RELEASE PIPELINE with a per-document DECISION LOG —
+    * q212's "why did my document vanish" relation maintained
+    * incrementally instead of derived by a one-shot chain re-run.
+    *
+    * Per micro-batch (all batch-sized or probe-sized work):
+    *  1. gate the batch with a FROZEN router model (`weightsDir`, the
+    *     [[graft.ext.TextAnalysis.langIdWeights]] artifact — production
+    *     trains once, applies per batch; the lang/len/rep gates are
+    *     per-document, so batch-local == one-shot) and append the flag
+    *     rows to `gates`;
+    *  2. append every gated doc's (doc_id, md5) to `hashes` — the
+    *     read-time keeper fold (min doc_id per hash) is then
+    *     arrival-order-INDEPENDENT, exactly the one-shot keeper;
+    *  3. admit first-seen texts to the substring sub-store
+    *     ([[substringIndexBatch]] — fp/texts/cross-pairs) and append
+    *     the batch's own within-batch pair pass, so the accumulated
+    *     pairs log equals the full winnowed pair relation over all
+    *     admitted docs (the spec'd cross ∪ within decomposition).
+    *
+    * [[readReleaseDecisions]] folds the stores into the fate relation
+    * at read time — id-sized folds plus match-sized coverage/cut, no
+    * gate re-run, no winnow re-run (the readTopPassages discipline).
+    *
+    * Parity contract (spec-pinned and driver-verified via q214):
+    * decisions equal the one-shot q212 chain over the union of
+    * delivered batches when doc_ids are non-decreasing across batches —
+    * crawl/snowflake order, the reference's own id discipline. Out of
+    * order, exact-dedup fates stay exact (the hash fold is global) but
+    * substring admission keeps the FIRST-arrived twin, the append-only
+    * greedy caveat ingestPrep documents.
+    *
+    * Exactly-once: the replay guard keys on `gates`, written LAST;
+    * every earlier write is idempotent against partial state (sub-store
+    * by [[substringIndexBatch]]'s own guards; within-pairs double
+    * appends fold in [[readSubstringPairs]]' distinct; duplicate hash
+    * rows are absorbed by the min fold; after `hashes` lands, a replay
+    * recomputes an EMPTY admission set, so nothing doubles). */
+  def maintainRelease(spark: SparkSession, srcDir: String,
+                      checkpointDir: String, outDir: String,
+                      weightsDir: String, minLen: Int = 40,
+                      k: Int = 20): StreamingQuery =
+    spark.readStream.schema(docLangSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        releaseBatch(batch, outDir, weightsDir, bid, minLen, k)
+      }
+      .start()
+
+  /** One [[maintainRelease]] micro-batch — extracted so specs and the
+    * q214 in-query build can drive batches directly. */
+  private[graft] def releaseBatch(batch: DataFrame, outDir: String,
+      weightsDir: String, bid: Long, minLen: Int, k: Int): Unit = {
+    val s = batch.sparkSession
+    val b0 = batch.where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val fresh0 = readIfExists(s, s"$outDir/gates") match {
+      case Some(g) => b0.join(g.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => b0
+    }
+    if (fresh0.isEmpty) return
+    // one materialization: the batch feeds three gate chains, the
+    // admission probe and the final appends
+    val fresh = fresh0.localCheckpoint(true)
+    val wts = s.read.parquet(weightsDir)
+    val lang = graft.ext.TextAnalysis.trainedLangIdWith(fresh, wts)
+      .where(col("is_match")).select(col("doc_id"), lit(true).as("f_lang"))
+    val qs = graft.ext.TextAnalysis.qualityScore(fresh)
+      .select(col("doc_id"), col("n_tokens"))
+    val rep = graft.ext.TextAnalysis.repetitionScore(fresh, n = 2)
+      .where(col("rep_ratio") < 0.05).select(col("doc_id"), lit(true).as("f_rep"))
+    val gates = fresh.select(col("doc_id"), col("lang"))
+      .join(lang, Seq("doc_id"), "left")
+      .join(qs, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("f_lang"), lit(false)).as("f_lang"),
+        (col("n_tokens") >= 25).as("f_len"),
+        coalesce(col("f_rep"), lit(false)).as("f_rep"),
+        col("n_tokens"))
+      .localCheckpoint(true)
+    val passed = fresh.join(
+      gates.where(col("f_lang") && col("f_len") && col("f_rep"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val hashed = passed.withColumn("h", md5(col("text")))
+      .localCheckpoint(true)
+    val keeperB = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val admitB = hashed.join(keeperB.select("doc_id"), Seq("doc_id"), "left_semi")
+    val admit = (readIfExists(s, s"$outDir/hashes") match {
+      case Some(hl) => admitB.join(hl.select(col("h")), Seq("h"), "left_anti")
+      case None => admitB
+    }).select(col("doc_id"), col("text")).localCheckpoint(true)
+    // within-batch pairs FIRST, then the sub-store: both are replay-
+    // idempotent in that order (identical re-appends fold; the index
+    // guards itself), and once `hashes` lands a replay admits nothing
+    graft.ext.TextAnalysis.winnowedSubstringPairs(admit, k, minLen - k + 1)
+      .withColumn("batch_id", lit(bid))
+      .write.mode("append").parquet(s"$outDir/sub/pairs")
+    substringIndexBatch(admit, s"$outDir/sub", bid, minLen, k)
+    hashed.select(col("doc_id"), col("h"))
+      .write.mode("append").parquet(s"$outDir/hashes")
+    gates.write.mode("append").parquet(s"$outDir/gates")
+    ()
+  }
+
+  /** The per-document release fate relation of a [[maintainRelease]]
+    * store — (doc_id, fate) with q212's first-reason-wins attribution
+    * in pipeline order: gate_lang → gate_len → gate_rep → dedup_exact
+    * → substring_drop → mix_budget → kept. Derived ENTIRELY from the
+    * maintained stores: gate flags are read back, the exact-dedup
+    * keeper is a min-fold of the hash log, substring drop/cut evidence
+    * comes from the accumulated pair log (match-sized — the winnow
+    * pass is never re-run), and only the id-sized temperature mix
+    * replays (it is budget-parameterized, the same reason it stays out
+    * of the batch path). Spec-pinned equal to one-shot q212 over the
+    * settled union; q214 drives the same equality through the driver's
+    * DuckDB hash gate. */
+  def readReleaseDecisions(spark: SparkSession, outDir: String,
+      totalBudget: Long = 6000L, dropPpm: Long = 900000L,
+      cutPpm: Long = 300000L): DataFrame = {
+    val gates = spark.read.parquet(s"$outDir/gates")
+    val keepers = spark.read.parquet(s"$outDir/hashes")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val texts = readIfExists(spark, s"$outDir/sub/texts").getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))))
+    val pairs = readSubstringPairs(spark, s"$outDir/sub")
+      .select("doc_a", "doc_b", "pos_a", "pos_b", "match_len")
+    val policy = graft.ext.TextAnalysis.policyFromCoverage(
+      graft.ext.TextAnalysis.coverageFromPairs(pairs, texts),
+      dropPpm, cutPpm)
+    val dropIds = policy.where(col("action") === "drop").select("doc_id")
+    val cutTok = graft.ext.TextAnalysis.cutFromPairs(pairs, texts)
+      .join(policy.where(col("action") === "cut").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(col("cleaned"), " ")).cast("long").as("n_tok_cut"))
+    val deduped = gates
+      .where(col("f_lang") && col("f_len") && col("f_rep"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+    val mixIn = deduped
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .join(cutTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tok_cut"), col("n_tokens")).as("n_tokens"))
+    val mixed = graft.ext.Sampling.sampleToTemperature(
+      mixIn, "doc_id", "lang", "n_tokens", totalBudget).select("doc_id")
+    def flag(ids: DataFrame, n: String) =
+      ids.select(col("doc_id"), lit(true).as(n))
+    gates
+      .join(flag(deduped.select("doc_id"), "f_ded"), Seq("doc_id"), "left")
+      .join(flag(dropIds, "f_drop"), Seq("doc_id"), "left")
+      .join(flag(mixed, "f_mix"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("f_lang"), lit("gate_lang"))
+          .when(!col("f_len"), lit("gate_len"))
+          .when(!col("f_rep"), lit("gate_rep"))
+          .when(col("f_ded").isNull, lit("dedup_exact"))
+          .when(col("f_drop").isNotNull, lit("substring_drop"))
+          .when(col("f_mix").isNull, lit("mix_budget"))
+          .otherwise(lit("kept")).as("fate"))
+  }
+
   val edgeSchema: StructType = StructType(Seq(
     StructField("a", LongType), StructField("b", LongType)))
 

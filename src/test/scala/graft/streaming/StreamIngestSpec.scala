@@ -734,6 +734,56 @@ class StreamIngestSpec extends SparkSuite {
     assert(StreamIngest.readTopPassages(spark, out, len = 40).count() == 0)
   }
 
+  test("maintainRelease: streamed decision log equals the one-shot q212 chain; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text")
+    val root = Files.createTempDirectory("mrel").toString
+    val (src, chk, out, wdir) =
+      (s"$root/src", s"$root/chk", s"$root/store", s"$root/weights")
+    assert(new java.io.File(src).mkdirs())
+    // production shape: the router model is trained once and frozen
+    graft.ext.TextAnalysis.langIdWeights(docs).write.parquet(wdir)
+    val (lo, hi) = docs.agg(min($"doc_id"), max($"doc_id"))
+      .as[(Long, Long)].head()
+    val c1 = lo + (hi - lo) / 3; val c2 = lo + 2 * (hi - lo) / 3
+    // id-ordered batches — the parity contract's crawl-order clause
+    def deliver(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val stage = s"$root/stage_$name"
+      docs.where(pred).coalesce(1).write.json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.json"))
+      ()
+    }
+    val q = StreamIngest.maintainRelease(spark, src, chk, out, wdir)
+    deliver("b1", $"doc_id" <= c1); q.processAllAvailable()
+    deliver("b2", $"doc_id" > c1 && $"doc_id" <= c2); q.processAllAvailable()
+    deliver("b3", $"doc_id" > c2); q.processAllAvailable()
+    def decisions() = StreamIngest.readReleaseDecisions(spark, out)
+      .as[(Long, String)].collect().toMap
+    val got = decisions()
+    val want = graft.SparkEntry.queries("q212_release_decisions")(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == want.size)
+    assert(got == want, {
+      val diff = want.keySet.filter(k => got.get(k) != want.get(k)).take(5)
+      s"fates diverge at ${diff.map(k => (k, got.get(k), want.get(k)))}"
+    })
+    // replay: re-delivering batch 3's content appends nothing anywhere
+    def counts() = (
+      Seq("gates", "hashes", "sub/fp", "sub/texts")
+        .map(d => spark.read.parquet(s"$out/$d").count()),
+      StreamIngest.readSubstringPairs(spark, s"$out/sub").count())
+    val before = counts()
+    deliver("b4", $"doc_id" > c2); q.processAllAvailable(); q.stop()
+    assert(counts() == before, s"replay changed stores: $before -> ${counts()}")
+    assert(decisions() == want)
+  }
+
   test("component log: crash after a completed swap leaves a stale _fold_old that stays benign") {
     import spark.implicits._
     val out = Files.createTempDirectory("ccr_stale").toString + "/labels"
