@@ -250,6 +250,48 @@ class ExtSpec extends SparkSuite {
     assert(TextAnalysis.sessionBpeMerges(d, "extspec-bpe", nMerges = 1) != m1)
   }
 
+  test("bpeSegment: rank-jump kernel is bit-equal to the naive per-rank scan on random tables") {
+    // the naive reference: one full left-scan per merge, rank order —
+    // the sequential semantics the DuckDB oracles replay and the
+    // vocab-size-independent kernel must simulate EXACTLY (including
+    // duplicate pairs and tables no trainer would emit)
+    def naive(text: String, table: Seq[(String, String)]): String = {
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (w <- text.split(" ") if w.nonEmpty) {
+        var syms = scala.collection.mutable.ArrayBuffer.from(w.split(""))
+        for ((l, r) <- table) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (out.nonEmpty && out.last == l && x == r)
+              out(out.length - 1) = l + r
+            else out += x
+          }
+          syms = out
+        }
+        pieces ++= syms
+      }
+      pieces.mkString("|")
+    }
+    val rnd = new Random(1412)
+    val alpha = "ab" // tiny alphabet → dense pair collisions, cascades
+    def randPiece(): String =
+      (0 until 1 + rnd.nextInt(3)).map(_ => alpha(rnd.nextInt(2))).mkString
+    for (round <- 0 until 30) {
+      val table = Seq.fill(1 + rnd.nextInt(12))((randPiece(), randPiece()))
+      val docs = (0L until 8L).map { i =>
+        i -> Seq.fill(1 + rnd.nextInt(4))(
+          (0 until 1 + rnd.nextInt(9)).map(_ => alpha(rnd.nextInt(2))).mkString)
+          .mkString(" ")
+      }
+      val got = TextAnalysis.bpeSegment(docs.toDF("doc_id", "text"), table)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      for ((id, text) <- docs)
+        assert(got(id) == naive(text, table),
+          s"round $round doc $id table $table text '$text': " +
+            s"kernel ${got(id)} != naive ${naive(text, table)}")
+    }
+  }
+
   test("bpeTrain minCount prunes rare words from the histogram before merging") {
     // histogram: aa:3, ab:5, abq:1 (hapax). minCount=2 drops "abq", so
     // the (a,b) merge frequency falls 6 → 5 and the (ab,q) pair never
