@@ -406,7 +406,18 @@ object KMeans {
     * at any corpus scale, independent of data-dependent recall. */
   def ivfpqOracleSql(dim: Int, nCoarse: Int, nQueries: Int, topK: Int,
                      m: Int, kSub: Int, iters: Int,
-                     nprobe: Int, shortlist: Int): String = {
+                     nprobe: Int, shortlist: Int): String =
+    s"""WITH ${ivfpqRankedCtes(dim, nCoarse, nQueries, m, kSub, iters, nprobe, shortlist)}
+       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
+
+  /** The full IVFPQ CTE chain up to `ranked(q_id, vec_id, cos, rank)` —
+    * shared by [[ivfpqOracleSql]] (the ranking gate, q101/q105) and
+    * [[ivfpqRecallOracleSql]] (the q215 calibration gate), so both
+    * gates replay ONE arithmetic. Leaves `eb(vec_id, q)` in scope for
+    * brute-force companion CTEs. */
+  private def ivfpqRankedCtes(dim: Int, nCoarse: Int, nQueries: Int,
+                              m: Int, kSub: Int, iters: Int,
+                              nprobe: Int, shortlist: Int): String = {
     val subDim = dim / m
     def lo(i: Int) = i * subDim + 1
     def hi(i: Int) = i * subDim + subDim
@@ -429,7 +440,7 @@ object KMeans {
       .mkString(" UNION ALL ")
     val cos =
       s"$ldp(qv.q, xv.q) / (sqrt($ldp(qv.q, qv.q)) * sqrt($ldp(xv.q, xv.q)))"
-    s"""WITH eb AS (SELECT vec_id, q FROM (SELECT vec_id,
+    s"""eb AS (SELECT vec_id, q FROM (SELECT vec_id,
        |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
        |    FROM embeddings) WHERE $ldp(q, q) > 0),
        |$coarseChain,
@@ -469,8 +480,33 @@ object KMeans {
        |  FROM short s JOIN eb qv ON qv.vec_id = s.q_id JOIN eb xv ON xv.vec_id = s.vec_id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-       |  FROM scored)
-       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
+       |  FROM scored)""".stripMargin
+  }
+
+  /** DuckDB oracle for the IVFPQ RECALL GATE (q215): the shared
+    * [[ivfpqRankedCtes]] ranking at a fixed (nprobe, shortlist)
+    * operating point, the brute-force top-`topK` ranking over the same
+    * `eb` relation, and the per-query recall join — the q164 discipline
+    * extended to the persisted-index probe path. */
+  def ivfpqRecallOracleSql(dim: Int, nCoarse: Int, nQueries: Int, topK: Int,
+                           m: Int, kSub: Int, iters: Int,
+                           nprobe: Int, shortlist: Int): String = {
+    val ldp = "list_dot_product"
+    s"""WITH ${ivfpqRankedCtes(dim, nCoarse, nQueries, m, kSub, iters, nprobe, shortlist)},
+       |it AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $topK),
+       |bsc AS (SELECT qs.vec_id AS q_id, e2.vec_id,
+       |    $ldp(qs.q, e2.q)
+       |      / (sqrt($ldp(qs.q, qs.q)) * sqrt($ldp(e2.q, e2.q))) AS cos
+       |  FROM eb qs JOIN eb e2 ON qs.vec_id < $nQueries AND e2.vec_id != qs.vec_id),
+       |bt AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bsc)
+       |  WHERE rank <= $topK)
+       |SELECT b.q_id,
+       |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // $topK AS BIGINT) AS recall_ppm
+       |FROM bt b LEFT JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+       |GROUP BY b.q_id""".stripMargin
   }
 
   def clusterOracleSql(k: Int, iters: Int, dim: Int): String =

@@ -5077,6 +5077,29 @@ object ExtQueries {
       },
       releaseDecisionsOracleSql),
 
+    // ── IVFPQ recall calibration (round-12): the persisted-probe path ──
+    // q164 pins IVF recall; this extends the gate to the IVFPQ
+    // persisted-index probe (q101/q105's path) at its registered
+    // operating point (nprobe=2, shortlist=32): recall@5 of
+    // ivfpqTopKFromIndex vs bruteForceTopK, per query, exact-integer
+    // ppm. The oracle replays the SAME ivfpq CTE chain q101 verifies
+    // (one shared arithmetic — KMeans.ivfpqRankedCtes) plus the
+    // brute-force ranking and the recall join, so the driver hash gate
+    // proves both the probe ranking AND the calibration number.
+    "q215_ann_ivfpq_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.recallReport(
+          Similarity.ivfpqTopKFromIndex(
+            Similarity.sessionIvfpqIndex(emb, dir, dim = 64, nCoarse = 8,
+              m = 4, kSub = 16, iters = 1),
+            emb, dim = 64, nQueries = 8, k = 5, m = 4,
+            nprobe = 2, shortlist = 32),
+          Similarity.bruteForceTopK(emb, nQueries = 8, k = 5), k = 5)
+      },
+      KMeans.ivfpqRecallOracleSql(dim = 64, nCoarse = 8, nQueries = 8,
+        topK = 5, m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula
