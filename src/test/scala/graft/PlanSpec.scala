@@ -562,6 +562,33 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q213: the hot-anchor cap keeps the banded shape — df split + star, no all-pairs") {
+    val plan = planOf("q213_substring_anchor_cap")
+    // cold side stays the shuffled-hash self-join; the hot star adds
+    // only grouped/joined exchanges — never a cartesian fallback
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q214: the maintained decision log reads stores — no winnow kernel, no gate recompute") {
+    val plan = planOf("q214_release_decisions_maintained")
+    assert(plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("winnow_fingerprints"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q215: the IVFPQ recall gate joins two bounded rankings — no cartesian") {
+    val plan = planOf("q215_ann_ivfpq_recall")
+    // the brute-force truth side is q35's intentional shape: the 8-row
+    // query relation BROADCASTS into a nested-loop scan (bounded build
+    // side by contract) with rank-limit pushdown; the probe side reads
+    // the session index. Only an unbounded cartesian would be a bug.
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q198: span cut is the winnowed join + one groupBy, never all-pairs") {
     val plan = planOf("q198_substring_cut")
     assert(plan.contains("ShuffledHashJoin"), plan)
@@ -607,14 +634,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q206: the capstone's substring stage derives from ONE materialized winnow pass") {
-    // substringRelease inside q206 runs its winnowed pair pass once
-    // (localCheckpoint) and the gate+dedup boundary is materialized
-    // once — the registered plan must contain NO winnow kernel at all
-    // (both branches read the checkpointed pair RDD) and never fall
-    // back to all-pairs
+    // round-12: the gate/dedup/substring-edit chain rides the session
+    // RELEASE SPINE — the registered plan reads the spine PARQUET
+    // (fingerprint-keyed store, built once per session) and must
+    // contain NO winnow kernel and NO trained-gate recompute at all;
+    // the mix/shard/manifest tail may never fall back to all-pairs
     val plan = planOf("q206_release_substring")
-    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("Scan parquet"), plan)
     assert(!plan.contains("winnow_fingerprints"), plan)
+    assert(!plan.contains("md5("), plan) // no in-plan gate/dedup recompute
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
@@ -658,12 +686,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q212: the decision log rides materialized boundaries — no winnow kernel, no all-pairs") {
-    // gates spine + deduped + substringRelease's pair pass are all
-    // checkpointed at construction; the registered plan is id-sized
-    // left joins over ExistingRDD scans
+    // round-12: every stage relation reads the session RELEASE SPINE
+    // parquet; the registered plan is the verdict's target shape —
+    // id-sized left joins over spine scans plus the id-sized mix
+    // replay, no winnow kernel, no gate recompute, no all-pairs
     val plan = planOf("q212_release_decisions")
-    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("Scan parquet"), plan)
     assert(!plan.contains("winnow_fingerprints"), plan)
+    assert(!plan.contains("md5("), plan) // no in-plan gate/dedup recompute
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
