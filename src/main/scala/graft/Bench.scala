@@ -108,7 +108,8 @@ object Bench {
       "q121_bpe_encode_ids", "q127_bpe_persisted", "q137_semantic_dedup",
       "q147_dedup_cascade", "q190_release_pipeline", "q191_closure_delta",
       "q192_cc_delta", "q205_substring_indexed", "q206_release_substring",
-      "q212_release_decisions")
+      "q212_release_decisions", "q214_release_decisions_maintained",
+      "q216_top_passages_maintained", "q217_substring_stream_pairs")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

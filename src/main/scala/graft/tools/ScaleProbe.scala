@@ -49,6 +49,20 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit("lang")), lit(5)) + 1).cast("int")).as("lang"))
   }
 
+  /** Planted MEGA-BOILERPLATE corpus: every document shares one ~80-char
+    * passage (site chrome at crawl scale) between unique prefix/tail —
+    * the adversarial shape for the winnow anchor join (one fingerprint
+    * group of n rows → n²/2 clique pairs). Prices the round-12
+    * hot-anchor cap. */
+  def synthBoiler(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
+    val shared = vocab.take(14).mkString(" ")
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        expr("repeat(cast(id as string), 6)"), lit(s" lead $shared tail "),
+        expr("repeat(cast(id as string), 5)")).as("text"))
+  }
+
   /** Fixture-shaped embeddings: n vectors of `dim` floats in [-1, 1],
     * 5% planted exact-dup pairs (cos = 1 survives quantization). */
   def synthEmb(spark: SparkSession, n: Long, dim: Int): DataFrame = {
@@ -107,6 +121,8 @@ object ScaleProbe {
     val e10 = synthEmb(spark, 20000L, 64).localCheckpoint(true)
     val c1 = synthChains(spark, 100000L).toDF().localCheckpoint(true)
     val c10 = synthChains(spark, 1000000L).toDF().localCheckpoint(true)
+    val mb1 = synthBoiler(spark, 3000L, vocab).localCheckpoint(true)
+    val mb10 = synthBoiler(spark, 30000L, vocab).localCheckpoint(true)
     import spark.implicits._
 
     val families: Seq[(String, DataFrame => Long, DataFrame, DataFrame)] = Seq(
@@ -307,7 +323,15 @@ object ScaleProbe {
       ("winnow_kw_k20w11",
         (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(d, k = 20, w = 11)
           .count(),
-        d1, d10))
+        d1, d10),
+      // hot-anchor cap on the planted mega-boilerplate corpus (every doc
+      // shares one passage): the capped star must scale ~linearly in the
+      // duplication count where the clique is quadratic — alpha near 1
+      // is the proof the q213 guard holds at crawl scale
+      ("anchor_cap_star",
+        (d: DataFrame) => TextAnalysis.winnowedSubstringPairs(
+          d, k = 20, w = 21, maxAnchorDf = 64).count(),
+        mb1, mb10))
 
     // SPARK_GRAFT_PROBE_ONLY=fam1,fam2 — subset filter for targeted
     // probes of a new family without re-running the full table
@@ -329,6 +353,16 @@ object ScaleProbe {
     // the merges must cost far less than 10× the time, while the
     // RELATIONAL form prices one sequential Spark job per round. Also
     // probe corpus scaling at fixed merges (histogram job dominates).
+    // clique price reference at the SMALL scale only (3000-doc clique =
+    // ~4.5M pairs; the 30k clique would be 450M — exactly the blowup
+    // the cap exists to avoid pricing)
+    if (only.forall(_.contains("anchor_cap_clique"))) {
+      val (tc, rc) = timeMin(
+        TextAnalysis.winnowedSubstringPairs(mb1, k = 20, w = 21).count())
+      if (out.length > 1) out ++= ","
+      out ++= s""""anchor_cap_clique":{"t1":${fmt(tc)},"rows1":$rc}"""
+      println(s"[scaleprobe] anchor_cap_clique t1=${fmt(tc)}s ($rc rows, 3000-doc clique reference)")
+    }
     if (only.forall(_.contains("bpe_train_hybrid"))) {
       val (th40, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
       val (th400, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
