@@ -218,13 +218,24 @@ object ExtQueries {
     * q135 — ONE implementation, two gates. */
   private def fuzzyClusters(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val cand = Dedup.minhashCandidates(docs, n = 3)
-      .select(col("doc_a"), col("doc_b"))
-    val verified = Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
-    Dedup.clusterPairsBy(docs,
-      verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
-      length(col("text")))
+    // round-12: the minhash→verify→CC chain materializes once per
+    // (fixture, session) — q120, q135 and the q147 cascade share one
+    // clustering run (the sessionCluster discipline semanticClusters
+    // already follows; the registered incremental surface, q181, is
+    // how a deployment keeps this store current between rebuilds)
+    val store = graft.util.SessionStore.getOrBuild(
+      s"fuzzyclus|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+      "fuzzyclus") { p =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(docs, n = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val verified = Dedup.jaccardVerifyPairs(docs, cand, n = 3, tau = 0.5)
+      Dedup.clusterPairsBy(docs,
+        verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        length(col("text")))
+        .write.parquet(s"$p/clusters")
+    }
+    s.read.parquet(s"$store/clusters")
   }
 
   /** [[fuzzyClusters]]' oracle CTE chain — ends with `lab(doc_id, cl,
@@ -269,18 +280,25 @@ object ExtQueries {
     * cascade q147 — ONE implementation, two gates. */
   private def semanticClusters(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    // the Lloyd fit session-caches on the corpus dir: q137 and the q147
-    // cascade share one training run per session (train-once/probe-many)
-    val pairs = Similarity.semanticDupPairsCached(emb, dir,
-        tau = 0.40, k = 8, iters = 2)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-    val e = Similarity.prepared(emb)
-    Dedup.clusterPairsBy(
-      e.select(col("vec_id").as("doc_id"), col("q")),
-      pairs, Similarity.dotL(col("q"), col("q")))
-      .select(col("doc_id").as("vec_id"), col("canonical_id"),
-        col("cluster_size"))
+    // the Lloyd fit session-caches on the corpus dir, and (round-12)
+    // the CC labeling on top of it materializes too: q137 and the q147
+    // cascade share one training run AND one clustering run per session
+    val store = graft.util.SessionStore.getOrBuild(
+      s"semclus|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+      "semclus") { p =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.semanticDupPairsCached(emb, dir,
+          tau = 0.40, k = 8, iters = 2)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      val e = Similarity.prepared(emb)
+      Dedup.clusterPairsBy(
+        e.select(col("vec_id").as("doc_id"), col("q")),
+        pairs, Similarity.dotL(col("q"), col("q")))
+        .select(col("doc_id").as("vec_id"), col("canonical_id"),
+          col("cluster_size"))
+        .write.parquet(s"$p/clusters")
+    }
+    s.read.parquet(s"$store/clusters")
   }
 
   /** [[semanticClusters]]' oracle CTE chain (s-prefixed so it composes
