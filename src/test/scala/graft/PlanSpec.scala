@@ -589,6 +589,21 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q216/q217: maintained substring reads fold STORES — no corpus re-fingerprint in the pair log") {
+    // q216's exact rollup re-verifies candidate TEXTS (affected-sized,
+    // winnow kernel on candidates only — the readTopPassages law); the
+    // pair log read must carry no winnow kernel at all
+    val passages = planOf("q216_top_passages_maintained")
+    assert(passages.contains("Scan parquet"), passages)
+    assert(!passages.contains("CartesianProduct")
+      && !passages.contains("BroadcastNestedLoopJoin"), passages)
+    val pairs = planOf("q217_substring_stream_pairs")
+    assert(pairs.contains("Scan parquet"), pairs)
+    assert(!pairs.contains("winnow_fingerprints"), pairs)
+    assert(!pairs.contains("CartesianProduct")
+      && !pairs.contains("BroadcastNestedLoopJoin"), pairs)
+  }
+
   test("q198: span cut is the winnowed join + one groupBy, never all-pairs") {
     val plan = planOf("q198_substring_cut")
     assert(plan.contains("ShuffledHashJoin"), plan)
