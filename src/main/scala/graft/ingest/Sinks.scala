@@ -54,6 +54,7 @@ object Sinks {
     * before throwing, so the sink is never left absent. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               filesTarget: Int, partitionCols: Seq[String] = Nil): (Long, Long) = {
+    recoverCompact(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(hconf)
@@ -89,6 +90,30 @@ object Sinks {
     }
     fs.delete(old, true)
     (before, listing(path).size.toLong)
+  }
+
+  /** Crash recovery for [[compact]]'s two-rename swap — the
+    * recoverComponentLog discipline applied to the generic sink
+    * compactor: a HARD crash (kill -9, OOM) between `rename(path,
+    * old)` and `rename(tmp, path)` leaves the sink absent with the
+    * only surviving copy at `._compact_old`. [[compact]] runs this
+    * first, so a re-run of the crashed maintenance job self-heals;
+    * readers that must survive a crashed job can call it directly.
+    * Race-tolerant: losing the rename to another recoverer (or the
+    * original compactor completing) is fine as long as the sink
+    * exists afterward. The stale `._compact_tmp` is deleted by the
+    * next compaction's own preamble. */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    if (!fs.exists(path) && fs.exists(old)) {
+      require(fs.rename(old, path) || fs.exists(path),
+        s"compact recovery: could not restore $dir from ._compact_old")
+    }
+    ()
   }
 
   /** K7/K8: columnar mart write; optional hot-key partitioning and an

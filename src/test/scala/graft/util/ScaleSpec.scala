@@ -76,6 +76,31 @@ class ScaleSpec extends SparkSuite {
     assert(spark.read.parquet(dir).collect().toSet == wantRows)
   }
 
+  test("compact: a hard crash between the swap renames is recovered on the next run") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compact_crash").toString + "/sink"
+    (0 until 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(4).write.mode("append").parquet(dir)
+    val want = spark.read.parquet(dir).collect().toSet
+    // simulate the window: the sink staged aside, the compacted copy
+    // unplaced (crash before rename(tmp, path))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).coalesce(1).write.parquet(tmp.toString)
+    assert(fs.rename(path, old) && !fs.exists(path))
+    // the re-run of the maintenance job self-heals before compacting
+    val (_, after) = graft.ingest.Sinks.compact(spark, dir, filesTarget = 2)
+    assert(after == 2)
+    assert(spark.read.parquet(dir).collect().toSet == want)
+    assert(!fs.exists(old) && !fs.exists(tmp))
+    // direct reader-side recovery is idempotent on a healthy sink
+    graft.ingest.Sinks.recoverCompact(spark, dir)
+    assert(spark.read.parquet(dir).collect().toSet == want)
+  }
+
   test("widen repartitions a narrow leaf up to numShufflePartitions") {
     val narrow = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
     val p = spark.sessionState.conf.numShufflePartitions
