@@ -463,12 +463,30 @@ object StreamIngest {
     */
   def maintainSubstringIndex(spark: SparkSession, srcDir: String,
                              checkpointDir: String, outDir: String,
-                             minLen: Int = 40, k: Int = 20): StreamingQuery =
+                             minLen: Int = 40, k: Int = 20,
+                             compactEvery: Int = 0,
+                             filesTarget: Int = 8): StreamingQuery =
     spark.readStream.schema(docSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         substringIndexBatch(batch, outDir, bid, minLen, k)
+        // OPT-IN file-count maintenance: an append-only store gains one
+        // file-set per batch forever — at production batch cadence the
+        // listing itself becomes the bottleneck. Every `compactEvery`
+        // batches the three stores rewrite at `filesTarget` files via
+        // the crash-safe Sinks.compact swap (single writer by
+        // construction: this stream's own sequential foreachBatch).
+        // Default 0 keeps the strict append-only contract the
+        // byte-stability spec pins — with compaction on, that contract
+        // holds BETWEEN compaction ticks; relations and the replay
+        // guard are unaffected (spec-pinned).
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+          Seq("fp", "texts", "pairs").foreach { st =>
+            if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined)
+              graft.ingest.Sinks.compact(
+                batch.sparkSession, s"$outDir/$st", filesTarget): Unit
+          }
       }
       .start()
 
@@ -652,12 +670,23 @@ object StreamIngest {
   def maintainRelease(spark: SparkSession, srcDir: String,
                       checkpointDir: String, outDir: String,
                       weightsDir: String, minLen: Int = 40,
-                      k: Int = 20): StreamingQuery =
+                      k: Int = 20, compactEvery: Int = 0,
+                      filesTarget: Int = 8): StreamingQuery =
     spark.readStream.schema(docLangSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         releaseBatch(batch, outDir, weightsDir, bid, minLen, k)
+        // same opt-in file-count maintenance as maintainSubstringIndex
+        // (one file-set per store per batch forever otherwise); the
+        // replay guard keys on doc_ids, which a rewrite preserves
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+          Seq("gates", "hashes", "sub/fp", "sub/texts", "sub/pairs")
+            .foreach { st =>
+              if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined)
+                graft.ingest.Sinks.compact(
+                  batch.sparkSession, s"$outDir/$st", filesTarget): Unit
+            }
       }
       .start()
 

@@ -734,6 +734,55 @@ class StreamIngestSpec extends SparkSuite {
     assert(StreamIngest.readTopPassages(spark, out, len = 40).count() == 0)
   }
 
+  test("substring index: opt-in compaction bounds file counts without changing any relation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ssi_cmp").toString
+    val (srcA, chkA, outA) = (s"$root/srcA", s"$root/chkA", s"$root/a/store")
+    val (srcB, chkB, outB) = (s"$root/srcB", s"$root/chkB", s"$root/b/store")
+    Files.createDirectories(java.nio.file.Paths.get(srcA))
+    Files.createDirectories(java.nio.file.Paths.get(srcB))
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ")
+    def write(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    val batches = Seq(
+      Seq(1L -> s"$pa alpha filler one with enough unique tail text here",
+        2L -> "completely unrelated long passage without any shared spans at all"),
+      Seq(3L -> s"prefix words then $pa and its own different ending text"),
+      Seq(4L -> s"$pa duplicated again with its own unique ending number four"),
+      Seq(5L -> s"another novel long document with no duplicated span inside it"))
+    // twin stores: A compacts every 2 batches, B never
+    val qa = StreamIngest.maintainSubstringIndex(spark, srcA, chkA, outA,
+      compactEvery = 2, filesTarget = 1)
+    val qb = StreamIngest.maintainSubstringIndex(spark, srcB, chkB, outB)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      write(srcA, s"b$i.json", b); qa.processAllAvailable()
+      write(srcB, s"b$i.json", b); qb.processAllAvailable()
+    }
+    def rel(out: String) = (
+      spark.read.parquet(s"$out/fp").collect().map(_.mkString("|")).toSet,
+      spark.read.parquet(s"$out/texts").collect().map(_.mkString("|")).toSet,
+      StreamIngest.readSubstringPairs(spark, out)
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "match_len")
+        .collect().map(_.mkString("|")).toSet)
+    assert(rel(outA) == rel(outB), "compaction changed a relation")
+    def files(out: String, st: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/$st"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    // A's stores were rewritten at the tick (batch 2), then gained the
+    // post-tick appends; B holds one file-set per contributing batch
+    assert(files(outA, "fp") < files(outB, "fp"),
+      s"fp: ${files(outA, "fp")} !< ${files(outB, "fp")}")
+    // replay after a compaction is still a full no-op
+    val before = rel(outA)
+    write(srcA, "replay.json", batches(2)); qa.processAllAvailable()
+    qa.stop(); qb.stop()
+    assert(rel(outA) == before)
+  }
+
   test("maintainRelease: streamed decision log equals the one-shot q212 chain; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{max, min}
