@@ -833,6 +833,49 @@ class StreamIngestSpec extends SparkSuite {
     assert(decisions() == want)
   }
 
+  test("maintainRelease: out-of-order arrival degrades gracefully — exact-dedup fates stay exact") {
+    import spark.implicits._
+    // the parity contract requires id-ordered batches; this pins what
+    // the scaladoc PROMISES for the out-of-order case: the hash log
+    // records every gated doc, so the read-time keeper min-fold still
+    // picks the GLOBAL min id (arrival-order-independent), while
+    // substring admission keeps the first-arrived twin (append-only
+    // greedy, the ingestPrep caveat)
+    val root = Files.createTempDirectory("mrel_ooo").toString
+    val out = s"$root/store"; val wdir = s"$root/weights"
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    // even ids (4, 6) are the router's TRAINING half (the marker
+    // augmentation rides on the lang column); odd ids get predictions.
+    // Docs 3 and 11 share EXACT text; the LARGER id arrives first.
+    val docs = Seq(
+      (3L, "en", s"twin text $filler"),
+      (11L, "en", s"twin text $filler"),
+      (13L, "en", s"solo document $filler"),
+      (4L, "en", s"training document one $filler"),
+      (6L, "en", s"training document two $filler"))
+      .toDF("doc_id", "lang", "text")
+    graft.ext.TextAnalysis.langIdWeights(docs).write.parquet(wdir)
+    // batch 0 delivers ids {4, 6, 11, 13}; batch 1 the smaller twin 3
+    StreamIngest.releaseBatch(docs.where($"doc_id" > 3L), out, wdir,
+      0L, minLen = 40, k = 20)
+    StreamIngest.releaseBatch(docs.where($"doc_id" === 3L), out, wdir,
+      1L, minLen = 40, k = 20)
+    val fates = StreamIngest.readReleaseDecisions(spark, out, totalBudget = 6000L)
+      .as[(Long, String)].collect().toMap
+    // keeper fold is global-min: doc 3 survives dedup despite arriving
+    // late; the first-arrived twin 11 is the one attributed dedup_exact
+    assert(fates(11L) == "dedup_exact", fates.toString)
+    assert(fates(3L) != "dedup_exact" && fates(3L) != "gate_lang",
+      fates.toString)
+    assert(fates(13L) != "dedup_exact" && fates(13L) != "gate_lang")
+    // substring store kept the FIRST-ARRIVED twin's text (id 11):
+    // admission anti-joins on the text hash, so the late smaller id
+    // never re-enters the index
+    val storedIds = spark.read.parquet(s"$out/sub/texts")
+      .select("doc_id").as[Long].collect().toSet
+    assert(storedIds.contains(11L) && !storedIds.contains(3L), storedIds.toString)
+  }
+
   test("component log: crash after a completed swap leaves a stale _fold_old that stays benign") {
     import spark.implicits._
     val out = Files.createTempDirectory("ccr_stale").toString + "/labels"
