@@ -457,21 +457,21 @@ object TextAnalysis {
     * rows emit a STAR around the group's deterministic representative
     * (min (doc_id, pos)) instead of the clique — group-linear volume.
     *
-    * What the star preserves EXACTLY (the release semantics): every
-    * non-representative document still pairs with the representative
-    * (rep = min doc_id, so rep is always doc_a and the span lands in
-    * the member as doc_b), so coverage ppm, drop/cut/keep routing and
-    * the cut spans of [[substringRelease]] see the same hot-span
-    * evidence the clique gave — keep-earliest keeps exactly the
-    * representative, members lose the span. The DOCUMENTED trade, at
-    * the pair-report grain only: member×member pairs of a hot group
-    * are attributed through the representative, so a sub-pair sharing
-    * MORE context around the hot core than the representative does
-    * only reports the extension its own COLD anchors prove (sharing
-    * beyond the hot core ≥ the guarantee floor generates cold anchors
-    * of its own and is found; only sub-floor extra context on both
-    * sides can truncate). Spec-pinned on a planted 400-doc
-    * mega-boilerplate fixture (TextAnalysisSpec).
+    * What the star guarantees (spec-pinned on planted mega-boilerplate
+    * fixtures, including end-to-end through [[substringRelease]]):
+    * every non-representative document still pairs with the
+    * representative (rep = min doc_id, so rep is always doc_a and the
+    * hot span lands in the member as doc_b) — no member escapes its
+    * cut, and keep-earliest keeps exactly the representative. The
+    * effect on release evidence is MONOTONE SOFTENING: every star pair
+    * is a clique pair, so capped coverage ≤ clique coverage per doc,
+    * capped drops ⊆ clique drops, and survivors keep at least as many
+    * characters. What the star under-scores is member×member sharing
+    * AROUND the hot core: ≥-floor extra sharing generates cold anchors
+    * of its own and is always found; SUB-floor extra context (a few
+    * coinciding boundary characters, or near-containment that rode
+    * exactly that context) is attributed through the representative
+    * and may soften a borderline drop to a cut.
     */
   def winnowedSubstringPairs(docs: DataFrame, k: Int = 20, w: Int = 21,
       maxAnchorDf: Int = 0): DataFrame = {
@@ -870,11 +870,28 @@ object TextAnalysis {
     * routing and span cutting) derive from the materialized pairs; the
     * final assembly is one corpus-sized left join against each
     * match-sized branch — no new shuffle classes beyond q198/q201. */
+  /** `maxAnchorDf` (0 = off) arms the hot-anchor star cap in the pair
+    * pass — the production setting for corpora where one passage can
+    * be duplicated across ~10⁶ documents. The cap's effect on the
+    * release is MONOTONE SOFTENING, spec-pinned end to end on the
+    * planted mega-boilerplate fixture: capped evidence per document is
+    * a subset of clique evidence (every star pair is a clique pair),
+    * so capped drops ⊆ clique drops and every surviving document keeps
+    * at least as many characters; the hot span itself is never missed
+    * (the representative pair carries it into every member, so no
+    * member escapes its cut) and keep-earliest keeps exactly the
+    * representative. What the star can under-score is member-pair
+    * sharing AROUND the hot core: below the floor it has no anchors of
+    * its own, and a member whose near-complete containment in another
+    * member rode exactly that context may soften from drop to cut
+    * (the fixture's repdigit family). ≥-floor extra sharing creates
+    * its own cold anchors and is always found. */
   def substringRelease(docs: DataFrame, minLen: Int,
       dropPpm: Long = 900000L, cutPpm: Long = 300000L,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, maxAnchorDf: Int = 0): DataFrame = {
     require(minLen > k, s"need minLen > k, got ($minLen, $k)")
-    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1)
+    val pairs = winnowedSubstringPairs(docs, k = k, w = minLen - k + 1,
+        maxAnchorDf = maxAnchorDf)
       .localCheckpoint(true)
     val policy = policyFromCoverage(coverageFromPairs(pairs, docs),
       dropPpm, cutPpm)

@@ -1856,6 +1856,54 @@ class ExtSpec extends SparkSuite {
     assert(capped.forall(_._5 >= 40))
   }
 
+  test("substringRelease: the hot-anchor cap softens monotonically — never cuts or drops more") {
+    // the END-TO-END contract of the star topology, stated honestly:
+    // capped evidence per document is a SUBSET of clique evidence
+    // (every star pair is a clique pair), so the cap can only soften —
+    // drops under the cap are a subset of clique drops, and every
+    // surviving document keeps AT LEAST as many characters. The hot
+    // span itself is never missed (the representative pair carries
+    // it), so the bulk of the corpus routes identically; the softening
+    // shows up exactly on members whose unique contexts overlap EACH
+    // OTHER around the span edge (repdigit ids here: doc 2's whole
+    // text is nearly a prefix of doc 22's, which only the member pair
+    // (2,22) sees — clique drops 22, star cuts it via rep evidence).
+    val shared = (1 to 10).map(i => s"chrome$i").mkString(" ")
+    val docs = (1L to 190L).map { i =>
+      i -> s"${i.toString * 6} lead $shared tail ${i.toString * 5}"
+    }.toDF("doc_id", "text")
+    def rel(cap: Int) = TextAnalysis
+      .substringRelease(docs, minLen = 40, maxAnchorDf = cap)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val uncapped = rel(0)
+    val capped = rel(16)
+    assert(uncapped.nonEmpty)
+    // monotone: the cap never drops a doc the clique kept...
+    assert(uncapped.keySet.subsetOf(capped.keySet),
+      s"cap dropped extra docs: ${uncapped.keySet -- capped.keySet}")
+    // ...and never cuts deeper on a doc both kept
+    assert(uncapped.forall { case (id, (_, len)) => capped(id)._2 >= len })
+    // keep-earliest keeps exactly the representative, both ways
+    assert(uncapped(1L)._1 == "keep" && capped(1L)._1 == "keep")
+    // the hot span is never missed: every member is still CUT (or
+    // dropped) under the cap — no member escapes to 'keep'
+    assert(capped.count(_._2._1 == "keep") == 1, {
+      val esc = capped.filter(kv => kv._2._1 == "keep" && kv._1 != 1L)
+      s"members escaped the cut under the cap: ${esc.keys.take(5)}"
+    })
+    // actions agree on every doc both outputs carry (the softening on
+    // this fixture is drop→cut on the repdigit containment family,
+    // which shows up as keyset growth, not action flips)
+    assert(uncapped.forall { case (id, (a, _)) => capped(id)._1 == a })
+    // and the under-cut per document is bounded by the SUB-FLOOR
+    // residue: every digit-run boundary overlap is shorter than the
+    // 40-char floor, so no capped doc keeps a floor-length span more
+    // than the clique did
+    assert(uncapped.forall { case (id, (_, len)) =>
+      capped(id)._2 - len < 40 })
+  }
+
   test("winnowedSubstringPairs: the cap is a no-op when no anchor group is hot") {
     val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
