@@ -498,6 +498,18 @@ object StreamIngest {
     val s = batch.sparkSession
     val (fpDir, txDir, prDir) =
       (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs")
+    // RECOVERY BEFORE EVERY READ (the recoverComponentLog discipline,
+    // round-13): a compaction that hard-crashed between its two swap
+    // renames leaves a store ABSENT with the only full copy staged at
+    // `._compact_old`. The crash also uncommitted this batch, so it
+    // replays — and without recovery the replay would see no `texts`
+    // guard, recreate it batch-only, and the RETRIED compaction (path
+    // now exists, so recoverCompact inside it no-ops) would then
+    // fs.delete the staged full copy: every pre-crash row silently
+    // lost. Restoring all stores first closes that interleaving; two
+    // filesystem probes per store when nothing is wrong.
+    Seq(fpDir, txDir, prDir).foreach(d =>
+      graft.ingest.Sinks.recoverCompact(s, d))
     checkOrWriteSubstringMeta(s, outDir, minLen, k)
     val b0 = batch.where(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
@@ -544,11 +556,34 @@ object StreamIngest {
           s"substring store $outDir was built with (minLen=$m, k=$kk); " +
             s"refusing to maintain it with (minLen=$minLen, k=$k)")
       case None =>
+        // temp-file + rename, never a direct create: a crash between
+        // create and write used to leave an EMPTY _meta.json, which
+        // parses to None — and every later batch's create(p, false)
+        // then threw FileAlreadyExists forever (the stream was wedged
+        // until someone deleted the file by hand). The rename makes
+        // the visible file either absent or complete, and any
+        // pre-r13 empty/garbled residue (readSubstringMeta returned
+        // None, so whatever is at `p` is unparseable) is replaced.
         val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
+        val tmp = new org.apache.hadoop.fs.Path(s"$outDir/._meta.json.tmp")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, false)
+        val out = fs.create(tmp, true)
         try out.write(s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
         finally out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          // lost a race to a concurrent writer — validate against what
+          // it persisted instead of failing the batch
+          readSubstringMeta(spark, outDir) match {
+            case Some((m, kk)) =>
+              require(m == minLen && kk == k,
+                s"substring store $outDir was concurrently created with " +
+                  s"(minLen=$m, k=$kk); refusing (minLen=$minLen, k=$k)")
+            case None => throw new IllegalStateException(
+              s"could not persist _meta.json for substring store $outDir")
+          }
+        }
     }
 
   /** The (minLen, k) a substring store was built with, if its
@@ -591,6 +626,11 @@ object StreamIngest {
     * [[maintainSubstringIndex]] already pays. */
   def readTopPassages(spark: SparkSession, outDir: String, len: Int = 40,
       minDocs: Int = 2, k: Int = 20): DataFrame = {
+    // recovery-before-read: a reader arriving inside a hard-crashed
+    // compaction's swap window must restore the staged store, not
+    // observe it absent (see substringIndexBatch)
+    Seq("fp", "texts").foreach(d =>
+      graft.ingest.Sinks.recoverCompact(spark, s"$outDir/$d"))
     // the losslessness argument above REQUIRES len >= the floor the
     // store was winnowed at — below it, windows are not guaranteed a
     // shared fingerprint and the report would be silently incomplete;
@@ -617,7 +657,8 @@ object StreamIngest {
     * [[maintainSubstringIndex]] store — distinct() folds the
     * crash-window double-append (replayed rows are identical, batch id
     * included). Empty relation when no pairs were ever found. */
-  def readSubstringPairs(spark: SparkSession, outDir: String): DataFrame =
+  def readSubstringPairs(spark: SparkSession, outDir: String): DataFrame = {
+    graft.ingest.Sinks.recoverCompact(spark, s"$outDir/pairs")
     readIfExists(spark, s"$outDir/pairs") match {
       case Some(log) => log.distinct()
       case None =>
@@ -629,6 +670,7 @@ object StreamIngest {
             StructField("match_len", IntegerType),
             StructField("batch_id", LongType))))
     }
+  }
 
   /** CONTINUOUS RELEASE PIPELINE with a per-document DECISION LOG —
     * q212's "why did my document vanish" relation maintained
@@ -695,6 +737,15 @@ object StreamIngest {
   private[graft] def releaseBatch(batch: DataFrame, outDir: String,
       weightsDir: String, bid: Long, minLen: Int, k: Int): Unit = {
     val s = batch.sparkSession
+    // same crash-window recovery as substringIndexBatch: the `gates`
+    // replay guard (and every sibling store) must be restored from a
+    // hard-crashed compaction's ._compact_old BEFORE the replayed
+    // batch consults it — otherwise the guard restarts batch-only and
+    // the retried compaction destroys the staged full copy. The sub/*
+    // stores recover inside substringIndexBatch, but sub/pairs takes a
+    // direct append below before that call, so it recovers here too.
+    Seq("gates", "hashes", "sub/pairs").foreach(d =>
+      graft.ingest.Sinks.recoverCompact(s, s"$outDir/$d"))
     val b0 = batch.where(col("text").isNotNull && col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
     val fresh0 = readIfExists(s, s"$outDir/gates") match {
@@ -762,6 +813,10 @@ object StreamIngest {
   def readReleaseDecisions(spark: SparkSession, outDir: String,
       totalBudget: Long = 6000L, dropPpm: Long = 900000L,
       cutPpm: Long = 300000L): DataFrame = {
+    // recovery-before-read (see substringIndexBatch): restore any store
+    // a hard-crashed compaction left staged at ._compact_old
+    Seq("gates", "hashes", "sub/fp", "sub/texts", "sub/pairs").foreach(d =>
+      graft.ingest.Sinks.recoverCompact(spark, s"$outDir/$d"))
     val gates = spark.read.parquet(s"$outDir/gates")
     val keepers = spark.read.parquet(s"$outDir/hashes")
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -909,6 +964,14 @@ object StreamIngest {
       throw new IllegalStateException(
         s"component-log compaction: could not swap into $outDir; original restored")
     }
+    // TOCTOU residue check: a reader's recovery can restore `path`
+    // BETWEEN the existence probe above and the swap rename — Hadoop
+    // rename into an existing directory then NESTS tmp inside the live
+    // store instead of replacing it (a non-partition subdir that breaks
+    // every later parquet read). Verify and clean; the store is healthy
+    // under the reader-restored log and the rewrite is redone next tick.
+    val nested = new org.apache.hadoop.fs.Path(path, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
     fs.delete(old, true)
     ()
   }
@@ -938,6 +1001,13 @@ object StreamIngest {
       require(fs.rename(old, path) || fs.exists(path),
         s"component-log recovery: could not restore $outDir from ._fold_old")
     }
+    // a compactor that lost the TOCTOU race (see compactComponentLog)
+    // and crashed before its own residue check can leave its fold
+    // NESTED inside the live store — a non-partition subdir that breaks
+    // parquet reads. Clean it here, before every fold; one existence
+    // probe when nothing is wrong.
+    val nested = new org.apache.hadoop.fs.Path(path, path.getName + "._fold_tmp")
+    if (fs.exists(path) && fs.exists(nested)) fs.delete(nested, true)
     ()
   }
 

@@ -783,6 +783,136 @@ class StreamIngestSpec extends SparkSuite {
     assert(rel(outA) == before)
   }
 
+  test("substring index: compaction crash-mid-swap + batch replay does not truncate the guard store") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_cswap").toString + "/store"
+    val minLen = 40; val k = 20
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha filler one with enough unique tail text here",
+      2L -> "completely unrelated long passage without any shared spans at all")
+    val b2 = Seq(3L -> s"prefix words then $pa and its own different ending text")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, minLen, k)
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, minLen, k)
+    val wantPairs = StreamIngest.readSubstringPairs(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(wantPairs == Set(1L -> 3L))
+    val fpN = spark.read.parquet(s"$out/fp").count()
+    // simulate the compaction HARD CRASH between rename(path, old) and
+    // rename(tmp, path) on the replay-guard store: texts absent, the
+    // only full copy staged at ._compact_old. The crash also
+    // uncommitted batch 1, so the stream replays it.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tx = new org.apache.hadoop.fs.Path(s"$out/texts")
+    val fs = tx.getFileSystem(hconf)
+    val staged = new org.apache.hadoop.fs.Path(s"$out/texts._compact_old")
+    assert(fs.rename(tx, staged) && !fs.exists(tx))
+    // the replayed batch must RESTORE the guard before consulting it —
+    // pre-r13 it recreated `texts` batch-only here, and the retried
+    // compaction then deleted the staged full copy (total loss of b1)
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, minLen, k)
+    assert(spark.read.parquet(s"$out/texts").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "replay after crash-mid-swap truncated the texts guard store")
+    assert(!fs.exists(staged))
+    assert(spark.read.parquet(s"$out/fp").count() == fpN,
+      "replay duplicated fingerprints")
+    assert(StreamIngest.readSubstringPairs(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == wantPairs)
+    // the RETRIED compaction now runs clean over the recovered store
+    graft.ingest.Sinks.compact(spark, s"$out/texts", filesTarget = 1)
+    assert(spark.read.parquet(s"$out/texts").count() == 3)
+    // and a READER arriving inside the same window also self-heals
+    assert(fs.rename(tx, staged))
+    assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
+      k = 20).count() >= 1)
+    assert(fs.exists(tx) && !fs.exists(staged))
+  }
+
+  test("release store: compaction crash-mid-swap + batch replay preserves the gates guard") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mrel_cswap").toString
+    val out = s"$root/store"; val wdir = s"$root/weights"
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    val docs = Seq(
+      (3L, "en", s"first document body $filler"),
+      (4L, "en", s"training document one $filler"),
+      (6L, "en", s"training document two $filler"),
+      (11L, "en", s"second document body $filler"))
+      .toDF("doc_id", "lang", "text")
+    graft.ext.TextAnalysis.langIdWeights(docs).write.parquet(wdir)
+    StreamIngest.releaseBatch(docs.where($"doc_id" <= 6L), out, wdir,
+      0L, minLen = 40, k = 20)
+    StreamIngest.releaseBatch(docs.where($"doc_id" > 6L), out, wdir,
+      1L, minLen = 40, k = 20)
+    val want = StreamIngest.readReleaseDecisions(spark, out)
+      .as[(Long, String)].collect().toMap
+    assert(want.size == 4)
+    // crash the gates compaction mid-swap, then replay batch 1
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val g = new org.apache.hadoop.fs.Path(s"$out/gates")
+    val fs = g.getFileSystem(hconf)
+    val staged = new org.apache.hadoop.fs.Path(s"$out/gates._compact_old")
+    assert(fs.rename(g, staged))
+    StreamIngest.releaseBatch(docs.where($"doc_id" > 6L), out, wdir,
+      1L, minLen = 40, k = 20)
+    assert(spark.read.parquet(s"$out/gates").select("doc_id")
+      .as[Long].collect().toSet == Set(3L, 4L, 6L, 11L),
+      "replay after crash-mid-swap truncated the gates guard store")
+    assert(StreamIngest.readReleaseDecisions(spark, out)
+      .as[(Long, String)].collect().toMap == want)
+  }
+
+  test("substring store: an empty _meta.json crash residue is replaced, not a permanent wedge") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_metacrash").toString + "/store"
+    val docs = Seq(1L -> ("x" * 60)).toDF("doc_id", "text")
+    // crash residue: _meta.json created but never written (empty file)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$out/_meta.json")
+    val fs = p.getFileSystem(hconf)
+    fs.create(p, false).close()
+    assert(StreamIngest.readSubstringMeta(spark, out).isEmpty)
+    // pre-r13 this threw FileAlreadyExists on EVERY batch forever; now
+    // the unparseable residue is replaced via temp-file + rename
+    StreamIngest.substringIndexBatch(docs, out, 0L, 40, 20)
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    // and the written meta still enforces the drift guard
+    intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(docs, out, 1L, 30, 15)
+    }
+  }
+
+  test("component log: a fold nested by the compaction TOCTOU race is cleaned on read") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ccr_nest").toString + "/labels"
+    val edges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("a", "b")
+    graft.graph.ConnectedComponents.run(edges)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(out)
+    val want = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    // the race residue: a compactor lost the existence-check race to a
+    // recovering reader, its rename NESTED the fold inside the restored
+    // live store, and it crashed before its own residue check —
+    // leaving a non-partition subdir that breaks plain parquet reads
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(hconf)
+    val nested = new org.apache.hadoop.fs.Path(path, path.getName + "._fold_tmp")
+    StreamIngest.readComponents(spark, out).withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(7L)).write.parquet(nested.toString)
+    assert(fs.exists(nested))
+    // the read-side recovery cleans the residue before folding
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(!fs.exists(nested))
+    // and the next compaction runs clean
+    StreamIngest.compactComponentLog(spark, out, bid = 2L)
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
   test("maintainRelease: streamed decision log equals the one-shot q212 chain; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{max, min}
