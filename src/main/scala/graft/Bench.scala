@@ -146,6 +146,18 @@ object Bench {
     // detail lives in the committed file above.
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"passes":$passes,"n_failed":${failedSet.size},"full":"$outPath","sf":"$sfDir"}"""
     println(compact)
+    // …and the same compact record as a tiny committed SIDECAR: sbt's
+    // own "[success] Total time" line trails the JVM's stdout, so even
+    // a last-line tail parse misses the record above (BENCH_r12 still
+    // carried `parsed: null`). A <300-byte overwrite-per-run file needs
+    // no tail surgery at all. Subset runs skip it — the totals sidecar
+    // describes the FULL registry only (the BENCH_LAST clobber lesson).
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_TOTALS.json"),
+        (compact + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_TOTALS.json: ${e.getMessage}") }
     Console.out.flush()
   }
 }

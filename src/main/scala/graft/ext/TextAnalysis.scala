@@ -975,6 +975,28 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The q211-grain window rollup of `docs` ALONE — (passage, n_docs,
+    * n_occ) over every `len`-char window, with NO minDocs filter and
+    * no top-k: the per-batch DELTA the maintained boilerplate report
+    * appends ([[graft.streaming.StreamIngest.substringIndexBatch]]'s
+    * `counts` sidecar). Additivity: when doc sets are DISJOINT across
+    * inputs (the stream's replay guard guarantees it), summing these
+    * rollups per passage reproduces [[topDuplicatedPassages]]' exact
+    * aggregate over the union — per-batch `countDistinct(doc_id)`
+    * terms can never double-count a document two batches both hold.
+    * One batch-sized window explode + one groupBy; map-side partial
+    * aggregation collapses repeated windows before the exchange. */
+  def passageCountsOf(docs: DataFrame, len: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= len)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $len)").as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+
   /** [[topDuplicatedPassages]]' DuckDB oracle — the direct one-phase
     * form (group every window by its text): the engine's hash
     * pre-filter is provably lossless, so the two agree exactly. */

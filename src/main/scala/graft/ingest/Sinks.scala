@@ -52,8 +52,16 @@ object Sinks {
     * reader can see a missing dir for a moment (the maintenance-window
     * contract); a failed second rename restores the original dir
     * before throwing, so the sink is never left absent. */
+  /** `transform` (round-13) rewrites the ROWS as well as the files —
+    * the hook the maintained stores use to FOLD per-batch delta logs
+    * (sum passage counts, keep last-wins rows) while compacting, so a
+    * long-lived stream's read cost stays proportional to the folded
+    * relation instead of total batches processed. The caller owns the
+    * semantic argument that the fold preserves every read; identity
+    * keeps the strict rows-preserved contract. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              filesTarget: Int, partitionCols: Seq[String] = Nil): (Long, Long) = {
+              filesTarget: Int, partitionCols: Seq[String] = Nil,
+              transform: DataFrame => DataFrame = identity): (Long, Long) = {
     recoverCompact(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -72,7 +80,7 @@ object Sinks {
     val before = snapshot.size.toLong
     val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
     fs.delete(tmp, true)
-    mart(spark.read.parquet(dir), tmp.toString,
+    mart(transform(spark.read.parquet(dir)), tmp.toString,
       partitionCols = partitionCols, files = filesTarget)
     if (listing(path) != snapshot) {
       fs.delete(tmp, true)

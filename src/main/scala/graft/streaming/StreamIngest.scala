@@ -427,10 +427,27 @@ object StreamIngest {
     *
     * Store layout under `outDir`: `fp` (the winnow index — doc_id,
     * pos, h), `texts` (the settled documents the extension step
-    * re-attaches), `pairs` (the accumulated cross-batch match log).
-    * All three are APPEND-ONLY: settled files are never rewritten
-    * (spec pins byte-stability of prior index files across unrelated
-    * batches).
+    * re-attaches), `pairs` (the accumulated cross-batch match log),
+    * `counts` (per-batch PASSAGE-grain rollup deltas — the boilerplate
+    * report's maintained aggregate, see below). All four are
+    * APPEND-ONLY: settled files are never rewritten (spec pins
+    * byte-stability of prior index files across unrelated batches).
+    *
+    * The `counts` sidecar (round-13): each batch appends its own
+    * q211-grain rollup — (passage, n_docs, n_occ, batch_id) over every
+    * minLen-char window of the batch's admitted documents. Because the
+    * replay guard admits each document exactly once, batches partition
+    * the settled corpus, so per-batch distinct-doc counts SUM to the
+    * exact global counts — [[readTopPassages]] becomes a pure
+    * count-store fold (no corpus text re-scan, no window re-explode;
+    * the affected-≈-everything degeneration of the fp-candidate path
+    * is gone). Grain price, stated: the sidecar holds one row per
+    * DISTINCT window per batch — O(batch chars) rows per batch, the
+    * same order as the suffix-array index of Lee et al.'s exact tier
+    * and ~len bytes per row; on the boilerplate-heavy corpora this
+    * report exists for, distinct windows ≪ total windows. Compaction
+    * (opt-in, below) bounds the file count; rows are preserved, so the
+    * replay fold (identical-rows distinct) survives it.
     *
     * Semantics: the accumulated pairs log (read through
     * [[readSubstringPairs]]) equals `winnowedSubstringPairs` over the
@@ -482,10 +499,25 @@ object StreamIngest {
         // holds BETWEEN compaction ticks; relations and the replay
         // guard are unaffected (spec-pinned).
         if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
-          Seq("fp", "texts", "pairs").foreach { st =>
-            if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined)
-              graft.ingest.Sinks.compact(
-                batch.sparkSession, s"$outDir/$st", filesTarget): Unit
+          Seq("fp", "texts", "pairs", "counts").foreach { st =>
+            if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined) {
+              // `counts` FOLDS while compacting (distinct absorbs any
+              // crash-window double-append, then one summed row per
+              // passage): a post-compaction replay appends NOTHING —
+              // the texts guard settled earlier in this same batch
+              // body — so folding away the per-batch deltas is safe,
+              // and readTopPassages' cost tracks the folded relation,
+              // not total batches processed. The other stores keep the
+              // strict rows-preserved rewrite.
+              val fold: DataFrame => DataFrame =
+                if (st != "counts") identity
+                else _.distinct().groupBy(col("passage"))
+                  .agg(sum(col("n_docs")).as("n_docs"),
+                    sum(col("n_occ")).as("n_occ"))
+                  .withColumn("batch_id", lit(bid))
+              graft.ingest.Sinks.compact(batch.sparkSession,
+                s"$outDir/$st", filesTarget, transform = fold): Unit
+            }
           }
       }
       .start()
@@ -496,8 +528,8 @@ object StreamIngest {
   private[graft] def substringIndexBatch(batch: DataFrame, outDir: String,
       bid: Long, minLen: Int, k: Int): Unit = {
     val s = batch.sparkSession
-    val (fpDir, txDir, prDir) =
-      (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs")
+    val (fpDir, txDir, prDir, cntDir) =
+      (s"$outDir/fp", s"$outDir/texts", s"$outDir/pairs", s"$outDir/counts")
     // RECOVERY BEFORE EVERY READ (the recoverComponentLog discipline,
     // round-13): a compaction that hard-crashed between its two swap
     // renames leaves a store ABSENT with the only full copy staged at
@@ -508,7 +540,7 @@ object StreamIngest {
     // fs.delete the staged full copy: every pre-crash row silently
     // lost. Restoring all stores first closes that interleaving; two
     // filesystem probes per store when nothing is wrong.
-    Seq(fpDir, txDir, prDir).foreach(d =>
+    Seq(fpDir, txDir, prDir, cntDir).foreach(d =>
       graft.ingest.Sinks.recoverCompact(s, d))
     checkOrWriteSubstringMeta(s, outDir, minLen, k)
     val b0 = batch.where(col("text").isNotNull)
@@ -539,6 +571,13 @@ object StreamIngest {
         case None => freshC
       }
       graft.ext.TextAnalysis.appendSubstringIndex(fpFresh, fpDir, minLen, k)
+      // the batch's PASSAGE-grain rollup delta (see maintainSubstringIndex
+      // scaladoc): deterministic over freshC, so a crash-window replay
+      // appends IDENTICAL rows (batch_id included) and readTopPassages'
+      // distinct folds the double-append — the pairs-log discipline
+      graft.ext.TextAnalysis.passageCountsOf(freshC, minLen)
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").parquet(cntDir)
       freshC.write.mode("append").parquet(txDir)
     }
     ()
@@ -604,53 +643,74 @@ object StreamIngest {
   }
 
   /** CONTINUOUS boilerplate monitoring — q211's top-duplicated-
-    * passages report derived from a [[maintainSubstringIndex]] store
-    * at ZERO added per-batch cost: the report reads the winnow
-    * fingerprint index the stream already maintains.
+    * passages report derived from a [[maintainSubstringIndex]] store.
     *
-    * Losslessness (the winnow guarantee, third use): any `len`-char
-    * window duplicated across D documents is a shared span ≥ the
-    * index's guarantee floor (this function REQUIRES len == the
-    * store's minLen), so one aligned fingerprint inside it is
-    * selected in EVERY one of the D documents — that fingerprint's
-    * doc count reaches D, every affected document lands in the
-    * candidate set, and the exact q211 rollup over the candidate
-    * TEXTS (affected-sized, not corpus-sized) counts every
-    * qualifying passage with exact n_docs/n_occ. Equality with the
-    * one-shot [[graft.ext.TextAnalysis.topDuplicatedPassages]] over
-    * all settled documents is spec-pinned.
+    * PRIMARY PATH (round-13, `counts` sidecar present and len == the
+    * store's minLen): a pure fold of the maintained passage-grain
+    * deltas — distinct (folds the crash-window double-append; replayed
+    * rows are identical, batch_id included), sum per passage, filter,
+    * top-k. Exactness needs no losslessness argument at all: batches
+    * partition the settled corpus (replay guard), so per-batch
+    * countDistinct terms SUM to the global rollup — equality with the
+    * one-shot [[graft.ext.TextAnalysis.topDuplicatedPassages]] is
+    * arithmetic, at TEXT grain (no hash anywhere, so no collision
+    * caveat). Read cost is store-fold-sized: corpus texts are never
+    * scanned, windows never re-exploded — the amortization a
+    * maintained read exists for (the fp-candidate path degenerated to
+    * corpus-sized on boilerplate-heavy corpora, where "affected" ≈
+    * everything).
     *
-    * Read cost: one index-parquet fold (hash grain — the corpus text
-    * is NOT re-fingerprinted) + the exact rollup restricted to
-    * candidate documents. Per-batch cost: nothing beyond what
-    * [[maintainSubstringIndex]] already pays. */
+    * FALLBACK PATH (pre-r13 stores without `counts`, or len > the
+    * stored floor): the winnow-losslessness candidate argument — any
+    * `len`-char window duplicated across D documents is a shared span
+    * ≥ the floor, so one aligned fingerprint inside it is selected in
+    * EVERY one of the D documents; every affected document lands in
+    * the candidate set and the exact q211 rollup over candidate TEXTS
+    * counts every qualifying passage exactly. Correct, but
+    * affected-sized. Equality of both paths with the one-shot is
+    * spec-pinned. */
   def readTopPassages(spark: SparkSession, outDir: String, len: Int = 40,
       minDocs: Int = 2, k: Int = 20): DataFrame = {
     // recovery-before-read: a reader arriving inside a hard-crashed
     // compaction's swap window must restore the staged store, not
     // observe it absent (see substringIndexBatch)
-    Seq("fp", "texts").foreach(d =>
+    Seq("fp", "texts", "counts").foreach(d =>
       graft.ingest.Sinks.recoverCompact(spark, s"$outDir/$d"))
-    // the losslessness argument above REQUIRES len >= the floor the
-    // store was winnowed at — below it, windows are not guaranteed a
-    // shared fingerprint and the report would be silently incomplete;
-    // the store self-describes via _meta.json, so validate, don't trust
-    readSubstringMeta(spark, outDir).foreach { case (storedMinLen, _) =>
+    // BOTH paths require len >= the floor the store was winnowed at —
+    // the counts sidecar is materialized at exactly minLen grain, and
+    // below the floor the fallback's windows are not guaranteed a
+    // shared fingerprint (a silently incomplete report); the store
+    // self-describes via _meta.json, so validate, don't trust
+    val meta = readSubstringMeta(spark, outDir)
+    meta.foreach { case (storedMinLen, _) =>
       require(len >= storedMinLen,
         s"readTopPassages(len=$len) is below the store's winnow floor " +
           s"(minLen=$storedMinLen): passages shorter than the floor are " +
           s"not guaranteed a shared fingerprint in the index; raise len " +
           s"or rebuild the store with a lower minLen")
     }
-    val fp = spark.read.parquet(s"$outDir/fp")
-    val hot = fp.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= minDocs)
-    val cand = fp.join(hot.select(col("h")), Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val docs = spark.read.parquet(s"$outDir/texts")
-      .join(cand, Seq("doc_id"), "left_semi")
-    graft.ext.TextAnalysis.topDuplicatedPassages(docs, len, minDocs, k)
+    val counts =
+      if (meta.map(_._1).contains(len)) readIfExists(spark, s"$outDir/counts")
+      else None
+    counts match {
+      case Some(c) =>
+        c.distinct()
+          .groupBy(col("passage"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+          .where(col("n_docs") >= minDocs)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+          .limit(k)
+      case None =>
+        val fp = spark.read.parquet(s"$outDir/fp")
+        val hot = fp.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= minDocs)
+        val cand = fp.join(hot.select(col("h")), Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val docs = spark.read.parquet(s"$outDir/texts")
+          .join(cand, Seq("doc_id"), "left_semi")
+        graft.ext.TextAnalysis.topDuplicatedPassages(docs, len, minDocs, k)
+    }
   }
 
   /** The accumulated cross-batch substring match log of a

@@ -590,11 +590,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q216/q217: maintained substring reads fold STORES — no corpus re-fingerprint in the pair log") {
-    // q216's exact rollup re-verifies candidate TEXTS (affected-sized,
-    // winnow kernel on candidates only — the readTopPassages law); the
-    // pair log read must carry no winnow kernel at all
+    // q216 (round-13): a PURE fold of the counts sidecar — distinct,
+    // sum per passage, top-k. No winnow kernel, no corpus text scan,
+    // no join of ANY kind may appear; the read cost is store-fold-
+    // sized, which is the whole amortization argument
     val passages = planOf("q216_top_passages_maintained")
     assert(passages.contains("Scan parquet"), passages)
+    assert(!passages.contains("winnow_fingerprints"), passages)
+    assert(!passages.contains("Join"), passages)
     assert(!passages.contains("CartesianProduct")
       && !passages.contains("BroadcastNestedLoopJoin"), passages)
     val pairs = planOf("q217_substring_stream_pairs")

@@ -668,6 +668,51 @@ class StreamIngestSpec extends SparkSuite {
     assert(fromIndex.nonEmpty) // pa and pb windows both qualify
   }
 
+  test("maintained boilerplate counts: store fold == one-shot == fp-fallback; double-append folds") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_cnt").toString + "/store"
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha filler one with enough unique tail text here",
+      2L -> "completely unrelated long passage without any shared spans at all")
+    val b2 = Seq(
+      3L -> s"prefix words then $pa and its own different ending text",
+      4L -> s"$pa duplicated again with its own unique ending number four")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, 40, 20)
+    val want = graft.ext.TextAnalysis.topDuplicatedPassages(
+        (b1 ++ b2).toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.exists(_._2 == 3L)) // pa spans 3 docs
+    def got() = StreamIngest.readTopPassages(spark, out, len = 40,
+      minDocs = 2, k = 50).as[(String, Long, Long)].collect().toSet
+    assert(got() == want)
+    // the counts path is a PURE store fold: prove it never touches the
+    // corpus texts or the fp index by hiding both — the report must
+    // still be exact from the sidecar alone
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$out/$s")
+    val fs = p("counts").getFileSystem(hconf)
+    assert(fs.rename(p("texts"), p("_hidden_texts")))
+    assert(fs.rename(p("fp"), p("_hidden_fp")))
+    assert(got() == want, "counts path read something beyond the sidecar")
+    assert(fs.rename(p("_hidden_texts"), p("texts")))
+    assert(fs.rename(p("_hidden_fp"), p("fp")))
+    // a pre-r13 store (no counts sidecar) falls back to the
+    // fp-candidate path and still reports exactly
+    assert(fs.rename(p("counts"), p("_hidden_counts")))
+    assert(got() == want, "fp-fallback path diverged from the one-shot")
+    assert(fs.rename(p("_hidden_counts"), p("counts")))
+    // crash-window double-append: a replayed batch re-appends IDENTICAL
+    // delta rows (batch_id included) — the read-side distinct folds them
+    val cnt = s"$out/counts"
+    val nBefore = spark.read.parquet(cnt).count()
+    spark.read.parquet(cnt).where($"batch_id" === 1L).localCheckpoint(true)
+      .write.mode("append").parquet(cnt)
+    assert(spark.read.parquet(cnt).count() > nBefore) // dup rows landed
+    assert(got() == want, "double-appended deltas were double-counted")
+  }
+
   test("substring index: replay of the fp-appended/texts-missing crash window is exactly-once") {
     import spark.implicits._
     val out = Files.createTempDirectory("ssi_crash").toString + "/store"
@@ -769,6 +814,15 @@ class StreamIngestSpec extends SparkSuite {
         .select("doc_a", "doc_b", "pos_a", "pos_b", "match_len")
         .collect().map(_.mkString("|")).toSet)
     assert(rel(outA) == rel(outB), "compaction changed a relation")
+    // the maintained boilerplate report agrees on both stores — A's
+    // counts deltas were FOLDED at the tick (one summed row per
+    // passage, batch-id restamped) and topped up by later batches
+    def report(out: String) = StreamIngest.readTopPassages(spark, out,
+      len = 40, minDocs = 2, k = 50).collect().map(_.mkString("|")).toSet
+    assert(report(outA) == report(outB), "counts fold changed the report")
+    assert(spark.read.parquet(s"$outA/counts").count() <
+      spark.read.parquet(s"$outB/counts").count(),
+      "compaction did not fold the counts deltas")
     def files(out: String, st: String) =
       java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/$st"))
         .iterator().asScala.count(_.toString.endsWith(".parquet"))
@@ -778,9 +832,11 @@ class StreamIngestSpec extends SparkSuite {
       s"fp: ${files(outA, "fp")} !< ${files(outB, "fp")}")
     // replay after a compaction is still a full no-op
     val before = rel(outA)
+    val beforeReport = report(outA)
     write(srcA, "replay.json", batches(2)); qa.processAllAvailable()
     qa.stop(); qb.stop()
     assert(rel(outA) == before)
+    assert(report(outA) == beforeReport)
   }
 
   test("substring index: compaction crash-mid-swap + batch replay does not truncate the guard store") {
