@@ -71,16 +71,21 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
-    // execution economics (shuffle/spill/tasks per query) ride pass 1
-    // via a SparkListener — telemetry for the artifact, not timing (the
-    // listener drain happens AFTER runOnce's internal clock stops, and
-    // per-query minima virtually always come from the later passes).
-    // SPARK_GRAFT_BENCH_EXEC=0 disables.
+    // execution economics (shuffle/spill/tasks per query) ride the
+    // FINAL pass via a SparkListener — telemetry for the artifact, not
+    // timing (the listener drain happens AFTER runOnce's internal clock
+    // stops). The final pass — not pass 1 — so session-cached queries
+    // report the amortized OPERATING plan their min-of-N already
+    // prices, instead of conflating the pass-1 store build into the
+    // read's job/shuffle numbers (r12's q214 read 165 jobs where the
+    // settled-store read is ~28); for everything else the plan is
+    // pass-independent, so nothing changes. Pass-1 build costs stay
+    // visible in samples[]. SPARK_GRAFT_BENCH_EXEC=0 disables.
     val withExec = !sys.env.get("SPARK_GRAFT_BENCH_EXEC").contains("0")
     val execStats = scala.collection.mutable.Map.empty[String, graft.tools.ExecStats.Metrics]
     for (p <- 1 to passes; name <- names) {
       val (sec, ok) =
-        if (p == 1 && withExec) {
+        if (p == passes && withExec) {
           val (r, m) = graft.tools.ExecStats.measure(spark)(runOnce(name))
           execStats(name) = m
           r

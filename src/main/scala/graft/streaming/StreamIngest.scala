@@ -886,11 +886,20 @@ object StreamIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType)))))
+    // GATE-BOUNDARY CHECKPOINTS (round-13, the q190/q206 lesson): every
+    // relation below is referenced by ≥2 downstream branches — or by
+    // sampleToTemperature's eager |domains| collect AND the final fate
+    // assembly — and Spark re-runs an unmaterialized chain once per
+    // reference. All four are match- or id-sized, so each checkpoint is
+    // one small job that replaces several whole-chain rematerializations
+    // (read jobs measured 30 → a handful on the settled sf0.01 store).
     val pairs = readSubstringPairs(spark, s"$outDir/sub")
       .select("doc_a", "doc_b", "pos_a", "pos_b", "match_len")
+      .localCheckpoint(true) // feeds coverage AND cut
     val policy = graft.ext.TextAnalysis.policyFromCoverage(
       graft.ext.TextAnalysis.coverageFromPairs(pairs, texts),
       dropPpm, cutPpm)
+      .localCheckpoint(true) // feeds dropIds AND the cut filter
     val dropIds = policy.where(col("action") === "drop").select("doc_id")
     val cutTok = graft.ext.TextAnalysis.cutFromPairs(pairs, texts)
       .join(policy.where(col("action") === "cut").select("doc_id"),
@@ -900,11 +909,13 @@ object StreamIngest {
     val deduped = gates
       .where(col("f_lang") && col("f_len") && col("f_rep"))
       .join(keepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // feeds mixIn AND the f_ded flag
     val mixIn = deduped
       .join(dropIds, Seq("doc_id"), "left_anti")
       .join(cutTok, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_tok_cut"), col("n_tokens")).as("n_tokens"))
+      .localCheckpoint(true) // consumed by the avail collect AND the cut
     val mixed = graft.ext.Sampling.sampleToTemperature(
       mixIn, "doc_id", "lang", "n_tokens", totalBudget).select("doc_id")
     def flag(ids: DataFrame, n: String) =
