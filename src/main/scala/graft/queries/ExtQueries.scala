@@ -5193,6 +5193,53 @@ object ExtQueries {
       KMeans.ivfpqRecallOracleSql(dim = 64, nCoarse = 8, nQueries = 8,
         topK = 5, m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32)),
 
+    // ── IVFPQ recall-vs-nprobe SWEEP (round-13): the knob, measured ────
+    // q215 pins recall at the registered operating point (nprobe=2,
+    // shortlist=32), where BOTH approximations bind at once; this query
+    // isolates the nprobe axis so a reader sees the knob WORKING: the
+    // same persisted-index probe at nprobe ∈ {2, 4, 8} in EXACT-RERANK
+    // ceiling mode (shortlist larger than any probed candidate set, so
+    // every candidate is exact-cosine reranked and recall is PURELY
+    // probe coverage). The curve is guaranteed to end at 1.0: nprobe=8
+    // probes all nCoarse buckets, making the arm brute force by
+    // construction — measured at sf0.01 as 0.90 → 0.93 → 1.00 mean
+    // (at sf0.1 the truth already lives in the 2 nearest buckets for
+    // all 8 queries, so the whole curve sits at 1.0 — data-dependent,
+    // and the oracle proves whatever the fixture yields).
+    // (At shortlist=32 the curve plateaus at the ADC artifact level
+    // instead — that composite point is exactly what q215 pins.)
+    // One session index serves all three arms (q175's shared-assignment
+    // discipline — the sweep prices three probes, not three trainings);
+    // the brute-force truth is computed once and checkpointed (40
+    // rows). Ceiling-mode cost is the calibration price: candidates ×
+    // nQueries rerank rows, the q35 brute-force class — a measurement
+    // run, not a serving path. The oracle replays the full shared
+    // ivfpqRankedCtes arithmetic once per width as independent
+    // WITH-subqueries, so the driver hash gate proves every point on
+    // the curve, not just the operating one.
+    "q218_ann_ivfpq_recall_sweep" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = Similarity.sessionIvfpqIndex(emb, dir, dim = 64,
+          nCoarse = 8, m = 4, kSub = 16, iters = 1)
+        val truth = Similarity.bruteForceTopK(emb, nQueries = 8, k = 5)
+          .localCheckpoint(true) // 40 rows, consumed by all three arms
+        Seq(2, 4, 8).map { np =>
+          Similarity.recallReport(
+            Similarity.ivfpqTopKFromIndex(idx, emb, dim = 64, nQueries = 8,
+              k = 5, m = 4, nprobe = np, shortlist = 1 << 20),
+            truth, k = 5)
+            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("hits"),
+              col("recall_ppm"))
+        }.reduce(_ unionByName _)
+      },
+      Seq(2, 4, 8).map { np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, q_id, hits, recall_ppm FROM (\n" +
+          KMeans.ivfpqRecallOracleSql(dim = 64, nCoarse = 8, nQueries = 8,
+            topK = 5, m = 4, kSub = 16, iters = 1, nprobe = np,
+            shortlist = 1 << 20) + "\n)"
+      }.mkString("\nUNION ALL\n")),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

@@ -589,6 +589,13 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q218: the recall sweep's three probe arms stay bucket-pruned — no cartesian") {
+    val plan = planOf("q218_ann_ivfpq_recall_sweep")
+    // same contract as q215 per arm; the ceiling-mode shortlist changes
+    // only a rank-filter constant, never the join shapes
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q216/q217: maintained substring reads fold STORES — no corpus re-fingerprint in the pair log") {
     // q216 (round-13): a PURE fold of the counts sidecar — distinct,
     // sum per passage, top-k. No winnow kernel, no corpus text scan,
