@@ -499,28 +499,32 @@ object StreamIngest {
         // holds BETWEEN compaction ticks; relations and the replay
         // guard are unaffected (spec-pinned).
         if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
-          Seq("fp", "texts", "pairs", "counts").foreach { st =>
-            if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined) {
-              // `counts` FOLDS while compacting (distinct absorbs any
-              // crash-window double-append, then one summed row per
-              // passage): a post-compaction replay appends NOTHING —
-              // the texts guard settled earlier in this same batch
-              // body — so folding away the per-batch deltas is safe,
-              // and readTopPassages' cost tracks the folded relation,
-              // not total batches processed. The other stores keep the
-              // strict rows-preserved rewrite.
-              val fold: DataFrame => DataFrame =
-                if (st != "counts") identity
-                else _.distinct().groupBy(col("passage"))
-                  .agg(sum(col("n_docs")).as("n_docs"),
-                    sum(col("n_occ")).as("n_occ"))
-                  .withColumn("batch_id", lit(bid))
-              graft.ingest.Sinks.compact(batch.sparkSession,
-                s"$outDir/$st", filesTarget, transform = fold): Unit
-            }
-          }
+          compactSubstringStores(batch.sparkSession, outDir, bid, filesTarget)
       }
       .start()
+
+  /** The [[maintainSubstringIndex]] compaction tick — extracted so the
+    * long-stream ScaleProbe drives the REAL tick. `counts` FOLDS while
+    * compacting (distinct absorbs any crash-window double-append, then
+    * one summed row per passage): a post-compaction replay appends
+    * NOTHING — the texts guard settled earlier in the same batch body —
+    * so folding away the per-batch deltas is safe, and readTopPassages'
+    * cost tracks the folded relation, not total batches processed. The
+    * other stores keep the strict rows-preserved rewrite. */
+  private[graft] def compactSubstringStores(s: SparkSession, outDir: String,
+      bid: Long, filesTarget: Int): Unit =
+    Seq("fp", "texts", "pairs", "counts").foreach { st =>
+      if (readIfExists(s, s"$outDir/$st").isDefined) {
+        val fold: DataFrame => DataFrame =
+          if (st != "counts") identity
+          else _.distinct().groupBy(col("passage"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_occ")).as("n_occ"))
+            .withColumn("batch_id", lit(bid))
+        graft.ingest.Sinks.compact(s,
+          s"$outDir/$st", filesTarget, transform = fold): Unit
+      }
+    }
 
   /** One [[maintainSubstringIndex]] micro-batch — extracted so the
     * crash-window specs can drive a batch directly against a store in

@@ -508,6 +508,112 @@ object ScaleProbe {
         s"(alpha ${fmt(math.log10(si10 / si1))}) full ${fmt(sf1)}->${fmt(sf10)}s " +
         s"(alpha ${fmt(math.log10(sf10 / sf1))})")
     }
+    // Session-store economics (round-13): the expensive build-once
+    // artifacts and their maintained reads, priced at 1×/10× corpus.
+    // The claim under test: BUILD cost is corpus-linear (alpha ≈ 1, or
+    // below while fixed per-job costs dominate the small end) and a
+    // READ-after-build is a store fold priced well under its build —
+    // the amortization contract every session_cached bench row states.
+    if (only.forall(_.contains("session_stores"))) {
+      import org.apache.spark.sql.functions.col
+      def slices(n: Long) = Seq(
+        col("doc_id") < n / 3,
+        col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3,
+        col("doc_id") >= 2 * n / 3)
+      def subProbe(n: Long): (Double, Double, Double) = {
+        val docs = synthDocs(spark, n, vocab).localCheckpoint(true)
+        val st = java.nio.file.Files.createTempDirectory("ssp_sub").toString + "/store"
+        val t0 = System.nanoTime()
+        slices(n).zipWithIndex.foreach { case (p, b) =>
+          graft.streaming.StreamIngest.substringIndexBatch(
+            docs.where(p), st, b.toLong, 40, 20)
+        }
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val (tTop, _) = timeMin(graft.streaming.StreamIngest
+          .readTopPassages(spark, st, 40, 2, 20).count())
+        val (tPairs, _) = timeMin(graft.streaming.StreamIngest
+          .readSubstringPairs(spark, st).count())
+        (tBuild, tTop, tPairs)
+      }
+      def relProbe(n: Long): (Double, Double) = {
+        val docs = synthDocs(spark, n, vocab).localCheckpoint(true)
+        val root = java.nio.file.Files.createTempDirectory("ssp_rel").toString
+        TextAnalysis.langIdWeights(docs).write.parquet(s"$root/weights")
+        val t0 = System.nanoTime()
+        slices(n).zipWithIndex.foreach { case (p, b) =>
+          graft.streaming.StreamIngest.releaseBatch(
+            docs.where(p), s"$root/store", s"$root/weights", b.toLong, 40, 20)
+        }
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val (tRead, _) = timeMin(graft.streaming.StreamIngest
+          .readReleaseDecisions(spark, s"$root/store").count())
+        (tBuild, tRead)
+      }
+      val (sb1, st1, sp1) = subProbe(2000L)
+      val (sb10, st10, sp10) = subProbe(20000L)
+      val (rb1, rr1) = relProbe(2000L)
+      val (rb10, rr10) = relProbe(20000L)
+      if (out.length > 1) out ++= ","
+      out ++= s""""substring_store":{"t_build1":${fmt(sb1)},"t_build10":${fmt(sb10)}"""
+      out ++= s""","alpha_build":${fmt(math.log10(sb10 / sb1))}"""
+      out ++= s""","t_top1":${fmt(st1)},"t_top10":${fmt(st10)},"alpha_top":${fmt(math.log10(st10 / st1))}"""
+      out ++= s""","t_pairs1":${fmt(sp1)},"t_pairs10":${fmt(sp10)}},"""
+      out ++= s""""release_store":{"t_build1":${fmt(rb1)},"t_build10":${fmt(rb10)}"""
+      out ++= s""","alpha_build":${fmt(math.log10(rb10 / rb1))}"""
+      out ++= s""","t_read1":${fmt(rr1)},"t_read10":${fmt(rr10)},"alpha_read":${fmt(math.log10(rr10 / rr1))}}"""
+      println(s"[scaleprobe] substring_store build ${fmt(sb1)}->${fmt(sb10)}s " +
+        s"(alpha ${fmt(math.log10(sb10 / sb1))}) top-read ${fmt(st1)}->${fmt(st10)}s " +
+        s"pairs-read ${fmt(sp1)}->${fmt(sp10)}s")
+      println(s"[scaleprobe] release_store build ${fmt(rb1)}->${fmt(rb10)}s " +
+        s"(alpha ${fmt(math.log10(rb10 / rb1))}) read ${fmt(rr1)}->${fmt(rr10)}s " +
+        s"(alpha ${fmt(math.log10(rr10 / rr1))})")
+    }
+
+    // Long-stream store maintenance (round-13): 64 micro-batches through
+    // the REAL substring batch body + compaction tick. The claims under
+    // test: (a) file counts stay BOUNDED (~compactEvery file-sets + the
+    // rewrite target) instead of growing one file-set per store per
+    // batch forever; (b) the maintained reads after 64 batches price a
+    // store fold, not 64 re-lists; (c) the counts fold keeps the report
+    // exact across ticks (asserted, not just timed).
+    if (only.forall(_.contains("store_longstream"))) {
+      import org.apache.spark.sql.functions.col
+      val nB = 64; val per = 120L
+      val all = synthDocs(spark, nB * per, vocab).localCheckpoint(true)
+      val stC = java.nio.file.Files.createTempDirectory("ssp_ls").toString + "/store"
+      val t0 = System.nanoTime()
+      (0 until nB).foreach { b =>
+        val batch = all.where(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+        graft.streaming.StreamIngest.substringIndexBatch(batch, stC, b.toLong, 40, 20)
+        if (b > 0 && b % 16 == 0)
+          graft.streaming.StreamIngest.compactSubstringStores(spark, stC, b.toLong, 4)
+      }
+      val tStream = (System.nanoTime() - t0) / 1e9
+      def nFiles(st: String): Long = {
+        val p = java.nio.file.Paths.get(s"$stC/$st")
+        val it = java.nio.file.Files.walk(p).iterator()
+        var n = 0L
+        while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val files = Seq("fp", "texts", "pairs", "counts").map(s => s -> nFiles(s))
+      val (tTop, topRows) = timeMin(graft.streaming.StreamIngest
+        .readTopPassages(spark, stC, 40, 2, 20).count())
+      // exactness across ticks: the folded+topped-up counts report must
+      // equal the one-shot rollup over everything delivered
+      val want = TextAnalysis.topDuplicatedPassages(all, 40, 2, 20)
+        .collect().map(_.toString).toSet
+      val got = graft.streaming.StreamIngest.readTopPassages(spark, stC, 40, 2, 20)
+        .collect().map(_.toString).toSet
+      require(got == want, s"long-stream counts fold diverged: got ${got.size} want ${want.size}")
+      if (out.length > 1) out ++= ","
+      out ++= s""""store_longstream":{"batches":$nB,"t_stream":${fmt(tStream)}"""
+      out ++= files.map { case (s, n) => s""","files_$s":$n""" }.mkString
+      out ++= s""","t_top":${fmt(tTop)},"top_rows":$topRows,"report_exact":true}"""
+      println(s"[scaleprobe] store_longstream $nB batches in ${fmt(tStream)}s; files " +
+        files.map { case (s, n) => s"$s=$n" }.mkString(" ") +
+        s"; top-read ${fmt(tTop)}s (exact=${got == want})")
+    }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

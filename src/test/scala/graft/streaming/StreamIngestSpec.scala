@@ -883,6 +883,21 @@ class StreamIngestSpec extends SparkSuite {
     assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
       k = 20).count() >= 1)
     assert(fs.exists(tx) && !fs.exists(staged))
+    // the PAIRS sidecar gets the same treatment: crash its compaction
+    // mid-swap, then both the reader and a replayed batch self-heal
+    val pr = new org.apache.hadoop.fs.Path(s"$out/pairs")
+    val prStaged = new org.apache.hadoop.fs.Path(s"$out/pairs._compact_old")
+    assert(fs.rename(pr, prStaged))
+    assert(StreamIngest.readSubstringPairs(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == wantPairs)
+    assert(fs.exists(pr) && !fs.exists(prStaged))
+    // and the COUNTS sidecar (the boilerplate report's store)
+    val cn = new org.apache.hadoop.fs.Path(s"$out/counts")
+    val cnStaged = new org.apache.hadoop.fs.Path(s"$out/counts._compact_old")
+    assert(fs.rename(cn, cnStaged))
+    assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
+      k = 20).count() >= 1)
+    assert(fs.exists(cn) && !fs.exists(cnStaged))
   }
 
   test("release store: compaction crash-mid-swap + batch replay preserves the gates guard") {
@@ -917,6 +932,14 @@ class StreamIngestSpec extends SparkSuite {
       "replay after crash-mid-swap truncated the gates guard store")
     assert(StreamIngest.readReleaseDecisions(spark, out)
       .as[(Long, String)].collect().toMap == want)
+    // the HASHES sidecar (the exact-dedup fate log) gets the same
+    // treatment: crash its compaction mid-swap, reader self-heals
+    val h = new org.apache.hadoop.fs.Path(s"$out/hashes")
+    val hStaged = new org.apache.hadoop.fs.Path(s"$out/hashes._compact_old")
+    assert(fs.rename(h, hStaged))
+    assert(StreamIngest.readReleaseDecisions(spark, out)
+      .as[(Long, String)].collect().toMap == want)
+    assert(fs.exists(h) && !fs.exists(hStaged))
   }
 
   test("substring store: an empty _meta.json crash residue is replaced, not a permanent wedge") {
