@@ -91,11 +91,32 @@ object Sinks {
     val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
     fs.delete(old, true)
     require(fs.rename(path, old), s"compact: could not stage $dir aside")
+    // A concurrent READER's recoverCompact can observe the mid-swap
+    // window (path absent, ._compact_old present) and rename the staged
+    // copy back — the compactComponentLog TOCTOU, reachable here since
+    // the maintained-store readers recover before every read. Detect
+    // the restore BEFORE the swap rename (Hadoop rename into an
+    // existing directory NESTS tmp inside it rather than failing) and
+    // resolve by discarding THIS rewrite — the sink is healthy under
+    // the restored files and the rewrite is redone at the next tick.
+    if (fs.exists(path)) {
+      fs.delete(tmp, true); fs.delete(old, true)
+      return (before, listing(path).size.toLong)
+    }
     if (!fs.rename(tmp, path)) {
+      if (fs.exists(path)) { // reader restored between the two calls
+        fs.delete(tmp, true); fs.delete(old, true)
+        return (before, listing(path).size.toLong)
+      }
       fs.rename(old, path) // restore — never leave the sink absent
       throw new IllegalStateException(
         s"compact: could not move compacted dir into $dir; original restored")
     }
+    // rename succeeded — but if a reader restored `path` between the
+    // probe and the rename, the rewrite landed NESTED inside the live
+    // sink. Verify and clean (the sink keeps the restored rows).
+    val nested = new org.apache.hadoop.fs.Path(path, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
     fs.delete(old, true)
     (before, listing(path).size.toLong)
   }
@@ -121,6 +142,13 @@ object Sinks {
       require(fs.rename(old, path) || fs.exists(path),
         s"compact recovery: could not restore $dir from ._compact_old")
     }
+    // a compactor that lost the TOCTOU race to a recovering reader and
+    // crashed before its own residue check can leave its rewrite NESTED
+    // inside the live sink (see compact) — a non-partition subdir that
+    // breaks parquet reads. One existence probe when nothing is wrong.
+    val nested = new org.apache.hadoop.fs.Path(path,
+      path.getName + "._compact_tmp")
+    if (fs.exists(path) && fs.exists(nested)) fs.delete(nested, true)
     ()
   }
 

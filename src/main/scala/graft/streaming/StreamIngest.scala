@@ -785,16 +785,35 @@ object StreamIngest {
         releaseBatch(batch, outDir, weightsDir, bid, minLen, k)
         // same opt-in file-count maintenance as maintainSubstringIndex
         // (one file-set per store per batch forever otherwise); the
-        // replay guard keys on doc_ids, which a rewrite preserves
+        // replay guard keys on doc_ids, which a rewrite preserves.
         if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
-          Seq("gates", "hashes", "sub/fp", "sub/texts", "sub/pairs")
-            .foreach { st =>
-              if (readIfExists(batch.sparkSession, s"$outDir/$st").isDefined)
-                graft.ingest.Sinks.compact(
-                  batch.sparkSession, s"$outDir/$st", filesTarget): Unit
-            }
+          compactReleaseStores(batch.sparkSession, outDir, bid, filesTarget)
       }
       .start()
+
+  /** The [[maintainRelease]] compaction tick — extracted for the spec
+    * and the probe. `hashes` PRE-FOLDS to the keeper grain (one row per
+    * distinct content hash, min doc_id — round-13): both of its readers
+    * are preserved exactly — the read-time keeper min-fold (min of
+    * folded mins over disjoint batch doc sets = the global min) and
+    * releaseBatch's admission anti-join (the SET of hashes is
+    * unchanged) — and a post-compaction replay appends nothing (the
+    * gates guard settled before this tick runs), so the decision-log
+    * read folds keeper-grain rows instead of one row per gated document
+    * ever delivered. The sub-stores go through the substring tick
+    * (counts fold included); `gates` keeps the rows-preserved rewrite
+    * (every row IS a distinct document's fate evidence). */
+  private[graft] def compactReleaseStores(s: SparkSession, outDir: String,
+      bid: Long, filesTarget: Int): Unit = {
+    if (readIfExists(s, s"$outDir/gates").isDefined)
+      graft.ingest.Sinks.compact(s, s"$outDir/gates", filesTarget): Unit
+    if (readIfExists(s, s"$outDir/hashes").isDefined)
+      graft.ingest.Sinks.compact(s, s"$outDir/hashes", filesTarget,
+        transform = _.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("h"))): Unit
+    compactSubstringStores(s, s"$outDir/sub", bid, filesTarget)
+  }
 
   /** One [[maintainRelease]] micro-batch — extracted so specs and the
     * q214 in-query build can drive batches directly. */

@@ -942,6 +942,82 @@ class StreamIngestSpec extends SparkSuite {
     assert(fs.exists(h) && !fs.exists(hStaged))
   }
 
+  test("maintainRelease: compaction pre-folds hashes; decisions and replay law survive the tick") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mrel_cmp").toString
+    val filler = (1 to 30).map(i => s"unique$i").mkString(" ")
+    val docs = Seq(
+      (3L, "en", s"twin text $filler"),          // late-arriving SMALLEST twin
+      (4L, "en", s"training document one $filler"),
+      (6L, "en", s"training document two $filler"),
+      (11L, "en", s"twin text $filler"),
+      (13L, "en", s"solo document $filler"),
+      (15L, "en", s"twin text $filler"))         // in-batch twin of 11 —
+      .toDF("doc_id", "lang", "text")            // gives the fold rows to merge
+    graft.ext.TextAnalysis.langIdWeights(docs).write.parquet(s"$root/weights")
+    // twin stores: A compacts after batch 0, B never; the smaller twin
+    // (id 3) arrives AFTER A's tick, so the read-time keeper min-fold
+    // must span folded rows AND post-tick deltas
+    def drive(out: String, tick: Boolean): Unit = {
+      StreamIngest.releaseBatch(docs.where($"doc_id" > 3L), out,
+        s"$root/weights", 0L, minLen = 40, k = 20)
+      if (tick) StreamIngest.compactReleaseStores(spark, out, 0L, 1)
+      StreamIngest.releaseBatch(docs.where($"doc_id" === 3L), out,
+        s"$root/weights", 1L, minLen = 40, k = 20)
+      ()
+    }
+    drive(s"$root/a", tick = true)
+    drive(s"$root/b", tick = false)
+    def dec(out: String) = StreamIngest.readReleaseDecisions(spark, out)
+      .as[(Long, String)].collect().toMap
+    val (a, b) = (dec(s"$root/a"), dec(s"$root/b"))
+    assert(a == b, s"compaction changed decisions: $a vs $b")
+    // the keeper law held across the boundary: late-arriving smallest
+    // twin survives, both folded first arrivals are dedup casualties
+    assert(a(11L) == "dedup_exact" && a(15L) == "dedup_exact"
+      && a(3L) != "dedup_exact", a.toString)
+    // hashes was genuinely pre-folded at the tick: A carries one row
+    // per distinct hash from batch 0 plus batch 1's delta; B one row
+    // per gated document
+    assert(spark.read.parquet(s"$root/a/hashes").count() <
+      spark.read.parquet(s"$root/b/hashes").count())
+    // replay after the tick is still a full no-op
+    val before = Seq("gates", "hashes", "sub/texts")
+      .map(d => spark.read.parquet(s"$root/a/$d").count())
+    StreamIngest.releaseBatch(docs.where($"doc_id" === 3L), s"$root/a",
+      s"$root/weights", 1L, minLen = 40, k = 20)
+    assert(Seq("gates", "hashes", "sub/texts")
+      .map(d => spark.read.parquet(s"$root/a/$d").count()) == before)
+    assert(dec(s"$root/a") == b)
+  }
+
+  test("sink compaction: a racing reader's restore mid-swap is detected, never nested") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmp_race").toString + "/sink"
+    (1L to 40L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val want = spark.read.parquet(dir).collect().map(_.mkString("|")).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    // the race residue: a compactor staged the sink aside, a reader's
+    // recoverCompact restored it, and the compactor's swap rename then
+    // NESTED its rewrite inside the live sink before it crashed —
+    // exactly the compactComponentLog TOCTOU, on the generic compactor
+    val nested = new org.apache.hadoop.fs.Path(path,
+      path.getName + "._compact_tmp")
+    spark.read.parquet(dir).repartition(1).write.parquet(nested.toString)
+    assert(fs.exists(nested))
+    // recovery cleans the residue before any read
+    graft.ingest.Sinks.recoverCompact(spark, dir)
+    assert(!fs.exists(nested))
+    assert(spark.read.parquet(dir).collect().map(_.mkString("|")).toSet == want)
+    // and a fresh compaction over the recovered sink runs clean
+    val (nb, na) = graft.ingest.Sinks.compact(spark, dir, filesTarget = 1)
+    assert(nb >= 8L && na == 1L)
+    assert(spark.read.parquet(dir).collect().map(_.mkString("|")).toSet == want)
+  }
+
   test("substring store: an empty _meta.json crash residue is replaced, not a permanent wedge") {
     import spark.implicits._
     val out = Files.createTempDirectory("ssi_metacrash").toString + "/store"
