@@ -115,7 +115,8 @@ object Bench {
       "q147_dedup_cascade", "q190_release_pipeline", "q191_closure_delta",
       "q192_cc_delta", "q205_substring_indexed", "q206_release_substring",
       "q212_release_decisions", "q214_release_decisions_maintained",
-      "q216_top_passages_maintained", "q217_substring_stream_pairs")
+      "q215_ann_ivfpq_recall", "q216_top_passages_maintained",
+      "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

@@ -463,6 +463,11 @@ object ExtQueries {
         StreamIngest.substringIndexBatch(
           docs.where(pred), s"$p/store", bid.toLong, minLen = 40, k = 20)
       }
+      // production posture: the maintained store runs with compaction
+      // ON, so the registered reads price the FOLDED store (counts at
+      // one row per passage) — the driver gate then proves the fold
+      // path end-to-end, not just the delta path
+      StreamIngest.compactSubstringStores(s, s"$p/store", 2L, 8)
     }
 
   val all: Seq[(String, Q)] = Seq(
@@ -4760,6 +4765,11 @@ object ExtQueries {
               docs.where(pred), s"$p/store", s"$p/weights", bid.toLong,
               minLen = 40, k = 20)
           }
+          // production posture: maintenance ON — the decision-log read
+          // prices the keeper-grain folded hash log (the driver gate
+          // then proves the fold path, not just the delta path)
+          graft.streaming.StreamIngest.compactReleaseStores(
+            s, s"$p/store", 2L, 8)
         }
         graft.streaming.StreamIngest.readReleaseDecisions(
           s, s"$store/store", totalBudget = 6000L)
