@@ -116,7 +116,8 @@ object Bench {
       "q192_cc_delta", "q205_substring_indexed", "q206_release_substring",
       "q212_release_decisions", "q214_release_decisions_maintained",
       "q215_ann_ivfpq_recall", "q216_top_passages_maintained",
-      "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep")
+      "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep",
+      "q219_ann_ivfpq_index_add")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

@@ -509,6 +509,93 @@ object KMeans {
        |GROUP BY b.q_id""".stripMargin
   }
 
+  /** DuckDB oracle for the INCREMENTAL index path (q219): codebooks
+    * trained ONLY on the rows satisfying `trainWhere` (the settled
+    * corpus the index was built on — FAISS train), every vector —
+    * settled AND later-added — coarse-assigned, residual-encoded and
+    * PQ-coded against those FROZEN codebooks (FAISS add), then the
+    * identical probe/ADC/shortlist/rerank chain as [[ivfpqOracleSql]].
+    * The assignment arithmetic is [[assignCteSql]] either way (the
+    * engine shares the argmin between training-time assignment and
+    * `assignTo`), so train-then-add must be hash-equal to this chain —
+    * which is exactly the law the driver gate proves. */
+  def ivfpqIncrementalOracleSql(dim: Int, nCoarse: Int, nQueries: Int,
+                                topK: Int, m: Int, kSub: Int, iters: Int,
+                                nprobe: Int, shortlist: Int,
+                                trainWhere: String): String = {
+    val subDim = dim / m
+    def lo(i: Int) = i * subDim + 1
+    def hi(i: Int) = i * subDim + subDim
+    val ldp = "list_dot_product"
+    val coarseChain = fitCtesSql(nCoarse, iters, dim, sfx = "_cv",
+      vSql = Some(s"SELECT vec_id, q FROM eb WHERE $trainWhere"))
+    val pqChains = (0 until m).map { i =>
+      fitCtesSql(kSub, iters, subDim, sfx = s"_$i",
+        vSql = Some(
+          s"SELECT vec_id, r[${lo(i)}:${hi(i)}] AS q FROM res WHERE $trainWhere"))
+    }.mkString(",\n")
+    // ALL-vector residual slices for code assignment (the add path):
+    // the training chains above see only the settled rows
+    val vallCtes = (0 until m).map { i =>
+      s"vall_$i AS (SELECT vec_id, r[${lo(i)}:${hi(i)}] AS q FROM res)"
+    }.mkString(",\n")
+    val codeCtes = (0 until m).map { i =>
+      s"codes_$i AS (${assignCteSql(kSub, s"c$iters" + s"_$i", s"vall_$i")})"
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(i =>
+      s"SELECT vec_id, $i AS m, cluster FROM codes_$i").mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(i =>
+      s"""SELECT q.vec_id AS q_id, $i AS m, c.c_id,
+         |  cast($ldp(q.q[${lo(i)}:${hi(i)}], c.cvec) AS BIGINT) AS d
+         |  FROM eb q, c${iters}_$i c WHERE q.vec_id < $nQueries""".stripMargin)
+      .mkString(" UNION ALL ")
+    val cos =
+      s"$ldp(qv.q, xv.q) / (sqrt($ldp(qv.q, qv.q)) * sqrt($ldp(xv.q, xv.q)))"
+    s"""WITH eb AS (SELECT vec_id, q FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |    FROM embeddings) WHERE $ldp(q, q) > 0),
+       |$coarseChain,
+       |cvassign AS (${assignCteSql(nCoarse, s"c${iters}_cv", "eb")}),
+       |res AS (
+       |  SELECT a.vec_id, a.cluster AS bucket,
+       |    list(a.q[i] - c.cvec[i] ORDER BY i) AS r
+       |  FROM cvassign a JOIN c${iters}_cv c ON c.c_id = a.cluster,
+       |       range(1, ${dim + 1}) t(i)
+       |  GROUP BY a.vec_id, a.cluster),
+       |$pqChains,
+       |$vallCtes,
+       |$codeCtes,
+       |codes AS ($codesUnion),
+       |probes AS (SELECT q_id, c_id AS bucket, qc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS prn
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, c.c_id,
+       |        cast($ldp(q.q, q.q) + $ldp(c.cvec, c.cvec)
+       |          - 2 * $ldp(q.q, c.cvec) AS BIGINT) AS dist,
+       |        cast($ldp(q.q, c.cvec) AS BIGINT) AS qc
+       |      FROM eb q, c${iters}_cv c WHERE q.vec_id < $nQueries))
+       |  WHERE prn <= $nprobe),
+       |lut AS ($lutUnion),
+       |cand AS (
+       |  SELECT p.q_id, r.vec_id, p.qc FROM res r JOIN probes p ON p.bucket = r.bucket
+       |  WHERE r.vec_id != p.q_id),
+       |approx AS (
+       |  SELECT cand.q_id, cand.vec_id, any_value(cand.qc) + sum(l.d) AS approx
+       |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+       |            JOIN lut l ON l.q_id = cand.q_id AND l.m = c.m AND l.c_id = c.cluster
+       |  GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS srn
+       |    FROM approx) WHERE srn <= $shortlist),
+       |scored AS (
+       |  SELECT s.q_id, s.vec_id, $cos AS cos
+       |  FROM short s JOIN eb qv ON qv.vec_id = s.q_id JOIN eb xv ON xv.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
+  }
+
   def clusterOracleSql(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${assignCtesSql(k, iters, dim)}
        |SELECT vec_id, cast(cluster AS BIGINT) AS cluster FROM final""".stripMargin

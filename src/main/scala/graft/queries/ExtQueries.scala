@@ -5250,6 +5250,42 @@ object ExtQueries {
             shortlist = 1 << 20) + "\n)"
       }.mkString("\nUNION ALL\n")),
 
+    // ── INCREMENTAL ANN index maintenance, driver-proven (round-13) ────
+    // The FAISS train/add contract as an oracle row: codebooks train
+    // ONCE on the settled corpus (vec_id ≤ 4/5 of max — the deployed
+    // index), the remaining fifth arrives later and is ADDED with the
+    // codebooks FROZEN (Similarity.ivfpqIndexAdd — coarse-assign,
+    // residual-encode, PQ-code, append to the bucket-partitioned codes;
+    // no retrain, no rewrite of settled codes), and the standard probe
+    // then searches the union. The oracle replays exactly that:
+    // fit chains restricted to the settled rows, assignment CTEs over
+    // ALL rows, then the verbatim probe/ADC/shortlist/rerank chain —
+    // so the driver hash gate proves train-then-add == one coherent
+    // index over the union (previously a spec-only law in
+    // StreamExtSpec's continuous-ANN-ingest test). Session-cached
+    // build (the q205 pricing discipline): pass 1 builds + adds.
+    "q219_ann_ivfpq_index_add" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.util.SessionStore.getOrBuild(
+          s"ivfadd|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "ivfadd") { p =>
+          val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+            .head().getLong(0) * 4 / 5
+          Similarity.buildIvfpqIndex(emb.where(col("vec_id") <= cut),
+            dim = 64, nCoarse = 8, m = 4, kSub = 16, iters = 1,
+            path = s"$p/idx")
+          Similarity.ivfpqIndexAdd(s"$p/idx", emb.where(col("vec_id") > cut),
+            dim = 64, m = 4)
+        }
+        Similarity.ivfpqTopKFromIndex(s"$idx/idx", emb, dim = 64,
+          nQueries = 8, k = 5, m = 4, nprobe = 2, shortlist = 32)
+      },
+      KMeans.ivfpqIncrementalOracleSql(dim = 64, nCoarse = 8, nQueries = 8,
+        topK = 5, m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32,
+        trainWhere =
+          "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

@@ -596,6 +596,14 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q219: the incremental-index probe partition-prunes the codes scan — no cartesian") {
+    val plan = planOf("q219_ann_ivfpq_index_add")
+    // the probed buckets land as literals on the bucket-partitioned
+    // codes relation, so the scan reads nprobe/nCoarse of the index
+    assert(plan.contains("bucket"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q216/q217: maintained substring reads fold STORES — no corpus re-fingerprint in the pair log") {
     // q216 (round-13): a PURE fold of the counts sidecar — distinct,
     // sum per passage, top-k. No winnow kernel, no corpus text scan,
