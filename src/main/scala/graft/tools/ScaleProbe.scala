@@ -508,6 +508,48 @@ object ScaleProbe {
         s"(alpha ${fmt(math.log10(si10 / si1))}) full ${fmt(sf1)}->${fmt(sf10)}s " +
         s"(alpha ${fmt(math.log10(sf10 / sf1))})")
     }
+    // Incremental ANN maintenance (round-13, q219's scale shape): with
+    // a FIXED batch of new vectors, ivfpqIndexAdd must stay ~flat as
+    // the settled index grows 10× (assignment is batch × broadcast
+    // codebooks; the append touches only the buckets the batch lands
+    // in), while a full rebuild retrains + recodes the whole corpus.
+    if (only.forall(_.contains("incremental_ann"))) {
+      import org.apache.spark.sql.functions.col
+      def annProbe(n: Long): (Double, Double) = {
+        val all = synthEmb(spark, n, 64).localCheckpoint(true)
+        val batch = all.where(col("vec_id") % 40 === 7).limit(500)
+          .localCheckpoint(true)
+        val settled = all.join(batch.select(col("vec_id")), Seq("vec_id"),
+          "left_anti").localCheckpoint(true)
+        val idx = java.nio.file.Files.createTempDirectory("annadd").toString
+        Similarity.buildIvfpqIndex(settled, dim = 64, nCoarse = 16,
+          m = 4, kSub = 16, iters = 1, path = idx)
+        // single-shot timing: a second add would append the batch twice
+        // (callers own vec_id uniqueness), so no timeMin here
+        val t0 = System.nanoTime()
+        Similarity.ivfpqIndexAdd(idx, batch, dim = 64, m = 4)
+        spark.read.parquet(s"$idx/codes").count()
+        val tAdd = (System.nanoTime() - t0) / 1e9
+        val idx2 = java.nio.file.Files.createTempDirectory("annfull").toString
+        val t1 = System.nanoTime()
+        Similarity.buildIvfpqIndex(all, dim = 64, nCoarse = 16,
+          m = 4, kSub = 16, iters = 1, path = idx2)
+        spark.read.parquet(s"$idx2/codes").count()
+        val tFull = (System.nanoTime() - t1) / 1e9
+        (tAdd, tFull)
+      }
+      val (ai1, af1) = annProbe(20000L)
+      val (ai10, af10) = annProbe(200000L)
+      if (out.length > 1) out ++= ","
+      out ++= s""""ann_index_add":{"t_add1":${fmt(ai1)},"t_add10":${fmt(ai10)}"""
+      out ++= s""","alpha_add":${fmt(math.log10(ai10 / ai1))}"""
+      out ++= s""","t_full1":${fmt(af1)},"t_full10":${fmt(af10)}"""
+      out ++= s""","alpha_full":${fmt(math.log10(af10 / af1))}}"""
+      println(s"[scaleprobe] ann_index_add add ${fmt(ai1)}->${fmt(ai10)}s " +
+        s"(alpha ${fmt(math.log10(ai10 / ai1))}) full ${fmt(af1)}->${fmt(af10)}s " +
+        s"(alpha ${fmt(math.log10(af10 / af1))})")
+    }
+
     // Session-store economics (round-13): the expensive build-once
     // artifacts and their maintained reads, priced at 1×/10× corpus.
     // The claim under test: BUILD cost is corpus-linear (alpha ≈ 1, or

@@ -713,6 +713,42 @@ class StreamIngestSpec extends SparkSuite {
     assert(got() == want, "double-appended deltas were double-counted")
   }
 
+  test("counts additivity is partition-independent: random batchings all fold to the one-shot") {
+    import spark.implicits._
+    // the law the maintained report rests on: for ANY partition of the
+    // corpus into batches, summing per-batch passage rollups equals the
+    // one-shot rollup (docs are batch-disjoint ⇒ countDistinct terms
+    // sum exactly). Deterministic seeds, 3 random batchings.
+    // four shared ~70-char blocks (site chrome) between unique ends —
+    // every block's windows are duplicated across ~15 docs
+    val blocks = (0 to 3).map(b => (1 to 10).map(i => s"chrome$b$i").mkString(" "))
+    def docText(id: Long): String = {
+      val rnd = new scala.util.Random(id * 2654435761L)
+      s"u${rnd.nextInt(1000)} head ${blocks((id % 4).toInt)} tail " +
+        (1 to 4).map(_ => s"x${rnd.nextInt(1000)}").mkString(" ")
+    }
+    val docs = (1L to 60L).map(i => (i, docText(i)))
+    val want = graft.ext.TextAnalysis.topDuplicatedPassages(
+        docs.toDF("doc_id", "text"), len = 40, minDocs = 2, k = 100)
+      .as[(String, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nB = 2 + rnd.nextInt(4) // 2..5 batches
+      val assign = docs.map { case (id, t) => (rnd.nextInt(nB), id, t) }
+      val out = Files.createTempDirectory(s"cnt_prop$seed").toString + "/store"
+      (0 until nB).foreach { b =>
+        val rows = assign.filter(_._1 == b).map(x => (x._2, x._3))
+        if (rows.nonEmpty)
+          StreamIngest.substringIndexBatch(rows.toDF("doc_id", "text"),
+            out, b.toLong, 40, 20)
+      }
+      val got = StreamIngest.readTopPassages(spark, out, len = 40,
+        minDocs = 2, k = 100).as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed ($nB batches): fold != one-shot")
+    }
+  }
+
   test("substring index: replay of the fp-appended/texts-missing crash window is exactly-once") {
     import spark.implicits._
     val out = Files.createTempDirectory("ssi_crash").toString + "/store"
