@@ -678,6 +678,40 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
   }
 
+  /** EXACTLY-ONCE wrapper of [[ivfpqIndexAdd]] for at-least-once
+    * delivery (round-13): [[ivfpqIndexAdd]] itself appends
+    * unconditionally ("callers own vec_id uniqueness"), which a
+    * replayed micro-batch violates — duplicate code rows double the ADC
+    * residual sums and corrupt every later ranking. This wrapper
+    * coarse-assigns the batch first (batch × broadcast codebook — the
+    * frozen codebooks make assignment replay-independent), reads the
+    * vec_ids already coded in ONLY the buckets the batch lands in (the
+    * probe path's partition-pruned, column-pruned scan), and adds the
+    * fresh remainder: a replayed batch finds itself settled and appends
+    * nothing. Returns the number of vectors added. */
+  def ivfpqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
+                         m: Int = 4): Long = {
+    val spark = batch.sparkSession
+    val e = prepared(batch).where(col("norm") > 0)
+      .select(col("vec_id"), col("q")).localCheckpoint(true)
+    if (e.isEmpty) return 0L
+    val coarseCents = spark.read.parquet(s"$path/coarse")
+    val nCoarse = coarseCents.count().toInt
+    // driver-side bucket-id collect: ≤ min(|batch|, nCoarse) rows —
+    // metadata-sized, the ivfpqTopKFromIndex probe-list discipline
+    val hit = KMeans.assignTo(e, coarseCents, nCoarse)
+      .select(col("cluster")).distinct().collect().map(_.getLong(0))
+    val settled = spark.read.parquet(s"$path/codes")
+      .where(col("bucket").isin(hit.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    val fresh = batch.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(settled, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // counted AND re-encoded below
+    val n = fresh.count()
+    if (n > 0) ivfpqIndexAdd(path, fresh, dim, m)
+    n
+  }
+
   /** Probe a [[buildIvfpqIndex]] artifact: identical results to
     * [[ivfpqTopK]] at the same parameters (training is deterministic and
     * the probe logic is the SAME code), but the corpus-sized work reads

@@ -5286,6 +5286,46 @@ object ExtQueries {
         trainWhere =
           "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
 
+    // ── STREAMED index adds, replay-guarded, driver-proven (round-13) ──
+    // q219 proves ONE bulk add; this proves the CONTINUOUS path: the
+    // tail arrives as two micro-batches through the replay-guarded
+    // batch body (Similarity.ivfpqIndexAddBatch — the maintainAnnIndex
+    // per-batch work), and the SECOND batch is deliberately REDELIVERED
+    // inside the build. The oracle is q219's verbatim: codes under
+    // frozen codebooks are per-vector arithmetic, so batch boundaries
+    // don't matter — and a replay-guard failure would double the ADC
+    // residual sums and hash-mismatch, so the driver gate itself proves
+    // exactly-once, not just parity.
+    "q220_ann_index_add_stream" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.util.SessionStore.getOrBuild(
+          s"ivfaddstr|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "ivfaddstr") { p =>
+          val maxId = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+            .head().getLong(0)
+          val cut = maxId * 4 / 5
+          val mid = cut + (maxId - cut) / 2
+          Similarity.buildIvfpqIndex(emb.where(col("vec_id") <= cut),
+            dim = 64, nCoarse = 8, m = 4, kSub = 16, iters = 1,
+            path = s"$p/idx")
+          Similarity.ivfpqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > cut && col("vec_id") <= mid),
+            dim = 64, m = 4)
+          Similarity.ivfpqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > mid), dim = 64, m = 4)
+          // at-least-once: the last batch replays verbatim
+          Similarity.ivfpqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > mid), dim = 64, m = 4): Unit
+        }
+        Similarity.ivfpqTopKFromIndex(s"$idx/idx", emb, dim = 64,
+          nQueries = 8, k = 5, m = 4, nprobe = 2, shortlist = 32)
+      },
+      KMeans.ivfpqIncrementalOracleSql(dim = 64, nCoarse = 8, nQueries = 8,
+        topK = 5, m = 4, kSub = 16, iters = 1, nprobe = 2, shortlist = 32,
+        trainWhere =
+          "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula

@@ -957,6 +957,36 @@ object StreamIngest {
           .otherwise(lit("kept")).as("fate"))
   }
 
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** CONTINUOUS ANN index maintenance — FAISS add as a stream: each
+    * micro-batch of new embeddings is coded against the FROZEN
+    * codebooks of a deployed [[graft.ext.Similarity.buildIvfpqIndex]]
+    * artifact and appended to the bucket-partitioned codes relation
+    * through the replay-guarded
+    * [[graft.ext.Similarity.ivfpqIndexAddBatch]] (at-least-once
+    * delivery lands exactly-once — a redelivered batch assigns to the
+    * same buckets, finds itself settled, appends nothing). Per-batch
+    * cost: batch × broadcast-codebook assignment + a partition-pruned
+    * settled-id probe of only the touched buckets — never an index
+    * rewrite, never a retrain (codebook drift is handled by rebuilding,
+    * the standard operational contract). q219/q220 drive the driver
+    * gate: codes under frozen codebooks are per-vector arithmetic, so
+    * train-then-stream-adds equals one coherent index over the union
+    * regardless of batch boundaries or arrival order. */
+  def maintainAnnIndex(spark: SparkSession, srcDir: String,
+                       checkpointDir: String, indexPath: String,
+                       dim: Int, m: Int = 4): StreamingQuery =
+    spark.readStream.schema(embeddingSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Similarity.ivfpqIndexAddBatch(indexPath, batch, dim, m): Unit
+      }
+      .start()
+
   val edgeSchema: StructType = StructType(Seq(
     StructField("a", LongType), StructField("b", LongType)))
 

@@ -73,20 +73,26 @@ class StreamExtSpec extends SparkSuite {
     def vecJson(id: Long, v: Array[Float]): String =
       s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
     val src = Files.createTempDirectory("stream_ivfpq_src").toString
-    val q = spark.readStream.schema(embSchema).json(src)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.ivfpqIndexAdd(idx, batch, dim = 16, m = 4)
-      }.start()
+    val chk = Files.createTempDirectory("stream_ivfpq_chk").toString
+    // the engine-level stream: replay-guarded adds (ivfpqIndexAddBatch),
+    // so at-least-once delivery lands exactly-once in the codes
+    val q = StreamIngest.maintainAnnIndex(spark, src, chk, idx, dim = 16, m = 4)
     Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
       streamVecs.take(20).map((vecJson _).tupled).mkString("\n").getBytes)
     q.processAllAvailable()
     Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
       streamVecs.drop(20).map((vecJson _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable()
+    // REDELIVER batch 2's content (a new file, same vectors): the
+    // guard must suppress every re-arrived vector
+    Files.write(java.nio.file.Paths.get(s"$src/b2_replay.json"),
+      streamVecs.drop(20).map((vecJson _).tupled).mkString("\n").getBytes)
     q.processAllAvailable(); q.stop()
 
     val codes = spark.read.parquet(s"$idx/codes")
     assert(codes.count() == 100L * 4) // seed 60 + streamed 40, m=4 codes each
+    assert(codes.select("vec_id").distinct().count() == 100L,
+      "replayed vectors were double-coded")
     val corpus = (seedVecs ++ streamVecs).toDF("vec_id", "embedding")
     val top = Similarity.ivfpqTopKFromIndex(idx, corpus, dim = 16,
       nQueries = 1, k = 3, m = 4, nprobe = 4, shortlist = 100)
