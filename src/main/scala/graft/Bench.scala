@@ -117,7 +117,8 @@ object Bench {
       "q212_release_decisions", "q214_release_decisions_maintained",
       "q215_ann_ivfpq_recall", "q216_top_passages_maintained",
       "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep",
-      "q219_ann_ivfpq_index_add", "q220_ann_index_add_stream")
+      "q219_ann_ivfpq_index_add", "q220_ann_index_add_stream",
+      "q221_funnel_maintained")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

@@ -470,6 +470,57 @@ object ExtQueries {
       StreamIngest.compactSubstringStores(s, s"$p/store", 2L, 8)
     }
 
+  /** The q142 fixture: documents with deterministic synthetic PII
+    * injected into doc_id % 13 = 5 (the q64 discipline — the 'pii'
+    * funnel rung must be exercised by real rows). Shared by the
+    * one-shot funnel (q142) and its maintained twin (q221). */
+  private def piiInjectedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      org.apache.spark.sql.functions.when(col("doc_id") % 13 === 5,
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(col("text")).as("text"))
+
+  /** q142's funnel oracle — injection, every signal, the priority
+    * CASE, the (lang, reason) rollup. Shared VERBATIM by q221 (the
+    * maintained sidecar fold must be hash-equal to the one-shot). */
+  private lazy val filterFunnelOracleSql: String = {
+    val piiCounts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+      s"cast(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name" }
+      .mkString(",\n  ")
+    s"""WITH base AS (SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 13 = 5
+       |      THEN text || ' reach user' || cast(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM base),
+       |g AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sc),
+       |tok AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM base),
+       |reps AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_grams,
+       |               cast(max(c) AS BIGINT) AS top_rep FROM
+       |  (SELECT doc_id, g2, count(*) AS c FROM
+       |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g2
+       |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |                 FROM base) WHERE len(t) >= 2))
+       |   GROUP BY 1, 2) GROUP BY doc_id),
+       |pii AS (SELECT doc_id, $piiCounts FROM base),
+       |r AS (SELECT b.lang, tok.n_tokens,
+       |  CASE WHEN g.lang_guess <> b.lang THEN 'lang_mismatch'
+       |       WHEN tok.n_tokens < 25 THEN 'too_short'
+       |       WHEN coalesce(reps.n_grams, 0) > 0
+       |            AND reps.top_rep * 20 >= reps.n_grams THEN 'repetitive'
+       |       WHEN pii.n_email + pii.n_ip + pii.n_phone > 0 THEN 'pii'
+       |       ELSE 'kept' END AS reason
+       |  FROM base b JOIN g USING (doc_id) JOIN tok USING (doc_id)
+       |  LEFT JOIN reps USING (doc_id) JOIN pii USING (doc_id))
+       |SELECT lang, reason, cast(count(*) AS BIGINT) AS n_docs,
+       |  cast(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM r GROUP BY lang, reason""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ── exact dedup: content-hash groupBy, first-wins ──────────────────
@@ -2953,50 +3004,40 @@ object ExtQueries {
     // discipline); the oracle replays injection, every signal, and the
     // priority CASE.
     "q142_filter_funnel" -> Q(
+      (s, dir) => Prep.filterFunnel(piiInjectedDocs(s, dir)),
+      filterFunnelOracleSql),
+
+    // ── CONTINUOUSLY-MAINTAINED filter funnel (round-13) ───────────────
+    // monitorQuality's sidecar read promoted from spec-only additivity
+    // to an oracle row: the PII-injected corpus is delivered as three
+    // modular batches through the stream's verbatim per-batch body
+    // (one batch-sized funnel rollup appended per batch, batch-stamped),
+    // and the read folds the sidecar — funnel attribution is per-ROW,
+    // so per-batch rollups sum exactly to the one-shot regardless of
+    // how documents split into micro-batches. The oracle is q142's
+    // VERBATIM, so the driver hash gate proves the additivity law the
+    // StreamIngestSpec pins, on the real fixture at 3 SFs. The read is
+    // sidecar-sized (batches × |lang × reason| rows) — the corpus is
+    // never re-scanned, the dashboard-read shape monitorQuality exists
+    // for. Session-cached pricing (q205 discipline).
+    "q221_funnel_maintained" -> Q(
       (s, dir) => {
-        val injected = Tables.documents(s, dir).select(col("doc_id"),
-          col("lang"),
-          org.apache.spark.sql.functions.when(col("doc_id") % 13 === 5,
-            concat(col("text"), lit(" reach user"),
-              col("doc_id").cast("string"), lit("@example.com")))
-            .otherwise(col("text")).as("text"))
-        Prep.filterFunnel(injected)
+        val store = graft.util.SessionStore.getOrBuild(
+          s"funnel|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "funnel") { p =>
+          val docs = piiInjectedDocs(s, dir)
+          (0 to 2).foreach { b =>
+            Prep.filterFunnel(docs.where(col("doc_id") % 3 === b))
+              .withColumn("batch_id", lit(b.toLong))
+              .coalesce(1).write.mode("append").parquet(s"$p/stats")
+          }
+        }
+        s.read.parquet(s"$store/stats")
+          .groupBy(col("lang"), col("reason"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
       },
-      {
-        val piiCounts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
-          s"cast(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name" }
-          .mkString(",\n  ")
-        s"""WITH base AS (SELECT doc_id, lang,
-           |    CASE WHEN doc_id % 13 = 5
-           |      THEN text || ' reach user' || cast(doc_id AS VARCHAR) || '@example.com'
-           |      ELSE text END AS text
-           |  FROM documents),
-           |sc AS (SELECT doc_id, lang, text, $langScoresSql FROM base),
-           |g AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sc),
-           |tok AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-           |        FROM base),
-           |reps AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_grams,
-           |               cast(max(c) AS BIGINT) AS top_rep FROM
-           |  (SELECT doc_id, g2, count(*) AS c FROM
-           |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g2
-           |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-           |           FROM (SELECT doc_id, string_split(text, ' ') AS t
-           |                 FROM base) WHERE len(t) >= 2))
-           |   GROUP BY 1, 2) GROUP BY doc_id),
-           |pii AS (SELECT doc_id, $piiCounts FROM base),
-           |r AS (SELECT b.lang, tok.n_tokens,
-           |  CASE WHEN g.lang_guess <> b.lang THEN 'lang_mismatch'
-           |       WHEN tok.n_tokens < 25 THEN 'too_short'
-           |       WHEN coalesce(reps.n_grams, 0) > 0
-           |            AND reps.top_rep * 20 >= reps.n_grams THEN 'repetitive'
-           |       WHEN pii.n_email + pii.n_ip + pii.n_phone > 0 THEN 'pii'
-           |       ELSE 'kept' END AS reason
-           |  FROM base b JOIN g USING (doc_id) JOIN tok USING (doc_id)
-           |  LEFT JOIN reps USING (doc_id) JOIN pii USING (doc_id))
-           |SELECT lang, reason, cast(count(*) AS BIGINT) AS n_docs,
-           |  cast(sum(n_tokens) AS BIGINT) AS n_tokens
-           |FROM r GROUP BY lang, reason""".stripMargin
-      }),
+      filterFunnelOracleSql),
 
     // ── quality-stratified token-budget mixing ─────────────────────────
     // The quality-weighted sampling recipe: docs tier by their corpus-
