@@ -692,7 +692,11 @@ object Similarity {
   def ivfpqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                          m: Int = 4): Long = {
     val spark = batch.sparkSession
-    val e = prepared(batch).where(col("norm") > 0)
+    // WITHIN-batch dedup too: at-least-once delivery can duplicate a
+    // vector inside one batch just as easily as across batches, and
+    // ivfpqIndexAdd would code every copy
+    val b = batch.dropDuplicates("vec_id")
+    val e = prepared(b).where(col("norm") > 0)
       .select(col("vec_id"), col("q")).localCheckpoint(true)
     if (e.isEmpty) return 0L
     val coarseCents = spark.read.parquet(s"$path/coarse")
@@ -704,7 +708,7 @@ object Similarity {
     val settled = spark.read.parquet(s"$path/codes")
       .where(col("bucket").isin(hit.toIndexedSeq: _*))
       .select(col("vec_id"))
-    val fresh = batch.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val fresh = b.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .join(settled, Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // counted AND re-encoded below
     val n = fresh.count()
