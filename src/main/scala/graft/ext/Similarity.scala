@@ -651,18 +651,29 @@ object Similarity {
   def ivfpqIndexAdd(path: String, newVectors: DataFrame, dim: Int,
                     m: Int = 4): Unit = {
     val spark = newVectors.sparkSession
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val subDim = dim / m
     val coarseCents = spark.read.parquet(s"$path/coarse")
-    val pqCents = spark.read.parquet(s"$path/pq")
-    // codebook sizes from the artifacts themselves (k rows; driver-side
+    // codebook size from the artifact itself (k rows; driver-side
     // count of a kilobyte relation)
     val nCoarse = coarseCents.count().toInt
-    val kSub = (pqCents.count() / m).toInt
     val e = prepared(newVectors).where(col("norm") > 0)
     val buckets = KMeans.assignTo(e.select(col("vec_id"), col("q")),
       coarseCents, nCoarse)
       .withColumnRenamed("cluster", "bucket")
+    ivfpqAddAssigned(path, e, buckets, coarseCents, dim, m)
+  }
+
+  /** The encode+append half of the add path — residual against the
+    * assigned coarse centroid, per-subspace PQ assignment, append to
+    * the bucket-partitioned codes — factored so [[ivfpqIndexAdd]] and
+    * the replay-guarded [[ivfpqIndexAddBatch]] share ONE assignment
+    * pass instead of computing it twice per micro-batch. */
+  private def ivfpqAddAssigned(path: String, e: DataFrame, buckets: DataFrame,
+                               coarseCents: DataFrame, dim: Int, m: Int): Unit = {
+    val spark = e.sparkSession
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val pqCents = spark.read.parquet(s"$path/pq")
+    val kSub = (pqCents.count() / m).toInt
     val encoded = e.select(col("vec_id"), col("q"))
       .join(buckets, "vec_id")
       .join(broadcast(coarseCents.select(col("c_id").as("bucket"), col("cvec"))),
@@ -678,41 +689,45 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
   }
 
-  /** EXACTLY-ONCE wrapper of [[ivfpqIndexAdd]] for at-least-once
-    * delivery (round-13): [[ivfpqIndexAdd]] itself appends
-    * unconditionally ("callers own vec_id uniqueness"), which a
-    * replayed micro-batch violates — duplicate code rows double the ADC
-    * residual sums and corrupt every later ranking. This wrapper
-    * coarse-assigns the batch first (batch × broadcast codebook — the
-    * frozen codebooks make assignment replay-independent), reads the
-    * vec_ids already coded in ONLY the buckets the batch lands in (the
-    * probe path's partition-pruned, column-pruned scan), and adds the
-    * fresh remainder: a replayed batch finds itself settled and appends
-    * nothing. Returns the number of vectors added. */
+  /** EXACTLY-ONCE form of [[ivfpqIndexAdd]] for at-least-once
+    * delivery (round-13): the bare add appends unconditionally
+    * ("callers own vec_id uniqueness"), which a replayed micro-batch
+    * violates — duplicate code rows double the ADC residual sums and
+    * corrupt every later ranking. This form dedups WITHIN the batch,
+    * coarse-assigns ONCE (batch × broadcast codebook — the frozen
+    * codebooks make assignment replay-independent), reads the vec_ids
+    * already coded in ONLY the buckets the batch lands in (the probe
+    * path's partition-pruned, column-pruned scan), and encodes the
+    * fresh remainder off the same assignment: a replayed batch finds
+    * itself settled and appends nothing. Returns the number of
+    * vectors added. */
   def ivfpqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                          m: Int = 4): Long = {
     val spark = batch.sparkSession
-    // WITHIN-batch dedup too: at-least-once delivery can duplicate a
-    // vector inside one batch just as easily as across batches, and
-    // ivfpqIndexAdd would code every copy
-    val b = batch.dropDuplicates("vec_id")
-    val e = prepared(b).where(col("norm") > 0)
+    val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
       .select(col("vec_id"), col("q")).localCheckpoint(true)
     if (e.isEmpty) return 0L
     val coarseCents = spark.read.parquet(s"$path/coarse")
     val nCoarse = coarseCents.count().toInt
+    val assigned = KMeans.assignTo(e, coarseCents, nCoarse)
+      .withColumnRenamed("cluster", "bucket")
+      .localCheckpoint(true) // feeds the probe AND the encode
     // driver-side bucket-id collect: ≤ min(|batch|, nCoarse) rows —
     // metadata-sized, the ivfpqTopKFromIndex probe-list discipline
-    val hit = KMeans.assignTo(e, coarseCents, nCoarse)
-      .select(col("cluster")).distinct().collect().map(_.getLong(0))
+    val hit = assigned.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
     val settled = spark.read.parquet(s"$path/codes")
       .where(col("bucket").isin(hit.toIndexedSeq: _*))
       .select(col("vec_id"))
-    val fresh = b.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val freshIds = e.select(col("vec_id"))
       .join(settled, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true) // counted AND re-encoded below
-    val n = fresh.count()
-    if (n > 0) ivfpqIndexAdd(path, fresh, dim, m)
+      .localCheckpoint(true) // counted AND re-joined below
+    val n = freshIds.count()
+    if (n > 0)
+      ivfpqAddAssigned(path,
+        e.join(freshIds, Seq("vec_id"), "left_semi"),
+        assigned.join(freshIds, Seq("vec_id"), "left_semi"),
+        coarseCents, dim, m)
     n
   }
 

@@ -951,13 +951,7 @@ object TextAnalysis {
     * (q198's maximal spans are the removal grain). */
   def topDuplicatedPassages(docs: DataFrame, len: Int = 40,
       minDocs: Int = 2, k: Int = 20): DataFrame = {
-    val d = docs.select(col("doc_id"), col("text"))
-      .where(length(col("text")) >= len)
-    val wins = d
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr(s"substring(text, i, $len)").as("passage"))
+    val wins = windowsOf(docs, len)
     val hot = wins
       .select(xxhash64(col("passage")).as("h"), col("doc_id"))
       .groupBy(col("h"))
@@ -987,15 +981,24 @@ object TextAnalysis {
     * One batch-sized window explode + one groupBy; map-side partial
     * aggregation collapses repeated windows before the exchange. */
   def passageCountsOf(docs: DataFrame, len: Int): DataFrame =
+    windowsOf(docs, len)
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+
+  /** Every `len`-char window of every document as (doc_id, passage) —
+    * the ONE window projection [[topDuplicatedPassages]] (the one-shot
+    * report) and [[passageCountsOf]] (the maintained sidecar's
+    * per-batch delta) both aggregate from: the maintained report's
+    * exactness law requires the two window sets to be identical, so
+    * they must share this definition rather than re-state it. */
+  private def windowsOf(docs: DataFrame, len: Int): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= len)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"),
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $len)").as("passage"))
-      .groupBy(col("passage"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
 
   /** [[topDuplicatedPassages]]' DuckDB oracle — the direct one-phase
     * form (group every window by its text): the engine's hash

@@ -142,13 +142,22 @@ object Sinks {
       require(fs.rename(old, path) || fs.exists(path),
         s"compact recovery: could not restore $dir from ._compact_old")
     }
-    // a compactor that lost the TOCTOU race to a recovering reader and
-    // crashed before its own residue check can leave its rewrite NESTED
-    // inside the live sink (see compact) — a non-partition subdir that
-    // breaks parquet reads. One existence probe when nothing is wrong.
-    val nested = new org.apache.hadoop.fs.Path(path,
-      path.getName + "._compact_tmp")
-    if (fs.exists(path) && fs.exists(nested)) fs.delete(nested, true)
+    // Residue cleanup — BOTH loser shapes of the swap/restore race
+    // leave a non-partition subdir nested inside the live sink that
+    // breaks every later parquet read: a compactor that lost its
+    // existence probe to a recovering reader nests its REWRITE
+    // (<name>._compact_tmp), and a recoverer that lost its probe to a
+    // completing compactor nests the STAGED PRE-COMPACTION COPY
+    // (<name>._compact_old — Hadoop rename into an existing directory
+    // moves the source inside it and returns true, so the require
+    // above passes). In both cases the live sink already holds the
+    // full row set, so the nested residue is a redundant duplicate —
+    // delete it. Two existence probes when nothing is wrong.
+    if (fs.exists(path))
+      Seq("._compact_tmp", "._compact_old").foreach { sfx =>
+        val nested = new org.apache.hadoop.fs.Path(path, path.getName + sfx)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     ()
   }
 

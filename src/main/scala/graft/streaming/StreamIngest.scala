@@ -607,25 +607,37 @@ object StreamIngest {
         // the visible file either absent or complete, and any
         // pre-r13 empty/garbled residue (readSubstringMeta returned
         // None, so whatever is at `p` is unparseable) is replaced.
+        // The temp name is WRITER-UNIQUE (two racing first-contact
+        // creators must not clobber each other's bytes and silently
+        // persist the wrong grain), and the persisted file is
+        // RE-VALIDATED after the swap regardless of who won — the
+        // store contract is single-writer, but a violated contract
+        // must fail loudly, never run a 40-grain store under a meta
+        // claiming 30.
         val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
-        val tmp = new org.apache.hadoop.fs.Path(s"$outDir/._meta.json.tmp")
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$outDir/._meta.json.${java.util.UUID.randomUUID}.tmp")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val out = fs.create(tmp, true)
         try out.write(s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
         finally out.close()
-        if (fs.exists(p)) fs.delete(p, false)
-        if (!fs.rename(tmp, p)) {
-          fs.delete(tmp, false)
-          // lost a race to a concurrent writer — validate against what
-          // it persisted instead of failing the batch
-          readSubstringMeta(spark, outDir) match {
-            case Some((m, kk)) =>
-              require(m == minLen && kk == k,
-                s"substring store $outDir was concurrently created with " +
-                  s"(minLen=$m, k=$kk); refusing (minLen=$minLen, k=$k)")
-            case None => throw new IllegalStateException(
-              s"could not persist _meta.json for substring store $outDir")
-          }
+        // re-read before touching `p`: a concurrent creator may have
+        // persisted a VALID meta since the outer read saw None — only
+        // an (empty/garbled) residue that STILL parses to None may be
+        // deleted
+        readSubstringMeta(spark, outDir) match {
+          case Some(_) => fs.delete(tmp, false)
+          case None =>
+            if (fs.exists(p)) fs.delete(p, false)
+            if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        }
+        readSubstringMeta(spark, outDir) match {
+          case Some((m, kk)) =>
+            require(m == minLen && kk == k,
+              s"substring store $outDir was concurrently created with " +
+                s"(minLen=$m, k=$kk); refusing (minLen=$minLen, k=$k)")
+          case None => throw new IllegalStateException(
+            s"could not persist _meta.json for substring store $outDir")
         }
     }
 
@@ -1125,13 +1137,20 @@ object StreamIngest {
       require(fs.rename(old, path) || fs.exists(path),
         s"component-log recovery: could not restore $outDir from ._fold_old")
     }
-    // a compactor that lost the TOCTOU race (see compactComponentLog)
-    // and crashed before its own residue check can leave its fold
-    // NESTED inside the live store — a non-partition subdir that breaks
-    // parquet reads. Clean it here, before every fold; one existence
-    // probe when nothing is wrong.
-    val nested = new org.apache.hadoop.fs.Path(path, path.getName + "._fold_tmp")
-    if (fs.exists(path) && fs.exists(nested)) fs.delete(nested, true)
+    // Residue cleanup — both loser shapes of the swap/restore race
+    // leave a non-partition subdir nested inside the live store that
+    // breaks parquet reads: a compactor that lost its existence probe
+    // to a recovering reader nests its FOLD (<name>._fold_tmp), and a
+    // recoverer that lost its probe to the completing compactor nests
+    // the staged PRE-FOLD LOG (<name>._fold_old — Hadoop rename into
+    // an existing dir moves the source inside it and returns true, so
+    // the require above passes). Either way the live store is already
+    // healthy — the nested residue is a redundant duplicate; delete.
+    if (fs.exists(path))
+      Seq("._fold_tmp", "._fold_old").foreach { sfx =>
+        val nested = new org.apache.hadoop.fs.Path(path, path.getName + sfx)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     ()
   }
 

@@ -632,11 +632,14 @@ object ScaleProbe {
       }
       val tStream = (System.nanoTime() - t0) / 1e9
       def nFiles(st: String): Long = {
-        val p = java.nio.file.Paths.get(s"$stC/$st")
-        val it = java.nio.file.Files.walk(p).iterator()
-        var n = 0L
-        while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
-        n
+        // Files.walk streams hold open DirectoryStreams — close them
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$stC/$st"))
+        try {
+          val it = s.iterator()
+          var n = 0L
+          while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+          n
+        } finally s.close()
       }
       val files = Seq("fp", "texts", "pairs", "counts").map(s => s -> nFiles(s))
       val (tTop, topRows) = timeMin(graft.streaming.StreamIngest
