@@ -1054,6 +1054,43 @@ class StreamIngestSpec extends SparkSuite {
     assert(spark.read.parquet(dir).collect().map(_.mkString("|")).toSet == want)
   }
 
+  test("recovery cleans the RESTORE-side nesting residue too (._compact_old / ._fold_old)") {
+    import spark.implicits._
+    // the mirror race: a recoverer loses its existence probe to a
+    // COMPLETING compaction, and its rename(old, path) nests the staged
+    // pre-compaction copy inside the live store — rename returns true,
+    // so nothing failed loudly; the nested non-partition subdir breaks
+    // every later parquet read until recovery cleans it
+    val dir = Files.createTempDirectory("cmp_race2").toString + "/sink"
+    (1L to 20L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val want = spark.read.parquet(dir).collect().map(_.mkString("|")).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val nestedOld = new org.apache.hadoop.fs.Path(path,
+      path.getName + "._compact_old")
+    spark.read.parquet(dir).repartition(1).write.parquet(nestedOld.toString)
+    graft.ingest.Sinks.recoverCompact(spark, dir)
+    assert(!fs.exists(nestedOld))
+    assert(spark.read.parquet(dir).collect().map(_.mkString("|")).toSet == want)
+    // same shape on the component log's custom swap
+    val out = Files.createTempDirectory("ccr_nest2").toString + "/labels"
+    val edges = Seq(1L -> 2L, 5L -> 6L).toDF("a", "b")
+    graft.graph.ConnectedComponents.run(edges)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(out)
+    val wantL = StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap
+    val lp = new org.apache.hadoop.fs.Path(out)
+    val nestedFold = new org.apache.hadoop.fs.Path(lp, lp.getName + "._fold_old")
+    StreamIngest.readComponents(spark, out).withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(3L)).write.parquet(nestedFold.toString)
+    assert(StreamIngest.readComponents(spark, out)
+      .as[(Long, Long)].collect().toMap == wantL)
+    assert(!fs.exists(nestedFold))
+  }
+
   test("substring store: an empty _meta.json crash residue is replaced, not a permanent wedge") {
     import spark.implicits._
     val out = Files.createTempDirectory("ssi_metacrash").toString + "/store"
