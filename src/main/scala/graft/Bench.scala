@@ -118,7 +118,7 @@ object Bench {
       "q215_ann_ivfpq_recall", "q216_top_passages_maintained",
       "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep",
       "q219_ann_ivfpq_index_add", "q220_ann_index_add_stream",
-      "q221_funnel_maintained")
+      "q221_funnel_maintained", "q222_ann_pq_index_add")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

@@ -394,6 +394,62 @@ object KMeans {
        |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
+  /** DuckDB oracle for the INCREMENTAL flat-PQ index path (q222):
+    * per-subspace codebooks trained ONLY on rows satisfying
+    * `trainWhere` (the settled corpus the index was built on), EVERY
+    * vector coded against those frozen codebooks (the add path), then
+    * the identical ADC shortlist + exact rerank as [[pqOracleSql]] —
+    * the flat sibling of [[ivfpqIncrementalOracleSql]]. */
+  def pqIncrementalOracleSql(dim: Int, nQueries: Int, topK: Int,
+                             m: Int, kSub: Int, iters: Int,
+                             shortlist: Int, trainWhere: String): String = {
+    val subDim = dim / m
+    def lo(i: Int) = i * subDim + 1
+    def hi(i: Int) = i * subDim + subDim
+    val chains = (0 until m).map { i =>
+      fitCtesSql(kSub, iters, subDim, sfx = s"_$i",
+        vSql = Some(
+          s"SELECT vec_id, q[${lo(i)}:${hi(i)}] AS q FROM eb WHERE $trainWhere"))
+    }.mkString(",\n")
+    val vallCtes = (0 until m).map { i =>
+      s"vall_$i AS (SELECT vec_id, q[${lo(i)}:${hi(i)}] AS q FROM eb)"
+    }.mkString(",\n")
+    val codeCtes = (0 until m).map { i =>
+      s"codes_$i AS (${assignCteSql(kSub, s"c$iters" + s"_$i", s"vall_$i")})"
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(i =>
+      s"SELECT vec_id, $i AS m, cluster FROM codes_$i").mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(i =>
+      s"""SELECT q.vec_id AS q_id, $i AS m, c.c_id,
+         |  cast(list_dot_product(q.q[${lo(i)}:${hi(i)}], c.cvec) AS BIGINT) AS d
+         |  FROM eb q, c${iters}_$i c WHERE q.vec_id < $nQueries""".stripMargin)
+      .mkString(" UNION ALL ")
+    val cos =
+      "list_dot_product(qv.q, xv.q) / (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(xv.q, xv.q)))"
+    s"""WITH eb AS (SELECT vec_id, q FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT))::DOUBLE[] AS q
+       |    FROM embeddings) WHERE list_dot_product(q, q) > 0),
+       |$chains,
+       |$vallCtes,
+       |$codeCtes,
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion),
+       |approx AS (
+       |  SELECT l.q_id, c.vec_id, cast(sum(l.d) AS BIGINT) AS approx
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.cluster
+       |  WHERE c.vec_id != l.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS srn
+       |    FROM approx) WHERE srn <= $shortlist),
+       |scored AS (
+       |  SELECT s.q_id, s.vec_id, $cos AS cos
+       |  FROM short s JOIN eb qv ON qv.vec_id = s.q_id JOIN eb xv ON xv.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, cast(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $topK""".stripMargin
+  }
+
   /** DuckDB oracle for [[Similarity.ivfpqTopK]] — the FULL IVFPQ
     * composition replayed: the coarse k-means chain (integer-L2
     * assignment), residual encoding (elementwise subtraction of the

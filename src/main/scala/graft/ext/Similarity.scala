@@ -781,6 +781,42 @@ object Similarity {
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** EXACTLY-ONCE incremental add for a [[buildPqIndex]] artifact —
+    * the flat sibling of [[ivfpqIndexAddBatch]] (round-13): new vectors
+    * PQ-code against the FROZEN per-subspace codebooks and append to
+    * the codes relation; the replay guard anti-joins settled vec_ids
+    * (the flat index has no bucket partitioning to prune by, so the
+    * probe is one column-pruned scan of the 2-bytes-per-vector codes —
+    * the same read class every flat-PQ query already pays). Dedups
+    * within the batch too. Returns the number of vectors added. */
+  def pqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
+                      m: Int = 4): Long = {
+    val spark = batch.sparkSession
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
+      .select(col("vec_id"), col("q")).localCheckpoint(true)
+    if (e.isEmpty) return 0L
+    val settled = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id")).distinct()
+    val freshIds = e.select(col("vec_id"))
+      .join(settled, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // counted AND re-joined below
+    val n = freshIds.count()
+    if (n > 0) {
+      val pqCents = spark.read.parquet(s"$path/pq")
+      val kSub = (pqCents.count() / m).toInt
+      val f = e.join(freshIds, Seq("vec_id"), "left_semi")
+      val subVecs = (0 until m).map(i =>
+        f.select(col("vec_id"), lit(i).as("m"),
+          slice(col("q"), i * subDim + 1, subDim).as("q")))
+        .reduce(_ unionByName _)
+      KMeans.assignToMulti(subVecs, pqCents, kSub)
+        .write.mode("append").parquet(s"$path/codes")
+    }
+    n
+  }
+
   /** Probe a [[buildPqIndex]] artifact: identical results to [[pqTopK]]
     * at the same parameters (training is deterministic, probe logic is
     * the same code), with training amortized away — the latency a

@@ -5367,6 +5367,38 @@ object ExtQueries {
         trainWhere =
           "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
 
+    // ── flat-PQ incremental add, replay-guarded, driver-proven ─────────
+    // The q219/q220 discipline on the FLAT index family: codebooks
+    // train once on the settled four-fifths, the tail arrives through
+    // the guarded add (Similarity.pqIndexAddBatch — frozen per-subspace
+    // codebooks, settled-id anti-join) with the batch REDELIVERED
+    // inside the build, and the probe scans the union. Oracle: the
+    // pqOracleSql arithmetic with fit chains restricted to the settled
+    // rows and codes over all rows — a guard failure doubles the ADC
+    // sums and hash-mismatches, so the gate proves exactly-once.
+    "q222_ann_pq_index_add" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.util.SessionStore.getOrBuild(
+          s"pqadd|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "pqadd") { p =>
+          val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+            .head().getLong(0) * 4 / 5
+          Similarity.buildPqIndex(emb.where(col("vec_id") <= cut),
+            dim = 64, m = 4, kSub = 16, iters = 1, path = s"$p/idx")
+          Similarity.pqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > cut), dim = 64, m = 4)
+          Similarity.pqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > cut), dim = 64, m = 4): Unit
+        }
+        Similarity.pqTopKFromIndex(s"$idx/idx", emb, dim = 64,
+          nQueries = 8, k = 5, m = 4, shortlist = 64)
+      },
+      KMeans.pqIncrementalOracleSql(dim = 64, nQueries = 8, topK = 5,
+        m = 4, kSub = 16, iters = 1, shortlist = 64,
+        trainWhere =
+          "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula
