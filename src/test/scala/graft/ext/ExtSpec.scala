@@ -458,6 +458,41 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("guarded index adds are exactly-once: replay and within-batch dups code nothing twice") {
+    // IVFPQ form
+    val p1 = java.nio.file.Files.createTempDirectory("ivfpq_g").toString + "/idx"
+    val a = clusteredVecs.where($"vec_id" < 120)
+    val b = clusteredVecs.where($"vec_id" >= 120)
+    Similarity.buildIvfpqIndex(a, dim = 16, nCoarse = 4,
+      m = 4, kSub = 16, iters = 1, path = p1)
+    // within-batch duplication: the batch carries every vector twice
+    assert(Similarity.ivfpqIndexAddBatch(p1, b.unionAll(b), dim = 16, m = 4) == 80L)
+    val n1 = spark.read.parquet(s"$p1/codes").count()
+    // full replay: nothing added, nothing changed
+    assert(Similarity.ivfpqIndexAddBatch(p1, b, dim = 16, m = 4) == 0L)
+    assert(spark.read.parquet(s"$p1/codes").count() == n1)
+    assert(spark.read.parquet(s"$p1/codes").select("vec_id").distinct()
+      .count() == 200L)
+    // the guarded path codes EXACTLY like the bare add (shared encode)
+    val p2 = java.nio.file.Files.createTempDirectory("ivfpq_b").toString + "/idx"
+    Similarity.buildIvfpqIndex(a, dim = 16, nCoarse = 4,
+      m = 4, kSub = 16, iters = 1, path = p2)
+    Similarity.ivfpqIndexAdd(p2, b, dim = 16, m = 4)
+    def rel(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster", $"bucket".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rel(p1) == rel(p2), "guarded add diverged from the bare add")
+    // flat-PQ form
+    val p3 = java.nio.file.Files.createTempDirectory("pq_g").toString + "/idx"
+    Similarity.buildPqIndex(a, dim = 16, m = 4, kSub = 16, iters = 1, path = p3)
+    assert(Similarity.pqIndexAddBatch(p3, b.unionAll(b), dim = 16, m = 4) == 80L)
+    val n3 = spark.read.parquet(s"$p3/codes").count()
+    assert(Similarity.pqIndexAddBatch(p3, b, dim = 16, m = 4) == 0L)
+    assert(spark.read.parquet(s"$p3/codes").count() == n3)
+    assert(spark.read.parquet(s"$p3/codes").select("vec_id").distinct()
+      .count() == 200L)
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
