@@ -659,16 +659,20 @@ object Similarity {
     val buckets = KMeans.assignTo(e.select(col("vec_id"), col("q")),
       coarseCents, nCoarse)
       .withColumnRenamed("cluster", "bucket")
-    ivfpqAddAssigned(path, e, buckets, coarseCents, dim, m)
+    ivfpqEncodeAssigned(path, e, buckets, coarseCents, dim, m)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
   }
 
-  /** The encode+append half of the add path — residual against the
-    * assigned coarse centroid, per-subspace PQ assignment, append to
-    * the bucket-partitioned codes — factored so [[ivfpqIndexAdd]] and
-    * the replay-guarded [[ivfpqIndexAddBatch]] share ONE assignment
-    * pass instead of computing it twice per micro-batch. */
-  private def ivfpqAddAssigned(path: String, e: DataFrame, buckets: DataFrame,
-                               coarseCents: DataFrame, dim: Int, m: Int): Unit = {
+  /** The encode half of the add path — residual against the assigned
+    * coarse centroid, per-subspace PQ assignment — factored so
+    * [[ivfpqIndexAdd]] and the replay-guarded [[ivfpqIndexAddBatch]]
+    * share ONE assignment pass instead of computing it twice per
+    * micro-batch. Returns the (vec_id, m, cluster, bucket) code rows;
+    * callers own the append (the guarded path filters already-landed
+    * subspace rows of torn vectors before writing). */
+  private def ivfpqEncodeAssigned(path: String, e: DataFrame, buckets: DataFrame,
+                                  coarseCents: DataFrame, dim: Int,
+                                  m: Int): DataFrame = {
     val spark = e.sparkSession
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
@@ -686,7 +690,6 @@ object Similarity {
       .reduce(_ unionByName _)
     KMeans.assignToMulti(subVecs, pqCents, kSub)
       .join(encoded.select(col("vec_id"), col("bucket")), "vec_id")
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
   }
 
   /** EXACTLY-ONCE form of [[ivfpqIndexAdd]] for at-least-once
@@ -698,9 +701,21 @@ object Similarity {
     * codebooks make assignment replay-independent), reads the vec_ids
     * already coded in ONLY the buckets the batch lands in (the probe
     * path's partition-pruned, column-pruned scan), and encodes the
-    * fresh remainder off the same assignment: a replayed batch finds
-    * itself settled and appends nothing. Returns the number of
-    * vectors added. */
+    * unsettled remainder off the same assignment: a replayed batch
+    * finds itself settled and appends nothing.
+    *
+    * Settled means a COMPLETE code set (round-15): every vector owns m
+    * code rows, and a torn append — a crash that leaves a strict
+    * subset of them visible — must not read as settled, or the vector
+    * stays permanently half-coded and ADC sums over fewer than m
+    * subspaces silently skew rankings. The guard therefore counts
+    * distinct subspaces per vec_id; a torn vector re-encodes on replay
+    * (frozen codebooks make the codes bit-identical) and only its
+    * MISSING (vec_id, m) rows append, so the store keeps exactly one
+    * row per (vector, subspace) with no read-side dedup needed. The
+    * repair anti-join runs only when a torn vector is actually present
+    * — the common path appends exactly as before. Returns the number
+    * of vectors encoded (new + repaired). */
   def ivfpqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                          m: Int = 4): Long = {
     val spark = batch.sparkSession
@@ -716,18 +731,32 @@ object Similarity {
     // metadata-sized, the ivfpqTopKFromIndex probe-list discipline
     val hit = assigned.select(col("bucket")).distinct()
       .collect().map(_.getLong(0))
-    val settled = spark.read.parquet(s"$path/codes")
+    val codesProbed = spark.read.parquet(s"$path/codes")
       .where(col("bucket").isin(hit.toIndexedSeq: _*))
-      .select(col("vec_id"))
-    val freshIds = e.select(col("vec_id"))
-      .join(settled, Seq("vec_id"), "left_anti")
+    // per-vector subspace counts, batch-sized (semi-join first so the
+    // checkpoint materializes ≤|batch| rows); feeds the settled
+    // anti-join AND the torn count
+    val present = codesProbed
+      .join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(countDistinct(col("m")).as("nc"))
+      .localCheckpoint(true)
+    val needIds = e.select(col("vec_id"))
+      .join(present.where(col("nc") >= m).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // counted AND re-joined below
-    val n = freshIds.count()
-    if (n > 0)
-      ivfpqAddAssigned(path,
-        e.join(freshIds, Seq("vec_id"), "left_semi"),
-        assigned.join(freshIds, Seq("vec_id"), "left_semi"),
+    val n = needIds.count()
+    if (n > 0) {
+      val rows = ivfpqEncodeAssigned(path,
+        e.join(needIds, Seq("vec_id"), "left_semi"),
+        assigned.join(needIds, Seq("vec_id"), "left_semi"),
         coarseCents, dim, m)
+      val torn = present.where(col("nc") < m).count()
+      val out =
+        if (torn == 0) rows
+        else rows.join(codesProbed.select(col("vec_id"), col("m")),
+          Seq("vec_id", "m"), "left_anti")
+      out.write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+    }
     n
   }
 
@@ -784,11 +813,15 @@ object Similarity {
   /** EXACTLY-ONCE incremental add for a [[buildPqIndex]] artifact —
     * the flat sibling of [[ivfpqIndexAddBatch]] (round-13): new vectors
     * PQ-code against the FROZEN per-subspace codebooks and append to
-    * the codes relation; the replay guard anti-joins settled vec_ids
-    * (the flat index has no bucket partitioning to prune by, so the
-    * probe is one column-pruned scan of the 2-bytes-per-vector codes —
-    * the same read class every flat-PQ query already pays). Dedups
-    * within the batch too. Returns the number of vectors added. */
+    * the codes relation; the replay guard scans the codes relation (the
+    * flat index has no bucket partitioning to prune by, so the probe is
+    * one column-pruned scan of the 2-bytes-per-vector codes — the same
+    * read class every flat-PQ query already pays). Dedups within the
+    * batch too. Settled means a COMPLETE code set (round-15, see
+    * [[ivfpqIndexAddBatch]]): a torn append re-encodes on replay and
+    * appends only its missing (vec_id, m) rows, so the store keeps
+    * exactly one row per (vector, subspace). Returns the number of
+    * vectors encoded (new + repaired). */
   def pqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                       m: Int = 4): Long = {
     val spark = batch.sparkSession
@@ -797,22 +830,33 @@ object Similarity {
     val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
       .select(col("vec_id"), col("q")).localCheckpoint(true)
     if (e.isEmpty) return 0L
-    val settled = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id")).distinct()
-    val freshIds = e.select(col("vec_id"))
-      .join(settled, Seq("vec_id"), "left_anti")
+    val codesAll = spark.read.parquet(s"$path/codes")
+    // per-vector subspace counts, batch-sized; feeds the settled
+    // anti-join AND the torn count (see ivfpqIndexAddBatch)
+    val present = codesAll
+      .join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(countDistinct(col("m")).as("nc"))
+      .localCheckpoint(true)
+    val needIds = e.select(col("vec_id"))
+      .join(present.where(col("nc") >= m).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // counted AND re-joined below
-    val n = freshIds.count()
+    val n = needIds.count()
     if (n > 0) {
       val pqCents = spark.read.parquet(s"$path/pq")
       val kSub = (pqCents.count() / m).toInt
-      val f = e.join(freshIds, Seq("vec_id"), "left_semi")
+      val f = e.join(needIds, Seq("vec_id"), "left_semi")
       val subVecs = (0 until m).map(i =>
         f.select(col("vec_id"), lit(i).as("m"),
           slice(col("q"), i * subDim + 1, subDim).as("q")))
         .reduce(_ unionByName _)
-      KMeans.assignToMulti(subVecs, pqCents, kSub)
-        .write.mode("append").parquet(s"$path/codes")
+      val rows = KMeans.assignToMulti(subVecs, pqCents, kSub)
+      val torn = present.where(col("nc") < m).count()
+      val out =
+        if (torn == 0) rows
+        else rows.join(codesAll.select(col("vec_id"), col("m")),
+          Seq("vec_id", "m"), "left_anti")
+      out.write.mode("append").parquet(s"$path/codes")
     }
     n
   }

@@ -493,6 +493,68 @@ class ExtSpec extends SparkSuite {
       .count() == 200L)
   }
 
+  test("guarded index adds repair torn appends: a partial code set never reads as settled") {
+    // a crash mid-append can leave a strict subset of one vector's m
+    // code rows visible; pre-r15 the replay guard keyed on vec_id
+    // PRESENCE, so the vector stayed permanently half-coded and ADC
+    // summed over fewer than m subspaces. Now settled = complete code
+    // set: the replay re-encodes the torn vector (frozen codebooks →
+    // bit-identical codes) and appends only its MISSING rows.
+    val a = clusteredVecs.where($"vec_id" < 120)
+    val b = clusteredVecs.where($"vec_id" >= 120)
+
+    // ── IVFPQ form ──
+    val pT = java.nio.file.Files.createTempDirectory("ivfpq_t").toString + "/idx"
+    val pC = java.nio.file.Files.createTempDirectory("ivfpq_c").toString + "/idx"
+    for (p <- Seq(pT, pC))
+      Similarity.buildIvfpqIndex(a, dim = 16, nCoarse = 4,
+        m = 4, kSub = 16, iters = 1, path = p)
+    assert(Similarity.ivfpqIndexAddBatch(pC, b, dim = 16, m = 4) == 80L)
+    assert(Similarity.ivfpqIndexAddBatch(pT, b, dim = 16, m = 4) == 80L)
+    // tear: vec 150 keeps only subspaces {0, 1} (strict subset of 4)
+    val torn = spark.read.parquet(s"$pT/codes").localCheckpoint(true)
+      .where(!($"vec_id" === 150L && $"m" >= 2))
+    torn.write.mode("overwrite").partitionBy("bucket").parquet(s"$pT/codes")
+    // replay: EXACTLY the torn vector re-encodes; everyone else settled
+    assert(Similarity.ivfpqIndexAddBatch(pT, b, dim = 16, m = 4) == 1L)
+    def rel(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster", $"bucket".cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    // repaired store equals the untorn control bit-for-bit — in
+    // particular no duplicate (vec_id, m) rows to skew ADC sums
+    assert(rel(pT).toSet == rel(pC).toSet)
+    assert(rel(pT).length == rel(pC).length)
+    // and probe results are bit-equal
+    def probe(p: String) = Similarity.ivfpqTopKFromIndex(p, clusteredVecs,
+      dim = 16, nQueries = 8, k = 5, m = 4, nprobe = 2, shortlist = 64)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probe(pT) == probe(pC))
+    // second replay: fully settled, appends nothing
+    assert(Similarity.ivfpqIndexAddBatch(pT, b, dim = 16, m = 4) == 0L)
+
+    // ── flat-PQ form ──
+    val qT = java.nio.file.Files.createTempDirectory("pq_t").toString + "/idx"
+    val qC = java.nio.file.Files.createTempDirectory("pq_c").toString + "/idx"
+    for (p <- Seq(qT, qC))
+      Similarity.buildPqIndex(a, dim = 16, m = 4, kSub = 16, iters = 1, path = p)
+    assert(Similarity.pqIndexAddBatch(qC, b, dim = 16, m = 4) == 80L)
+    assert(Similarity.pqIndexAddBatch(qT, b, dim = 16, m = 4) == 80L)
+    val tornQ = spark.read.parquet(s"$qT/codes").localCheckpoint(true)
+      .where(!($"vec_id" === 150L && $"m" >= 1))
+    tornQ.write.mode("overwrite").parquet(s"$qT/codes")
+    assert(Similarity.pqIndexAddBatch(qT, b, dim = 16, m = 4) == 1L)
+    def relQ(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster")
+      .as[(Long, Long, Long)].collect()
+    assert(relQ(qT).toSet == relQ(qC).toSet)
+    assert(relQ(qT).length == relQ(qC).length)
+    def probeQ(p: String) = Similarity.pqTopKFromIndex(p, clusteredVecs,
+      dim = 16, nQueries = 8, k = 5, m = 4, shortlist = 64)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probeQ(qT) == probeQ(qC))
+    assert(Similarity.pqIndexAddBatch(qT, b, dim = 16, m = 4) == 0L)
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
