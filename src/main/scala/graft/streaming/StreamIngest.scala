@@ -547,6 +547,9 @@ object StreamIngest {
     Seq(fpDir, txDir, prDir, cntDir).foreach(d =>
       graft.ingest.Sinks.recoverCompact(s, d))
     checkOrWriteSubstringMeta(s, outDir, minLen, k)
+    // BEFORE this batch's appends: prove (or establish) that `counts`
+    // covers every settled document — see ensureCountsComplete
+    ensureCountsComplete(s, outDir, minLen, k)
     val b0 = batch.where(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .where(length(col("text")) >= minLen)
@@ -591,8 +594,8 @@ object StreamIngest {
     * first contact; on every later batch REQUIRE the parameters match
     * the stored ones (mixed winnow floors would silently void the
     * completeness guarantee the readers rely on). */
-  private def checkOrWriteSubstringMeta(spark: SparkSession, outDir: String,
-      minLen: Int, k: Int): Unit =
+  private[graft] def checkOrWriteSubstringMeta(spark: SparkSession,
+      outDir: String, minLen: Int, k: Int): Unit =
     readSubstringMeta(spark, outDir) match {
       case Some((m, kk)) =>
         require(m == minLen && kk == k,
@@ -614,23 +617,40 @@ object StreamIngest {
         // store contract is single-writer, but a violated contract
         // must fail loudly, never run a 40-grain store under a meta
         // claiming 30.
+        //
+        // countsComplete starts FALSE: the `counts` sidecar is only
+        // provably complete once ensureCountsComplete has inspected
+        // the texts store (absent texts = complete by construction;
+        // settled texts = backfill first). Gating readTopPassages'
+        // primary path on the flag closes the in-place-upgrade hazard
+        // where a pre-sidecar store gained a PARTIAL counts relation
+        // covering only post-upgrade batches.
         val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
         val tmp = new org.apache.hadoop.fs.Path(
           s"$outDir/._meta.json.${java.util.UUID.randomUUID}.tmp")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val out = fs.create(tmp, true)
-        try out.write(s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
+        try out.write(
+          s"""{"minLen":$minLen,"k":$k,"countsComplete":false}"""
+            .getBytes("UTF-8"))
         finally out.close()
-        // re-read before touching `p`: a concurrent creator may have
-        // persisted a VALID meta since the outer read saw None — only
-        // an (empty/garbled) residue that STILL parses to None may be
-        // deleted
-        readSubstringMeta(spark, outDir) match {
-          case Some(_) => fs.delete(tmp, false)
-          case None =>
-            if (fs.exists(p)) fs.delete(p, false)
-            if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        // install by RENAME FIRST, never delete-then-rename (round-15):
+        // between a None re-read and a delete, a concurrent creator's
+        // freshly-renamed VALID meta could be destroyed and silently
+        // replaced. The guarded rename leaves any existing destination
+        // alone; only a residue that a FRESH read still parses to None
+        // (empty/garbled crash leftovers) may be deleted, after which
+        // the install is retried once. A valid concurrent meta is
+        // never deleted, and the post-swap re-validation below fails
+        // loudly on grain divergence regardless of who won.
+        def install(): Boolean = !fs.exists(p) && fs.rename(tmp, p)
+        var installed = install()
+        if (!installed && fs.exists(p)
+            && readSubstringMeta(spark, outDir).isEmpty) {
+          fs.delete(p, false)
+          installed = install()
         }
+        if (!installed) fs.delete(tmp, false): Unit
         readSubstringMeta(spark, outDir) match {
           case Some((m, kk)) =>
             require(m == minLen && kk == k,
@@ -645,24 +665,88 @@ object StreamIngest {
     * `_meta.json` exists (stores created before the sidecar landed
     * have none — readers then trust the caller, the old contract). */
   private[graft] def readSubstringMeta(spark: SparkSession,
-      outDir: String): Option[(Int, Int)] = {
+      outDir: String): Option[(Int, Int)] =
+    readMetaText(spark, outDir).flatMap { txt =>
+      val re = """"minLen"\s*:\s*(\d+).*"k"\s*:\s*(\d+)""".r
+      re.findFirstMatchIn(txt).map(m => (m.group(1).toInt, m.group(2).toInt))
+    }
+
+  /** Whether the store's `counts` sidecar is provably COMPLETE — i.e.
+    * covers every settled document, so [[readTopPassages]] may fold it
+    * instead of re-deriving from candidates. False for pre-r15 metas
+    * (no flag) and for stores mid-upgrade: both fall back to the
+    * candidate path until the next maintenance batch backfills. */
+  private[graft] def readCountsComplete(spark: SparkSession,
+      outDir: String): Boolean =
+    readMetaText(spark, outDir)
+      .exists(""""countsComplete"\s*:\s*true""".r.findFirstIn(_).isDefined)
+
+  private def readMetaText(spark: SparkSession,
+      outDir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val re = """"minLen"\s*:\s*(\d+).*"k"\s*:\s*(\d+)""".r
-      re.findFirstMatchIn(txt).map(m => (m.group(1).toInt, m.group(2).toInt))
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
     }
   }
+
+  /** Establish counts-sidecar COMPLETENESS before a maintenance batch
+    * appends its delta (round-15, closing the in-place-upgrade hazard):
+    * a store whose texts settled before the sidecar existed must not
+    * gain a PARTIAL counts relation covering only post-upgrade batches
+    * — [[readTopPassages]] would silently undercount every pre-upgrade
+    * document. When the meta lacks the `countsComplete` flag, the
+    * settled texts (if any) are re-counted WHOLE into `counts`
+    * (mode=overwrite, so any partial sidecar a pre-fix deployment
+    * already accumulated is replaced, not compounded), and only then
+    * is the flag persisted. Crash anywhere before the flag lands →
+    * the next batch backfills again (overwrite = idempotent); crash
+    * after → the per-batch delta appends resume on a complete base.
+    * Runs under the store's single-writer maintenance contract. */
+  private[graft] def ensureCountsComplete(spark: SparkSession,
+      outDir: String, minLen: Int, k: Int): Unit =
+    if (!readCountsComplete(spark, outDir)) {
+      readIfExists(spark, s"$outDir/texts").foreach { settled =>
+        graft.ext.TextAnalysis.passageCountsOf(
+            settled.select(col("doc_id"), col("text")), minLen)
+          .withColumn("batch_id", lit(-1L))
+          .write.mode("overwrite").parquet(s"$outDir/counts")
+      }
+      // flag rewrite: single maintaining writer; a concurrent READER
+      // observing the brief absence window falls back to the candidate
+      // path — conservative, never wrong
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$outDir/._meta.json.${java.util.UUID.randomUUID}.tmp")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"minLen":$minLen,"k":$k,"countsComplete":true}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        // a racing same-grain creator may have installed the flag
+        // between our delete and rename (the store contract is
+        // single-writer, but first-contact creators may race on an
+        // empty store — grain divergence was already refused by
+        // checkOrWriteSubstringMeta, so the contents are identical)
+        if (!readCountsComplete(spark, outDir))
+          throw new IllegalStateException(
+            s"could not persist countsComplete for substring store $outDir")
+      }
+    }
 
   /** CONTINUOUS boilerplate monitoring — q211's top-duplicated-
     * passages report derived from a [[maintainSubstringIndex]] store.
     *
-    * PRIMARY PATH (round-13, `counts` sidecar present and len == the
-    * store's minLen): a pure fold of the maintained passage-grain
+    * PRIMARY PATH (round-13, `counts` sidecar present, len == the
+    * store's minLen, and the meta's countsComplete flag set — the
+    * round-15 upgrade guard): a pure fold of the maintained passage-grain
     * deltas — distinct (folds the crash-window double-append; replayed
     * rows are identical, batch_id included), sum per passage, filter,
     * top-k. Exactness needs no losslessness argument at all: batches
@@ -705,8 +789,12 @@ object StreamIngest {
           s"not guaranteed a shared fingerprint in the index; raise len " +
           s"or rebuild the store with a lower minLen")
     }
+    // the counts fold is only exact when the sidecar provably covers
+    // every settled document — the countsComplete meta flag (round-15);
+    // pre-flag and mid-upgrade stores take the candidate fallback
     val counts =
-      if (meta.map(_._1).contains(len)) readIfExists(spark, s"$outDir/counts")
+      if (meta.map(_._1).contains(len) && readCountsComplete(spark, outDir))
+        readIfExists(spark, s"$outDir/counts")
       else None
     counts match {
       case Some(c) =>
@@ -876,10 +964,34 @@ object StreamIngest {
       .localCheckpoint(true)
     val keeperB = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val admitB = hashed.join(keeperB.select("doc_id"), Seq("doc_id"), "left_semi")
-    val admit = (readIfExists(s, s"$outDir/hashes") match {
+    val settledHashes = readIfExists(s, s"$outDir/hashes")
+    val admit = (settledHashes match {
       case Some(hl) => admitB.join(hl.select(col("h")), Seq("h"), "left_anti")
       case None => admitB
     }).select(col("doc_id"), col("text")).localCheckpoint(true)
+    // OUT-OF-ORDER OBSERVABILITY (round-15): the parity contract keeps
+    // exact-dedup fates exact under any arrival order, but substring
+    // admission is append-only greedy — a later-arriving SMALLER id
+    // whose content twin already owns the index is never re-admitted,
+    // so pair/fate attribution names the first-arrived twin. That
+    // divergence is legal under the documented contract but must be
+    // MEASURABLE: count this batch's keeper docs whose hash settled
+    // earlier under a larger owner id and log (batch_id, n) to `late`.
+    // Replay-safe: before `hashes` lands a replay recomputes the
+    // IDENTICAL row (distinct folds it at read); after, the batch's own
+    // ids are in the settled min so the recount is zero and nothing
+    // appends.
+    settledHashes.foreach { hl =>
+      val nLate = keeperB
+        .join(hl.groupBy(col("h")).agg(min(col("doc_id")).as("settled_id")),
+          Seq("h"))
+        .where(col("doc_id") < col("settled_id")).count()
+      if (nLate > 0) {
+        val sp = s; import sp.implicits._
+        Seq((bid, nLate)).toDF("batch_id", "n_late_smaller_id")
+          .write.mode("append").parquet(s"$outDir/late")
+      }
+    }
     // within-batch pairs FIRST, then the sub-store: both are replay-
     // idempotent in that order (identical re-appends fold; the index
     // guards itself), and once `hashes` lands a replay admits nothing
@@ -892,6 +1004,24 @@ object StreamIngest {
     gates.write.mode("append").parquet(s"$outDir/gates")
     ()
   }
+
+  /** The accumulated out-of-order arrival log of a [[maintainRelease]]
+    * store: one (batch_id, n_late_smaller_id) row per batch that saw
+    * later-arriving smaller-id content twins whose first-arrived twin
+    * owns the substring index (the append-only-greedy admission caveat
+    * — see [[releaseBatch]]). distinct() folds the crash-window
+    * double-append. Operators watch this to measure how far a store's
+    * substring attributions can diverge from the one-shot chain; zero
+    * rows = id-ordered delivery, full parity. */
+  def readLateArrivals(spark: SparkSession, outDir: String): DataFrame =
+    readIfExists(spark, s"$outDir/late") match {
+      case Some(log) => log.distinct()
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("batch_id", LongType),
+            StructField("n_late_smaller_id", LongType))))
+    }
 
   /** The per-document release fate relation of a [[maintainRelease]]
     * store — (doc_id, fate) with q212's first-reason-wins attribution

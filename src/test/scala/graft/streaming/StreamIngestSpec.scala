@@ -713,6 +713,85 @@ class StreamIngestSpec extends SparkSuite {
     assert(got() == want, "double-appended deltas were double-counted")
   }
 
+  test("counts sidecar upgrade-in-place: a pre-sidecar store backfills before the fold path is trusted") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ssi_upg").toString + "/store"
+    val pa = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha filler one with enough unique tail text here",
+      2L -> s"$pa duplicated early with its own unique ending number two")
+    val b2 = Seq(
+      3L -> s"prefix words then $pa and its own different ending text")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    // simulate the pre-r15 state this fix exists for: texts settled,
+    // the counts sidecar ABSENT, meta WITHOUT the completeness flag
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$out/$s")
+    val fs = p("counts").getFileSystem(hconf)
+    fs.delete(p("counts"), true)
+    val metaOut = fs.create(p("_meta.json"), true)
+    try metaOut.write("""{"minLen":40,"k":20}""".getBytes("UTF-8"))
+    finally metaOut.close()
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    assert(!StreamIngest.readCountsComplete(spark, out))
+    def got() = StreamIngest.readTopPassages(spark, out, len = 40,
+      minDocs = 2, k = 50).as[(String, Long, Long)].collect().toSet
+    // a READ before maintenance resumes must not trust the missing
+    // sidecar: candidate fallback, still exact
+    val wantB1 = graft.ext.TextAnalysis.topDuplicatedPassages(
+        b1.toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(wantB1.nonEmpty && got() == wantB1)
+    // reproduce the pre-fix DAMAGE: a post-upgrade batch that appended
+    // only its own delta, leaving a PARTIAL sidecar — the backfill must
+    // REPLACE it, not compound it (its rows carry a different batch_id,
+    // so a read-side distinct cannot fold them away)
+    graft.ext.TextAnalysis.passageCountsOf(b2.toDF("doc_id", "text"), 40)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(99L))
+      .write.mode("append").parquet(s"$out/counts")
+    // post-fix maintenance batch: backfill from settled texts, set the
+    // flag, then append this batch's own delta
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, 40, 20)
+    assert(StreamIngest.readCountsComplete(spark, out))
+    val want = graft.ext.TextAnalysis.topDuplicatedPassages(
+        (b1 ++ b2).toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got() == want)
+    // and the fold really is complete FROM THE SIDECAR ALONE: hide the
+    // texts and fp stores — pre-upgrade documents must still be counted
+    assert(fs.rename(p("texts"), p("_h_texts")))
+    assert(fs.rename(p("fp"), p("_h_fp")))
+    assert(got() == want, "upgraded store undercounts pre-upgrade docs")
+    assert(fs.rename(p("_h_texts"), p("texts")))
+    assert(fs.rename(p("_h_fp"), p("fp")))
+  }
+
+  test("substring meta creation is race-safe: concurrent same-grain creators never wedge or clobber") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("ssi_race").toString + "/store"
+    // first-contact creation raced from many threads: install is
+    // rename-first (never delete-then-rename), so a winner's VALID meta
+    // cannot be destroyed by a racing loser; losers validate the
+    // winner's grain and proceed. Pre-r15 the delete window could
+    // destroy a concurrent creator's freshly-renamed valid meta.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try StreamIngest.checkOrWriteSubstringMeta(spark, out, 40, 20)
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"concurrent creators threw: ${errs.asScala.map(_.getMessage).toList}")
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    // a different-grain creator is refused AND the valid meta survives
+    intercept[IllegalArgumentException] {
+      StreamIngest.checkOrWriteSubstringMeta(spark, out, 30, 15)
+    }
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+  }
+
   test("counts additivity is partition-independent: random batchings all fold to the one-shot") {
     import spark.implicits._
     // the law the maintained report rests on: for ANY partition of the
@@ -1189,6 +1268,9 @@ class StreamIngestSpec extends SparkSuite {
     deliver("b4", $"doc_id" > c2); q.processAllAvailable(); q.stop()
     assert(counts() == before, s"replay changed stores: $before -> ${counts()}")
     assert(decisions() == want)
+    // id-ordered delivery (and the replay) produce ZERO late-twin
+    // events — the out-of-order counter stays empty
+    assert(StreamIngest.readLateArrivals(spark, out).count() == 0L)
   }
 
   test("maintainRelease: out-of-order arrival degrades gracefully — exact-dedup fates stay exact") {
@@ -1232,6 +1314,11 @@ class StreamIngestSpec extends SparkSuite {
     val storedIds = spark.read.parquet(s"$out/sub/texts")
       .select("doc_id").as[Long].collect().toSet
     assert(storedIds.contains(11L) && !storedIds.contains(3L), storedIds.toString)
+    // round-15 observability: the divergence is COUNTED — batch 1
+    // delivered exactly one later-arriving smaller id (3) whose
+    // first-arrived twin (11) owns the substring index
+    assert(StreamIngest.readLateArrivals(spark, out)
+      .as[(Long, Long)].collect().toSet == Set(1L -> 1L))
   }
 
   test("component log: crash after a completed swap leaves a stale _fold_old that stays benign") {
