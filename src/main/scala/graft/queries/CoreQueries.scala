@@ -100,8 +100,8 @@ object CoreQueries {
         |  FROM lineitem) WHERE rn = 1""".stripMargin),
 
     // ── P10: calendar derivations (4_create_tweets_a.py:43,47) ─────────
-    // weekofyear is ISO in both engines (deviation from MySQL WEEK(ts,1)
-    // documented in SURVEY §7.6.4)
+    // weekofyear is ISO in both engines; exact MySQL WEEK(ts,1) parity
+    // is hash-pinned by q223_week_mode1 below (SURVEY §7.6.4)
     "q07_calendar" -> Q(
       (s, dir) => Tables.orders(s, dir).select(
         col("o_orderkey"),
@@ -115,6 +115,31 @@ object CoreQueries {
         |       year(o_orderdate) AS y, month(o_orderdate) AS m,
         |       day(o_orderdate) AS day, weekofyear(o_orderdate) AS wk,
         |       hour(o_orderdate) AS hh
+        |FROM orders""".stripMargin),
+
+    // ── P10 parity: MySQL WEEK(ts, 1) exact semantics (round-15) ───────
+    // closes the §7.6.4 calendar deviation: the reference mart stores
+    // MariaDB WEEK(created_at, 1) (4_create_tweets_a.py:43) — Monday-
+    // first, range 0..53, counted WITHIN the calendar year. The oracle
+    // derives the same mapping independently from DuckDB's isoyear():
+    // days ISO-assigned to the previous year are week 0, to the next
+    // year week 53, else the ISO week. Both emitted so the boundary
+    // divergence vs plain weekofyear is hash-pinned, not just asserted
+    // in the MySqlWeekSpec sweep.
+    "q223_week_mode1" -> Q(
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          d.as("d"),
+          weekofyear(d).cast("long").as("wk_iso"),
+          graft.functions.MySqlWeek.weekMode1(d).cast("long").as("wk_mysql"))
+      },
+      """SELECT o_orderkey, cast(o_orderdate AS DATE) AS d,
+        |       weekofyear(o_orderdate) AS wk_iso,
+        |       CASE WHEN isoyear(o_orderdate) < year(o_orderdate) THEN 0
+        |            WHEN isoyear(o_orderdate) > year(o_orderdate) THEN 53
+        |            ELSE weekofyear(o_orderdate) END AS wk_mysql
         |FROM orders""".stripMargin),
 
     // ── S1/P1: semi-structured JSON flatten with cast (map_tweet) ──────
