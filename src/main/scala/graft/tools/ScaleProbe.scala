@@ -549,6 +549,48 @@ object ScaleProbe {
         s"(alpha ${fmt(math.log10(ai10 / ai1))}) full ${fmt(af1)}->${fmt(af10)}s " +
         s"(alpha ${fmt(math.log10(af10 / af1))})")
     }
+    // Flat-PQ guarded add (round-15, q222's scale shape): no inverted
+    // file to prune by, so the replay guard pays one column-pruned scan
+    // of the 2-bytes-per-vector codes — the same read class every
+    // flat-PQ probe already pays. With a FIXED batch the add must stay
+    // ~flat as the settled corpus grows 10× (scan-bound at worst),
+    // while the rebuild retrains + recodes the whole corpus.
+    if (only.forall(_.contains("pq_index_add"))) {
+      import org.apache.spark.sql.functions.col
+      def pqAddProbe(n: Long): (Double, Double) = {
+        val all = synthEmb(spark, n, 64).localCheckpoint(true)
+        val batch = all.where(col("vec_id") % 40 === 7).limit(500)
+          .localCheckpoint(true)
+        val settled = all.join(batch.select(col("vec_id")), Seq("vec_id"),
+          "left_anti").localCheckpoint(true)
+        val idx = java.nio.file.Files.createTempDirectory("pqadd").toString
+        Similarity.buildPqIndex(settled, dim = 64, m = 4, kSub = 16,
+          iters = 1, path = idx)
+        // single-shot: the guarded add settles the batch on first run,
+        // so a second timing pass would measure the (cheaper) no-op
+        val t0 = System.nanoTime()
+        Similarity.pqIndexAddBatch(idx, batch, dim = 64, m = 4)
+        spark.read.parquet(s"$idx/codes").count()
+        val tAdd = (System.nanoTime() - t0) / 1e9
+        val idx2 = java.nio.file.Files.createTempDirectory("pqfull").toString
+        val t1 = System.nanoTime()
+        Similarity.buildPqIndex(all, dim = 64, m = 4, kSub = 16,
+          iters = 1, path = idx2)
+        spark.read.parquet(s"$idx2/codes").count()
+        val tFull = (System.nanoTime() - t1) / 1e9
+        (tAdd, tFull)
+      }
+      val (pi1, pf1) = pqAddProbe(20000L)
+      val (pi10, pf10) = pqAddProbe(200000L)
+      if (out.length > 1) out ++= ","
+      out ++= s""""pq_index_add":{"t_add1":${fmt(pi1)},"t_add10":${fmt(pi10)}"""
+      out ++= s""","alpha_add":${fmt(math.log10(pi10 / pi1))}"""
+      out ++= s""","t_full1":${fmt(pf1)},"t_full10":${fmt(pf10)}"""
+      out ++= s""","alpha_full":${fmt(math.log10(pf10 / pf1))}}"""
+      println(s"[scaleprobe] pq_index_add add ${fmt(pi1)}->${fmt(pi10)}s " +
+        s"(alpha ${fmt(math.log10(pi10 / pi1))}) full ${fmt(pf1)}->${fmt(pf10)}s " +
+        s"(alpha ${fmt(math.log10(pf10 / pf1))})")
+    }
 
     // Session-store economics (round-13): the expensive build-once
     // artifacts and their maintained reads, priced at 1×/10× corpus.
