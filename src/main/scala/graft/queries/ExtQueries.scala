@@ -462,6 +462,24 @@ object ExtQueries {
       slices.zipWithIndex.foreach { case (pred, bid) =>
         StreamIngest.substringIndexBatch(
           docs.where(pred), s"$p/store", bid.toLong, minLen = 40, k = 20)
+        // UPGRADE-IN-PLACE mid-stream (round-15): after the second
+        // batch, strip the counts sidecar and rewrite the meta to its
+        // pre-flag form — the exact state a pre-r15 store is in when
+        // new code takes over. The third batch must then backfill the
+        // sidecar from settled texts and re-establish completeness
+        // BEFORE appending its own delta; q216/q224's green rows prove
+        // the upgraded store's fold path loses no pre-upgrade document
+        // at every SF (an incomplete backfill undercounts and
+        // hash-mismatches the one-shot oracle).
+        if (bid == 1) {
+          val store = new org.apache.hadoop.fs.Path(s"$p/store")
+          val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$p/store/counts"), true)
+          val m = fs.create(
+            new org.apache.hadoop.fs.Path(s"$p/store/_meta.json"), true)
+          try m.write("""{"minLen":40,"k":20}""".getBytes("UTF-8"))
+          finally m.close()
+        }
       }
       // production posture: the maintained store runs with compaction
       // ON, so the registered reads price the FOLDED store (counts at
@@ -5388,6 +5406,61 @@ object ExtQueries {
             dim = 64, m = 4, kSub = 16, iters = 1, path = s"$p/idx")
           Similarity.pqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > cut), dim = 64, m = 4)
+          Similarity.pqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > cut), dim = 64, m = 4): Unit
+        }
+        Similarity.pqTopKFromIndex(s"$idx/idx", emb, dim = 64,
+          nQueries = 8, k = 5, m = 4, shortlist = 64)
+      },
+      KMeans.pqIncrementalOracleSql(dim = 64, nQueries = 8, topK = 5,
+        m = 4, kSub = 16, iters = 1, shortlist = 64,
+        trainWhere =
+          "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
+
+    // ── upgrade-in-place completeness, driver-proven (round-15) ────────
+    // The winnowStore build strips the counts sidecar and the meta
+    // completeness flag after its second batch — the exact state a
+    // pre-r15 store is in when new code takes over — so its final
+    // batch exercises the backfill-then-flag path. This row reads the
+    // upgraded store at a DIFFERENT report point than q216 (minDocs=3:
+    // boilerplate spanning ≥3 documents), and the oracle is the
+    // verbatim one-shot rollup: an incomplete backfill undercounts
+    // every pre-upgrade document and hash-mismatches. Zero extra build
+    // cost — the same session store serves q216/q217/q224.
+    "q224_top_passages_upgraded" -> Q(
+      (s, dir) => StreamIngest.readTopPassages(
+        s, s"${winnowStore(s, dir)}/store", len = 40, minDocs = 3, k = 20),
+      TextAnalysis.topDuplicatedPassagesOracleSql(len = 40, minDocs = 3,
+        k = 20)),
+
+    // ── torn-append repair, driver-proven (round-15) ───────────────────
+    // q222 proves replay/redelivery exactly-once; this proves CRASH
+    // TORN appends heal: after the guarded add lands the tail, the
+    // build deletes a strict subset of one vector's m code rows (the
+    // state a mid-append crash leaves) and redelivers the batch. The
+    // complete-code-set guard must re-encode exactly the torn vector
+    // and append only its missing rows — a presence-keyed guard leaves
+    // it half-coded, ADC sums over fewer than m subspaces, and the
+    // probe hash-mismatches the oracle (which codes every vector
+    // whole). Oracle: q222's verbatim incremental arithmetic.
+    "q225_ann_pq_torn_repair" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.util.SessionStore.getOrBuild(
+          s"pqtorn|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+          "pqtorn") { p =>
+          val maxId = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+            .head().getLong(0)
+          val cut = maxId * 4 / 5
+          Similarity.buildPqIndex(emb.where(col("vec_id") <= cut),
+            dim = 64, m = 4, kSub = 16, iters = 1, path = s"$p/idx")
+          Similarity.pqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > cut), dim = 64, m = 4)
+          // tear: the last-added vector keeps only subspaces {0, 1}
+          val codes = s.read.parquet(s"$p/idx/codes").localCheckpoint(true)
+          codes.where(!(col("vec_id") === maxId && col("m") >= 2))
+            .write.mode("overwrite").parquet(s"$p/idx/codes")
+          // redelivery repairs the torn vector, exactly-once
           Similarity.pqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > cut), dim = 64, m = 4): Unit
         }
