@@ -118,7 +118,8 @@ object Bench {
       "q215_ann_ivfpq_recall", "q216_top_passages_maintained",
       "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep",
       "q219_ann_ivfpq_index_add", "q220_ann_index_add_stream",
-      "q221_funnel_maintained", "q222_ann_pq_index_add")
+      "q221_funnel_maintained", "q222_ann_pq_index_add",
+      "q224_top_passages_upgraded", "q225_ann_pq_torn_repair")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
@@ -144,6 +145,21 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // …and, for FULL runs, a non-clobbering copy under bench_history/:
+    // BENCH_LAST.json is overwritten every round, so historical
+    // per-query records were recoverable only via git archaeology (the
+    // r14 verdict had to `git show HEAD:BENCH_LAST.json` to diff
+    // rounds). One ~50 KB file per full run, monotonically numbered,
+    // makes the committed record book self-contained.
+    if (only.isEmpty)
+      try {
+        val hist = java.nio.file.Paths.get("bench_history")
+        java.nio.file.Files.createDirectories(hist)
+        val n = java.nio.file.Files.list(hist).count()
+        java.nio.file.Files.write(hist.resolve(f"run-$n%04d.json"),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not archive run: ${e.getMessage}") }
     spark.stop()
     // The driver records only a 2000-char stdout TAIL, which front-
     // truncates the full record above (samples+exec is ~50 KB) — that is

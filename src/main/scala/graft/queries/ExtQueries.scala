@@ -5354,7 +5354,11 @@ object ExtQueries {
     // frozen codebooks are per-vector arithmetic, so batch boundaries
     // don't matter — and a replay-guard failure would double the ADC
     // residual sums and hash-mismatch, so the driver gate itself proves
-    // exactly-once, not just parity.
+    // exactly-once, not just parity. Round-15: the build then TEARS one
+    // vector (deletes a strict subset of its m code rows — the state a
+    // mid-append crash leaves) and redelivers once more, so the same
+    // verbatim oracle also proves the complete-code-set guard heals
+    // torn appends on the bucketed family (q225 is the flat sibling).
     "q220_ann_index_add_stream" -> Q(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -5374,6 +5378,14 @@ object ExtQueries {
           Similarity.ivfpqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > mid), dim = 64, m = 4)
           // at-least-once: the last batch replays verbatim
+          Similarity.ivfpqIndexAddBatch(s"$p/idx",
+            emb.where(col("vec_id") > mid), dim = 64, m = 4)
+          // torn append: the last-added vector keeps only subspaces
+          // {0, 1}; the next redelivery must re-encode exactly it
+          val codes = s.read.parquet(s"$p/idx/codes").localCheckpoint(true)
+          codes.where(!(col("vec_id") === maxId && col("m") >= 2))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$p/idx/codes")
           Similarity.ivfpqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > mid), dim = 64, m = 4): Unit
         }
