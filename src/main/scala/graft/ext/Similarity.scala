@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -651,6 +651,12 @@ object Similarity {
   def ivfpqIndexAdd(path: String, newVectors: DataFrame, dim: Int,
                     m: Int = 4): Unit = {
     val spark = newVectors.sparkSession
+    // recovery-before-append (the substringIndexBatch discipline): an
+    // append arriving inside a hard-crashed compaction's swap window
+    // would otherwise CREATE a batch-only codes dir, and the retried
+    // compaction's residue cleanup would then delete the staged full
+    // copy — every settled code silently lost
+    graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
     val coarseCents = spark.read.parquet(s"$path/coarse")
     // codebook size from the artifact itself (k rows; driver-side
     // count of a kilobyte relation)
@@ -719,6 +725,8 @@ object Similarity {
   def ivfpqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                          m: Int = 4): Long = {
     val spark = batch.sparkSession
+    // recovery-before-read/append — see ivfpqIndexAdd
+    graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
     val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
       .select(col("vec_id"), col("q")).localCheckpoint(true)
     if (e.isEmpty) return 0L
@@ -772,6 +780,9 @@ object Similarity {
                          nQueries: Int, k: Int, m: Int = 4,
                          nprobe: Int = 2, shortlist: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
+    // a reader arriving inside a hard-crashed compaction's swap window
+    // must restore the staged codes, not observe them absent
+    graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
     val e = prepared(embeddings).where(col("norm") > 0)
     val coarseCents = spark.read.parquet(s"$path/coarse")
     val pqCents = spark.read.parquet(s"$path/pq")
@@ -825,6 +836,8 @@ object Similarity {
   def pqIndexAddBatch(path: String, batch: DataFrame, dim: Int,
                       m: Int = 4): Long = {
     val spark = batch.sparkSession
+    // recovery-before-read/append — see ivfpqIndexAdd
+    graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
@@ -869,10 +882,29 @@ object Similarity {
                       nQueries: Int, k: Int, m: Int = 4,
                       shortlist: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
+    // reader-side swap-window recovery — see ivfpqTopKFromIndex
+    graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
     val e = prepared(embeddings).where(col("norm") > 0)
     pqProbe(e, spark.read.parquet(s"$path/pq"),
       spark.read.parquet(s"$path/codes"), dim, m, nQueries, k, shortlist)
   }
+
+  /** Bound a maintained index's codes file count: an append-per-batch
+    * store gains one file set per batch (per touched bucket for the
+    * IVFPQ layout) FOREVER — at production batch cadence the listing
+    * itself becomes the probe bottleneck. Rows-preserved rewrite at
+    * `filesTarget` write tasks through the crash-safe
+    * [[graft.ingest.Sinks.compact]] swap (bucket partitioning — and
+    * with it the probe's partition pruning — is preserved for the
+    * IVFPQ layout). Single writer by construction when driven from
+    * [[graft.streaming.StreamIngest.maintainAnnIndex]]'s sequential
+    * foreachBatch; the replay guards are unaffected (settled vec_ids
+    * are preserved exactly), and every reader/appender in this file
+    * recovers a hard-crashed swap before touching the store. */
+  def compactCodes(spark: SparkSession, path: String, filesTarget: Int = 8,
+                   bucketed: Boolean = true): Unit =
+    graft.ingest.Sinks.compact(spark, s"$path/codes", filesTarget,
+      partitionCols = if (bucketed) Seq("bucket") else Nil): Unit
 
   // ── session-scoped index artifacts ───────────────────────────────────
   // Index training is an amortized OFFLINE job in production — a probe

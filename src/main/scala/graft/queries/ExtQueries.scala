@@ -5377,6 +5377,12 @@ object ExtQueries {
             dim = 64, m = 4)
           Similarity.ivfpqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > mid), dim = 64, m = 4)
+          // maintenance tick (round-15): the codes store rewrites at a
+          // bounded file count through the crash-safe swap — rows and
+          // bucket partitioning preserved, so the replay below must
+          // still find its batch settled in the POST-REWRITE store and
+          // the probe must prune/rank identically (hash-gated)
+          Similarity.compactCodes(s, s"$p/idx", filesTarget = 4)
           // at-least-once: the last batch replays verbatim
           Similarity.ivfpqIndexAddBatch(s"$p/idx",
             emb.where(col("vec_id") > mid), dim = 64, m = 4)

@@ -1112,20 +1112,38 @@ object StreamIngest {
     * delivery lands exactly-once — a redelivered batch assigns to the
     * same buckets, finds itself settled, appends nothing). Per-batch
     * cost: batch × broadcast-codebook assignment + a partition-pruned
-    * settled-id probe of only the touched buckets — never an index
-    * rewrite, never a retrain (codebook drift is handled by rebuilding,
-    * the standard operational contract). q219/q220 drive the driver
-    * gate: codes under frozen codebooks are per-vector arithmetic, so
+    * settled-id probe of only the touched buckets — never a retrain
+    * (codebook drift is handled by rebuilding, the standard
+    * operational contract), and the only rewrite is the opt-in
+    * `compactEvery` file-count tick ([[graft.ext.Similarity
+    * .compactCodes]] — rows preserved, bucket partitioning preserved,
+    * amortized 1/K per batch). q219/q220 drive the driver gate: codes
+    * under frozen codebooks are per-vector arithmetic, so
     * train-then-stream-adds equals one coherent index over the union
     * regardless of batch boundaries or arrival order. */
   def maintainAnnIndex(spark: SparkSession, srcDir: String,
                        checkpointDir: String, indexPath: String,
-                       dim: Int, m: Int = 4): StreamingQuery =
+                       dim: Int, m: Int = 4, compactEvery: Int = 0,
+                       filesTarget: Int = 8): StreamingQuery =
     spark.readStream.schema(embeddingSchema).json(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Similarity.ivfpqIndexAddBatch(indexPath, batch, dim, m): Unit
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ext.Similarity.ivfpqIndexAddBatch(indexPath, batch, dim, m)
+        // OPT-IN file-count maintenance (round-15, the
+        // maintainSubstringIndex discipline): an append-per-batch codes
+        // store gains one file set per touched bucket per batch forever
+        // — every `compactEvery` batches the codes rewrite at
+        // `filesTarget` tasks via the crash-safe Sinks.compact swap,
+        // preserving the bucket partitioning the probes prune by.
+        // Single writer by construction (this stream's own sequential
+        // foreachBatch); the replay guard is unaffected (settled
+        // vec_ids survive the rows-preserved rewrite), and every
+        // reader/appender recovers a hard-crashed swap before touching
+        // the store (spec-pinned).
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+          graft.ext.Similarity.compactCodes(
+            batch.sparkSession, indexPath, filesTarget)
       }
       .start()
 

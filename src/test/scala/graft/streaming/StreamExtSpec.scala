@@ -100,4 +100,76 @@ class StreamExtSpec extends SparkSuite {
       .select("vec_id").as[Long].collect()
     assert(top.toSeq == Seq(99L), s"streamed near-dup not found: ${top.toSeq}")
   }
+
+  test("maintained ANN index: compaction bounds files, preserves codes and guards; swap crash recovers") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def vec(): Array[Float] = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val seedVecs = (0L until 60L).map(i => (i, vec()))
+    val streamVecs = (60L until 100L).map(i => (i, vec()))
+    val idx = Files.createTempDirectory("cmp_ivfpq").toString + "/idx"
+    val ctl = Files.createTempDirectory("cmp_ivfpq_ctl").toString + "/idx"
+    for (p <- Seq(idx, ctl))
+      Similarity.buildIvfpqIndex(seedVecs.toDF("vec_id", "embedding"),
+        dim = 16, nCoarse = 4, m = 4, kSub = 16, iters = 1, path = p)
+    // control: every streamed vector lands in ONE bulk add, no
+    // compaction — integer Lloyd's is deterministic, so both indexes
+    // share identical frozen codebooks and must agree code-for-code
+    Similarity.ivfpqIndexAdd(ctl, streamVecs.toDF("vec_id", "embedding"),
+      dim = 16, m = 4)
+    def vecJson(id: Long, v: Array[Float]): String =
+      s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
+    val src = Files.createTempDirectory("cmp_src").toString
+    val chk = Files.createTempDirectory("cmp_chk").toString
+    val q = StreamIngest.maintainAnnIndex(spark, src, chk, idx,
+      dim = 16, m = 4, compactEvery = 2, filesTarget = 2)
+    // four 10-vector batches (bids 0-3; the tick fires at bid 2), then
+    // a verbatim REDELIVERY of the last batch (bid 4 — tick fires
+    // again): the replay guard must see the batch settled in the
+    // POST-REWRITE store
+    streamVecs.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      Files.write(java.nio.file.Paths.get(s"$src/b$i.json"),
+        g.map((vecJson _).tupled).mkString("\n").getBytes)
+      q.processAllAvailable()
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b_replay.json"),
+      streamVecs.drop(30).map((vecJson _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+    def rel(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster", $"bucket".cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rel(idx).length == 100 * 4, "replay double-coded across the rewrite")
+    assert(rel(idx).toSet == rel(ctl).toSet,
+      "compacted streamed index diverged from the bulk-add control")
+    // file count is BOUNDED by the tick, not by batches processed:
+    // appends since the last tick (none here) + <= one file per bucket
+    def parquetFiles(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p/codes"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(parquetFiles(idx) <= 8,
+      s"codes store kept ${parquetFiles(idx)} files after compaction")
+    // probe parity through the compacted store
+    val corpus = (seedVecs ++ streamVecs).toDF("vec_id", "embedding")
+    def probe(p: String) = Similarity.ivfpqTopKFromIndex(p, corpus, dim = 16,
+      nQueries = 4, k = 3, m = 4, nprobe = 4, shortlist = 100)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probe(idx) == probe(ctl))
+    // hard-crashed swap window: codes staged aside, live dir absent —
+    // readers and the guarded add must both restore before touching
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesP = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val fs = codesP.getFileSystem(hconf)
+    assert(fs.rename(codesP, new org.apache.hadoop.fs.Path(s"$idx/codes._compact_old")))
+    assert(!fs.exists(codesP))
+    assert(probe(idx) == probe(ctl), "reader did not recover the staged swap")
+    assert(fs.exists(codesP))
+    assert(fs.rename(codesP, new org.apache.hadoop.fs.Path(s"$idx/codes._compact_old")))
+    assert(Similarity.ivfpqIndexAddBatch(idx,
+      streamVecs.drop(30).toDF("vec_id", "embedding"), dim = 16, m = 4) == 0L,
+      "guarded add did not recover the staged swap before its settled probe")
+    assert(rel(idx).toSet == rel(ctl).toSet)
+  }
 }
