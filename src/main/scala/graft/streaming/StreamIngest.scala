@@ -1147,6 +1147,31 @@ object StreamIngest {
       }
       .start()
 
+  /** CONTINUOUS flat-PQ index maintenance — [[maintainAnnIndex]]'s
+    * sibling for corpora served by
+    * [[graft.ext.Similarity.buildPqIndex]] (no inverted file: probes
+    * scan the whole 2-bytes-per-vector codes relation, so the guard's
+    * settled probe is that same column-pruned scan). Each micro-batch
+    * lands through the replay-guarded
+    * [[graft.ext.Similarity.pqIndexAddBatch]] (exactly-once under
+    * at-least-once delivery, torn appends heal — the q222/q225
+    * contract), and the same opt-in `compactEvery` tick bounds the
+    * codes file count (unpartitioned layout, so `bucketed = false`). */
+  def maintainPqIndex(spark: SparkSession, srcDir: String,
+                      checkpointDir: String, indexPath: String,
+                      dim: Int, m: Int = 4, compactEvery: Int = 0,
+                      filesTarget: Int = 8): StreamingQuery =
+    spark.readStream.schema(embeddingSchema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ext.Similarity.pqIndexAddBatch(indexPath, batch, dim, m)
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+          graft.ext.Similarity.compactCodes(
+            batch.sparkSession, indexPath, filesTarget, bucketed = false)
+      }
+      .start()
+
   val edgeSchema: StructType = StructType(Seq(
     StructField("a", LongType), StructField("b", LongType)))
 

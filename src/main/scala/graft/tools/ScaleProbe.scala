@@ -701,6 +701,63 @@ object ScaleProbe {
         files.map { case (s, n) => s"$s=$n" }.mkString(" ") +
         s"; top-read ${fmt(tTop)}s (exact=${got == want})")
     }
+    // Long-horizon ANN maintenance (round-15): 64 guarded micro-batch
+    // adds with the compaction tick every 16 — the claim under test is
+    // that per-batch add cost does NOT grow with batches processed
+    // (the guard probes settled ids in only the touched buckets, and
+    // the tick bounds the codes file count so the listing can't become
+    // the bottleneck), and that the post-tick store is code-for-code
+    // identical to one bulk add (ticks and batch boundaries are
+    // invisible to the arithmetic).
+    if (only.forall(_.contains("ann_longstream"))) {
+      import org.apache.spark.sql.functions.col
+      val nB = 64; val per = 250L; val seed = 20000L
+      val all = synthEmb(spark, seed + nB * per, 64).localCheckpoint(true)
+      val settled = all.where(col("vec_id") < seed)
+      val streamed = all.where(col("vec_id") >= seed)
+      val idx = java.nio.file.Files.createTempDirectory("annls").toString
+      val ctl = java.nio.file.Files.createTempDirectory("annlsc").toString
+      Similarity.buildIvfpqIndex(settled, dim = 64, nCoarse = 16,
+        m = 4, kSub = 16, iters = 1, path = idx)
+      Similarity.buildIvfpqIndex(settled, dim = 64, nCoarse = 16,
+        m = 4, kSub = 16, iters = 1, path = ctl)
+      Similarity.ivfpqIndexAdd(ctl, streamed, dim = 64, m = 4)
+      val t0 = System.nanoTime()
+      (0 until nB).foreach { b =>
+        val lo = seed + b * per
+        Similarity.ivfpqIndexAddBatch(idx,
+          all.where(col("vec_id") >= lo && col("vec_id") < lo + per),
+          dim = 64, m = 4)
+        if (b > 0 && b % 16 == 0)
+          Similarity.compactCodes(spark, idx, filesTarget = 4)
+      }
+      val tStream = (System.nanoTime() - t0) / 1e9
+      def nFiles(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p/codes"))
+        try {
+          val it = s.iterator()
+          var n = 0L
+          while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+          n
+        } finally s.close()
+      }
+      def rel(p: String) = spark.read.parquet(s"$p/codes")
+        .selectExpr("vec_id", "cast(m AS BIGINT) AS m", "cluster",
+          "cast(bucket AS BIGINT) AS bucket")
+        .collect().map(_.toString).toSet
+      val exact = rel(idx) == rel(ctl)
+      require(exact, "long-stream ANN store diverged from the bulk add")
+      val (tProbe, probeRows) = timeMin(Similarity.ivfpqTopKFromIndex(
+        idx, all, dim = 64, nQueries = 8, k = 5, m = 4,
+        nprobe = 2, shortlist = 64).count())
+      if (out.length > 1) out ++= ","
+      out ++= s""""ann_longstream":{"batches":$nB,"t_stream":${fmt(tStream)}"""
+      out ++= s""","files_codes":${nFiles(idx)},"files_codes_ctl":${nFiles(ctl)}"""
+      out ++= s""","t_probe":${fmt(tProbe)},"probe_rows":$probeRows,"store_exact":true}"""
+      println(s"[scaleprobe] ann_longstream $nB batches in ${fmt(tStream)}s; " +
+        s"files codes=${nFiles(idx)} (ctl=${nFiles(ctl)}); probe ${fmt(tProbe)}s " +
+        s"(exact=$exact)")
+    }
     out ++= "}"
     val path = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/scaleprobe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -172,4 +172,53 @@ class StreamExtSpec extends SparkSuite {
       "guarded add did not recover the staged swap before its settled probe")
     assert(rel(idx).toSet == rel(ctl).toSet)
   }
+
+  test("maintained flat-PQ index: streamed guarded adds + compaction equal one bulk add") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def vec(): Array[Float] = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val seedVecs = (0L until 60L).map(i => (i, vec()))
+    val streamVecs = (60L until 100L).map(i => (i, vec()))
+    val idx = Files.createTempDirectory("cmp_pq").toString + "/idx"
+    val ctl = Files.createTempDirectory("cmp_pq_ctl").toString + "/idx"
+    for (p <- Seq(idx, ctl))
+      Similarity.buildPqIndex(seedVecs.toDF("vec_id", "embedding"),
+        dim = 16, m = 4, kSub = 16, iters = 1, path = p)
+    assert(Similarity.pqIndexAddBatch(ctl,
+      streamVecs.toDF("vec_id", "embedding"), dim = 16, m = 4) == 40L)
+    def vecJson(id: Long, v: Array[Float]): String =
+      s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
+    val src = Files.createTempDirectory("cmp_pq_src").toString
+    val chk = Files.createTempDirectory("cmp_pq_chk").toString
+    val q = StreamIngest.maintainPqIndex(spark, src, chk, idx,
+      dim = 16, m = 4, compactEvery = 2, filesTarget = 2)
+    streamVecs.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      Files.write(java.nio.file.Paths.get(s"$src/b$i.json"),
+        g.map((vecJson _).tupled).mkString("\n").getBytes)
+      q.processAllAvailable()
+    }
+    // redelivery against the post-rewrite store (tick fired at bid 2;
+    // this is bid 4 — it ticks again after the no-op append)
+    Files.write(java.nio.file.Paths.get(s"$src/b_replay.json"),
+      streamVecs.drop(30).map((vecJson _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+    def rel(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"m".cast("long"), $"cluster")
+      .as[(Long, Long, Long)].collect()
+    assert(rel(idx).length == 100 * 4, "replay double-coded across the rewrite")
+    assert(rel(idx).toSet == rel(ctl).toSet)
+    def parquetFiles(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p/codes"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(parquetFiles(idx) <= 4,
+      s"flat codes store kept ${parquetFiles(idx)} files after compaction")
+    val corpus = (seedVecs ++ streamVecs).toDF("vec_id", "embedding")
+    def probe(p: String) = Similarity.pqTopKFromIndex(p, corpus, dim = 16,
+      nQueries = 4, k = 3, m = 4, shortlist = 100)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probe(idx) == probe(ctl))
+  }
 }
