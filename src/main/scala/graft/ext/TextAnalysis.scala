@@ -572,12 +572,26 @@ object TextAnalysis {
     * batch contributes only its own O(batch) kernel pass. Caller owns
     * the replay guard (ids must not be appended twice). */
   def appendSubstringIndex(batch: DataFrame, path: String, minLen: Int,
-      k: Int = 20): Unit = {
+      k: Int = 20): Unit =
+    substringIndexRows(batch, minLen, k).write.mode("append").parquet(path)
+
+  /** The batch's index contribution as ROWS (doc_id, pos, h) — the
+    * deterministic winnow kernel pass behind [[appendSubstringIndex]],
+    * exposed so replay-guarded maintainers can heal TORN appends: a
+    * crash mid-append can leave a strict subset of a document's
+    * fingerprint rows visible, and a doc-grain presence guard would
+    * then skip the document forever (an incomplete index silently
+    * voids the winnow-losslessness completeness argument). Fingerprints
+    * are a pure function of the text, so recomputed rows are
+    * bit-identical and an anti-join on the full row appends exactly
+    * the missing ones. */
+  def substringIndexRows(batch: DataFrame, minLen: Int,
+      k: Int = 20): DataFrame = {
     require(minLen > k, s"need minLen > k, got ($minLen, $k)")
     val w = minLen - k + 1
     val d = batch.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= minLen)
-    winnowFingerprintsOf(d, k, w).write.mode("append").parquet(path)
+    winnowFingerprintsOf(d, k, w)
   }
 
   /** Cross-corpus maximal matches of a NEW BATCH against the persisted
@@ -985,6 +999,25 @@ object TextAnalysis {
       .groupBy(col("passage"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
+
+  /** [[passageCountsOf]] at PER-DOCUMENT grain — the maintained
+    * sidecar's delta form (round-15): each row carries the doc that
+    * contributed it (n_docs ≡ 1), so the row IS its own idempotence
+    * witness. A replay after ANY torn append — counts themselves, or
+    * the texts guard that determines the fresh set — recomputes
+    * bit-identical rows for whatever subset it re-attempts, and the
+    * read-side distinct folds them exactly; no counted-docs ledger, no
+    * delta-vs-subset divergence. Passage-grain rollups stay exact
+    * because docs land in exactly one batch (the texts guard), so
+    * sum(n_docs) over distinct per-doc rows == the global
+    * countDistinct. Compaction folds these to passage grain
+    * (doc_id = null) and the same sum formula covers both shapes. */
+  def passageCountsPerDoc(docs: DataFrame, len: Int): DataFrame =
+    windowsOf(docs, len)
+      .groupBy(col("passage"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("passage"), col("doc_id"), lit(1L).as("n_docs"),
+        col("n_occ"))
 
   /** Every `len`-char window of every document as (doc_id, passage) —
     * the ONE window projection [[topDuplicatedPassages]] (the one-shot

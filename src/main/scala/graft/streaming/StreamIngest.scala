@@ -515,12 +515,17 @@ object StreamIngest {
       bid: Long, filesTarget: Int): Unit =
     Seq("fp", "texts", "pairs", "counts").foreach { st =>
       if (readIfExists(s, s"$outDir/$st").isDefined) {
+        // counts fold to PASSAGE grain (doc_id = null): live per-doc
+        // delta rows (n_docs ≡ 1) and previously-folded rows sum under
+        // the same formula — docs land in exactly one batch, so the
+        // folded base and later live deltas cover disjoint doc sets
         val fold: DataFrame => DataFrame =
           if (st != "counts") identity
           else _.distinct().groupBy(col("passage"))
             .agg(sum(col("n_docs")).as("n_docs"),
               sum(col("n_occ")).as("n_occ"))
-            .withColumn("batch_id", lit(bid))
+            .select(col("passage"), lit(null).cast("long").as("doc_id"),
+              col("n_docs"), col("n_occ"), lit(bid).as("batch_id"))
         graft.ingest.Sinks.compact(s,
           s"$outDir/$st", filesTarget, transform = fold): Unit
       }
@@ -562,30 +567,70 @@ object StreamIngest {
       // one materialization feeds the probe and both appends —
       // never three source re-reads
       val freshC = fresh.localCheckpoint(true)
-      readIfExists(s, txDir).foreach { corpus =>
+      val settledTexts = readIfExists(s, txDir)
+      // TORN-APPEND HARDENING (round-15): a parquet append that crashes
+      // mid-job-commit leaves a strict SUBSET of its task files visible.
+      // Every write below is therefore either row-idempotent (replayed
+      // rows are bit-identical and a read-side distinct folds them) or
+      // row-grain healed (the replay appends exactly the missing rows):
+      // doc-grain presence guards alone cannot tell a settled document
+      // from a torn one.
+      //
+      // texts carry the appending batch id on stores created from
+      // round 15 on (legacy stores keep their two-column shape —
+      // parquet dirs must stay schema-uniform); the stamp lets the
+      // pairs probe tell THIS batch's torn-visible rows from genuinely
+      // settled documents.
+      val stampTexts = settledTexts.forall(_.columns.contains("batch_id"))
+      settledTexts.foreach { corpus =>
+        // the probe corpus must exclude this batch's own torn-visible
+        // texts: after a crash mid-texts-append the replay's fresh set
+        // would otherwise probe against its own batch-mates and log
+        // WITHIN-batch pairs the cross-batch contract excludes (and
+        // distinct cannot fold — they never existed in the first
+        // attempt's output). Re-delivered already-settled documents
+        // (batch_id < bid) stay probed.
+        val probeCorpus =
+          if (stampTexts) corpus.where(col("batch_id") =!= bid)
+          else corpus
         graft.ext.TextAnalysis.substringPairsAgainstIndex(
-            freshC, corpus, fpDir, minLen, k)
+            freshC, probeCorpus.select(col("doc_id"), col("text")),
+            fpDir, minLen, k)
           .withColumn("batch_id", lit(bid))
           .write.mode("append").parquet(prDir)
       }
-      // idempotent fp append: a crash AFTER the fp append but BEFORE
-      // the texts write replays the whole batch (the guard keys on
-      // texts) — anti-join against ids already indexed so the replay
-      // appends nothing here a second time
-      val fpFresh = readIfExists(s, fpDir) match {
+      // fp heal at ROW grain: fingerprints are a pure function of the
+      // text, so the recomputed rows are bit-identical and the
+      // anti-join appends exactly what a torn append left missing — a
+      // doc-grain guard would skip a partially-fingerprinted document
+      // forever, silently voiding the winnow-losslessness completeness
+      // argument. The settled side is pre-filtered to the batch's ids
+      // (broadcast semi-join), so the anti-join is batch-fp-sized.
+      val fpRows = graft.ext.TextAnalysis.substringIndexRows(freshC, minLen, k)
+      val fpNew = readIfExists(s, fpDir) match {
         case Some(fpEx) =>
-          freshC.join(fpEx.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        case None => freshC
+          fpRows.join(
+            fpEx.join(broadcast(freshC.select(col("doc_id"))),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("pos"), col("h")),
+            Seq("doc_id", "pos", "h"), "left_anti")
+        case None => fpRows
       }
-      graft.ext.TextAnalysis.appendSubstringIndex(fpFresh, fpDir, minLen, k)
-      // the batch's PASSAGE-grain rollup delta (see maintainSubstringIndex
-      // scaladoc): deterministic over freshC, so a crash-window replay
-      // appends IDENTICAL rows (batch_id included) and readTopPassages'
-      // distinct folds the double-append — the pairs-log discipline
-      graft.ext.TextAnalysis.passageCountsOf(freshC, minLen)
+      fpNew.write.mode("append").parquet(fpDir)
+      // the batch's count delta at PER-DOC grain (passageCountsPerDoc
+      // scaladoc): each row carries its contributing doc, so a replay
+      // after ANY tearing — of counts, or of the texts guard that
+      // shapes the fresh set — re-appends bit-identical rows for
+      // whatever subset it re-attempts and the read-side distinct
+      // folds them. The old passage-grain delta double-counted under a
+      // torn texts append: the replay's subset delta was NOT identical
+      // to the first attempt's full-batch delta, so both survived the
+      // fold.
+      graft.ext.TextAnalysis.passageCountsPerDoc(freshC, minLen)
         .withColumn("batch_id", lit(bid))
         .write.mode("append").parquet(cntDir)
-      freshC.write.mode("append").parquet(txDir)
+      (if (stampTexts) freshC.withColumn("batch_id", lit(bid)) else freshC)
+        .write.mode("append").parquet(txDir)
     }
     ()
   }
@@ -710,7 +755,7 @@ object StreamIngest {
       outDir: String, minLen: Int, k: Int): Unit =
     if (!readCountsComplete(spark, outDir)) {
       readIfExists(spark, s"$outDir/texts").foreach { settled =>
-        graft.ext.TextAnalysis.passageCountsOf(
+        graft.ext.TextAnalysis.passageCountsPerDoc(
             settled.select(col("doc_id"), col("text")), minLen)
           .withColumn("batch_id", lit(-1L))
           .write.mode("overwrite").parquet(s"$outDir/counts")
@@ -746,14 +791,16 @@ object StreamIngest {
     *
     * PRIMARY PATH (round-13, `counts` sidecar present, len == the
     * store's minLen, and the meta's countsComplete flag set — the
-    * round-15 upgrade guard): a pure fold of the maintained passage-grain
-    * deltas — distinct (folds the crash-window double-append; replayed
-    * rows are identical, batch_id included), sum per passage, filter,
-    * top-k. Exactness needs no losslessness argument at all: batches
-    * partition the settled corpus (replay guard), so per-batch
-    * countDistinct terms SUM to the global rollup — equality with the
-    * one-shot [[graft.ext.TextAnalysis.topDuplicatedPassages]] is
-    * arithmetic, at TEXT grain (no hash anywhere, so no collision
+    * round-15 upgrade guard): a pure fold of the maintained count
+    * deltas — distinct (folds crash-window re-appends exactly: deltas
+    * are PER-DOC grain since round 15, so replayed rows are
+    * bit-identical under ANY torn-append subset), sum per passage,
+    * filter, top-k. Exactness needs no losslessness argument at all:
+    * every doc lands in exactly one batch (replay guard), so summing
+    * per-doc rows — and the passage-grain rows compaction folds them
+    * into — IS the global rollup; equality with the one-shot
+    * [[graft.ext.TextAnalysis.topDuplicatedPassages]] is arithmetic,
+    * at TEXT grain (no hash anywhere, so no collision
     * caveat). Read cost is store-fold-sized: corpus texts are never
     * scanned, windows never re-exploded — the amortization a
     * maintained read exists for (the fp-candidate path degenerated to
@@ -1015,7 +1062,13 @@ object StreamIngest {
     * rows = id-ordered delivery, full parity. */
   def readLateArrivals(spark: SparkSession, outDir: String): DataFrame =
     readIfExists(spark, s"$outDir/late") match {
-      case Some(log) => log.distinct()
+      // MAX per batch, not distinct: a replay after a TORN hashes
+      // append recounts against a partially-settled log and can emit a
+      // smaller (never larger) observation for the same batch — the
+      // first-landed full-batch count is the true one, and every
+      // replayed observation undercounts it, so max folds exactly
+      case Some(log) => log.groupBy(col("batch_id"))
+        .agg(max(col("n_late_smaller_id")).as("n_late_smaller_id"))
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

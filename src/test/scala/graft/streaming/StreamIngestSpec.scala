@@ -766,6 +766,88 @@ class StreamIngestSpec extends SparkSuite {
     assert(fs.rename(p("_h_fp"), p("fp")))
   }
 
+  test("substring store: torn appends heal — fp completes, counts never double, pairs stay cross-batch") {
+    import spark.implicits._
+    // a parquet append that dies mid-job-commit leaves a strict SUBSET
+    // of its task files visible; the batch body's writes are sequential
+    // jobs (pairs → fp → counts → texts), so a valid torn state is a
+    // torn job with every earlier job complete and every later job
+    // absent. Three stores, each torn in a different job, must all
+    // heal to the untorn control on replay.
+    val pa = (1 to 10).map(i => s"crossbp$i").mkString(" ")
+    val pb = (1 to 10).map(i => s"withinbp$i").mkString(" ")
+    val b0 = Seq(
+      1L -> s"$pa early doc one with its own unique trailing words here",
+      2L -> s"$pa early doc two with different unique trailing words")
+    val b1 = Seq(
+      3L -> s"$pa later doc three then $pb and unique tail three",
+      4L -> s"also four leads $pa then $pb and unique tail four",
+      5L -> s"doc five shares nothing with anyone and has a long tail")
+    def run(store: String, batch: Seq[(Long, String)], bid: Long): Unit =
+      StreamIngest.substringIndexBatch(batch.toDF("doc_id", "text"),
+        store, bid, 40, 20)
+    def rewrite(dir: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      f(cur).write.mode("overwrite").parquet(dir)
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // control: both batches, no tearing
+    val ctl = Files.createTempDirectory("ssi_torn_ctl").toString + "/store"
+    run(ctl, b0, 0L); run(ctl, b1, 1L)
+    def state(store: String) = (
+      spark.read.parquet(s"$store/fp").select("doc_id", "pos", "h")
+        .as[(Long, Int, Long)].collect().toSet,
+      spark.read.parquet(s"$store/texts").select("doc_id", "text")
+        .as[(Long, String)].collect().toSet,
+      spark.read.parquet(s"$store/counts").distinct()
+        .groupBy($"passage").agg(
+          org.apache.spark.sql.functions.sum($"n_docs").as("n_docs"),
+          org.apache.spark.sql.functions.sum($"n_occ").as("n_occ"))
+        .as[(String, Long, Long)].collect().toSet,
+      StreamIngest.readSubstringPairs(spark, store)
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet,
+      StreamIngest.readTopPassages(spark, store, len = 40, minDocs = 2, k = 50)
+        .as[(String, Long, Long)].collect().toSet)
+    val want = state(ctl)
+    // fixture sanity: pb is WITHIN-batch only — it must not be in the
+    // pairs log; pa crosses batches for docs 3 and 4
+    assert(want._4 == Set(1L -> 3L, 2L -> 3L, 1L -> 4L, 2L -> 4L), want._4)
+    assert(want._5.exists(_._1.contains("crossbp")), want._5)
+
+    // S1: fp TORN (half of doc 3's rows), counts and texts of b1 absent
+    val s1 = Files.createTempDirectory("ssi_torn1").toString + "/store"
+    run(s1, b0, 0L); run(s1, b1, 1L)
+    val doc3fp = spark.read.parquet(s"$s1/fp").where($"doc_id" === 3L).count()
+    assert(doc3fp >= 2, s"fixture needs >=2 fingerprints for doc 3, got $doc3fp")
+    rewrite(s"$s1/fp")(df => df.where($"doc_id" =!= 3L || $"pos" <
+      df.where($"doc_id" === 3L).agg(
+        org.apache.spark.sql.functions.max($"pos")).head().getInt(0)))
+    rewrite(s"$s1/counts")(_.where($"batch_id" === 0L))
+    rewrite(s"$s1/texts")(_.where($"doc_id" < 3L))
+    run(s1, b1, 1L) // replay
+    assert(state(s1) == want, "S1 (torn fp) did not heal to the control")
+
+    // S2: counts TORN (doc 5's rows missing), texts of b1 absent
+    val s2 = Files.createTempDirectory("ssi_torn2").toString + "/store"
+    run(s2, b0, 0L); run(s2, b1, 1L)
+    rewrite(s"$s2/counts")(df =>
+      df.where($"batch_id" === 0L || $"doc_id" =!= 5L))
+    rewrite(s"$s2/texts")(_.where($"doc_id" < 3L))
+    run(s2, b1, 1L)
+    assert(state(s2) == want, "S2 (torn counts) did not heal to the control")
+
+    // S3: texts TORN — docs 3 and 5 visible, doc 4 missing. The replay
+    // probes only doc 4; without the batch-stamp corpus exclusion it
+    // would log the WITHIN-batch pair (3,4) via pa/pb, and without
+    // per-doc count deltas it would re-count doc 4's passages
+    val s3 = Files.createTempDirectory("ssi_torn3").toString + "/store"
+    run(s3, b0, 0L); run(s3, b1, 1L)
+    rewrite(s"$s3/texts")(_.where($"doc_id" =!= 4L))
+    run(s3, b1, 1L)
+    assert(state(s3) == want, "S3 (torn texts) did not heal to the control")
+  }
+
   test("substring meta creation is race-safe: concurrent same-grain creators never wedge or clobber") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("ssi_race").toString + "/store"
