@@ -3049,11 +3049,14 @@ object ExtQueries {
               .withColumn("batch_id", lit(b.toLong))
               .coalesce(1).write.mode("append").parquet(s"$p/stats")
           }
+          // at-least-once: the last batch's summary lands twice (the
+          // crash-after-append-before-commit replay) — the read-side
+          // distinct must fold it or the gate hash-mismatches
+          Prep.filterFunnel(docs.where(col("doc_id") % 3 === 2))
+            .withColumn("batch_id", lit(2L))
+            .coalesce(1).write.mode("append").parquet(s"$p/stats")
         }
-        s.read.parquet(s"$store/stats")
-          .groupBy(col("lang"), col("reason"))
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("n_tokens")).as("n_tokens"))
+        StreamIngest.readQualityFunnel(s, s"$store/stats")
       },
       filterFunnelOracleSql),
 

@@ -200,6 +200,21 @@ object StreamIngest {
       }
       .start()
 
+  /** Fold a [[monitorQuality]] sidecar into the cumulative funnel —
+    * (lang, reason) → totals. The distinct is load-bearing (round-15):
+    * a micro-batch that crashed after its append but before the
+    * checkpoint commit REPLAYS, and the funnel summary is
+    * deterministic per batch (batch stamp included), so the replayed
+    * rows are bit-identical and fold away — a bare sum would
+    * double-count that batch. Funnel attribution is per-row, so the
+    * folded table equals the one-shot funnel over the union of all
+    * delivered batches (the additivity law the spec pins). */
+  def readQualityFunnel(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(statsDir).distinct()
+      .groupBy(col("lang"), col("reason"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
   /** The per-domain token-spend STATS SIDECAR of an [[ingestPrep]]
     * corpus: `<outDir>_stats`, one tiny (lang_guess, tokens) batch
     * summary appended per micro-batch. Budget depletion reads THIS —

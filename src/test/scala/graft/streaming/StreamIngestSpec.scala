@@ -443,11 +443,9 @@ class StreamIngestSpec extends SparkSuite {
     q.processAllAvailable()
     Files.write(java.nio.file.Paths.get(s"$src/b2.json"), b2.mkString("\n").getBytes)
     q.processAllAvailable(); q.stop()
-    val monitored = spark.read.parquet(stats)
-      .groupBy(col("lang"), col("reason"))
-      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
-        org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+    def monitoredNow() = StreamIngest.readQualityFunnel(spark, stats)
       .as[(String, String, Long, Long)].collect().toSet
+    val monitored = monitoredNow()
     // additivity: summing the per-batch funnels == the batch operator
     // over the union of both batches
     val all = Seq(
@@ -460,6 +458,17 @@ class StreamIngestSpec extends SparkSuite {
     val direct = graft.ext.Prep.filterFunnel(all)
       .as[(String, String, Long, Long)].collect().toSet
     assert(monitored == direct)
+    // at-least-once: a batch that crashed after its append but before
+    // the checkpoint commit replays and re-appends an IDENTICAL
+    // summary — the read-side distinct must fold it (round-15; the
+    // bare sum double-counted the batch)
+    graft.ext.Prep.filterFunnel(
+        Seq((4L, "en", "the " + (1 to 23).map(i => s"a$i").mkString(" ") + " user@x.com"),
+          (5L, "en", "the " + (1 to 24).map(i => s"b$i").mkString(" ")))
+          .toDF("doc_id", "lang", "text"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .coalesce(1).write.mode("append").parquet(stats)
+    assert(monitoredNow() == direct, "replayed funnel summary was double-counted")
     // the monitor's batch_id column localizes regressions to a batch
     val perBatch = spark.read.parquet(stats).select("batch_id")
       .as[Long].collect().toSet
