@@ -462,6 +462,24 @@ object ExtQueries {
       slices.zipWithIndex.foreach { case (pred, bid) =>
         StreamIngest.substringIndexBatch(
           docs.where(pred), s"$p/store", bid.toLong, minLen = 40, k = 20)
+        // TORN-APPEND REPLAY mid-stream (round-15): after the first
+        // batch, tear its texts append (drop one settled document's
+        // row — the state a crash mid-job-commit leaves) and replay
+        // the batch. The replay must heal exactly the torn document
+        // WITHOUT logging within-batch pairs against its torn-visible
+        // batch-mates (the batch-stamp corpus exclusion) and WITHOUT
+        // re-counting it (per-doc count deltas fold) — q216/q217/q224
+        // hash-mismatch at every SF otherwise.
+        if (bid == 0) {
+          val tornId = docs.where(pred)
+            .agg(org.apache.spark.sql.functions.max(col("doc_id")))
+            .head().getLong(0)
+          val tx = s.read.parquet(s"$p/store/texts").localCheckpoint(true)
+          tx.where(col("doc_id") =!= tornId)
+            .write.mode("overwrite").parquet(s"$p/store/texts")
+          StreamIngest.substringIndexBatch(
+            docs.where(pred), s"$p/store", 0L, minLen = 40, k = 20)
+        }
         // UPGRADE-IN-PLACE mid-stream (round-15): after the second
         // batch, strip the counts sidecar and rewrite the meta to its
         // pre-flag form — the exact state a pre-r15 store is in when
