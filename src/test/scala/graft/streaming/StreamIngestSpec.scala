@@ -857,6 +857,83 @@ class StreamIngestSpec extends SparkSuite {
     assert(state(s3) == want, "S3 (torn texts) did not heal to the control")
   }
 
+  test("substring store: randomized torn states all heal (8 seeded trials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // fuzz over the valid torn-state space: the batch body's writes are
+    // sequential jobs (pairs → fp → counts → texts), so a crash tears
+    // ONE job (random row subset survives), completes every earlier
+    // job, and leaves every later job absent. Whatever the tear, the
+    // replay must converge the store to the untorn control.
+    def state(store: String) = (
+      spark.read.parquet(s"$store/fp").select("doc_id", "pos", "h")
+        .as[(Long, Int, Long)].collect().toSet,
+      spark.read.parquet(s"$store/texts").select("doc_id")
+        .as[Long].collect().toSet,
+      spark.read.parquet(s"$store/counts").distinct()
+        .groupBy($"passage").agg(
+          org.apache.spark.sql.functions.sum($"n_docs").as("n_docs"),
+          org.apache.spark.sql.functions.sum($"n_occ").as("n_occ"))
+        .as[(String, Long, Long)].collect().toSet,
+      StreamIngest.readSubstringPairs(spark, store)
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet,
+      StreamIngest.readTopPassages(spark, store, len = 40, minDocs = 2, k = 50)
+        .as[(String, Long, Long)].collect().toSet)
+    def rewrite(dir: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      f(cur).write.mode("overwrite").parquet(dir)
+    }
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val blocks = (0 to 2).map(b =>
+        (1 to 10).map(i => s"s${seed}b$b$i").mkString(" "))
+      def doc(id: Long): (Long, String) = {
+        val blk = blocks(rnd.nextInt(3))
+        (id, s"u${rnd.nextInt(100)} $blk tail${rnd.nextInt(100)} of doc $id")
+      }
+      val b0 = (1L to 6L).map(doc)
+      val b1 = (7L to 12L).map(doc)
+      val ctl = Files.createTempDirectory(s"tfz_ctl$seed").toString + "/store"
+      val tst = Files.createTempDirectory(s"tfz_tst$seed").toString + "/store"
+      for (st <- Seq(ctl, tst)) {
+        StreamIngest.substringIndexBatch(b0.toDF("doc_id", "text"), st, 0L, 40, 20)
+        StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), st, 1L, 40, 20)
+      }
+      val want = state(ctl)
+      val b1ids = b1.map(_._1).toSet
+      def keepRow(): Boolean = rnd.nextBoolean()
+      val tornJob = Seq("pairs", "fp", "counts", "texts")(rnd.nextInt(4))
+      // tear tornJob (random surviving row subset of batch 1's
+      // contribution), truncate every later job's batch-1 rows
+      val later = Seq("pairs", "fp", "counts", "texts")
+        .dropWhile(_ != tornJob).drop(1)
+      val keepIds = b1ids.filter(_ => keepRow())
+      tornJob match {
+        case "pairs" => rewrite(s"$tst/pairs")(df =>
+          df.where($"batch_id" =!= 1L ||
+            ($"doc_a".isin(keepIds.toSeq: _*) || $"doc_b".isin(keepIds.toSeq: _*))))
+        case "fp" => rewrite(s"$tst/fp")(df =>
+          df.where(!$"doc_id".isin(b1ids.toSeq: _*) ||
+            $"doc_id".isin(keepIds.toSeq: _*) || $"pos" % 2 === 0))
+        case "counts" => rewrite(s"$tst/counts")(df =>
+          df.where($"batch_id" =!= 1L || $"doc_id".isin(keepIds.toSeq: _*)))
+        case "texts" => rewrite(s"$tst/texts")(df =>
+          df.where($"batch_id" =!= 1L || $"doc_id".isin(keepIds.toSeq: _*)))
+      }
+      later.foreach {
+        case "pairs" => rewrite(s"$tst/pairs")(_.where($"batch_id" =!= 1L))
+        case "fp" => rewrite(s"$tst/fp")(
+          _.where(!c("doc_id").isin(b1ids.toSeq: _*)))
+        case "counts" => rewrite(s"$tst/counts")(_.where($"batch_id" =!= 1L))
+        case "texts" => rewrite(s"$tst/texts")(_.where($"batch_id" =!= 1L))
+      }
+      StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), tst, 1L, 40, 20)
+      assert(state(tst) == want,
+        s"seed $seed: torn $tornJob (kept $keepIds) did not heal")
+    }
+  }
+
   test("substring meta creation is race-safe: concurrent same-grain creators never wedge or clobber") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("ssi_race").toString + "/store"
