@@ -633,6 +633,48 @@ object Similarity {
     coarseCents.write.mode("overwrite").parquet(s"$path/coarse")
     pqCents.write.mode("overwrite").parquet(s"$path/pq")
     codes.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    writeIndexMeta(e.sparkSession, path, dim, m)
+  }
+
+  // ── index artifact meta: (dim, m) drift guard ─────────────────────────
+  // The substring store's _meta.json discipline for ANN artifacts: an
+  // add or probe run with a different dim or m than the index was built
+  // with silently mis-codes (kSub is derived as pqCents.count()/m, the
+  // subspace slices shift, and ADC sums become garbage with no error
+  // anywhere). Builders persist (dim, m) beside the artifact; adds and
+  // probes REQUIRE a match when the sidecar exists. Artifacts built
+  // before the sidecar landed have none — callers are then trusted,
+  // the old contract. Temp-file + rename so the visible file is absent
+  // or complete (single-writer build contract).
+  private def writeIndexMeta(spark: SparkSession, path: String,
+                             dim: Int, m: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta.json")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/._meta.json.${java.util.UUID.randomUUID}.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"dim":$dim,"m":$m}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false): Unit
+  }
+
+  private def checkIndexMeta(spark: SparkSession, path: String,
+                             dim: Int, m: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"dim"\s*:\s*(\d+).*"m"\s*:\s*(\d+)""".r
+      re.findFirstMatchIn(txt).foreach { mm =>
+        val (sd, sm) = (mm.group(1).toInt, mm.group(2).toInt)
+        require(sd == dim && sm == m,
+          s"index $path was built with (dim=$sd, m=$sm); " +
+            s"refusing to use it with (dim=$dim, m=$m)")
+      }
+    }
   }
 
   /** Incrementally ADD vectors to a [[buildIvfpqIndex]] artifact — the
@@ -657,6 +699,7 @@ object Similarity {
     // compaction's residue cleanup would then delete the staged full
     // copy — every settled code silently lost
     graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
+    checkIndexMeta(spark, path, dim, m)
     val coarseCents = spark.read.parquet(s"$path/coarse")
     // codebook size from the artifact itself (k rows; driver-side
     // count of a kilobyte relation)
@@ -727,6 +770,7 @@ object Similarity {
     val spark = batch.sparkSession
     // recovery-before-read/append — see ivfpqIndexAdd
     graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
+    checkIndexMeta(spark, path, dim, m)
     val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
       .select(col("vec_id"), col("q")).localCheckpoint(true)
     if (e.isEmpty) return 0L
@@ -783,6 +827,7 @@ object Similarity {
     // a reader arriving inside a hard-crashed compaction's swap window
     // must restore the staged codes, not observe them absent
     graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
+    checkIndexMeta(spark, path, dim, m)
     val e = prepared(embeddings).where(col("norm") > 0)
     val coarseCents = spark.read.parquet(s"$path/coarse")
     val pqCents = spark.read.parquet(s"$path/pq")
@@ -819,6 +864,7 @@ object Similarity {
     val (cents, codes) = pqEncode(e, dim, m, kSub, iters)
     cents.write.mode("overwrite").parquet(s"$path/pq")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    writeIndexMeta(e.sparkSession, path, dim, m)
   }
 
   /** EXACTLY-ONCE incremental add for a [[buildPqIndex]] artifact —
@@ -838,6 +884,7 @@ object Similarity {
     val spark = batch.sparkSession
     // recovery-before-read/append — see ivfpqIndexAdd
     graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
+    checkIndexMeta(spark, path, dim, m)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val e = prepared(batch.dropDuplicates("vec_id")).where(col("norm") > 0)
@@ -884,6 +931,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     // reader-side swap-window recovery — see ivfpqTopKFromIndex
     graft.ingest.Sinks.recoverCompact(spark, s"$path/codes")
+    checkIndexMeta(spark, path, dim, m)
     val e = prepared(embeddings).where(col("norm") > 0)
     pqProbe(e, spark.read.parquet(s"$path/pq"),
       spark.read.parquet(s"$path/codes"), dim, m, nQueries, k, shortlist)

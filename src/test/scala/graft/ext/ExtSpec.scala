@@ -555,6 +555,42 @@ class ExtSpec extends SparkSuite {
     assert(Similarity.pqIndexAddBatch(qT, b, dim = 16, m = 4) == 0L)
   }
 
+  test("index artifacts refuse parameter drift: wrong (dim, m) fails loudly, legacy artifacts trust the caller") {
+    // an add or probe with a different dim or m than the index was
+    // built with silently mis-codes (kSub derives as count/m, the
+    // subspace slices shift, ADC sums become garbage with no error) —
+    // the builders persist (dim, m) and every add/probe validates it
+    val a = clusteredVecs.where($"vec_id" < 120)
+    val b = clusteredVecs.where($"vec_id" >= 120)
+    val p1 = java.nio.file.Files.createTempDirectory("meta_ivfpq").toString + "/idx"
+    Similarity.buildIvfpqIndex(a, dim = 16, nCoarse = 4,
+      m = 4, kSub = 16, iters = 1, path = p1)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfpqIndexAddBatch(p1, b, dim = 16, m = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfpqTopKFromIndex(p1, clusteredVecs, dim = 8,
+        nQueries = 8, k = 5, m = 4)
+    }
+    val p2 = java.nio.file.Files.createTempDirectory("meta_pq").toString + "/idx"
+    Similarity.buildPqIndex(a, dim = 16, m = 4, kSub = 16, iters = 1, path = p2)
+    intercept[IllegalArgumentException] {
+      Similarity.pqIndexAddBatch(p2, b, dim = 16, m = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(p2, clusteredVecs, dim = 32,
+        nQueries = 8, k = 5, m = 4)
+    }
+    // legacy artifact (built before the sidecar landed): no meta file,
+    // callers are trusted — the old contract keeps working
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mp = new org.apache.hadoop.fs.Path(s"$p1/_meta.json")
+    mp.getFileSystem(hconf).delete(mp, false)
+    assert(Similarity.ivfpqIndexAddBatch(p1, b, dim = 16, m = 4) == 80L)
+    assert(Similarity.ivfpqTopKFromIndex(p1, clusteredVecs, dim = 16,
+      nQueries = 8, k = 5, m = 4).count() > 0)
+  }
+
   test("md5_prefix64 is bit-identical to the conv(substr(md5)) specification") {
     graft.functions.Md5Prefix64.register(spark)
     val rnd = new scala.util.Random(5)
