@@ -934,6 +934,68 @@ class StreamIngestSpec extends SparkSuite {
     }
   }
 
+  test("release store: torn hashes/gates appends heal on replay (seeded trials)") {
+    import spark.implicits._
+    // the releaseBatch job sequence is late → within-pairs → sub-store
+    // → hashes → gates; the sub-store's internal tears are covered by
+    // the substring fuzz, so this drives the two release-grain torn
+    // states: torn hashes (gates absent) and torn gates (all earlier
+    // complete). The heal relies on: gates re-append only missing docs
+    // (deterministic per doc under frozen weights), duplicate hashes
+    // rows fold in the keeper min, the sub-store guards itself, and
+    // the late read max-folds.
+    val filler = (1 to 30).map(i => s"uniq$i").mkString(" ")
+    def rw(dir: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      f(cur).write.mode("overwrite").parquet(dir)
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val docs = (1L to 14L).map { i =>
+        val text =
+          if (i % 5 == 0) s"twin text $filler"
+          else s"doc $i body ${rnd.nextInt(50)} $filler"
+        (i, "en", text)
+      }.toDF("doc_id", "lang", "text").localCheckpoint(true)
+      val root = Files.createTempDirectory(s"rfz$seed").toString
+      graft.ext.TextAnalysis.langIdWeights(docs).write.parquet(s"$root/w")
+      val b0 = docs.where($"doc_id" <= 7L)
+      val b1 = docs.where($"doc_id" > 7L)
+      val b1ids = (8L to 14L).toSeq
+      val keep = b1ids.filter(_ => rnd.nextBoolean())
+      def state(store: String) = (
+        StreamIngest.readReleaseDecisions(spark, store)
+          .as[(Long, String)].collect().toMap,
+        spark.read.parquet(s"$store/gates").distinct().count(),
+        spark.read.parquet(s"$store/hashes")
+          .groupBy($"h").agg(org.apache.spark.sql.functions.min($"doc_id"))
+          .as[(String, Long)].collect().toSet,
+        spark.read.parquet(s"$store/sub/texts").select("doc_id")
+          .as[Long].collect().toSet)
+      val ctl = Files.createTempDirectory(s"rfz_ctl$seed").toString + "/s"
+      StreamIngest.releaseBatch(b0, ctl, s"$root/w", 0L, 40, 20)
+      StreamIngest.releaseBatch(b1, ctl, s"$root/w", 1L, 40, 20)
+      val want = state(ctl)
+      for (torn <- Seq("hashes", "gates")) {
+        val st = Files.createTempDirectory(s"rfz_$torn$seed").toString + "/s"
+        StreamIngest.releaseBatch(b0, st, s"$root/w", 0L, 40, 20)
+        StreamIngest.releaseBatch(b1, st, s"$root/w", 1L, 40, 20)
+        torn match {
+          case "gates" => rw(s"$st/gates")(df =>
+            df.where(!$"doc_id".isin(b1ids: _*) || $"doc_id".isin(keep: _*)))
+          case "hashes" =>
+            rw(s"$st/hashes")(df =>
+              df.where(!$"doc_id".isin(b1ids: _*) || $"doc_id".isin(keep: _*)))
+            rw(s"$st/gates")(df => df.where(!$"doc_id".isin(b1ids: _*)))
+        }
+        StreamIngest.releaseBatch(b1, st, s"$root/w", 1L, 40, 20) // replay
+        assert(state(st) == want,
+          s"seed $seed: torn $torn (kept $keep) did not heal")
+      }
+    }
+  }
+
   test("substring meta creation is race-safe: concurrent same-grain creators never wedge or clobber") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("ssi_race").toString + "/store"
