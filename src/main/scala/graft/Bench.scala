@@ -155,9 +155,24 @@ object Bench {
       try {
         val hist = java.nio.file.Paths.get("bench_history")
         java.nio.file.Files.createDirectories(hist)
-        val n = java.nio.file.Files.list(hist).count()
+        // next index = max(existing run-NNNN) + 1, never a file COUNT:
+        // a deleted historical run or an unrelated file in the dir would
+        // make count() collide with (or skip) an existing index and
+        // silently overwrite a historical record — defeating the
+        // archive's non-clobbering purpose. CREATE_NEW backstops any
+        // residual collision loudly instead of clobbering.
+        val runRe = """run-(\d{4})\.json""".r
+        val n = {
+          val it = java.nio.file.Files.list(hist)
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator()).asScala
+            .flatMap(p => runRe.unapplySeq(p.getFileName.toString)
+              .flatMap(_.headOption).map(_.toInt))
+            .foldLeft(-1)(math.max) + 1
+          finally it.close()
+        }
         java.nio.file.Files.write(hist.resolve(f"run-$n%04d.json"),
-          (json + "\n").getBytes("UTF-8"))
+          (json + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not archive run: ${e.getMessage}") }
     spark.stop()

@@ -497,6 +497,12 @@ object ExtQueries {
             new org.apache.hadoop.fs.Path(s"$p/store/_meta.json"), true)
           try m.write("""{"minLen":40,"k":20}""".getBytes("UTF-8"))
           finally m.close()
+          // a genuine pre-r15 store also has no r16 completeness
+          // sidecar (create-only flag file) — remove it or the
+          // simulated downgrade is incomplete and the fold path would
+          // be trusted against the stripped counts
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$p/store/_counts_complete.json"), false)
         }
       }
       // production posture: the maintained store runs with compaction

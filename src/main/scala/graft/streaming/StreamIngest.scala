@@ -35,6 +35,11 @@ case class UserSessionUpdate(user_id: Long, sessions: Long, events: Long,
   */
 object StreamIngest {
 
+  /** Stores already warned about pre-r15 unstamped texts (one warning
+    * per attach per JVM, not one per batch). */
+  private val warnedLegacyTexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -597,16 +602,60 @@ object StreamIngest {
       // pairs probe tell THIS batch's torn-visible rows from genuinely
       // settled documents.
       val stampTexts = settledTexts.forall(_.columns.contains("batch_id"))
+      // LEGACY-STORE EXPOSURE WARNING (ADVICE r15): pre-r15 stores have
+      // two-column texts (parquet dirs must stay schema-uniform, so they
+      // keep appending unstamped rows) — for them the torn-texts-append
+      // hazard the stamp closes stays OPEN: a replay after a crash
+      // mid-texts-append probes its own torn-visible batch-mates and
+      // logs within-batch pairs the contract excludes. Warn once per
+      // attach so operators know; the upgrade path is a rebuild
+      // (re-drive the settled texts through a fresh stamped store).
+      if (!stampTexts && warnedLegacyTexts.add(txDir))
+        System.err.println(
+          s"[graft] WARN substring store $outDir has a pre-r15 unstamped " +
+            s"texts relation: the torn-texts-append pair-log exposure is " +
+            s"still open for this store (and the foreign-lineage guard " +
+            s"cannot run). Rebuild into a fresh store to upgrade.")
       settledTexts.foreach { corpus =>
+        if (stampTexts) {
+          // LINEAGE GUARD (ADVICE r15): batch ids are only unique within
+          // one checkpoint lineage. A store re-attached to a fresh
+          // checkpoint (or a caller whose bid sequence restarts) would
+          // deliver bids BELOW ids already settled — and any exclusion
+          // keyed on this batch's bid could then silently drop genuinely
+          // settled foreign-stamped documents from the probe, losing
+          // their cross-batch pairs forever (pairs append once per
+          // batch). Within a lineage bids are monotone and a replay
+          // carries the max settled bid (or max+1 when the crash
+          // preceded the texts append), so bid < max(settled) can only
+          // be a foreign lineage: refuse loudly instead of corrupting
+          // the pair log. One narrow-column agg per maintenance batch —
+          // the probe scans the store anyway.
+          val maxSettled = corpus.agg(max(col("batch_id"))).head().getLong(0)
+          require(bid >= maxSettled,
+            s"substring store $outDir has settled batches up to id " +
+              s"$maxSettled but this delivery carries batch id $bid — " +
+              s"batch ids restart only when a store is re-attached to a " +
+              s"different checkpoint lineage; refusing (the pair log " +
+              s"would silently lose cross-batch pairs)")
+        }
         // the probe corpus must exclude this batch's own torn-visible
         // texts: after a crash mid-texts-append the replay's fresh set
         // would otherwise probe against its own batch-mates and log
         // WITHIN-batch pairs the cross-batch contract excludes (and
         // distinct cannot fold — they never existed in the first
         // attempt's output). Re-delivered already-settled documents
-        // (batch_id < bid) stay probed.
+        // stay probed. The exclusion is scoped to THIS DELIVERY —
+        // (doc_id ∈ delivered set) AND (batch_id = bid) — not bid
+        // alone (ADVICE r15): under the lineage guard above a bare
+        // batch_id match could still be a same-max replay boundary,
+        // and the composite key pins it to this batch's own torn rows.
         val probeCorpus =
-          if (stampTexts) corpus.where(col("batch_id") =!= bid)
+          if (stampTexts)
+            corpus.join(
+              broadcast(b0.select(col("doc_id")).withColumn("batch_id",
+                lit(bid))),
+              Seq("doc_id", "batch_id"), "left_anti")
           else corpus
         graft.ext.TextAnalysis.substringPairsAgainstIndex(
             freshC, probeCorpus.select(col("doc_id"), col("text")),
@@ -685,14 +734,23 @@ object StreamIngest {
         // primary path on the flag closes the in-place-upgrade hazard
         // where a pre-sidecar store gained a PARTIAL counts relation
         // covering only post-upgrade batches.
+        // Since round 16 the meta is IMMUTABLE after creation — it
+        // carries only the store grain. Counts-completeness lives in a
+        // separate create-only flag file (_counts_complete.json, see
+        // ensureCountsComplete): the r15 format rewrote _meta.json to
+        // flip the flag, and that rewrite's delete-then-rename window
+        // could leave the meta ABSENT after a crash, silently disabling
+        // the minLen-floor validation for every later reader (ADVICE
+        // r15). A file that is never rewritten has no such window.
+        // Legacy metas carrying "countsComplete":true are still honored
+        // by readCountsComplete.
         val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
         val tmp = new org.apache.hadoop.fs.Path(
           s"$outDir/._meta.json.${java.util.UUID.randomUUID}.tmp")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val out = fs.create(tmp, true)
         try out.write(
-          s"""{"minLen":$minLen,"k":$k,"countsComplete":false}"""
-            .getBytes("UTF-8"))
+          s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
         finally out.close()
         // install by RENAME FIRST, never delete-then-rename (round-15):
         // between a None re-read and a delete, a concurrent creator's
@@ -735,11 +793,20 @@ object StreamIngest {
     * covers every settled document, so [[readTopPassages]] may fold it
     * instead of re-deriving from candidates. False for pre-r15 metas
     * (no flag) and for stores mid-upgrade: both fall back to the
-    * candidate path until the next maintenance batch backfills. */
+    * candidate path until the next maintenance batch backfills.
+    *
+    * Since round 16 the flag is a SEPARATE create-only sidecar
+    * (`_counts_complete.json`, installed by rename — either absent or
+    * complete, never torn); r15-era metas that embedded
+    * `"countsComplete":true` are still honored. */
   private[graft] def readCountsComplete(spark: SparkSession,
-      outDir: String): Boolean =
-    readMetaText(spark, outDir)
+      outDir: String): Boolean = {
+    val flag = new org.apache.hadoop.fs.Path(
+      s"$outDir/_counts_complete.json")
+    val fs = flag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(flag) || readMetaText(spark, outDir)
       .exists(""""countsComplete"\s*:\s*true""".r.findFirstIn(_).isDefined)
+  }
 
   private def readMetaText(spark: SparkSession,
       outDir: String): Option[String] = {
@@ -775,26 +842,29 @@ object StreamIngest {
           .withColumn("batch_id", lit(-1L))
           .write.mode("overwrite").parquet(s"$outDir/counts")
       }
-      // flag rewrite: single maintaining writer; a concurrent READER
-      // observing the brief absence window falls back to the candidate
-      // path — conservative, never wrong
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/_meta.json")
+      // flag install: CREATE-ONLY guarded rename into a file that is
+      // never rewritten (_meta.json stays immutable — the r15 format
+      // flipped the flag by delete-then-rename of the meta itself, and
+      // a crash in that window left the meta ABSENT: readers then
+      // skipped the minLen-floor validation entirely, ADVICE r15). A
+      // crash before the rename → flag absent → the next batch
+      // re-backfills (mode=overwrite, idempotent); after → complete.
+      // No state in between is representable.
+      val p = new org.apache.hadoop.fs.Path(
+        s"$outDir/_counts_complete.json")
       val tmp = new org.apache.hadoop.fs.Path(
-        s"$outDir/._meta.json.${java.util.UUID.randomUUID}.tmp")
+        s"$outDir/._counts_complete.json.${java.util.UUID.randomUUID}.tmp")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(tmp, true)
       try out.write(
-        s"""{"minLen":$minLen,"k":$k,"countsComplete":true}"""
+        s"""{"countsComplete":true,"minLen":$minLen,"k":$k}"""
           .getBytes("UTF-8"))
       finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
+      // an existing destination can only be a COMPLETE flag (rename-
+      // installed) — a racing same-grain first-contact creator won;
+      // grain divergence was already refused by checkOrWriteSubstringMeta
       if (!fs.rename(tmp, p)) {
         fs.delete(tmp, false)
-        // a racing same-grain creator may have installed the flag
-        // between our delete and rename (the store contract is
-        // single-writer, but first-contact creators may race on an
-        // empty store — grain divergence was already refused by
-        // checkOrWriteSubstringMeta, so the contents are identical)
         if (!readCountsComplete(spark, outDir))
           throw new IllegalStateException(
             s"could not persist countsComplete for substring store $outDir")

@@ -19,6 +19,16 @@ class SparkEntrySpec extends SparkSuite {
     assert(sess.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == n)
   }
 
+  test("q20 anti-join gate is non-trivial: the complement is non-empty at every SF") {
+    // VERDICT r15 item 1: a hash gate over an EMPTY result also passes a
+    // plan that wrongly drops everything. Pin non-emptiness so the gate
+    // stays a real anti-join discriminator if the fixture ever changes.
+    for (sf <- Seq("sf0.001", "sf0.01"))
+      assert(SparkEntry.queries("q20_anti_join")(spark, s"/root/testdata/$sf")
+        .count() > 0,
+        s"q20 complement empty at $sf — the gate proves nothing")
+  }
+
   test("singleton fast path equals the tree path on singleton groups") {
     import spark.implicits._
     val rows = Seq(

@@ -741,6 +741,8 @@ class StreamIngestSpec extends SparkSuite {
     val metaOut = fs.create(p("_meta.json"), true)
     try metaOut.write("""{"minLen":40,"k":20}""".getBytes("UTF-8"))
     finally metaOut.close()
+    // a genuine pre-r15 store also has no r16 completeness sidecar
+    fs.delete(p("_counts_complete.json"), false)
     assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
     assert(!StreamIngest.readCountsComplete(spark, out))
     def got() = StreamIngest.readTopPassages(spark, out, len = 40,
@@ -773,6 +775,91 @@ class StreamIngestSpec extends SparkSuite {
     assert(got() == want, "upgraded store undercounts pre-upgrade docs")
     assert(fs.rename(p("_h_texts"), p("texts")))
     assert(fs.rename(p("_h_fp"), p("fp")))
+  }
+
+  test("counts flag is create-only: _meta.json never rewritten, a lost flag degrades but floor validation survives") {
+    import spark.implicits._
+    // ADVICE r15: the old flag flip rewrote _meta.json delete-then-
+    // rename; a crash in the window left the meta ABSENT, silently
+    // disabling the minLen-floor require for every later reader. The
+    // r16 format keeps the meta immutable and installs the flag as a
+    // separate create-only sidecar — the ONLY torn state is "flag
+    // absent", which degrades to the candidate path, never to a
+    // validation bypass.
+    val out = Files.createTempDirectory("ssi_flag").toString + "/store"
+    val pa = (1 to 10).map(i => s"flagshared$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha doc with a sufficiently unique trailing text one",
+      2L -> s"$pa beta doc carrying its own unique trailing text two")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    assert(StreamIngest.readCountsComplete(spark, out))
+    // crash simulation: the create-only install's only possible torn
+    // state — the flag never landed
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$out/$s")
+    val fs = p("").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p("_counts_complete.json"), false))
+    assert(!StreamIngest.readCountsComplete(spark, out))
+    // the meta survived (it was never touched) → below-floor reads are
+    // STILL refused — the exact hazard the r15 format had
+    assert(StreamIngest.readSubstringMeta(spark, out).contains((40, 20)))
+    intercept[IllegalArgumentException] {
+      StreamIngest.readTopPassages(spark, out, len = 30)
+    }
+    // the degraded read (candidate fallback) stays exact
+    val want = graft.ext.TextAnalysis.topDuplicatedPassages(
+        b1.toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
+      k = 50).as[(String, Long, Long)].collect().toSet == want)
+    // the next maintenance batch re-establishes completeness
+    val b2 = Seq(3L -> s"gamma then $pa and its own unique trailing text")
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, 40, 20)
+    assert(StreamIngest.readCountsComplete(spark, out))
+    val want2 = graft.ext.TextAnalysis.topDuplicatedPassages(
+        (b1 ++ b2).toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
+      k = 50).as[(String, Long, Long)].collect().toSet == want2)
+  }
+
+  test("pairs probe exclusion is delivery-scoped; foreign-lineage batch ids are refused") {
+    import spark.implicits._
+    // ADVICE r15: the old probe excluded the corpus on batch_id alone.
+    // Batch ids are only unique within one checkpoint lineage — a bid
+    // collision with genuinely settled documents silently dropped them
+    // from the probe and their cross-batch pairs were never logged
+    // (pairs append once per batch: the gap is permanent).
+    val out = Files.createTempDirectory("ssi_lineage").toString + "/store"
+    val pa = (1 to 10).map(i => s"lineagebp$i").mkString(" ")
+    val b0 = Seq(
+      1L -> s"$pa settled doc one with its own unique trailing words",
+      2L -> s"$pa settled doc two with different unique trailing words")
+    val b1 = Seq(
+      3L -> s"fresh doc three leads then $pa and unique tail words three")
+    StreamIngest.substringIndexBatch(b0.toDF("doc_id", "text"), out, 0L, 40, 20)
+    // second delivery REUSES bid 0 (legal: a replay boundary carries
+    // the max settled bid). Docs 1/2 are stamped batch_id=0 — under the
+    // old bid-only exclusion they vanish from the probe and the cross
+    // pairs (3,1)/(3,2) are silently lost; the delivery-scoped
+    // composite keeps them probed.
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    val pairs = StreamIngest.readSubstringPairs(spark, out)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)),
+      s"cross-batch pairs lost under bid collision: $pairs")
+    // and a bid BELOW the settled max can only be a foreign lineage —
+    // refused loudly instead of corrupting the pair log
+    StreamIngest.substringIndexBatch(
+      Seq(4L -> s"doc four then $pa with unique tail words four")
+        .toDF("doc_id", "text"), out, 2L, 40, 20)
+    val ex = intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(
+        Seq(5L -> s"doc five then $pa with unique tail words five")
+          .toDF("doc_id", "text"), out, 1L, 40, 20)
+    }
+    assert(ex.getMessage.contains("lineage"))
   }
 
   test("substring store: torn appends heal — fp completes, counts never double, pairs stay cross-batch") {

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Telemetry diff between two full bench runs (VERDICT r15 item 6).
+
+The r14->r15 adjudication showed a +12.5% total swing that one per-query
+exec-telemetry diff proved to be ambient (byte-identical shuffle/tasks/jobs
+on every top mover). This tool makes that diff a committed per-round
+artifact instead of a manual forensic step.
+
+Usage:
+    python3 tools/bench_diff.py [old.json new.json] [--out PATH]
+
+With no positional args it picks the two highest-numbered
+bench_history/run-NNNN.json files. Writes a JSON report (default
+bench_history/diff-<old>-<new>.json) and prints a short markdown summary
+to stdout.
+
+Classification per common query, by exec telemetry:
+  identical  - shuffle_read, tasks and jobs all byte-equal -> any wall
+               delta is ambient (scheduler/CPU noise), not plan drift.
+  jobs_delta - same shuffle_read but job/task counts moved (priced guard
+               additions look like this: +1..3 jobs, ~equal bytes).
+  work_delta - shuffle_read moved -> the PLAN changed; adjudicate.
+Only stdlib; safe to run anywhere the repo is checked out.
+"""
+import json
+import os
+import re
+import sys
+
+HIST = os.path.join(os.path.dirname(__file__), "..", "bench_history")
+
+
+def latest_two(hist):
+    runs = sorted(
+        (int(m.group(1)), os.path.join(hist, f))
+        for f in os.listdir(hist)
+        for m in [re.fullmatch(r"run-(\d{4})\.json", f)]
+        if m
+    )
+    if len(runs) < 2:
+        sys.exit("need two full runs in bench_history/ to diff")
+    return runs[-2][1], runs[-1][1]
+
+
+def load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def classify(old_e, new_e):
+    if old_e is None or new_e is None:
+        return "no_telemetry"
+    same_bytes = old_e.get("shuffle_read") == new_e.get("shuffle_read")
+    same_sched = (old_e.get("tasks") == new_e.get("tasks")
+                  and old_e.get("jobs") == new_e.get("jobs"))
+    if same_bytes and same_sched:
+        return "identical"
+    if same_bytes:
+        return "jobs_delta"
+    return "work_delta"
+
+
+def main(argv):
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) == 2:
+        old_path, new_path = argv
+    elif not argv:
+        old_path, new_path = latest_two(HIST)
+    else:
+        sys.exit(__doc__)
+
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    oe, ne = old.get("exec", {}), new.get("exec", {})
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+
+    rows = []
+    for name in common:
+        dt = nq[name] - oq[name]
+        cls = classify(oe.get(name), ne.get(name))
+        row = {"query": name, "t_old": oq[name], "t_new": nq[name],
+               "dt": round(dt, 4), "class": cls}
+        if cls in ("jobs_delta", "work_delta"):
+            for k in ("shuffle_read", "tasks", "jobs"):
+                row[k + "_old"] = oe.get(name, {}).get(k)
+                row[k + "_new"] = ne.get(name, {}).get(k)
+        rows.append(row)
+
+    total_old = sum(oq[n] for n in common)
+    total_new = sum(nq[n] for n in common)
+    by_class = {}
+    for r in rows:
+        by_class[r["class"]] = by_class.get(r["class"], 0) + 1
+    movers = sorted(rows, key=lambda r: -abs(r["dt"]))[:15]
+    drift = [r for r in rows if r["class"] == "work_delta"]
+
+    report = {
+        "old": os.path.basename(old_path), "new": os.path.basename(new_path),
+        "common_total_old_sec": round(total_old, 2),
+        "common_total_new_sec": round(total_new, 2),
+        "common_ratio": round(total_new / total_old, 4) if total_old else None,
+        "n_common": len(common), "added": added, "removed": removed,
+        "class_counts": by_class,
+        "work_delta_queries": [r["query"] for r in drift],
+        "top_movers": movers,
+    }
+
+    if out_path is None:
+        tag = (re.sub(r"\D", "", os.path.basename(old_path)) + "-"
+               + re.sub(r"\D", "", os.path.basename(new_path)))
+        out_path = os.path.join(os.path.dirname(new_path), f"diff-{tag}.json")
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+        fh.write("\n")
+
+    ident = by_class.get("identical", 0)
+    print(f"# bench diff {report['old']} -> {report['new']}")
+    print(f"common {len(common)}: {total_old:.1f}s -> {total_new:.1f}s "
+          f"({report['common_ratio']:.3f}x); classes {by_class}")
+    print(f"{ident}/{len(common)} byte-identical work; "
+          f"plan drift in: {report['work_delta_queries'] or 'none'}")
+    for r in movers[:8]:
+        print(f"  {r['query']:40s} {r['t_old']:7.2f} -> {r['t_new']:7.2f} "
+              f"({r['dt']:+.2f}s, {r['class']})")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
