@@ -929,10 +929,30 @@ object StreamIngest {
         readIfExists(spark, s"$outDir/counts")
       else None
     counts match {
-      case Some(c) =>
-        c.distinct()
-          .groupBy(col("passage"))
-          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+      case Some(_) =>
+        // SHARED SESSION FOLD (VERDICT r15 item 2): the distinct +
+        // per-passage rollup is a pure function of the counts relation,
+        // and every reader of one store re-ran it per query per bench
+        // pass (q216 and q224 each re-shuffled the same ~60-75 MB
+        // sidecar at sf0.1). Folding ONCE per (store, content
+        // fingerprint) into a session parquet artifact makes each read
+        // a scan of the passage-grain rollup — tiny, and minDocs/k are
+        // post-aggregate so every consumer shares it. The fingerprint
+        // covers appends and compaction ticks: any store mutation moves
+        // a (length, mtime) pair and invalidates the key. This is the
+        // production shape too: at 100 TB the maintained report folds
+        // its deltas once per maintenance cycle, not once per reader.
+        val foldedDir = graft.util.SessionStore.getOrBuild(
+          "countsfold|" + outDir + "|" +
+            graft.util.SessionStore.dirFingerprint(s"$outDir/counts"),
+          "countsfold") { p =>
+          spark.read.parquet(s"$outDir/counts").distinct()
+            .groupBy(col("passage"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_occ")).as("n_occ"))
+            .write.parquet(p)
+        }
+        spark.read.parquet(foldedDir)
           .where(col("n_docs") >= minDocs)
           .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
           .limit(k)

@@ -823,6 +823,41 @@ class StreamIngestSpec extends SparkSuite {
       k = 50).as[(String, Long, Long)].collect().toSet == want2)
   }
 
+  test("readTopPassages folds the counts sidecar once per store content; a mutation invalidates") {
+    import spark.implicits._
+    // VERDICT r15 item 2: every reader of one store re-shuffled the
+    // same counts relation per query (q216 + q224). The fold is now a
+    // session artifact keyed on the sidecar's content fingerprint —
+    // consumers with different minDocs/k share it; any append or
+    // compaction tick moves the fingerprint and re-folds.
+    val out = Files.createTempDirectory("ssi_fold").toString + "/store"
+    val pa = (1 to 10).map(i => s"foldshared$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa alpha doc with a sufficiently unique trailing text one",
+      2L -> s"$pa beta doc carrying its own unique trailing text two",
+      3L -> s"$pa gamma doc carrying another unique trailing text three")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    def top(minDocs: Int) = StreamIngest.readTopPassages(spark, out,
+      len = 40, minDocs = minDocs, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    val before = graft.util.SessionStore.buildCount.get()
+    val got2 = top(2)
+    val got3 = top(3)
+    assert(graft.util.SessionStore.buildCount.get() - before == 1,
+      "two same-content readers paid more than one counts fold")
+    def want(rows: Seq[(Long, String)], minDocs: Int) =
+      graft.ext.TextAnalysis.topDuplicatedPassages(
+          rows.toDF("doc_id", "text"), len = 40, minDocs = minDocs, k = 50)
+        .as[(String, Long, Long)].collect().toSet
+    assert(got2 == want(b1, 2) && got3 == want(b1, 3))
+    // a store mutation (new batch) must invalidate the cached fold
+    val b2 = Seq(4L -> s"delta then $pa and its own unique trailing text")
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 1L, 40, 20)
+    assert(top(2) == want(b1 ++ b2, 2),
+      "stale session fold served after a store mutation")
+    assert(graft.util.SessionStore.buildCount.get() - before == 2)
+  }
+
   test("pairs probe exclusion is delivery-scoped; foreign-lineage batch ids are refused") {
     import spark.implicits._
     // ADVICE r15: the old probe excluded the corpus on batch_id alone.
