@@ -119,7 +119,8 @@ object Bench {
       "q217_substring_stream_pairs", "q218_ann_ivfpq_recall_sweep",
       "q219_ann_ivfpq_index_add", "q220_ann_index_add_stream",
       "q221_funnel_maintained", "q222_ann_pq_index_add",
-      "q224_top_passages_upgraded", "q225_ann_pq_torn_repair")
+      "q224_top_passages_upgraded", "q225_ann_pq_torn_repair",
+      "q226_release_late_arrivals", "q227_release_keepers_ooo")
       .filter(samples.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum

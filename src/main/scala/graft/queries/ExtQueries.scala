@@ -524,6 +524,87 @@ object ExtQueries {
           col("doc_id").cast("string"), lit("@example.com")))
         .otherwise(col("text")).as("text"))
 
+  /** The q226/q227 out-of-order fixture corpus: the raw documents with
+    * CONTENT TWINS injected — each odd bottom-third doc at
+    * doc_id % 14 == 3 carries the text AND lang of the doc
+    * 2·((hi−lo)/3)+2 ids above it (delta even keeps the twin odd, so
+    * both sides sit in the router's PREDICTION half; delta's size puts
+    * the twin strictly above the top slice cut). Under the REVERSED
+    * delivery of [[oooReleaseStore]] the large-id twin always settles
+    * first, so the fixture deterministically produces later-arriving
+    * smaller-id twins — the out-of-order arrival shape of the
+    * reference crawl (fetch_conversation_tweets.py:72-86), which the
+    * organic fixture (no exact duplicates at any gate SF) cannot. */
+  private def twinInjectedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (lo, hi) = d
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id")))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .head()
+    val delta = 2 * ((hi - lo) / 3) + 2
+    val c1 = lo + (hi - lo) / 3
+    val e = d.select(col("doc_id").as("e_id"), col("lang").as("e_lang"),
+      col("text").as("e_text"))
+    d.join(e,
+      col("e_id") === col("doc_id") + delta &&
+        col("doc_id") % 14 === 3 && col("doc_id") <= c1, "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(col("e_id").isNull, col("lang"))
+          .otherwise(col("e_lang")).as("lang"),
+        org.apache.spark.sql.functions.when(col("e_id").isNull, col("text"))
+          .otherwise(col("e_text")).as("text"))
+  }
+
+  /** [[twinInjectedDocs]] as a DuckDB CTE pair (`bnd`, `dtwin`) —
+    * shared verbatim by the q226 and q227 oracles. */
+  private val twinInjectedSql: String =
+    """bnd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |dtwin AS (SELECT d.doc_id,
+      |    CASE WHEN e.doc_id IS NULL THEN d.lang ELSE e.lang END AS lang,
+      |    CASE WHEN e.doc_id IS NULL THEN d.text ELSE e.text END AS text
+      |  FROM documents d CROSS JOIN bnd b
+      |  LEFT JOIN documents e
+      |    ON e.doc_id = d.doc_id + 2 * ((b.hi - b.lo) // 3) + 2
+      |   AND d.doc_id % 14 = 3
+      |   AND d.doc_id <= b.lo + (b.hi - b.lo) // 3)""".stripMargin
+
+  /** The OUT-OF-ORDER maintained release store (q226/q227's shared
+    * session fixture, the ≥2-consumers amortization discipline): the
+    * twin-injected corpus delivered through the verbatim
+    * [[graft.streaming.StreamIngest.releaseBatch]] body in REVERSED
+    * id-order slices (top third first), then compacted — the arrival
+    * shape the crawl's id-ordered parity contract does NOT cover, so
+    * the store's order-independent laws (late-arrival counts, global
+    * keeper min-fold) get real, non-empty gates. */
+  private def oooReleaseStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.util.SessionStore.getOrBuild(
+      s"relood|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+      "relood") { p =>
+      val docs = twinInjectedDocs(s, dir).localCheckpoint(true)
+      TextAnalysis.langIdWeights(docs).write.parquet(s"$p/weights")
+      val (lo, hi) = docs
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+          org.apache.spark.sql.functions.max(col("doc_id")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .head()
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      // REVERSED delivery: batch 0 = top third, …, batch 2 = bottom
+      val slices = Seq(
+        col("doc_id") > c2,
+        col("doc_id") > c1 && col("doc_id") <= c2,
+        col("doc_id") <= c1)
+      slices.zipWithIndex.foreach { case (pred, bid) =>
+        graft.streaming.StreamIngest.releaseBatch(docs.where(pred),
+          s"$p/store", s"$p/weights", bid.toLong, minLen = 40, k = 20)
+      }
+      graft.streaming.StreamIngest.compactReleaseStores(s, s"$p/store", 2L, 8)
+    }
+
   /** q142's funnel oracle — injection, every signal, the priority
     * CASE, the (lang, reason) rollup. Shared VERBATIM by q221 (the
     * maintained sidecar fold must be hash-equal to the one-shot). */
@@ -5517,6 +5598,62 @@ object ExtQueries {
         trainWhere =
           "vec_id <= (SELECT cast(max(vec_id) AS BIGINT) * 4 // 5 FROM embeddings)")),
 
+    // ── out-of-order arrival observability, driver-proven (round-16) ───
+    // The release store's late sidecar counts each batch's later-
+    // arriving smaller-id content twins whose first-arrived twin owns
+    // the substring index (releaseBatch's append-only-greedy admission
+    // caveat; the arrival shape of the reference crawl,
+    // fetch_conversation_tweets.py:72-86). Spec-only until now because
+    // the organic fixture has no exact duplicates at any gate SF — the
+    // twin-injected corpus + REVERSED slice delivery make the count
+    // non-empty at every SF, and the oracle re-derives it from first
+    // principles: per batch, gate-passing batch keepers whose hash
+    // settled earlier under a larger id.
+    "q226_release_late_arrivals" -> Q(
+      (s, dir) => graft.streaming.StreamIngest.readLateArrivals(
+        s, s"${oooReleaseStore(s, dir)}/store"),
+      s"""WITH $twinInjectedSql,
+         |${releaseCleanCtes("dtwin")},
+         |sl AS (SELECT c.doc_id, md5(c.text) AS h,
+         |    CASE WHEN c.doc_id > b.lo + (2 * (b.hi - b.lo)) // 3 THEN 0
+         |         WHEN c.doc_id > b.lo + (b.hi - b.lo) // 3 THEN 1
+         |         ELSE 2 END AS batch_id
+         |  FROM clean c CROSS JOIN bnd b),
+         |keepb AS (SELECT h, batch_id, min(doc_id) AS doc_id
+         |          FROM sl GROUP BY h, batch_id),
+         |lateb AS (SELECT k.batch_id FROM keepb k
+         |  JOIN (SELECT k2.h, k2.batch_id, min(s.doc_id) AS settled_id
+         |        FROM keepb k2 JOIN sl s
+         |          ON s.h = k2.h AND s.batch_id < k2.batch_id
+         |        GROUP BY k2.h, k2.batch_id) t
+         |    ON k.h = t.h AND k.batch_id = t.batch_id
+         |  WHERE k.doc_id < t.settled_id)
+         |SELECT cast(batch_id AS BIGINT) AS batch_id,
+         |       cast(count(*) AS BIGINT) AS n_late_smaller_id
+         |FROM lateb GROUP BY batch_id""".stripMargin),
+
+    // ── the keeper min-fold is arrival-order-INDEPENDENT ───────────────
+    // The exact-dedup keeper the release decisions trust is a read-time
+    // min-fold of the hash log, so it must equal the one-shot global
+    // keeper under ANY delivery order (the law StreamIngestSpec pins on
+    // a 5-doc fixture, here driver-gated over the reversed-delivery
+    // store at every SF — and through the compaction tick, which
+    // pre-folds the log to keeper grain). Second consumer of the q226
+    // store: the build amortizes across both rows.
+    "q227_release_keepers_ooo" -> Q(
+      (s, dir) => {
+        val store = oooReleaseStore(s, dir)
+        graft.ingest.Sinks.recoverCompact(s, s"$store/store/hashes")
+        s.read.parquet(s"$store/store/hashes")
+          .groupBy(col("h"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("h"))
+      },
+      s"""WITH $twinInjectedSql,
+         |${releaseCleanCtes("dtwin")}
+         |SELECT cast(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
+         |FROM clean GROUP BY md5(text)""".stripMargin),
+
     // ── token-mass inequality across sources (Gini, exact ppm) ─────────
     // One number for "is this corpus dominated by a few feeds": the
     // Gini coefficient of per-source token mass via the rank formula
@@ -5561,24 +5698,33 @@ object ExtQueries {
   /** q212's per-document release-fate oracle — shared VERBATIM by q214
     * (the continuously-maintained decision log must be hash-equal to
     * the one-shot chain over the same settled corpus). */
-  private lazy val releaseDecisionsOracleSql: String = {
-    val redSql = "SELECT doc_id, lang, n_tokens FROM red"
-    val head = s"""WITH $trainedLangCtes,
+  /** The release pipeline's gate chain over an arbitrary (doc_id,
+    * lang, text) source CTE, ending with `clean(doc_id, lang, text)` —
+    * the gate-passing relation — in scope. Shared verbatim by the
+    * one-shot q212 oracle, its maintained twin q214, and the
+    * out-of-order rows q226/q227 (which run it over the twin-injected
+    * corpus). */
+  private def releaseCleanCtes(src: String): String =
+    s"""${trainedLangCtesFrom(src)},
        |lok AS (SELECT doc_id FROM pred WHERE lang = lang_pred),
-       |longok AS (SELECT doc_id FROM documents
+       |longok AS (SELECT doc_id FROM $src
        |           WHERE len(string_split(text, ' ')) >= 25),
        |rrep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM
        |  (SELECT doc_id, g, count(*) AS c FROM
        |    (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
        |     FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
        |           FROM (SELECT doc_id, string_split(text, ' ') AS t
-       |                 FROM documents) WHERE len(t) >= 2))
+       |                 FROM $src) WHERE len(t) >= 2))
        |   GROUP BY 1, 2) GROUP BY doc_id),
        |repok AS (SELECT doc_id FROM rrep WHERE rep_ratio < 0.05),
-       |clean AS (SELECT doc_id, lang, text FROM documents
+       |clean AS (SELECT doc_id, lang, text FROM $src
        |  WHERE doc_id IN (SELECT doc_id FROM lok)
        |    AND doc_id IN (SELECT doc_id FROM longok)
-       |    AND doc_id IN (SELECT doc_id FROM repok)),
+       |    AND doc_id IN (SELECT doc_id FROM repok))""".stripMargin
+
+  private lazy val releaseDecisionsOracleSql: String = {
+    val redSql = "SELECT doc_id, lang, n_tokens FROM red"
+    val head = s"""WITH ${releaseCleanCtes("documents")},
        |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
        |ded AS (SELECT c.doc_id, c.lang, c.text
        |        FROM clean c JOIN keep USING (doc_id))""".stripMargin
@@ -5631,7 +5777,12 @@ object ExtQueries {
   /** [[TextAnalysis.trainedLangId]]'s oracle CTE chain, ending with
     * `pred(doc_id, lang, lang_pred)` in scope — generated from the
     * same marker/bucket constants the engine uses. */
-  private lazy val trainedLangCtes: String = {
+  private lazy val trainedLangCtes: String = trainedLangCtesFrom("documents")
+
+  /** [[trainedLangCtes]] over an arbitrary (doc_id, lang, text) source
+    * CTE — the q226/q227 out-of-order rows run the release gate chain
+    * over the twin-injected corpus, not the raw table. */
+  private def trainedLangCtesFrom(src: String): String = {
     val d = TextAnalysis.LangFeatureBuckets
     def caseOver(rep: Int) = TextAnalysis.TrainedLangs.map(l =>
       s"WHEN '$l' THEN '${TextAnalysis.langMarkerPhrase(l, rep)}'").mkString(" ")
@@ -5640,7 +5791,7 @@ object ExtQueries {
        |          THEN (CASE lang ${caseOver(TextAnalysis.LangMarkerWeakRep)} ELSE '' END)
        |          ELSE (CASE lang ${caseOver(TextAnalysis.LangMarkerRep)} ELSE '' END)
        |     END) AS mtext
-       |  FROM documents),
+       |  FROM $src),
        |ltf AS (SELECT doc_id, lang, tok
        |  FROM (SELECT doc_id, lang, unnest(string_split(mtext, ' ')) AS tok
        |        FROM inj)
