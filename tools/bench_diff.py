@@ -17,9 +17,13 @@ to stdout.
 Classification per common query, by exec telemetry:
   identical  - shuffle_read, tasks and jobs all byte-equal -> any wall
                delta is ambient (scheduler/CPU noise), not plan drift.
+  jitter     - shuffle_read within 1% relative and jobs within +-2:
+               compressed-shuffle byte drift / store-build variance in
+               session fixtures, not a plan change (observed 0.01-0.03%
+               on q57/q181/q160-class queries between identical plans).
   jobs_delta - same shuffle_read but job/task counts moved (priced guard
                additions look like this: +1..3 jobs, ~equal bytes).
-  work_delta - shuffle_read moved -> the PLAN changed; adjudicate.
+  work_delta - shuffle_read moved >= 1% -> the PLAN changed; adjudicate.
 Only stdlib; safe to run anywhere the repo is checked out.
 """
 import json
@@ -50,13 +54,19 @@ def load(path):
 def classify(old_e, new_e):
     if old_e is None or new_e is None:
         return "no_telemetry"
-    same_bytes = old_e.get("shuffle_read") == new_e.get("shuffle_read")
+    so, sn = old_e.get("shuffle_read", 0), new_e.get("shuffle_read", 0)
+    same_bytes = so == sn
+    rel = abs(sn - so) / so if so else (0.0 if sn == 0 else 1.0)
     same_sched = (old_e.get("tasks") == new_e.get("tasks")
                   and old_e.get("jobs") == new_e.get("jobs"))
+    jobs_close = abs(
+        (new_e.get("jobs") or 0) - (old_e.get("jobs") or 0)) <= 2
     if same_bytes and same_sched:
         return "identical"
     if same_bytes:
         return "jobs_delta"
+    if rel < 0.01 and jobs_close:
+        return "jitter"
     return "work_delta"
 
 
@@ -86,7 +96,7 @@ def main(argv):
         cls = classify(oe.get(name), ne.get(name))
         row = {"query": name, "t_old": oq[name], "t_new": nq[name],
                "dt": round(dt, 4), "class": cls}
-        if cls in ("jobs_delta", "work_delta"):
+        if cls in ("jobs_delta", "work_delta", "jitter"):
             for k in ("shuffle_read", "tasks", "jobs"):
                 row[k + "_old"] = oe.get(name, {}).get(k)
                 row[k + "_new"] = ne.get(name, {}).get(k)
