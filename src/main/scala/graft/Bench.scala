@@ -112,7 +112,8 @@ object Bench {
       "q100_ann_pq", "q101_ann_ivfpq", "q110_bpe_segment", "q119_bpe_stats",
       "q120_fuzzy_dedup_corpus", "q121_bpe_encode_ids", "q127_bpe_persisted",
       "q135_leakfree_split", "q137_semantic_dedup",
-      "q147_dedup_cascade", "q190_release_pipeline", "q191_closure_delta",
+      "q147_dedup_cascade", "q57_dedup_survivor", "q160_cluster_histogram",
+      "q190_release_pipeline", "q191_closure_delta",
       "q192_cc_delta", "q205_substring_indexed", "q206_release_substring",
       "q212_release_decisions", "q214_release_decisions_maintained",
       "q215_ann_ivfpq_recall", "q216_top_passages_maintained",

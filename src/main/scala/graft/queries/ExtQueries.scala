@@ -238,6 +238,26 @@ object ExtQueries {
     s.read.parquet(s"$store/clusters")
   }
 
+  /** q45's n-gram Jaccard clustering (n = 5, tau = 0.5) materialized
+    * once per (fixture, session) — round-16: q57 and q160 each re-ran
+    * the full pairs→CC chain (~40 MB shuffle, ~30 jobs apiece per
+    * bench pass) to answer questions that are pure transforms of the
+    * SAME labeling. They now read this store (the [[fuzzyClusters]]
+    * discipline applied to the n=5 chain); q45 itself stays LIVE as
+    * the priced one-shot reference arm, and q181 keeps its
+    * by-construction full derivation (its oracle proves incremental ==
+    * full). */
+  private def jaccard5Clusters(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val store = graft.util.SessionStore.getOrBuild(
+      s"jacclus5|$dir|${graft.util.SessionStore.dirFingerprint(dir)}",
+      "jacclus5") { p =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5)
+        .write.parquet(s"$p/clusters")
+    }
+    s.read.parquet(s"$store/clusters")
+  }
+
   /** [[fuzzyClusters]]' oracle CTE chain — ends with `lab(doc_id, cl,
     * q)`, `surv(cl, canonical_id)`, `sizes(cl, cluster_size)` in
     * scope; q120 emits the rewritten corpus from it, q135 the
@@ -886,12 +906,26 @@ object ExtQueries {
     // canonical id of each near-dup cluster is the longest document
     // (ties → smallest id), the policy training pipelines actually want.
     "q57_dedup_survivor" -> Q(
+      // survivor policy re-derived from the SESSION clustering store
+      // (round-16): the survivor pick is a pure transform of the q45
+      // labeling — group per cluster, max_by (quality, −doc_id) — so it
+      // must not re-run the pairs→CC chain per query. Identical output
+      // to Dedup.clusterPairsBy over the same pairs (same cluster key,
+      // same size, same max_by policy); the unchanged WITH RECURSIVE
+      // oracle proves it at every SF.
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Dedup.clusterPairsBy(docs,
-          Dedup.ngramJaccardPairs(docs, n = 5, tau = 0.5)
-            .select(col("doc_a").as("a"), col("doc_b").as("b")),
-          org.apache.spark.sql.functions.length(col("text")))
+        val f = org.apache.spark.sql.functions
+        val cl = jaccard5Clusters(s, dir)
+        val labeled = cl.join(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), f.length(col("text")).as("_q")),
+          Seq("doc_id"))
+        val surv = labeled.groupBy(col("canonical_id").as("_cl"))
+          .agg(f.max_by(col("doc_id"),
+            f.struct(col("_q"), (-col("doc_id")).as("_nid"))).as("_surv"))
+        labeled.join(surv, col("canonical_id") === col("_cl"))
+          .select(col("doc_id"), col("_surv").as("canonical_id"),
+            col("cluster_size"))
       },
       shingleBase5.replaceFirst("WITH ", "WITH RECURSIVE ") + cappedJaccardPairsSql +
         """, qual AS (
@@ -3798,7 +3832,10 @@ object ExtQueries {
     // (22 pairs + a triple at sf0.01), so the histogram is non-trivial
     // without injection.
     "q160_cluster_histogram" -> Q(
-      (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), n = 5, tau = 0.5)
+      // reads the session clustering store (round-16) — the histogram
+      // is a metadata-sized rollup of the q45 labeling, not a reason to
+      // re-run the pairs→CC chain
+      (s, dir) => jaccard5Clusters(s, dir)
         .groupBy(col("cluster_size"))
         .agg(countDistinct(col("canonical_id")).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters")),

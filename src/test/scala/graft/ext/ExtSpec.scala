@@ -725,6 +725,35 @@ class ExtSpec extends SparkSuite {
     assert(out(6L) == (6L, 1L))                          // singleton survives itself
   }
 
+  test("survivor re-pick over the min-label clustering equals clusterPairsBy (q57's store-read law)") {
+    // round-16: q57 reads the session clustering store (q45's min-label
+    // relation) and re-derives the survivor per cluster instead of
+    // re-running the pairs→CC chain. This pins the transform law on a
+    // fixture with multi-member clusters, quality ties and singletons:
+    // group the labeling by canonical_id, max_by (quality, −doc_id),
+    // same output as the direct clusterPairsBy formulation.
+    import org.apache.spark.sql.functions.{col, length, max_by, struct}
+    val d = Seq(
+      (1L, "short"), (2L, "the much longer survivor text"), (3L, "mid text"),
+      (4L, "same len a"), (5L, "same len b"),
+      (6L, "singleton untouched")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val direct = Dedup.clusterPairsBy(d, pairs, length(col("text")))
+      .as[(Long, Long, Long)].collect().toSet
+    val cl = Dedup.clusterPairs(d.select(col("doc_id")), pairs)
+    val labeled = cl.join(
+      d.select(col("doc_id"), length(col("text")).as("_q")), Seq("doc_id"))
+    val surv = labeled.groupBy(col("canonical_id").as("_cl"))
+      .agg(max_by(col("doc_id"),
+        struct(col("_q"), (-col("doc_id")).as("_nid"))).as("_surv"))
+    val rePick = labeled.join(surv, col("canonical_id") === col("_cl"))
+      .select(col("doc_id"), col("_surv").as("canonical_id"),
+        col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rePick == direct)
+  }
+
   test("clusterPairs composes with the cosine pair generator") {
     // vectors 0~1 and 2~3 are near-dups; clustering their cosine pairs
     // over the vec_id universe must yield {0,1}, {2,3}, {4}
