@@ -113,6 +113,7 @@ object Bench {
       "q120_fuzzy_dedup_corpus", "q121_bpe_encode_ids", "q127_bpe_persisted",
       "q135_leakfree_split", "q137_semantic_dedup",
       "q147_dedup_cascade", "q57_dedup_survivor", "q160_cluster_histogram",
+      "q113_span_dedup_rewrite",
       "q190_release_pipeline", "q191_closure_delta",
       "q192_cc_delta", "q205_substring_indexed", "q206_release_substring",
       "q212_release_decisions", "q214_release_decisions_maintained",

@@ -2616,8 +2616,14 @@ object TextAnalysis {
     * the corpus-side join is doc_id-keyed.
     */
   def cutSharedSpans(docs: DataFrame, k: Int = 8,
-                     maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
-    val cuts = sharedSpans(docs, k, maxDf)
+                     maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame =
+    cutSpans(docs, sharedSpans(docs, k, maxDf))
+
+  /** The rewrite half of [[cutSharedSpans]] over an already-computed
+    * spans relation — q113 reads the session-cached q107 spans instead
+    * of re-mining them (round-16; the jaccard5Clusters discipline). */
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val cuts = spans
       .groupBy(col("doc_b").as("doc_id"))
       .agg(collect_list(struct(col("start_b").as("s"),
         (col("start_b") + col("len_tokens")).as("e"))).as("ivs"))
