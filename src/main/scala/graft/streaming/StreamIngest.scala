@@ -631,13 +631,20 @@ object StreamIngest {
           // be a foreign lineage: refuse loudly instead of corrupting
           // the pair log. One narrow-column agg per maintenance batch —
           // the probe scans the store anyway.
-          val maxSettled = corpus.agg(max(col("batch_id"))).head().getLong(0)
-          require(bid >= maxSettled,
-            s"substring store $outDir has settled batches up to id " +
-              s"$maxSettled but this delivery carries batch id $bid — " +
-              s"batch ids restart only when a store is re-attached to a " +
-              s"different checkpoint lineage; refusing (the pair log " +
-              s"would silently lose cross-batch pairs)")
+          // max over an EMPTY store is NULL (a torn append can leave
+          // only empty part files visible — every task that held zero
+          // rows committed, the rest didn't): nothing settled, nothing
+          // to guard, and getLong would NPE instead of healing
+          val maxRow = corpus.agg(max(col("batch_id"))).head()
+          if (!maxRow.isNullAt(0)) {
+            val maxSettled = maxRow.getLong(0)
+            require(bid >= maxSettled,
+              s"substring store $outDir has settled batches up to id " +
+                s"$maxSettled but this delivery carries batch id $bid — " +
+                s"batch ids restart only when a store is re-attached to a " +
+                s"different checkpoint lineage; refusing (the pair log " +
+                s"would silently lose cross-batch pairs)")
+          }
         }
         // the probe corpus must exclude this batch's own torn-visible
         // texts: after a crash mid-texts-append the replay's fresh set

@@ -858,6 +858,36 @@ class StreamIngestSpec extends SparkSuite {
     assert(graft.util.SessionStore.buildCount.get() - before == 2)
   }
 
+  test("an all-empty-parts torn texts state heals: the lineage guard skips, the batch proceeds") {
+    import spark.implicits._
+    // a torn append's visible subset can be ONLY the empty task files
+    // (tasks that held zero rows committed before the crash): the
+    // texts relation then reads zero rows. max(batch_id) over it is
+    // NULL — the guard must skip (nothing settled, nothing to guard),
+    // not NPE, and the replayed batch must rebuild the store whole.
+    val out = Files.createTempDirectory("ssi_empty").toString + "/store"
+    val pa = (1 to 10).map(i => s"emptybp$i").mkString(" ")
+    val b0 = Seq(
+      1L -> s"$pa doc one with its own sufficiently unique tail words",
+      2L -> s"$pa doc two with different sufficiently unique tail words")
+    StreamIngest.substringIndexBatch(b0.toDF("doc_id", "text"), out, 0L, 40, 20)
+    // simulate the all-empty-parts tear (schema preserved, zero rows)
+    val tx = spark.read.parquet(s"$out/texts")
+    tx.where(org.apache.spark.sql.functions.lit(false))
+      .write.mode("overwrite").parquet(s"$out/texts")
+    assert(spark.read.parquet(s"$out/texts").count() == 0L)
+    // the replay must proceed (no NPE) and resettle both documents
+    StreamIngest.substringIndexBatch(b0.toDF("doc_id", "text"), out, 0L, 40, 20)
+    assert(spark.read.parquet(s"$out/texts").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // and the report over the healed store is exact
+    val want = graft.ext.TextAnalysis.topDuplicatedPassages(
+        b0.toDF("doc_id", "text"), len = 40, minDocs = 2, k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(StreamIngest.readTopPassages(spark, out, len = 40, minDocs = 2,
+      k = 50).as[(String, Long, Long)].collect().toSet == want)
+  }
+
   test("pairs probe exclusion is delivery-scoped; foreign-lineage batch ids are refused") {
     import spark.implicits._
     // ADVICE r15: the old probe excluded the corpus on batch_id alone.
