@@ -949,9 +949,14 @@ object StreamIngest {
         // a (length, mtime) pair and invalidates the key. This is the
         // production shape too: at 100 TB the maintained report folds
         // its deltas once per maintenance cycle, not once per reader.
+        // hadoopDirFingerprint, not the java.io.File walk: the store
+        // path is caller-provided and may be remote (HDFS/S3), where
+        // the local walk degenerates to a constant and the cache would
+        // serve a STALE fold after an append forever
         val foldedDir = graft.util.SessionStore.getOrBuild(
           "countsfold|" + outDir + "|" +
-            graft.util.SessionStore.dirFingerprint(s"$outDir/counts"),
+            graft.util.SessionStore.hadoopDirFingerprint(spark,
+              s"$outDir/counts"),
           "countsfold") { p =>
           spark.read.parquet(s"$outDir/counts").distinct()
             .groupBy(col("passage"))

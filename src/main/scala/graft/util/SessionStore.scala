@@ -54,6 +54,27 @@ object SessionStore {
     h.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** [[dirFingerprint]] through the Hadoop FileSystem API — correct on
+    * ANY filesystem (HDFS/S3/local), where the java.io.File walk
+    * silently degenerates to a constant on non-local paths and a cache
+    * keyed on it would never invalidate. Use this for MAINTAINED store
+    * paths (caller-provided, possibly remote); the plain
+    * [[dirFingerprint]] stays for the driver-local fixture dirs. */
+  def hadoopDirFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val h = java.security.MessageDigest.getInstance("MD5")
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
+      else h.update(
+        s"${st.getPath}|${st.getLen}|${st.getModificationTime}\n"
+          .getBytes("UTF-8"))
+    if (fs.exists(p)) walk(fs.getFileStatus(p))
+    h.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Returns the artifact directory for `key`, running `build` into a
     * fresh scratch path the first time this session sees the key. */
   def getOrBuild(key: String, prefix: String)(build: String => Unit): String = {

@@ -1,8 +1,8 @@
 package graft.util
 
-import org.scalatest.funsuite.AnyFunSuite
-
-class SessionStoreSpec extends AnyFunSuite {
+// SparkSuite (not bare AnyFunSuite): hadoopDirFingerprint needs the
+// session's hadoopConfiguration
+class SessionStoreSpec extends graft.SparkSuite {
 
   test("getOrBuild builds once per key and returns the same artifact") {
     val before = SessionStore.buildCount.get()
@@ -36,5 +36,23 @@ class SessionStoreSpec extends AnyFunSuite {
     assert(fp1 != fp2)
     // and it is stable when nothing changed
     assert(SessionStore.dirFingerprint(d.toString) == fp2)
+  }
+
+  test("hadoopDirFingerprint moves on append, is stable otherwise, and handles absent dirs") {
+    // the store-fold cache keys on this (maintained store paths may be
+    // remote — the java.io.File walk degenerates to a constant there)
+    val d = java.nio.file.Files.createTempDirectory("hfp_spec").toFile
+    val f = new java.io.File(d, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, "one".getBytes("UTF-8"))
+    val fp1 = SessionStore.hadoopDirFingerprint(spark, d.toString)
+    assert(SessionStore.hadoopDirFingerprint(spark, d.toString) == fp1)
+    java.nio.file.Files.write(new java.io.File(d, "part-1.parquet").toPath,
+      "two".getBytes("UTF-8"))
+    val fp2 = SessionStore.hadoopDirFingerprint(spark, d.toString)
+    assert(fp1 != fp2)
+    // absent dir: a well-defined constant, no throw
+    val absent = SessionStore.hadoopDirFingerprint(spark,
+      d.toString + "/nope")
+    assert(absent.nonEmpty)
   }
 }
