@@ -83,11 +83,21 @@ object Bench {
     // visible in samples[]. SPARK_GRAFT_BENCH_EXEC=0 disables.
     val withExec = !sys.env.get("SPARK_GRAFT_BENCH_EXEC").contains("0")
     val execStats = scala.collection.mutable.Map.empty[String, graft.tools.ExecStats.Metrics]
+    // executed-plan fingerprints ride the final pass beside the exec
+    // telemetry: equal sigs across rounds PIN plan identity, so a
+    // shuffle-byte drift with an equal sig is ambient by construction
+    // (the round-16 q05/q126 adjudication, made structural). The drain
+    // happens after runOnce's clock stops, so timing is unaffected.
+    val planSigs = scala.collection.mutable.Map.empty[String, graft.tools.PlanSig.Fingerprint]
+    val collector = new graft.tools.PlanSig.Collector
+    if (withExec) spark.listenerManager.register(collector)
     for (p <- 1 to passes; name <- names) {
       val (sec, ok) =
         if (p == passes && withExec) {
+          collector.reset() // drop signatures accumulated on prior passes
           val (r, m) = graft.tools.ExecStats.measure(spark)(runOnce(name))
           execStats(name) = m
+          planSigs(name) = collector.takeFingerprint()
           r
         } else runOnce(name)
       samples(name) = samples(name) :+ sec
@@ -131,7 +141,12 @@ object Bench {
       else names.filter(execStats.contains)
         .map(n => "\"" + n + "\":" + execStats(n).json)
         .mkString(""","exec":{""", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"session_cached":$sessionCached$execJson,"sf":"$sfDir"}"""
+    val planJson =
+      if (planSigs.isEmpty) ""
+      else names.filter(planSigs.contains)
+        .map(n => "\"" + n + "\":" + planSigs(n).json)
+        .mkString(""","plan":{""", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$passes,"failed":$failed,"session_cached":$sessionCached$execJson$planJson,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but its capture truncates
     // (BENCH_r05/r06 lost every per-query number past ~q99 to a 2000-char

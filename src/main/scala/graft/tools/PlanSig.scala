@@ -1,0 +1,205 @@
+package graft.tools
+
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Executed-plan fingerprints: a stable structural signature for every
+  * SQL action a query runs, so a bench diff can distinguish "the PLAN
+  * changed" from "the same plan moved bytes" without manual forensics.
+  *
+  * Motivation (round-16): run-to-run diffs showed q05/q126 shuffle-byte
+  * drift (1-9%) with no code change. Byte telemetry alone cannot say
+  * whether that is a flapping AQE decision (broadcast conversion, skew
+  * split — a real plan change worth adjudicating) or ambient
+  * compressed-size drift under an IDENTICAL plan. The fingerprint
+  * answers it: equal signatures across runs pin plan identity exactly;
+  * the byte drift is then ambient by construction.
+  *
+  * Signature design: a DFS walk of the EXECUTED plan (descending into
+  * the final adaptive plan of every [[AdaptiveSparkPlanExec]] and into
+  * executed subqueries) emitting each node's `nodeName` — which carries
+  * the physical strategy (BroadcastHashJoin vs SortMergeJoin,
+  * AQEShuffleRead presence, aggregate implementation) but NOT runtime
+  * tuning values (coalesced partition counts, exprIds, statistics), so
+  * the signature is stable under ambient noise and moves exactly when
+  * the strategy moves. A query that runs k actions (iterative loops)
+  * folds k per-action signatures into one MD5 in execution order; the
+  * action count rides beside the hash.
+  */
+object PlanSig {
+
+  /** Final physical plan beneath any adaptive wrapper. Query-stage
+    * wrappers are CHILDLESS (their subtree lives in `.plan`), so a walk
+    * that doesn't unwrap them sees only the root stage and every
+    * signature degenerates to the same string — unwrap both. */
+  def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case q: QueryStageExec => finalPlan(q.plan)
+    // ReusedExchangeExec is a LEAF (the referenced exchange is a field,
+    // not a child, so tree walks don't double-count it) — resolve to
+    // the referenced subtree so reuse-vs-rebuild wiring is invisible.
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      finalPlan(r.child)
+    case other => other
+  }
+
+  /** Wiring/tactic nodes that legitimately differ between two runs of
+    * the SAME strategy, measured (round-16 q126 probe, 6 iterations = 6
+    * raw sigs, node histogram constant at bhj=24/shj=1):
+    *  - WholeStageCodegen carries a stage id assigned in AQE
+    *    re-planning order, which races across parallel stage
+    *    materialization ("WholeStageCodegen (11)" vs "(5)" run-to-run);
+    *  - AQEShuffleRead (coalesce / local-read tactics) appears or
+    *    vanishes with materialization timing;
+    *  - ReusedExchange vs a rebuilt exchange is a DEDUP tactic: whether
+    *    AQE reuses an already-materialized exchange depends on which
+    *    stage won the race. Reuse is content-identical by definition,
+    *    so the walk descends into the referenced subtree instead —
+    *    both wirings then emit the same string.
+    * These are skipped (descended through, not emitted), making the
+    * signature a LOGICAL-STRATEGY identity. The trade-off is explicit:
+    * a lost reuse (computing one exchange twice) does not move the sig
+    * — bytes/jobs telemetry carries that class, the sig carries
+    * strategy. */
+  /** BroadcastExchange is wiring too: which CHILD of a broadcast join
+    * carries the wrapper is AQE's runtime build-side tie-break (q126
+    * probe: the wrapper moved left↔right between iterations on
+    * near-equal stage sizes). The join node name already states the
+    * broadcast strategy, so the wrapper adds no identity — and a
+    * deliberate build-side regression (broadcasting the big side)
+    * announces itself in bytes/jobs, which the diff carries beside the
+    * sig. */
+  private def isWiring(name: String): Boolean =
+    name.startsWith("WholeStageCodegen") || name == "InputAdapter" ||
+      name == "AQEShuffleRead" || name.startsWith("BroadcastExchange")
+  // ReusedExchange is resolved in finalPlan
+
+  /** DFS structural signature: node names with tree shape, adaptive
+    * wrappers resolved to their final plans, wiring/tactic nodes
+    * normalized away, subqueries appended. */
+  def signature(plan: SparkPlan): String = {
+    val sb = new StringBuilder
+    def walk(p: SparkPlan): Unit = {
+      val n = finalPlan(p)
+      if (isWiring(n.nodeName)) {
+        (n.children ++ n.subqueries).foreach(walk)
+      } else {
+        sb.append(n.nodeName)
+        val subs = n.subqueries
+        if (n.children.nonEmpty || subs.nonEmpty) {
+          sb.append('(')
+          var first = true
+          (n.children ++ subs).foreach { c =>
+            if (!first) sb.append(',')
+            first = false
+            walk(c)
+          }
+          sb.append(')')
+        }
+      }
+    }
+    walk(plan)
+    sb.toString
+  }
+
+  /** Histogram of strategy-relevant node classes in one plan tree
+    * (adaptive wrappers resolved). Keys are a fixed vocabulary so the
+    * artifact stays compact and diffs stay aligned. */
+  def nodeHistogram(plan: SparkPlan): Map[String, Long] = {
+    val counts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    def walk(p: SparkPlan): Unit = {
+      val n = finalPlan(p)
+      val key = n.nodeName match {
+        case s if s.startsWith("BroadcastHashJoin") => "bhj"
+        case s if s.startsWith("SortMergeJoin") => "smj"
+        case s if s.startsWith("ShuffledHashJoin") => "shj"
+        case s if s.startsWith("BroadcastNestedLoopJoin") => "bnlj"
+        case s if s.startsWith("CartesianProduct") => "cartesian"
+        case s if s.startsWith("Exchange") || s.startsWith("ShuffleExchange") => "exchange"
+        case s if s.startsWith("BroadcastExchange") => "bcast_exchange"
+        case s if s.startsWith("AQEShuffleRead") => "aqe_read"
+        case s if s.startsWith("HashAggregate") => "hash_agg"
+        case s if s.startsWith("ObjectHashAggregate") => "obj_agg"
+        case s if s.startsWith("SortAggregate") => "sort_agg"
+        case _ => null
+      }
+      if (key != null) counts(key) += 1
+      (n.children ++ n.subqueries).foreach(walk)
+    }
+    walk(plan)
+    counts.toMap
+  }
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** One measured query's folded fingerprint. */
+  case class Fingerprint(sig: String, nPlans: Int, hist: Map[String, Long]) {
+    def json: String = {
+      val h = hist.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"sig":"$sig","n_plans":$nPlans,"nodes":$h}"""
+    }
+  }
+
+  /** Listener collecting per-action signatures. The execution-listener
+    * bus is ASYNCHRONOUS (same caveat as [[ExecStats]]): callers run one
+    * query at a time and drain with [[takeFingerprint]], which polls for
+    * a stable action count before folding. Signatures fold in execution
+    * order; full per-action signature strings are retained until the
+    * next drain so probes can diff WHICH action's plan moved. */
+  final class Collector extends QueryExecutionListener {
+    private val sigs = mutable.ArrayBuffer.empty[String]
+    private val hists = mutable.ArrayBuffer.empty[Map[String, Long]]
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit = synchronized {
+      // executedPlan is final here: onSuccess fires after the action
+      // completed, so every adaptive wrapper holds its last re-plan.
+      sigs += signature(qe.executedPlan)
+      hists += nodeHistogram(qe.executedPlan)
+      ()
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = ()
+
+    private def size: Int = synchronized(sigs.length)
+
+    /** Drain (bounded poll for bus quiescence), fold, and reset. */
+    def takeFingerprint(): Fingerprint = {
+      var last = -1
+      var waited = 0
+      while (size != last && waited < 80) {
+        last = size; Thread.sleep(25); waited += 1
+      }
+      synchronized {
+        val folded = md5Hex(sigs.mkString("\n"))
+        val hist = hists.foldLeft(Map.empty[String, Long]) { (acc, h) =>
+          (acc.keySet ++ h.keySet).map(k =>
+            k -> (acc.getOrElse(k, 0L) + h.getOrElse(k, 0L))).toMap
+        }
+        val fp = Fingerprint(folded, sigs.length, hist)
+        sigs.clear(); hists.clear()
+        fp
+      }
+    }
+
+    /** Per-action signatures of the CURRENT window (probe use; does not
+      * reset). */
+    def currentSignatures: Seq[String] = synchronized(sigs.toVector)
+
+    /** Open a fresh measurement window: drain the bus to stability and
+      * discard everything seen so far. The drain matters — the listener
+      * bus is async, so a bare clear() would let the PREVIOUS query's
+      * in-flight onSuccess land inside the new window (observed in
+      * PlanSigSpec: nPlans over-counted by the prior action). */
+    def reset(): Unit = { takeFingerprint(); () }
+  }
+}

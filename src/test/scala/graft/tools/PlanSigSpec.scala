@@ -1,0 +1,111 @@
+package graft.tools
+
+import graft.SparkSuite
+
+/** Contract of the executed-plan fingerprint (round 16): the signature
+  * must be (a) STABLE across repeated runs of the same query — including
+  * under AQE, where runtime partition counts differ from plan text —
+  * and (b) SENSITIVE to a strategy change (broadcast vs shuffled join).
+  * Those two properties are exactly what lets a bench diff classify a
+  * byte drift under an equal sig as ambient rather than plan drift.
+  */
+class PlanSigSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.collect(); ()
+  }
+
+  test("same query twice yields the same folded fingerprint") {
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      def q() = spark.range(0, 50000L).selectExpr("id % 100 as k", "id as v")
+        .groupBy("k").sum("v")
+      run(q()); val fp1 = collector.takeFingerprint()
+      run(q()); val fp2 = collector.takeFingerprint()
+      assert(fp1.nPlans == 1 && fp2.nPlans == 1)
+      assert(fp1.sig == fp2.sig, s"$fp1 vs $fp2")
+      assert(fp1.hist == fp2.hist)
+      assert(fp1.hist.getOrElse("exchange", 0L) >= 1L,
+        s"groupBy must show an exchange in the histogram: ${fp1.hist}")
+    } finally spark.listenerManager.unregister(collector)
+  }
+
+  test("fingerprint distinguishes broadcast from shuffled join strategy") {
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "tag")
+      val fact = spark.range(0, 10000L).selectExpr("id % 2 as k", "id as v")
+      run(fact.join(org.apache.spark.sql.functions.broadcast(dim), "k"))
+      val bcast = collector.takeFingerprint()
+      run(fact.join(dim.hint("shuffle_hash"), "k"))
+      val shuffled = collector.takeFingerprint()
+      assert(bcast.sig != shuffled.sig)
+      assert(bcast.hist.getOrElse("bhj", 0L) == 1L, bcast.hist.toString)
+      assert(bcast.hist.getOrElse("shj", 0L) == 0L)
+      assert(shuffled.hist.getOrElse("shj", 0L) == 1L, shuffled.hist.toString)
+    } finally spark.listenerManager.unregister(collector)
+  }
+
+  test("signature resolves adaptive wrappers and ignores runtime partition counts") {
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      // same logical query under two different advisory partition sizes:
+      // AQE coalesces to DIFFERENT reducer counts, but the strategy —
+      // and therefore the signature — must not move.
+      def q() = spark.range(0, 200000L)
+        .selectExpr("id % 1000 as k", "id as v").groupBy("k").count()
+      val conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val old = spark.conf.getOption(conf)
+      try {
+        spark.conf.set(conf, "64MB")
+        run(q()); val big = collector.takeFingerprint()
+        spark.conf.set(conf, "1KB")
+        run(q()); val small = collector.takeFingerprint()
+        assert(big.sig == small.sig,
+          "signature must be invariant to AQE coalesce counts")
+        assert(!big.sig.isEmpty && big.sig.length == 32)
+      } finally {
+        old match {
+          case Some(v) => spark.conf.set(conf, v)
+          case None => spark.conf.unset(conf)
+        }
+      }
+    } finally spark.listenerManager.unregister(collector)
+  }
+
+  test("signature normalizes wiring: codegen ids gone, ReusedExchange expanded to content") {
+    // self-joined aggregate: Spark reuses the aggregate's exchange on
+    // one side (ReusedExchange). The signature must (a) carry no
+    // codegen stage ids — they're assigned in AQE materialization
+    // order, which races — and (b) show the SAME content on both join
+    // sides, so reuse-vs-rebuild wiring can never flap it (the q126
+    // finding: 6 probe iterations, 6 raw sigs, one strategy).
+    val agg = spark.range(0, 50000L).selectExpr("id % 97 as k", "id as v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    val joined = agg.join(agg.withColumnRenamed("s", "s2"), "k")
+    run(joined)
+    val sig = PlanSig.signature(joined.queryExecution.executedPlan)
+    assert(!sig.contains("WholeStageCodegen"), sig)
+    assert(!sig.contains("InputAdapter"), sig)
+    assert(!sig.contains("AQEShuffleRead"), sig)
+    assert(!sig.contains("ReusedExchange"), sig)
+    assert("HashAggregate".r.findAllIn(sig).size >= 4,
+      s"both sides must expand to their aggregate content:\n$sig")
+  }
+
+  test("reset drops accumulated actions; fingerprint counts every action in the window") {
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      run(spark.range(10L).toDF())
+      collector.reset()
+      run(spark.range(10L).toDF()); run(spark.range(20L).toDF())
+      val fp = collector.takeFingerprint()
+      assert(fp.nPlans == 2, s"expected the 2 post-reset actions: $fp")
+    } finally spark.listenerManager.unregister(collector)
+  }
+}

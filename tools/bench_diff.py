@@ -14,7 +14,18 @@ bench_history/run-NNNN.json files. Writes a JSON report (default
 bench_history/diff-<old>-<new>.json) and prints a short markdown summary
 to stdout.
 
-Classification per common query, by exec telemetry:
+Classification per common query. When BOTH runs carry executed-plan
+fingerprints (the `plan` map, round-16 on), the signature is the primary
+signal — it pins plan identity exactly, so byte drift under an equal sig
+is ambient BY CONSTRUCTION (compressed-shuffle size / bus-attribution
+noise), never something to adjudicate:
+  identical       - plan sig equal AND shuffle_read/tasks/jobs byte-equal.
+  same_plan_drift - plan sig equal but telemetry moved: ambient byte /
+                    scheduling drift under a PINNED identical plan (the
+                    round-16 q05/q126 class).
+  plan_delta      - plan sig moved -> a real plan change; adjudicate
+                    (the node-histogram diff rides the row).
+Fallback (either run lacks fingerprints), by exec telemetry alone:
   identical  - shuffle_read, tasks and jobs all byte-equal -> any wall
                delta is ambient (scheduler/CPU noise), not plan drift.
   jitter     - shuffle_read within 1% relative and jobs within +-2:
@@ -51,7 +62,7 @@ def load(path):
         return json.load(fh)
 
 
-def classify(old_e, new_e):
+def classify(old_e, new_e, old_p=None, new_p=None):
     if old_e is None or new_e is None:
         return "no_telemetry"
     so, sn = old_e.get("shuffle_read", 0), new_e.get("shuffle_read", 0)
@@ -59,6 +70,13 @@ def classify(old_e, new_e):
     rel = abs(sn - so) / so if so else (0.0 if sn == 0 else 1.0)
     same_sched = (old_e.get("tasks") == new_e.get("tasks")
                   and old_e.get("jobs") == new_e.get("jobs"))
+    # plan fingerprints, when present on both sides, are authoritative
+    if old_p and new_p and old_p.get("sig") and new_p.get("sig"):
+        if old_p["sig"] != new_p["sig"]:
+            return "plan_delta"
+        if same_bytes and same_sched:
+            return "identical"
+        return "same_plan_drift"
     jobs_close = abs(
         (new_e.get("jobs") or 0) - (old_e.get("jobs") or 0)) <= 2
     if same_bytes and same_sched:
@@ -86,6 +104,7 @@ def main(argv):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
     oe, ne = old.get("exec", {}), new.get("exec", {})
+    op, np_ = old.get("plan", {}), new.get("plan", {})
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
@@ -93,13 +112,20 @@ def main(argv):
     rows = []
     for name in common:
         dt = nq[name] - oq[name]
-        cls = classify(oe.get(name), ne.get(name))
+        cls = classify(oe.get(name), ne.get(name),
+                       op.get(name), np_.get(name))
         row = {"query": name, "t_old": oq[name], "t_new": nq[name],
                "dt": round(dt, 4), "class": cls}
-        if cls in ("jobs_delta", "work_delta", "jitter"):
+        if cls in ("jobs_delta", "work_delta", "jitter",
+                   "same_plan_drift", "plan_delta"):
             for k in ("shuffle_read", "tasks", "jobs"):
                 row[k + "_old"] = oe.get(name, {}).get(k)
                 row[k + "_new"] = ne.get(name, {}).get(k)
+        if cls == "plan_delta":
+            row["nodes_old"] = op.get(name, {}).get("nodes")
+            row["nodes_new"] = np_.get(name, {}).get("nodes")
+            row["n_plans_old"] = op.get(name, {}).get("n_plans")
+            row["n_plans_new"] = np_.get(name, {}).get("n_plans")
         rows.append(row)
 
     total_old = sum(oq[n] for n in common)
@@ -108,7 +134,7 @@ def main(argv):
     for r in rows:
         by_class[r["class"]] = by_class.get(r["class"], 0) + 1
     movers = sorted(rows, key=lambda r: -abs(r["dt"]))[:15]
-    drift = [r for r in rows if r["class"] == "work_delta"]
+    drift = [r for r in rows if r["class"] in ("work_delta", "plan_delta")]
 
     report = {
         "old": os.path.basename(old_path), "new": os.path.basename(new_path),
