@@ -34,6 +34,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object PlanSig {
 
+  /** Signature-algorithm version, carried in every fingerprint: two
+    * sigs are comparable ONLY at equal versions (bench_diff falls back
+    * to byte classification otherwise). Bump when the normalization
+    * rules change. v2 = wiring nodes + ReusedExchange resolution +
+    * BroadcastExchange + leftover ensure-requirements shuffles under
+    * broadcast joins. */
+  val version = 2
+
   /** Final physical plan beneath any adaptive wrapper. Query-stage
     * wrappers are CHILDLESS (their subtree lives in `.plan`), so a walk
     * that doesn't unwrap them sees only the root stage and every
@@ -80,31 +88,58 @@ object PlanSig {
       name == "AQEShuffleRead" || name.startsWith("BroadcastExchange")
   // ReusedExchange is resolved in finalPlan
 
+  /** True when this join broadcasts one side: no child of it can
+    * REQUIRE a shuffle, so an ENSURE_REQUIREMENTS exchange seen
+    * directly under it is a leftover of AQE's join conversion (the
+    * shuffle materialized before the re-plan chose broadcast) — a
+    * materialization race, not plan structure. Measured on q214: the
+    * same read flapped Exchange-present/absent across 4 iterations
+    * with the node histogram constant. User repartitions keep their
+    * own shuffleOrigin (REPARTITION_BY_*) and are never skipped. */
+  private def isBroadcastJoin(name: String): Boolean =
+    name.startsWith("BroadcastHashJoin") ||
+      name.startsWith("BroadcastNestedLoopJoin")
+
+  private def isLeftoverShuffle(p: SparkPlan): Boolean = p match {
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      s.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
+    case _ => false
+  }
+
   /** DFS structural signature: node names with tree shape, adaptive
     * wrappers resolved to their final plans, wiring/tactic nodes
-    * normalized away, subqueries appended. */
+    * normalized away, subqueries appended. `underBcastJoin` marks that
+    * the walk is on a broadcast join's direct input (surviving wiring
+    * descent), where an ensure-requirements shuffle is a leftover. */
   def signature(plan: SparkPlan): String = {
     val sb = new StringBuilder
-    def walk(p: SparkPlan): Unit = {
+    def walk(p: SparkPlan, underBcastJoin: Boolean): Unit = {
       val n = finalPlan(p)
-      if (isWiring(n.nodeName)) {
-        (n.children ++ n.subqueries).foreach(walk)
+      if (isWiring(n.nodeName) ||
+          (underBcastJoin && isLeftoverShuffle(n))) {
+        (n.children ++ n.subqueries).foreach(walk(_, underBcastJoin))
       } else {
         sb.append(n.nodeName)
+        val bj = isBroadcastJoin(n.nodeName)
         val subs = n.subqueries
         if (n.children.nonEmpty || subs.nonEmpty) {
           sb.append('(')
           var first = true
-          (n.children ++ subs).foreach { c =>
+          n.children.foreach { c =>
             if (!first) sb.append(',')
             first = false
-            walk(c)
+            walk(c, bj)
+          }
+          subs.foreach { c =>
+            if (!first) sb.append(',')
+            first = false
+            walk(c, underBcastJoin = false)
           }
           sb.append(')')
         }
       }
     }
-    walk(plan)
+    walk(plan, underBcastJoin = false)
     sb.toString
   }
 
@@ -145,7 +180,7 @@ object PlanSig {
     def json: String = {
       val h = hist.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"sig":"$sig","n_plans":$nPlans,"nodes":$h}"""
+      s"""{"sig":"$sig","v":$version,"n_plans":$nPlans,"nodes":$h}"""
     }
   }
 

@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * split) worth adjudicating.
   *
   * Usage: runMain graft.tools.VarianceProbe q05,q126 6
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS.
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS;
+  * SPARK_GRAFT_PROBE_CONF="k=v;k=v" sets extra session confs — e.g.
+  * spark.shuffle.compress=false separates compression-order drift
+  * (bytes go constant uncompressed) from row-count drift (bytes still
+  * flap), the q05 experiment.
   * Per-iteration JSON lines go to stdout; when a query's fingerprint is
   * NOT stable across iterations, the distinct per-action signature
   * strings are dumped to /tmp/varprobe-<query>-<sig>.txt for diffing.
@@ -23,12 +27,18 @@ object VarianceProbe {
     val iters = args.lift(1).map(_.toInt).getOrElse(6)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Seq("lineitem", "orders", "customer", "documents", "embeddings"))
       graft.util.Tables.table(spark, sfDir, t).count()

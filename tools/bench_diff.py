@@ -70,8 +70,11 @@ def classify(old_e, new_e, old_p=None, new_p=None):
     rel = abs(sn - so) / so if so else (0.0 if sn == 0 else 1.0)
     same_sched = (old_e.get("tasks") == new_e.get("tasks")
                   and old_e.get("jobs") == new_e.get("jobs"))
-    # plan fingerprints, when present on both sides, are authoritative
-    if old_p and new_p and old_p.get("sig") and new_p.get("sig"):
+    # plan fingerprints, when present on both sides AT THE SAME
+    # ALGORITHM VERSION, are authoritative (a normalization-rule change
+    # bumps the version; cross-version sigs differ trivially)
+    if (old_p and new_p and old_p.get("sig") and new_p.get("sig")
+            and old_p.get("v") == new_p.get("v")):
         if old_p["sig"] != new_p["sig"]:
             return "plan_delta"
         if same_bytes and same_sched:
