@@ -105,13 +105,24 @@ object ScaleProbe {
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    def timeMin(f: => Long): (Double, Long) = {
+    // strategy fingerprints ride each timed family (drains are outside
+    // the clock): alpha says the COST scaled; sig1 == sig10 says it was
+    // the SAME PLAN doing it — a broadcast threshold crossing or a
+    // strategy shift at 10× shows up as sig_match=false and must be
+    // adjudicated (it may be legitimate AQE sizing, but never silent).
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    def timeMin(f: => Long): (Double, Long, PlanSig.Fingerprint) = {
       var best = Double.MaxValue; var rows = 0L
+      var fp: PlanSig.Fingerprint = null
       for (_ <- 1 to passes) {
+        collector.reset()
         val t0 = System.nanoTime(); rows = f
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        fp = collector.takeFingerprint() // after the clock stops
+        best = math.min(best, dt)
       }
-      (best, rows)
+      (best, rows, fp)
     }
 
     // materialize inputs once per scale so input synthesis isn't timed
@@ -340,12 +351,16 @@ object ScaleProbe {
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
-      val (t1, r1) = timeMin(f(in1))
-      val (t10, r10) = timeMin(f(in10))
+      val (t1, r1, fp1) = timeMin(f(in1))
+      val (t10, r10, fp10) = timeMin(f(in10))
       val alpha = math.log10(t10 / t1)
+      val sigMatch = fp1 != null && fp10 != null && fp1.sig == fp10.sig
       if (i > 0) out ++= ","
-      out ++= s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"rows1":$r1,"rows10":$r10,"alpha":${fmt(alpha)}}"""
-      println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)}")
+      out ++= s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"rows1":$r1,"rows10":$r10,"alpha":${fmt(alpha)},"sig_match":$sigMatch"""
+      if (!sigMatch && fp1 != null && fp10 != null)
+        out ++= s""","plan1":${fp1.json},"plan10":${fp10.json}"""
+      out ++= "}"
+      println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)} sig_match=$sigMatch")
     }
     // BPE training: the hybrid claim is that wall-clock NO LONGER scales
     // with nMerges × per-job fixed cost (each merge round is an in-memory
@@ -357,17 +372,17 @@ object ScaleProbe {
     // ~4.5M pairs; the 30k clique would be 450M — exactly the blowup
     // the cap exists to avoid pricing)
     if (only.forall(_.contains("anchor_cap_clique"))) {
-      val (tc, rc) = timeMin(
+      val (tc, rc, _) = timeMin(
         TextAnalysis.winnowedSubstringPairs(mb1, k = 20, w = 21).count())
       if (out.length > 1) out ++= ","
       out ++= s""""anchor_cap_clique":{"t1":${fmt(tc)},"rows1":$rc}"""
       println(s"[scaleprobe] anchor_cap_clique t1=${fmt(tc)}s ($rc rows, 3000-doc clique reference)")
     }
     if (only.forall(_.contains("bpe_train_hybrid"))) {
-      val (th40, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
-      val (th400, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
-      val (th40x10, _) = timeMin(TextAnalysis.bpeTrain(d10, nMerges = 40).count())
-      val (tr40, _) = timeMin(TextAnalysis.bpeTrainRelational(d1, nMerges = 40).count())
+      val (th40, _, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())
+      val (th400, _, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 400).count())
+      val (th40x10, _, _) = timeMin(TextAnalysis.bpeTrain(d10, nMerges = 40).count())
+      val (tr40, _, _) = timeMin(TextAnalysis.bpeTrainRelational(d1, nMerges = 40).count())
       val aM = math.log10(th400 / th40)
       if (out.length > 1) out ++= ","
       out ++= s""""bpe_train_hybrid":{"t_m40":${fmt(th40)},"t_m400":${fmt(th400)}"""
@@ -438,9 +453,9 @@ object ScaleProbe {
         val batch = e.where(isBatch).localCheckpoint(true)
         val settled = graft.graph.Closure
           .resolveRoots(e.where(!isBatch)).localCheckpoint(true)
-        val (tInc, _) = timeMin(
+        val (tInc, _, _) = timeMin(
           graft.graph.Closure.addEdgesDelta(settled, batch).count())
-        val (tFull, _) = timeMin(graft.graph.Closure.resolveRoots(e).count())
+        val (tFull, _, _) = timeMin(graft.graph.Closure.resolveRoots(e).count())
         (tInc, tFull)
       }
       def ccEdges(n: Long): DataFrame = spark.range(n).select(
@@ -452,9 +467,9 @@ object ScaleProbe {
         val batch = e.limit(5000).localCheckpoint(true)
         val old = e.exceptAll(batch).localCheckpoint(true)
         val lab = graft.graph.ConnectedComponents.run(old).localCheckpoint(true)
-        val (tInc, _) = timeMin(
+        val (tInc, _, _) = timeMin(
           graft.graph.ConnectedComponents.addEdgesDelta(lab, batch).count())
-        val (tFull, _) = timeMin(graft.graph.ConnectedComponents.run(e).count())
+        val (tFull, _, _) = timeMin(graft.graph.ConnectedComponents.run(e).count())
         (tInc, tFull)
       }
       val (ci1, cf1) = closureProbe(500000L)
@@ -491,9 +506,9 @@ object ScaleProbe {
         val corpus = all.where(!bcond).localCheckpoint(true)
         val idx = java.nio.file.Files.createTempDirectory("subidx").toString
         TextAnalysis.saveSubstringIndex(corpus, s"$idx/fp", minLen = 40)
-        val (tInc, _) = timeMin(TextAnalysis.substringPairsAgainstIndex(
+        val (tInc, _, _) = timeMin(TextAnalysis.substringPairsAgainstIndex(
           batch, corpus, s"$idx/fp", minLen = 40).count())
-        val (tFull, _) = timeMin(
+        val (tFull, _, _) = timeMin(
           TextAnalysis.winnowedSubstringPairs(all, k = 20, w = 21).count())
         (tInc, tFull)
       }
@@ -613,9 +628,9 @@ object ScaleProbe {
             docs.where(p), st, b.toLong, 40, 20)
         }
         val tBuild = (System.nanoTime() - t0) / 1e9
-        val (tTop, _) = timeMin(graft.streaming.StreamIngest
+        val (tTop, _, _) = timeMin(graft.streaming.StreamIngest
           .readTopPassages(spark, st, 40, 2, 20).count())
-        val (tPairs, _) = timeMin(graft.streaming.StreamIngest
+        val (tPairs, _, _) = timeMin(graft.streaming.StreamIngest
           .readSubstringPairs(spark, st).count())
         (tBuild, tTop, tPairs)
       }
@@ -629,7 +644,7 @@ object ScaleProbe {
             docs.where(p), s"$root/store", s"$root/weights", b.toLong, 40, 20)
         }
         val tBuild = (System.nanoTime() - t0) / 1e9
-        val (tRead, _) = timeMin(graft.streaming.StreamIngest
+        val (tRead, _, _) = timeMin(graft.streaming.StreamIngest
           .readReleaseDecisions(spark, s"$root/store").count())
         (tBuild, tRead)
       }
@@ -684,7 +699,7 @@ object ScaleProbe {
         } finally s.close()
       }
       val files = Seq("fp", "texts", "pairs", "counts").map(s => s -> nFiles(s))
-      val (tTop, topRows) = timeMin(graft.streaming.StreamIngest
+      val (tTop, topRows, _) = timeMin(graft.streaming.StreamIngest
         .readTopPassages(spark, stC, 40, 2, 20).count())
       // exactness across ticks: the folded+topped-up counts report must
       // equal the one-shot rollup over everything delivered
@@ -747,7 +762,7 @@ object ScaleProbe {
         .collect().map(_.toString).toSet
       val exact = rel(idx) == rel(ctl)
       require(exact, "long-stream ANN store diverged from the bulk add")
-      val (tProbe, probeRows) = timeMin(Similarity.ivfpqTopKFromIndex(
+      val (tProbe, probeRows, _) = timeMin(Similarity.ivfpqTopKFromIndex(
         idx, all, dim = 64, nQueries = 8, k = 5, m = 4,
         nprobe = 2, shortlist = 64).count())
       if (out.length > 1) out ++= ","
