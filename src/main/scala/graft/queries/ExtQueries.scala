@@ -605,8 +605,37 @@ object ExtQueries {
       |   AND d.doc_id % 14 = 3
       |   AND d.doc_id <= b.lo + (b.hi - b.lo) // 3)""".stripMargin
 
-  /** The OUT-OF-ORDER maintained release store (q226/q227's shared
-    * session fixture, the ≥2-consumers amortization discipline): the
+  /** First-principles re-derivation of the release store's late
+    * sidecar over the twin-injected reversed delivery, ending with
+    * `perb(batch_id, n_late_smaller_id)` in scope — per batch, the
+    * gate-passing batch keepers whose hash settled earlier under a
+    * larger id. Shared VERBATIM by q226 (the per-batch counts) and
+    * q229 (their magnitude histogram), so the two consumers of the
+    * sidecar cannot drift. */
+  private lazy val lateArrivalsCtes: String =
+    s"""$twinInjectedSql,
+       |${releaseCleanCtes("dtwin")},
+       |sl AS (SELECT c.doc_id, md5(c.text) AS h,
+       |    CASE WHEN c.doc_id > b.lo + (2 * (b.hi - b.lo)) // 3 THEN 0
+       |         WHEN c.doc_id > b.lo + (b.hi - b.lo) // 3 THEN 1
+       |         ELSE 2 END AS batch_id
+       |  FROM clean c CROSS JOIN bnd b),
+       |keepb AS (SELECT h, batch_id, min(doc_id) AS doc_id
+       |          FROM sl GROUP BY h, batch_id),
+       |lateb AS (SELECT k.batch_id FROM keepb k
+       |  JOIN (SELECT k2.h, k2.batch_id, min(s.doc_id) AS settled_id
+       |        FROM keepb k2 JOIN sl s
+       |          ON s.h = k2.h AND s.batch_id < k2.batch_id
+       |        GROUP BY k2.h, k2.batch_id) t
+       |    ON k.h = t.h AND k.batch_id = t.batch_id
+       |  WHERE k.doc_id < t.settled_id),
+       |perb AS (SELECT cast(batch_id AS BIGINT) AS batch_id,
+       |         cast(count(*) AS BIGINT) AS n_late_smaller_id
+       |         FROM lateb GROUP BY batch_id)""".stripMargin
+
+  /** The OUT-OF-ORDER maintained release store (the shared session
+    * fixture of q226/q227/q229 — three registered consumers, the
+    * ≥2-consumers amortization discipline): the
     * twin-injected corpus delivered through the verbatim
     * [[graft.streaming.StreamIngest.releaseBatch]] body in REVERSED
     * id-order slices (top third first), then compacted — the arrival
@@ -5668,25 +5697,35 @@ object ExtQueries {
     "q226_release_late_arrivals" -> Q(
       (s, dir) => graft.streaming.StreamIngest.readLateArrivals(
         s, s"${oooReleaseStore(s, dir)}/store"),
-      s"""WITH $twinInjectedSql,
-         |${releaseCleanCtes("dtwin")},
-         |sl AS (SELECT c.doc_id, md5(c.text) AS h,
-         |    CASE WHEN c.doc_id > b.lo + (2 * (b.hi - b.lo)) // 3 THEN 0
-         |         WHEN c.doc_id > b.lo + (b.hi - b.lo) // 3 THEN 1
-         |         ELSE 2 END AS batch_id
-         |  FROM clean c CROSS JOIN bnd b),
-         |keepb AS (SELECT h, batch_id, min(doc_id) AS doc_id
-         |          FROM sl GROUP BY h, batch_id),
-         |lateb AS (SELECT k.batch_id FROM keepb k
-         |  JOIN (SELECT k2.h, k2.batch_id, min(s.doc_id) AS settled_id
-         |        FROM keepb k2 JOIN sl s
-         |          ON s.h = k2.h AND s.batch_id < k2.batch_id
-         |        GROUP BY k2.h, k2.batch_id) t
-         |    ON k.h = t.h AND k.batch_id = t.batch_id
-         |  WHERE k.doc_id < t.settled_id)
-         |SELECT cast(batch_id AS BIGINT) AS batch_id,
-         |       cast(count(*) AS BIGINT) AS n_late_smaller_id
-         |FROM lateb GROUP BY batch_id""".stripMargin),
+      s"""WITH $lateArrivalsCtes
+         |SELECT batch_id, n_late_smaller_id FROM perb""".stripMargin),
+
+    // ── late-arrival magnitude histogram (third consumer, round-17) ────
+    // VERDICT r16 item 7: per-batch counts alone don't say whether
+    // lateness is a trickle or a burst. Bucket the per-batch late
+    // counts by binary digit count (exact log2, ≤ 64 buckets — the
+    // q176 bounded-histogram discipline) with the late mass per
+    // bucket. Reads the SAME sidecar through the SAME read-time
+    // max-fold as q226 (and the same oracle CTE chain, so the two
+    // consumers cannot drift) — a third registered consumer of the
+    // oooReleaseStore session fixture, zero new stores.
+    "q229_release_late_histogram" -> Q(
+      (s, dir) => {
+        val late = graft.streaming.StreamIngest.readLateArrivals(
+          s, s"${oooReleaseStore(s, dir)}/store")
+        late.select(
+            length(org.apache.spark.sql.functions.expr(
+              "conv(n_late_smaller_id, 10, 2)")).cast("long").as("bucket"),
+            col("n_late_smaller_id"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("n_late_smaller_id")).as("n_late_total"))
+      },
+      s"""WITH $lateArrivalsCtes
+         |SELECT cast(length(bin(n_late_smaller_id)) AS BIGINT) AS bucket,
+         |       cast(count(*) AS BIGINT) AS n_batches,
+         |       cast(sum(n_late_smaller_id) AS BIGINT) AS n_late_total
+         |FROM perb GROUP BY 1""".stripMargin),
 
     // ── the keeper min-fold is arrival-order-INDEPENDENT ───────────────
     // The exact-dedup keeper the release decisions trust is a read-time

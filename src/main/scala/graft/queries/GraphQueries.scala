@@ -429,6 +429,19 @@ object GraphQueries {
       (s, dir) => TreeStatsIterative.compute(treeInput(s, dir, dayChains = true)).toDF(),
       treeStatsOracleDay),
 
+    // ── A4 cluster-scale arm (VERDICT r16 item 2): the SAME relational
+    // formulation with broadcast joins disabled, so the doubling join
+    // executes the sort-merge shape a 100 TB run takes past the
+    // broadcast threshold (the adjudicated SCALEPROBE_r16b 10× sig
+    // mismatch). Same fixture, same generated oracle as q58 — the two
+    // rows differ ONLY in physical join strategy, which is exactly what
+    // this row exists to hash-gate. Registry-growth note: no new store;
+    // this is a priced reference arm over the shared q23/q58 input.
+    "q228_tree_stats_smj" -> Q(
+      (s, dir) => TreeStatsIterative.computeSortMerge(
+        treeInput(s, dir, dayChains = true)).toDF(),
+      treeStatsOracleDay),
+
 
     // ── P13: singleton constant-projection fast path ───────────────────
     // (3_create_tweet_stats_i.py:304-352). Grouping here is per

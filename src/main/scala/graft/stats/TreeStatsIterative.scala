@@ -114,6 +114,42 @@ object TreeStatsIterative {
     }
   }
 
+  /** [[compute]] with broadcast hash joins disabled for the duration —
+    * the plan shape a cluster-scale run takes once the doubling join's
+    * build side exceeds the broadcast threshold. SCALEPROBE_r16b showed
+    * the loop legitimately switching to this sort-merge form at 10×
+    * fixture scale (the adjudicated `tree_stats_iterative` sig
+    * mismatch), but until round 17 no oracle row ever EXECUTED it: q58
+    * gates the broadcast shape only. This arm is registered as
+    * q228_tree_stats_smj against the same generated oracle, so the
+    * strategy the 100 TB design actually relies on is itself
+    * hash-gated (VERDICT r16 item 2).
+    *
+    * Both the static and the adaptive broadcast thresholds are pinned
+    * to -1 (AQE's join conversion reads the adaptive key, falling back
+    * to the static one — leaving it unset would let AQE demote the
+    * sort-merge join back to broadcast at runtime and the arm would
+    * silently test nothing). The result is materialized eagerly before
+    * the confs are restored — a lazy plan would be re-planned with
+    * broadcast re-enabled at the caller's action. Same session-global
+    * conf caveat as the sized-width path in [[compute]].
+    */
+  def computeSortMerge(tweets: Dataset[TreeInput],
+                       maxIter: Int = 30): Dataset[TreeStatsRow] = {
+    val spark = tweets.sparkSession
+    import spark.implicits._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try compute(tweets, maxIter).toDF()
+      .localCheckpoint(true).as[TreeStatsRow]
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** The formulation body over a MATERIALIZED node relation. */
   private def computeFrom(nodesCk: DataFrame, maxIter: Int): Dataset[TreeStatsRow] = {
     val spark = nodesCk.sparkSession

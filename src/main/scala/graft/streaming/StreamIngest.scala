@@ -608,14 +608,16 @@ object StreamIngest {
       // hazard the stamp closes stays OPEN: a replay after a crash
       // mid-texts-append probes its own torn-visible batch-mates and
       // logs within-batch pairs the contract excludes. Warn once per
-      // attach so operators know; the upgrade path is a rebuild
-      // (re-drive the settled texts through a fresh stamped store).
+      // attach so operators know; the upgrade path is the in-place
+      // [[upgradeLegacyTextsStore]] rewrite (round 17).
       if (!stampTexts && warnedLegacyTexts.add(txDir))
         System.err.println(
           s"[graft] WARN substring store $outDir has a pre-r15 unstamped " +
             s"texts relation: the torn-texts-append pair-log exposure is " +
             s"still open for this store (and the foreign-lineage guard " +
-            s"cannot run). Rebuild into a fresh store to upgrade.")
+            s"cannot run). Quiesce the stream and run " +
+            s"StreamIngest.upgradeLegacyTextsStore(spark, \"$outDir\") " +
+            s"to stamp the settled rows in place.")
       settledTexts.foreach { corpus =>
         if (stampTexts) {
           // LINEAGE GUARD (ADVICE r15): batch ids are only unique within
@@ -629,15 +631,28 @@ object StreamIngest {
           // carries the max settled bid (or max+1 when the crash
           // preceded the texts append), so bid < max(settled) can only
           // be a foreign lineage: refuse loudly instead of corrupting
-          // the pair log. One narrow-column agg per maintenance batch —
-          // the probe scans the store anyway.
+          // the pair log. The settled max comes from the watermark
+          // sidecar (one tiny driver-side read — round 17, replacing a
+          // per-batch max-agg scan of the whole texts store); absent or
+          // torn sidecar falls back to the exact corpus max ONCE and
+          // heals the sidecar forward (safe to persist before this
+          // batch's appends: the value describes already-settled
+          // state). A stale sidecar only UNDERSTATES the max — see
+          // readSettledWatermark's crash-discipline scaladoc.
           // max over an EMPTY store is NULL (a torn append can leave
           // only empty part files visible — every task that held zero
           // rows committed, the rest didn't): nothing settled, nothing
           // to guard, and getLong would NPE instead of healing
-          val maxRow = corpus.agg(max(col("batch_id"))).head()
-          if (!maxRow.isNullAt(0)) {
-            val maxSettled = maxRow.getLong(0)
+          val settledMax = readSettledWatermark(s, outDir).orElse {
+            val maxRow = corpus.agg(max(col("batch_id"))).head()
+            if (maxRow.isNullAt(0)) None
+            else {
+              val m = maxRow.getLong(0)
+              writeSettledWatermark(s, outDir, m)
+              Some(m)
+            }
+          }
+          settledMax.foreach { maxSettled =>
             require(bid >= maxSettled,
               s"substring store $outDir has settled batches up to id " +
                 s"$maxSettled but this delivery carries batch id $bid — " +
@@ -702,8 +717,60 @@ object StreamIngest {
         .write.mode("append").parquet(cntDir)
       (if (stampTexts) freshC.withColumn("batch_id", lit(bid)) else freshC)
         .write.mode("append").parquet(txDir)
+      // LAST in the batch (flag-lands-last): only after the texts
+      // append committed is `bid` part of the settled max. A crash
+      // before this line leaves the sidecar one batch stale — the
+      // guard's fallback/understatement analysis covers it.
+      if (stampTexts) writeSettledWatermark(s, outDir, bid)
     }
     ()
+  }
+
+  /** Batch-id sentinel stamped onto legacy rows by
+    * [[upgradeLegacyTextsStore]]: real bids are non-negative, so -1 can
+    * never collide with a delivery's composite (doc_id, batch_id)
+    * probe-exclusion key — migrated rows are always probed as settled —
+    * and a post-migration watermark of -1 admits every real bid, which
+    * is exactly the (absent) lineage protection the legacy store had. */
+  private[graft] val LegacyBatchId = -1L
+
+  /** In-place upgrade of a pre-r15 UNSTAMPED texts relation (VERDICT
+    * r16 item 4 / ADVICE r15's open half): rewrites every settled texts
+    * row with [[LegacyBatchId]], after which the store is
+    * schema-identical to a stamped one — the torn-texts-append
+    * exposure closes (replays can tell their own torn-visible rows
+    * from settled documents) and the foreign-lineage guard activates.
+    *
+    * Crash discipline mirrors the counts-sidecar backfill: the rewrite
+    * rides [[graft.ingest.Sinks.compact]]'s staged two-rename swap, so
+    * a crash at ANY point leaves either the original unstamped relation
+    * (or its staged `._compact_old` copy, restored by the
+    * recoverCompact every reader and batch already runs) or the fully
+    * stamped rewrite — never a mixed-schema dir (parquet dirs must stay
+    * schema-uniform). The settled watermark lands LAST (flag-lands-
+    * last); a crash before it leaves the sidecar absent and the next
+    * batch's guard falls back to the exact corpus max (-1) and heals.
+    * Re-running after any crash completes the migration; on an
+    * already-stamped or absent texts relation it is a no-op.
+    *
+    * CONTRACT: quiesce the maintenance stream first (same
+    * maintenance-window contract as compaction — compact aborts loudly
+    * if the listing changes mid-rewrite).
+    *
+    * @return true when a rewrite happened, false for a no-op. */
+  def upgradeLegacyTextsStore(spark: SparkSession, outDir: String,
+                              filesTarget: Int = 8): Boolean = {
+    val txDir = s"$outDir/texts"
+    graft.ingest.Sinks.recoverCompact(spark, txDir)
+    readIfExists(spark, txDir) match {
+      case Some(tx) if !tx.columns.contains("batch_id") =>
+        graft.ingest.Sinks.compact(spark, txDir, filesTarget,
+          transform = _.withColumn("batch_id", lit(LegacyBatchId)))
+        writeSettledWatermark(spark, outDir, LegacyBatchId)
+        warnedLegacyTexts.remove(txDir)
+        true
+      case _ => false
+    }
   }
 
   /** Persist (minLen, k) beside a [[maintainSubstringIndex]] store on
@@ -825,6 +892,57 @@ object StreamIngest {
       Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close())
     }
+  }
+
+  /** Settled-batch watermark sidecar (`_settled_wm.json`, round 17 —
+    * VERDICT r16 item 3): the max batch id whose texts append
+    * COMMITTED, so the foreign-lineage guard reads one tiny driver-side
+    * file per maintenance batch instead of max-agg-scanning the whole
+    * texts store (~12% of store_longstream wall at 64 batches).
+    *
+    * Crash discipline (the counts-sidecar pattern): the sidecar is
+    * written LAST in a batch, after the texts append — a crash anywhere
+    * earlier leaves it at the previous batch's value or absent, both
+    * SAFE because it can only UNDERSTATE the settled max: the guard's
+    * `bid >= watermark` then admits exactly what the exact-max guard
+    * admits for a legit same-lineage replay (bids are monotone and a
+    * replay re-carries the settled max), while a foreign lineage's
+    * restarted bid still sits far below even a one-batch-stale
+    * watermark. When the sidecar is absent or unparseable (pre-r17
+    * stamped store, torn overwrite), the guard falls back to the exact
+    * corpus max ONCE and heals the sidecar forward. Install is
+    * temp-file + delete + rename — the visible file is either a
+    * complete JSON or absent, and absent means fallback, never a
+    * skipped guard. */
+  private[graft] def readSettledWatermark(spark: SparkSession,
+      outDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_settled_wm.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"maxBid"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  private[graft] def writeSettledWatermark(spark: SparkSession,
+      outDir: String, maxBid: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_settled_wm.json")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$outDir/._settled_wm.json.${java.util.UUID.randomUUID}.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"maxBid":$maxBid}""".getBytes("UTF-8"))
+    finally out.close()
+    // delete-then-rename: the absent window between the two is safe
+    // here (unlike _meta.json's create-once install) because absence
+    // routes the guard to the exact corpus-max fallback — the sidecar
+    // is a pure cache of derivable state, never the source of truth
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false): Unit
   }
 
   /** Establish counts-sidecar COMPLETENESS before a maintenance batch

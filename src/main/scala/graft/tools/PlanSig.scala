@@ -175,8 +175,15 @@ object PlanSig {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** One measured query's folded fingerprint. */
-  case class Fingerprint(sig: String, nPlans: Int, hist: Map[String, Long]) {
+  /** One measured query's folded fingerprint. `actionSigs` are the
+    * exact per-action signature strings the folded sig was computed
+    * from (in fold order) — returned WITH the fingerprint so probes
+    * that dump per-action plans can never disagree with the sig they
+    * key the dump by (a pre-drain snapshot raced the async bus:
+    * actions landing between snapshot and fold were in the sig but
+    * missing from the dump — ADVICE r16). Not serialized in json. */
+  case class Fingerprint(sig: String, nPlans: Int, hist: Map[String, Long],
+                         actionSigs: Seq[String] = Nil) {
     def json: String = {
       val h = hist.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -207,12 +214,25 @@ object PlanSig {
 
     private def size: Int = synchronized(sigs.length)
 
-    /** Drain (bounded poll for bus quiescence), fold, and reset. */
-    def takeFingerprint(): Fingerprint = {
+    /** Drain (bounded poll for bus quiescence), fold, and reset.
+      * `expectPlans = true` (the measurement path: the caller just ran
+      * an action) treats an EMPTY-but-stable window as a bus race, not
+      * quiescence — the async ExecutionListenerBus can deliver the
+      * first onSuccess well past one 25 ms poll, and an empty
+      * fingerprint (sig = md5("")) comparing equal to another empty
+      * fingerprint would mask a real plan change (ADVICE r16). The
+      * extended wait for the first sig is bounded at 2 s; consumers
+      * additionally gate on n_plans > 0 (bench_diff). */
+    def takeFingerprint(expectPlans: Boolean = true): Fingerprint = {
       var last = -1
       var waited = 0
-      while (size != last && waited < 80) {
-        last = size; Thread.sleep(25); waited += 1
+      var done = false
+      while (!done && waited < 200) {
+        val s = size
+        val stable = s == last
+        last = s
+        if (stable && (s > 0 || !expectPlans || waited >= 80)) done = true
+        else { Thread.sleep(25); waited += 1 }
       }
       synchronized {
         val folded = md5Hex(sigs.mkString("\n"))
@@ -220,7 +240,7 @@ object PlanSig {
           (acc.keySet ++ h.keySet).map(k =>
             k -> (acc.getOrElse(k, 0L) + h.getOrElse(k, 0L))).toMap
         }
-        val fp = Fingerprint(folded, sigs.length, hist)
+        val fp = Fingerprint(folded, sigs.length, hist, sigs.toVector)
         sigs.clear(); hists.clear()
         fp
       }
@@ -234,7 +254,10 @@ object PlanSig {
       * discard everything seen so far. The drain matters — the listener
       * bus is async, so a bare clear() would let the PREVIOUS query's
       * in-flight onSuccess land inside the new window (observed in
-      * PlanSigSpec: nPlans over-counted by the prior action). */
-    def reset(): Unit = { takeFingerprint(); () }
+      * PlanSigSpec: nPlans over-counted by the prior action). An empty
+      * window here IS quiescence (nothing may have run since the last
+      * drain), so the discard path does not extend the empty-window
+      * poll. */
+    def reset(): Unit = { takeFingerprint(expectPlans = false); () }
   }
 }

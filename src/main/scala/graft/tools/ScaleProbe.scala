@@ -112,17 +112,27 @@ object ScaleProbe {
     // adjudicated (it may be legitimate AQE sizing, but never silent).
     val collector = new PlanSig.Collector
     spark.listenerManager.register(collector)
+    // ADVICE r16: the reported fingerprint must be the one from the
+    // TIMED best pass (timeMin reports min wall), and a plan that flaps
+    // across passes at ONE scale must be visible. timeMin fingerprints
+    // every pass, keeps the best pass's, and records whether any two
+    // real-plan passes at this scale disagreed — read via lastSigFlap
+    // immediately after the call (single-threaded probe loop).
+    var lastSigFlap = false
     def timeMin(f: => Long): (Double, Long, PlanSig.Fingerprint) = {
       var best = Double.MaxValue; var rows = 0L
-      var fp: PlanSig.Fingerprint = null
+      var bestFp: PlanSig.Fingerprint = null
+      val sigsSeen = scala.collection.mutable.Set.empty[String]
       for (_ <- 1 to passes) {
         collector.reset()
         val t0 = System.nanoTime(); rows = f
         val dt = (System.nanoTime() - t0) / 1e9
-        fp = collector.takeFingerprint() // after the clock stops
-        best = math.min(best, dt)
+        val fp = collector.takeFingerprint() // after the clock stops
+        if (fp.nPlans > 0) sigsSeen += fp.sig
+        if (dt < best || bestFp == null) { best = math.min(best, dt); bestFp = fp }
       }
-      (best, rows, fp)
+      lastSigFlap = sigsSeen.size > 1
+      (best, rows, bestFp)
     }
 
     // materialize inputs once per scale so input synthesis isn't timed
@@ -351,16 +361,22 @@ object ScaleProbe {
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
-      val (t1, r1, fp1) = timeMin(f(in1))
-      val (t10, r10, fp10) = timeMin(f(in10))
+      val (t1, r1, fp1) = timeMin(f(in1)); val flap1 = lastSigFlap
+      val (t10, r10, fp10) = timeMin(f(in10)); val flap10 = lastSigFlap
       val alpha = math.log10(t10 / t1)
-      val sigMatch = fp1 != null && fp10 != null && fp1.sig == fp10.sig
+      // empty fingerprints (listener-bus race, nPlans=0) must not read
+      // as a match: md5("") == md5("") is not plan identity
+      val sigMatch = fp1 != null && fp10 != null &&
+        fp1.nPlans > 0 && fp10.nPlans > 0 && fp1.sig == fp10.sig
       if (i > 0) out ++= ","
       out ++= s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"rows1":$r1,"rows10":$r10,"alpha":${fmt(alpha)},"sig_match":$sigMatch"""
+      if (flap1 || flap10)
+        out ++= s""","sig_flap":true"""
       if (!sigMatch && fp1 != null && fp10 != null)
         out ++= s""","plan1":${fp1.json},"plan10":${fp10.json}"""
       out ++= "}"
-      println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)} sig_match=$sigMatch")
+      println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)} sig_match=$sigMatch" +
+        (if (flap1 || flap10) " SIG_FLAP" else ""))
     }
     // BPE training: the hybrid claim is that wall-clock NO LONGER scales
     // with nMerges × per-job fixed cost (each merge round is an in-memory
@@ -716,6 +732,43 @@ object ScaleProbe {
         files.map { case (s, n) => s"$s=$n" }.mkString(" ") +
         s"; top-read ${fmt(tTop)}s (exact=${got == want})")
     }
+    // Lineage-guard primitive pricing (round-17, VERDICT r16 item 3):
+    // the foreign-lineage guard used to run one narrow-column max agg
+    // over the WHOLE texts store per maintenance batch — corpus-width,
+    // so its cost grows with everything ever settled. The settled-
+    // watermark sidecar read is O(1) in store size. Price BOTH
+    // primitives at 1× and 10× store size: the old guard's alpha is
+    // the scaling liability the sidecar removes; the sidecar's alpha
+    // must be ~0 (and its absolute cost ~ms — driver-side FS read).
+    if (only.forall(_.contains("lineage_guard"))) {
+      import org.apache.spark.sql.functions.col
+      def mkStore(n: Long): String = {
+        val d = java.nio.file.Files.createTempDirectory("lg").toString + "/store"
+        synthDocs(spark, n, vocab)
+          .select(col("doc_id"), col("text"), (col("doc_id") % 64).as("batch_id"))
+          .write.parquet(s"$d/texts")
+        graft.streaming.StreamIngest.writeSettledWatermark(spark, d, 63L)
+        d
+      }
+      val (s1, s10) = (mkStore(50000L), mkStore(500000L))
+      def aggMax(d: String): Long =
+        spark.read.parquet(s"$d/texts").agg(max(col("batch_id"))).head().getLong(0)
+      def wmRead(d: String): Long =
+        graft.streaming.StreamIngest.readSettledWatermark(spark, d).get
+      val (tA1, _, _) = timeMin(aggMax(s1))
+      val (tA10, _, _) = timeMin(aggMax(s10))
+      val (tW1, _, _) = timeMin(wmRead(s1))
+      val (tW10, _, _) = timeMin(wmRead(s10))
+      if (out.length > 1) out ++= ","
+      out ++= s""""lineage_guard":{"t_agg1":${fmt(tA1)},"t_agg10":${fmt(tA10)}"""
+      out ++= s""","alpha_agg":${fmt(math.log10(tA10 / tA1))}"""
+      out ++= s""","t_wm1":${fmt(tW1)},"t_wm10":${fmt(tW10)}"""
+      out ++= s""","alpha_wm":${fmt(math.log10(tW10 / tW1))}}"""
+      println(s"[scaleprobe] lineage_guard agg ${fmt(tA1)}->${fmt(tA10)}s " +
+        s"(alpha ${fmt(math.log10(tA10 / tA1))}) wm ${fmt(tW1)}->${fmt(tW10)}s " +
+        s"(alpha ${fmt(math.log10(tW10 / tW1))})")
+    }
+
     // Long-horizon ANN maintenance (round-15): 64 guarded micro-batch
     // adds with the compaction tick every 16 — the claim under test is
     // that per-batch add cost does NOT grow with batches processed

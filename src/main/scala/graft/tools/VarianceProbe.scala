@@ -66,18 +66,12 @@ object VarianceProbe {
           .head()
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // snapshot per-action signatures BEFORE the drain resets them
-      val perAction = {
-        // bounded poll for bus quiescence mirroring takeFingerprint
-        var last = -1; var waited = 0
-        while (collector.currentSignatures.length != last && waited < 40) {
-          last = collector.currentSignatures.length
-          Thread.sleep(50); waited += 1
-        }
-        collector.currentSignatures
-      }
+      // the fingerprint carries the exact per-action signatures it
+      // folded (ADVICE r16: a pre-drain snapshot raced the bus — an
+      // action landing between snapshot and fold was in the sig but
+      // missing from the dump keyed by that sig)
       val fp = collector.takeFingerprint()
-      sigStrings.getOrElseUpdate((name, fp.sig), perAction)
+      sigStrings.getOrElseUpdate((name, fp.sig), fp.actionSigs)
       seen.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashSet.empty) += fp.sig
       println(s"""{"query":"$name","iter":$it,"sec":${fmt(sec)},""" +

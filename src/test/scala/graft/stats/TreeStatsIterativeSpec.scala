@@ -92,6 +92,47 @@ class TreeStatsIterativeSpec extends SparkSuite {
     assertSame(TreeStatsIterative.compute(ds), TreeStats.compute(ds))
   }
 
+  test("forced sort-merge arm: doubling join executes SMJ, output unchanged, confs restored") {
+    import spark.implicits._
+    // The cluster-scale strategy gate (VERDICT r16 item 2): at 100 TB
+    // the doubling join's build side exceeds the broadcast threshold
+    // and the loop runs sort-merge (the adjudicated SCALEPROBE_r16b 10×
+    // sig mismatch). computeSortMerge must (a) actually EXECUTE that
+    // join shape — asserted on the executed-plan histogram, not plan
+    // text, so AQE can't silently demote it back to broadcast — and
+    // (b) produce the identical 41-column result.
+    val rnd = new Random(31)
+    val rows = (1 to 300).map { i =>
+      val group = i % 8
+      val pool = (1 until i).filter(j => j % 8 == group)
+      val parent =
+        if (pool.nonEmpty && rnd.nextDouble() < 0.8)
+          Some(pool(rnd.nextInt(pool.size)).toLong)
+        else None
+      row(i, reply = if (i % 3 != 0) parent else None,
+        q = if (i % 3 == 0) parent else None,
+        author = rnd.nextInt(5),
+        counts = (rnd.nextInt(4), rnd.nextInt(4), rnd.nextInt(4), rnd.nextInt(4)),
+        group = group)
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val bcastPrev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val collector = new graft.tools.PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      collector.reset()
+      val smjResult = TreeStatsIterative.computeSortMerge(ds)
+      val fp = collector.takeFingerprint()
+      assert(fp.hist.getOrElse("smj", 0L) >= 1L,
+        s"the forced arm must execute at least one SortMergeJoin: ${fp.hist}")
+      assert(fp.hist.getOrElse("bhj", 0L) == 0L,
+        s"no broadcast join may survive the pinned thresholds: ${fp.hist}")
+      assertSame(smjResult, TreeStats.compute(ds))
+      assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == bcastPrev,
+        "broadcast threshold must be restored after the eager materialization")
+    } finally spark.listenerManager.unregister(collector)
+  }
+
   test("hybrid router: big groups take the relational path, output unchanged") {
     import spark.implicits._
     val rnd = new Random(5)

@@ -888,6 +888,105 @@ class StreamIngestSpec extends SparkSuite {
       k = 50).as[(String, Long, Long)].collect().toSet == want)
   }
 
+  test("legacy texts store upgrades in place: rows stamped, guard activates, reads stay exact") {
+    import spark.implicits._
+    // VERDICT r16 item 4: pre-r15 stores keep appending unstamped
+    // two-column texts (parquet dirs must stay schema-uniform), leaving
+    // the torn-texts-append exposure open and the lineage guard dead.
+    // upgradeLegacyTextsStore stamps every settled row with the -1
+    // sentinel in place; afterwards the store must behave exactly like
+    // a stamped one.
+    val out = Files.createTempDirectory("ssi_upgrade").toString + "/store"
+    val pa = (1 to 10).map(i => s"upgradebp$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa legacy doc one with its own unique trailing words",
+      2L -> s"$pa legacy doc two with different unique trailing words")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    // fabricate the legacy shape: drop the stamp column, remove the
+    // watermark sidecar (legacy stores predate both)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = spark.read.parquet(s"$out/texts").drop("batch_id")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$out/texts")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_settled_wm.json"), false)
+    assert(StreamIngest.readSettledWatermark(spark, out).isEmpty)
+
+    assert(StreamIngest.upgradeLegacyTextsStore(spark, out),
+      "an unstamped store must be rewritten")
+    val stamped = spark.read.parquet(s"$out/texts")
+    assert(stamped.columns.contains("batch_id"))
+    assert(stamped.select("batch_id").as[Long].collect().toSet == Set(-1L),
+      "every settled row carries the legacy sentinel")
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(-1L))
+    assert(!StreamIngest.upgradeLegacyTextsStore(spark, out),
+      "a second run must be a no-op")
+
+    // post-upgrade maintenance appends STAMPED rows and probes the
+    // migrated rows as settled — the cross-batch pairs land
+    val b2 = Seq(3L -> s"fresh doc three leads then $pa unique tail words")
+    StreamIngest.substringIndexBatch(b2.toDF("doc_id", "text"), out, 7L, 40, 20)
+    val pairs = StreamIngest.readSubstringPairs(spark, out)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"migrated rows must be probed: $pairs")
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(7L))
+    // and the foreign-lineage guard is now LIVE on the upgraded store
+    val ex = intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(
+        Seq(4L -> s"doc four then $pa with unique tail words four")
+          .toDF("doc_id", "text"), out, 2L, 40, 20)
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // a torn/garbled watermark sidecar must fall back to the exact
+    // corpus max — never to a skipped guard — and heal itself
+    val wmPath = new org.apache.hadoop.fs.Path(s"$out/_settled_wm.json")
+    val os = fs.create(wmPath, true)
+    os.write("{garbage".getBytes("UTF-8")); os.close()
+    assert(StreamIngest.readSettledWatermark(spark, out).isEmpty)
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(
+        Seq(5L -> s"doc five then $pa with unique tail words five")
+          .toDF("doc_id", "text"), out, 2L, 40, 20)
+    }
+    assert(ex2.getMessage.contains("lineage"))
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(7L),
+      "the fallback must heal the sidecar to the exact corpus max")
+  }
+
+  test("migration torn between the swap renames heals and completes on re-run") {
+    import spark.implicits._
+    // the only mid-migration crash window that leaves the texts dir
+    // ABSENT: compact staged the original aside (`._compact_old`) and
+    // died before installing the rewrite. recoverCompact — run by the
+    // migration itself AND by every batch/reader — restores the
+    // unstamped original, and the re-run completes the rewrite.
+    val out = Files.createTempDirectory("ssi_upgrade_torn").toString + "/store"
+    val pa = (1 to 10).map(i => s"tornupbp$i").mkString(" ")
+    val b1 = Seq(
+      1L -> s"$pa torn doc one with its own unique trailing words",
+      2L -> s"$pa torn doc two with different unique trailing words")
+    StreamIngest.substringIndexBatch(b1.toDF("doc_id", "text"), out, 0L, 40, 20)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = spark.read.parquet(s"$out/texts").drop("batch_id")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$out/texts")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_settled_wm.json"), false)
+    // crash simulation: original staged aside, rewrite never landed
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/texts"),
+      new org.apache.hadoop.fs.Path(s"$out/texts._compact_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/texts")))
+
+    assert(StreamIngest.upgradeLegacyTextsStore(spark, out),
+      "the re-run must recover the staged copy and complete the rewrite")
+    val stamped = spark.read.parquet(s"$out/texts")
+    assert(stamped.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "no settled row may be lost across the crash window")
+    assert(stamped.select("batch_id").as[Long].collect().toSet == Set(-1L))
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(-1L))
+  }
+
   test("pairs probe exclusion is delivery-scoped; foreign-lineage batch ids are refused") {
     import spark.implicits._
     // ADVICE r15: the old probe excluded the corpus on batch_id alone.

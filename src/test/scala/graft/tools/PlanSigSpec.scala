@@ -26,7 +26,15 @@ class PlanSigSpec extends SparkSuite {
       run(q()); val fp2 = collector.takeFingerprint()
       assert(fp1.nPlans == 1 && fp2.nPlans == 1)
       assert(fp1.sig == fp2.sig, s"$fp1 vs $fp2")
-      assert(fp1.hist == fp2.hist)
+      // compare only strategy-stable histogram keys: aqe_read/exchange
+      // counts race run-to-run under AQE (AQEShuffleRead appears or
+      // vanishes with materialization timing — the exact class the sig
+      // normalizes away), so exact-histogram equality would be flaky
+      val stableKeys = Seq("bhj", "smj", "shj", "bnlj", "cartesian",
+        "hash_agg", "obj_agg", "sort_agg")
+      assert(stableKeys.map(k => fp1.hist.getOrElse(k, 0L)) ==
+        stableKeys.map(k => fp2.hist.getOrElse(k, 0L)),
+        s"${fp1.hist} vs ${fp2.hist}")
       assert(fp1.hist.getOrElse("exchange", 0L) >= 1L,
         s"groupBy must show an exchange in the histogram: ${fp1.hist}")
     } finally spark.listenerManager.unregister(collector)

@@ -20,11 +20,24 @@ signal — it pins plan identity exactly, so byte drift under an equal sig
 is ambient BY CONSTRUCTION (compressed-shuffle size / bus-attribution
 noise), never something to adjudicate:
   identical       - plan sig equal AND shuffle_read/tasks/jobs byte-equal.
-  same_plan_drift - plan sig equal but telemetry moved: ambient byte /
+  same_plan_drift - plan sig equal, telemetry moved a LITTLE (bytes
+                    within 5% relative, jobs within +-2): ambient byte /
                     scheduling drift under a PINNED identical plan (the
                     round-16 q05/q126 class).
+  same_plan_work_delta - plan sig equal but telemetry moved a LOT
+                    (shuffle_read rel > 5% or |jobs delta| > 2). The sig
+                    deliberately normalizes away exchange-reuse loss,
+                    AQEShuffleRead coalesce changes and build-side swaps
+                    (PlanSig scaladoc) — a work regression of that class
+                    hides under an equal sig, so it joins the drift list
+                    for adjudication (round-17, ADVICE item 1).
   plan_delta      - plan sig moved -> a real plan change; adjudicate
                     (the node-histogram diff rides the row).
+The sig is authoritative only when both sides folded at least one real
+plan (n_plans > 0): Collector.takeFingerprint can race the async
+listener bus and return an empty fingerprint (sig = md5("")), and two
+empty sigs comparing equal must not mask a real plan change — such rows
+fall back to the byte classes (ADVICE item 2).
 Fallback (either run lacks fingerprints), by exec telemetry alone:
   identical  - shuffle_read, tasks and jobs all byte-equal -> any wall
                delta is ambient (scheduler/CPU noise), not plan drift.
@@ -70,18 +83,24 @@ def classify(old_e, new_e, old_p=None, new_p=None):
     rel = abs(sn - so) / so if so else (0.0 if sn == 0 else 1.0)
     same_sched = (old_e.get("tasks") == new_e.get("tasks")
                   and old_e.get("jobs") == new_e.get("jobs"))
+    jobs_close = abs(
+        (new_e.get("jobs") or 0) - (old_e.get("jobs") or 0)) <= 2
     # plan fingerprints, when present on both sides AT THE SAME
-    # ALGORITHM VERSION, are authoritative (a normalization-rule change
-    # bumps the version; cross-version sigs differ trivially)
+    # ALGORITHM VERSION and folded from at least one real plan each,
+    # are authoritative (a normalization-rule change bumps the version;
+    # an empty fingerprint — listener-bus race, n_plans=0 — is not a
+    # plan identity and falls through to the byte classes)
     if (old_p and new_p and old_p.get("sig") and new_p.get("sig")
-            and old_p.get("v") == new_p.get("v")):
+            and old_p.get("v") == new_p.get("v")
+            and (old_p.get("n_plans") or 0) > 0
+            and (new_p.get("n_plans") or 0) > 0):
         if old_p["sig"] != new_p["sig"]:
             return "plan_delta"
         if same_bytes and same_sched:
             return "identical"
+        if rel > 0.05 or not jobs_close:
+            return "same_plan_work_delta"
         return "same_plan_drift"
-    jobs_close = abs(
-        (new_e.get("jobs") or 0) - (old_e.get("jobs") or 0)) <= 2
     if same_bytes and same_sched:
         return "identical"
     if same_bytes:
@@ -120,7 +139,7 @@ def main(argv):
         row = {"query": name, "t_old": oq[name], "t_new": nq[name],
                "dt": round(dt, 4), "class": cls}
         if cls in ("jobs_delta", "work_delta", "jitter",
-                   "same_plan_drift", "plan_delta"):
+                   "same_plan_drift", "same_plan_work_delta", "plan_delta"):
             for k in ("shuffle_read", "tasks", "jobs"):
                 row[k + "_old"] = oe.get(name, {}).get(k)
                 row[k + "_new"] = ne.get(name, {}).get(k)
@@ -137,7 +156,8 @@ def main(argv):
     for r in rows:
         by_class[r["class"]] = by_class.get(r["class"], 0) + 1
     movers = sorted(rows, key=lambda r: -abs(r["dt"]))[:15]
-    drift = [r for r in rows if r["class"] in ("work_delta", "plan_delta")]
+    drift = [r for r in rows if r["class"] in
+             ("work_delta", "plan_delta", "same_plan_work_delta")]
 
     report = {
         "old": os.path.basename(old_path), "new": os.path.basename(new_path),
