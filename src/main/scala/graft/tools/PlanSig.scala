@@ -39,8 +39,16 @@ object PlanSig {
     * to byte classification otherwise). Bump when the normalization
     * rules change. v2 = wiring nodes + ReusedExchange resolution +
     * BroadcastExchange + leftover ensure-requirements shuffles under
-    * broadcast joins. */
-  val version = 2
+    * broadcast joins. v3 = `funcName == "rdd"` events excluded from
+    * the fold: `Dataset.rdd` is pure lineage construction (zero jobs —
+    * any real work reports through the downstream action that consumes
+    * the RDD), yet it fires a listener event whose async arrival races
+    * the measurement window — the round-17 sig_flap find (Scale.widen's
+    * partition probe made the same query fold 1 or 2 actions by bus
+    * timing). The source was also fixed (widen reads toRdd, which is
+    * listener-silent); the fold-side exclusion makes fingerprints
+    * robust to any future lineage access. */
+  val version = 3
 
   /** Final physical plan beneath any adaptive wrapper. Query-stage
     * wrappers are CHILDLESS (their subtree lives in `.plan`), so a walk
@@ -203,10 +211,16 @@ object PlanSig {
 
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit = synchronized {
-      // executedPlan is final here: onSuccess fires after the action
-      // completed, so every adaptive wrapper holds its last re-plan.
-      sigs += signature(qe.executedPlan)
-      hists += nodeHistogram(qe.executedPlan)
+      // `rdd` events are lineage construction, not execution (v3 —
+      // see the version scaladoc): no job ran, and whatever later
+      // consumes the RDD reports as its own action. Folding them made
+      // the fingerprint race the bus.
+      if (funcName != "rdd") {
+        // executedPlan is final here: onSuccess fires after the action
+        // completed, so every adaptive wrapper holds its last re-plan.
+        sigs += signature(qe.executedPlan)
+        hists += nodeHistogram(qe.executedPlan)
+      }
       ()
     }
     override def onFailure(funcName: String, qe: QueryExecution,

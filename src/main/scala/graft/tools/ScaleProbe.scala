@@ -119,19 +119,31 @@ object ScaleProbe {
     // real-plan passes at this scale disagreed — read via lastSigFlap
     // immediately after the call (single-threaded probe loop).
     var lastSigFlap = false
+    var probeTag = "probe"
     def timeMin(f: => Long): (Double, Long, PlanSig.Fingerprint) = {
       var best = Double.MaxValue; var rows = 0L
       var bestFp: PlanSig.Fingerprint = null
-      val sigsSeen = scala.collection.mutable.Set.empty[String]
+      val sigsSeen = scala.collection.mutable.Map
+        .empty[String, PlanSig.Fingerprint]
       for (_ <- 1 to passes) {
         collector.reset()
         val t0 = System.nanoTime(); rows = f
         val dt = (System.nanoTime() - t0) / 1e9
         val fp = collector.takeFingerprint() // after the clock stops
-        if (fp.nPlans > 0) sigsSeen += fp.sig
+        if (fp.nPlans > 0) sigsSeen.getOrElseUpdate(fp.sig, fp): Unit
         if (dt < best || bestFp == null) { best = math.min(best, dt); bestFp = fp }
       }
       lastSigFlap = sigsSeen.size > 1
+      // adjudication dump (the VarianceProbe discipline): when passes
+      // at ONE scale disagree, write each distinct fingerprint's exact
+      // per-action signature strings to /tmp so the flapping node can
+      // be diffed directly instead of re-deriving it by hand
+      if (lastSigFlap) sigsSeen.foreach { case (sig, sfp) =>
+        val p = java.nio.file.Paths.get(s"/tmp/scaleprobe-flap-$probeTag-$sig.txt")
+        java.nio.file.Files.write(p,
+          sfp.actionSigs.mkString("\n\n").getBytes("UTF-8"))
+        println(s"[scaleprobe] flap dump $p")
+      }
       (best, rows, bestFp)
     }
 
@@ -361,7 +373,9 @@ object ScaleProbe {
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
+      probeTag = s"$name-1x"
       val (t1, r1, fp1) = timeMin(f(in1)); val flap1 = lastSigFlap
+      probeTag = s"$name-10x"
       val (t10, r10, fp10) = timeMin(f(in10)); val flap10 = lastSigFlap
       val alpha = math.log10(t10 / t1)
       // empty fingerprints (listener-bus race, nPlans=0) must not read

@@ -56,13 +56,23 @@ object Scale {
     * when the input is already wide (any real cluster-scale table), this
     * is a metadata check and NO shuffle is added.
     *
-    * The partition-count probe (`.rdd.getNumPartitions`) is safe only on
-    * a shuffle-free plan: building the RDD for a scan+narrow chain is
-    * pure lineage construction, but on a plan AQE wrapped (i.e. one
-    * containing an exchange) it would finalize the adaptive plan and can
-    * force stage execution. Such an input has already been sized by its
-    * shuffle (numShufflePartitions or AQE's coalesced choice), so it is
+    * The partition-count probe is safe only on a shuffle-free plan:
+    * building the RDD for a scan+narrow chain is pure lineage
+    * construction, but on a plan AQE wrapped (i.e. one containing an
+    * exchange) it would finalize the adaptive plan and can force stage
+    * execution. Such an input has already been sized by its shuffle
+    * (numShufflePartitions or AQE's coalesced choice), so it is
     * returned untouched — never probed.
+    *
+    * The probe reads `queryExecution.toRdd` (the executed plan's
+    * internal RDD), NOT `Dataset.rdd`: both expose the same partition
+    * count, but `Dataset.rdd` goes through `withAction("rdd", …)` and
+    * fires a QueryExecutionListener event for what is pure lineage
+    * construction — a zero-job `DeserializeToObject(Scan ExistingRDD)`
+    * "action" whose async bus arrival RACES any fingerprint
+    * measurement window (the round-17 ScaleProbe sig_flap find: the
+    * same query folded 1 or 2 actions depending on bus timing, reading
+    * as a plan flap that wasn't one). toRdd is listener-silent.
     */
   def widen(df: DataFrame): DataFrame = {
     val alreadyShuffled = df.queryExecution.executedPlan.exists {
@@ -73,7 +83,8 @@ object Scale {
     if (alreadyShuffled) df
     else {
       val p = df.sparkSession.sessionState.conf.numShufflePartitions
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+      else df
     }
   }
 

@@ -105,6 +105,31 @@ class PlanSigSpec extends SparkSuite {
       s"both sides must expand to their aggregate content:\n$sig")
   }
 
+  test("lineage-only rdd access never moves the fingerprint (v3)") {
+    // Dataset.rdd fires a listener event for pure lineage construction
+    // (zero jobs) whose async arrival RACES the measurement window —
+    // the round-17 ScaleProbe sig_flap find: Scale.widen's partition
+    // probe made the same query fold 1 or 2 actions by bus timing.
+    // v3 excludes funcName=="rdd" from the fold, so a window WITH the
+    // access and one WITHOUT produce the same fingerprint.
+    val collector = new PlanSig.Collector
+    spark.listenerManager.register(collector)
+    try {
+      def q() = spark.range(0, 20000L).selectExpr("id % 50 as k", "id as v")
+        .groupBy("k").sum("v")
+      // the checkpoint is built OUTSIDE both windows (eager checkpoint
+      // is a real action and would legitimately land in the fold)
+      val src = spark.range(0, 100L).toDF().localCheckpoint(true)
+      collector.reset()
+      run(q()); val plain = collector.takeFingerprint()
+      src.rdd.getNumPartitions: Unit // the contaminant access
+      run(q()); val contaminated = collector.takeFingerprint()
+      assert(contaminated.nPlans == plain.nPlans,
+        s"rdd lineage event leaked into the fold: $contaminated vs $plain")
+      assert(contaminated.sig == plain.sig)
+    } finally spark.listenerManager.unregister(collector)
+  }
+
   test("reset drops accumulated actions; fingerprint counts every action in the window") {
     val collector = new PlanSig.Collector
     spark.listenerManager.register(collector)
