@@ -70,6 +70,16 @@ object Dedup {
     * broadcast-sized, one shuffle otherwise. If the eval relation is a
     * subset of `docs`, the eval documents themselves are removed too
     * (they share their own shingles).
+    *
+    * The final anti-join is deliberately left to AQE: the
+    * contaminated-id side is bounded by CONTAMINATION VOLUME (worst
+    * case corpus-scale — a forced broadcast is an OOM hazard at
+    * 100 TB), while a forced sort-merge would shuffle the corpus even
+    * when contamination is tiny. The price of measure-and-choose is a
+    * rare plan-identity race (AQE sometimes finalizes the stage before
+    * the SMJ→BHJ conversion round) — the adjudicated
+    * q108-anti-join-conversion-race class,
+    * bench_history/q108-joinaudit-r18.txt.
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
     val evalSh = broadcast(shingleIndex(evalDocs, n).select(col("sh")).distinct())

@@ -33,6 +33,12 @@ noise), never something to adjudicate:
                     for adjudication (round-17, ADVICE item 1).
   plan_delta      - plan sig moved -> a real plan change; adjudicate
                     (the node-histogram diff rides the row).
+  plan_delta_known - plan sig moved but BOTH sigs belong to the query's
+                    accepted set in bench_history/SIG_CLASSES.json: a
+                    root-caused AQE race class (round-18, the q108
+                    anti-join conversion race) — self-adjudicating, the
+                    class name rides the row. A sig outside the set
+                    still reads plan_delta.
 The sig is authoritative only when both sides folded at least one real
 plan (n_plans > 0): Collector.takeFingerprint can race the async
 listener bus and return an empty fingerprint (sig = md5("")), and two
@@ -75,7 +81,18 @@ def load(path):
         return json.load(fh)
 
 
-def classify(old_e, new_e, old_p=None, new_p=None):
+def load_sig_classes(hist):
+    """Adjudicated sig-race registry (bench_history/SIG_CLASSES.json):
+    query -> {class, accepted_sigs, sig_v}. Absent file = empty."""
+    path = os.path.join(hist, "SIG_CLASSES.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        raw = json.load(fh)
+    return {k: v for k, v in raw.items() if not k.startswith("_")}
+
+
+def classify(old_e, new_e, old_p=None, new_p=None, sig_class=None):
     if old_e is None or new_e is None:
         return "no_telemetry"
     so, sn = old_e.get("shuffle_read", 0), new_e.get("shuffle_read", 0)
@@ -95,6 +112,11 @@ def classify(old_e, new_e, old_p=None, new_p=None):
             and (old_p.get("n_plans") or 0) > 0
             and (new_p.get("n_plans") or 0) > 0):
         if old_p["sig"] != new_p["sig"]:
+            if (sig_class
+                    and sig_class.get("sig_v") == old_p.get("v")
+                    and old_p["sig"] in sig_class.get("accepted_sigs", [])
+                    and new_p["sig"] in sig_class.get("accepted_sigs", [])):
+                return "plan_delta_known"
             return "plan_delta"
         if same_bytes and same_sched:
             return "identical"
@@ -131,15 +153,19 @@ def main(argv):
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
 
+    sig_classes = load_sig_classes(HIST)
     rows = []
     for name in common:
         dt = nq[name] - oq[name]
         cls = classify(oe.get(name), ne.get(name),
-                       op.get(name), np_.get(name))
+                       op.get(name), np_.get(name), sig_classes.get(name))
         row = {"query": name, "t_old": oq[name], "t_new": nq[name],
                "dt": round(dt, 4), "class": cls}
+        if cls == "plan_delta_known":
+            row["sig_class"] = sig_classes[name]["class"]
         if cls in ("jobs_delta", "work_delta", "jitter",
-                   "same_plan_drift", "same_plan_work_delta", "plan_delta"):
+                   "same_plan_drift", "same_plan_work_delta", "plan_delta",
+                   "plan_delta_known"):
             for k in ("shuffle_read", "tasks", "jobs"):
                 row[k + "_old"] = oe.get(name, {}).get(k)
                 row[k + "_new"] = ne.get(name, {}).get(k)
@@ -159,11 +185,25 @@ def main(argv):
     drift = [r for r in rows if r["class"] in
              ("work_delta", "plan_delta", "same_plan_work_delta")]
 
+    # ambient normalization (round-18): when both runs carry the fixed
+    # calibration row (Bench `calib`: constant input, constant plan,
+    # timed once per pass), the min-of-passes ratio is an in-artifact
+    # ambient denominator — common_ratio_ambient_adj answers "how much
+    # of the total swing is the MACHINE" without per-round forensics.
+    calib_old, calib_new = old.get("calib") or [], new.get("calib") or []
+    ambient = (round(min(calib_new) / min(calib_old), 4)
+               if calib_old and calib_new and min(calib_old) > 0 else None)
+
     report = {
         "old": os.path.basename(old_path), "new": os.path.basename(new_path),
         "common_total_old_sec": round(total_old, 2),
         "common_total_new_sec": round(total_new, 2),
         "common_ratio": round(total_new / total_old, 4) if total_old else None,
+        "calib_old": calib_old, "calib_new": calib_new,
+        "ambient_ratio": ambient,
+        "common_ratio_ambient_adj": (
+            round(total_new / total_old / ambient, 4)
+            if ambient and total_old else None),
         "n_common": len(common), "added": added, "removed": removed,
         "class_counts": by_class,
         "work_delta_queries": [r["query"] for r in drift],
@@ -180,8 +220,10 @@ def main(argv):
 
     ident = by_class.get("identical", 0)
     print(f"# bench diff {report['old']} -> {report['new']}")
+    amb = (f", ambient {ambient:.3f}x -> adj "
+           f"{report['common_ratio_ambient_adj']:.3f}x" if ambient else "")
     print(f"common {len(common)}: {total_old:.1f}s -> {total_new:.1f}s "
-          f"({report['common_ratio']:.3f}x); classes {by_class}")
+          f"({report['common_ratio']:.3f}x{amb}); classes {by_class}")
     print(f"{ident}/{len(common)} byte-identical work; "
           f"plan drift in: {report['work_delta_queries'] or 'none'}")
     for r in movers[:8]:
