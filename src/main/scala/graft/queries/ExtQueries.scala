@@ -5727,6 +5727,27 @@ object ExtQueries {
          |       cast(sum(n_late_smaller_id) AS BIGINT) AS n_late_total
          |FROM perb GROUP BY 1""".stripMargin),
 
+    // ── per-batch late FRACTION (fourth consumer, round-18) ────────────
+    // VERDICT r17 item 5: an absolute late count can't say whether a
+    // batch was 1% or 100% divergent. Since r18 each late observation
+    // carries its batch's keeper count (the denominator rides the tiny
+    // late sidecar — no batch_id on the keeper-grain-compacted hashes
+    // log, no store re-scan), so late/keepers folds straight from the
+    // sidecar as exact integer ppm. The oracle extends the SAME CTE
+    // chain q226/q229 verify with the per-batch keeper count derived
+    // from first principles — a fourth registered consumer of the
+    // oooReleaseStore session fixture, zero new stores.
+    "q230_release_late_fraction" -> Q(
+      (s, dir) => graft.streaming.StreamIngest.readLateFractions(
+        s, s"${oooReleaseStore(s, dir)}/store"),
+      s"""WITH $lateArrivalsCtes,
+         |kc AS (SELECT batch_id, cast(count(*) AS BIGINT) AS n_batch_keepers
+         |       FROM keepb GROUP BY batch_id)
+         |SELECT p.batch_id, p.n_late_smaller_id, k.n_batch_keepers,
+         |       cast(p.n_late_smaller_id * 1000000 // k.n_batch_keepers
+         |            AS BIGINT) AS late_ppm
+         |FROM perb p JOIN kc k ON p.batch_id = k.batch_id""".stripMargin),
+
     // ── the keeper min-fold is arrival-order-INDEPENDENT ───────────────
     // The exact-dedup keeper the release decisions trust is a read-time
     // min-fold of the hash log, so it must equal the one-shot global

@@ -643,7 +643,7 @@ object StreamIngest {
           // only empty part files visible — every task that held zero
           // rows committed, the rest didn't): nothing settled, nothing
           // to guard, and getLong would NPE instead of healing
-          val settledMax = readSettledWatermark(s, outDir).orElse {
+          def exactSettledMax(): Option[Long] = {
             val maxRow = corpus.agg(max(col("batch_id"))).head()
             if (maxRow.isNullAt(0)) None
             else {
@@ -651,6 +651,24 @@ object StreamIngest {
               writeSettledWatermark(s, outDir, m)
               Some(m)
             }
+          }
+          // bid == watermark is the ONE ambiguous boundary (ADVICE
+          // r17): a crash after the texts append but before the
+          // flag-lands-last sidecar write leaves the sidecar one batch
+          // stale, and a FOREIGN lineage whose restarted bid happens to
+          // equal that stale value would slip where the exact guard
+          // refuses. A legit same-lineage replay also arrives at
+          // bid == watermark (it re-carries the settled max), so the
+          // boundary cannot be refused outright — instead it
+          // cross-checks the exact corpus max (rare enough to be
+          // cheap: replays and crash recoveries only) and heals the
+          // sidecar forward when it had gone stale. bid > watermark
+          // needs no check: staleness is bounded by one crash window,
+          // so the true max is at most watermark+1 <= bid either way.
+          val settledMax = readSettledWatermark(s, outDir) match {
+            case Some(wm) if bid == wm => exactSettledMax().orElse(Some(wm))
+            case Some(wm) => Some(wm)
+            case None => exactSettledMax()
           }
           settledMax.foreach { maxSettled =>
             require(bid >= maxSettled,
@@ -913,7 +931,23 @@ object StreamIngest {
     * corpus max ONCE and heals the sidecar forward. Install is
     * temp-file + delete + rename — the visible file is either a
     * complete JSON or absent, and absent means fallback, never a
-    * skipped guard. */
+    * skipped guard.
+    *
+    * The staleness analysis assumes UNDERSTATEMENT only, which the
+    * single-writer streaming contract guarantees (the sidecar is the
+    * last write of a batch; a crash before it re-delivers the same
+    * bid). Understatement's one ambiguous boundary — a foreign bid
+    * equal to a one-batch-stale watermark — is closed by the guard's
+    * exact-max cross-check at bid == watermark (ADVICE r17). What the
+    * contract can NOT see is external surgery: restoring or rolling
+    * back the texts relation from a backup while leaving a NEWER
+    * `_settled_wm.json` in place OVERSTATES the settled max and the
+    * guard will refuse legitimate replays. Restore discipline: any
+    * external restore/rollback of a store's texts must delete
+    * `_settled_wm.json` (and `_counts_complete.json` if counts were
+    * rolled back) — the next batch rebuilds both from the restored
+    * corpus, which is always safe because the sidecar is a pure cache
+    * of derivable state. */
   private[graft] def readSettledWatermark(spark: SparkSession,
       outDir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_settled_wm.json")
@@ -1269,8 +1303,19 @@ object StreamIngest {
           Seq("h"))
         .where(col("doc_id") < col("settled_id")).count()
       if (nLate > 0) {
+        // the batch's keeper count rides the same row (round-18,
+        // VERDICT r17 item 5): it is the denominator that turns the
+        // absolute late count into a per-batch late FRACTION without
+        // stamping a batch_id onto the (much larger, keeper-grain-
+        // compacted) hashes log. Replay-safe like nLate: recomputed
+        // deterministically from the delivered batch, so the max fold
+        // in [[readLateFractions]] sees one value per batch. Pre-r18
+        // stores have 2-col late files; both readers merge schemas and
+        // surface null keepers/fraction for those rows.
+        val nKeep = keeperB.count()
         val sp = s; import sp.implicits._
-        Seq((bid, nLate)).toDF("batch_id", "n_late_smaller_id")
+        Seq((bid, nLate, nKeep))
+          .toDF("batch_id", "n_late_smaller_id", "n_batch_keepers")
           .write.mode("append").parquet(s"$outDir/late")
       }
     }
@@ -1310,6 +1355,42 @@ object StreamIngest {
           StructType(Seq(StructField("batch_id", LongType),
             StructField("n_late_smaller_id", LongType))))
     }
+
+  /** [[readLateArrivals]] with the per-batch DENOMINATOR (round-18,
+    * VERDICT r17 item 5): each late observation carries the batch's
+    * keeper count since r18, so the divergence metric operators
+    * actually watch — what FRACTION of a batch's keepers arrived late
+    * — folds straight from the sidecar, no batch_id on the hashes log
+    * and no store re-scan. `late_ppm` is integer parts-per-million
+    * (the order-independent integer convention every driver-hashed
+    * ratio in this repo uses). Pre-r18 rows lack the denominator:
+    * mergeSchema surfaces them with null keepers/ppm rather than
+    * guessing. Max-fold per column is exact for the same reason as
+    * [[readLateArrivals]] — replays undercount n_late and recompute
+    * n_batch_keepers identically. */
+  def readLateFractions(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/late")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("batch_id", LongType),
+          StructField("n_late_smaller_id", LongType),
+          StructField("n_batch_keepers", LongType),
+          StructField("late_ppm", LongType))))
+    val log0 = spark.read.option("mergeSchema", "true").parquet(s"$outDir/late")
+    val log = if (log0.columns.contains("n_batch_keepers")) log0
+      else log0.withColumn("n_batch_keepers", lit(null).cast(LongType))
+    log.groupBy(col("batch_id"))
+      .agg(max(col("n_late_smaller_id")).as("n_late_smaller_id"),
+        max(col("n_batch_keepers")).as("n_batch_keepers"))
+      .withColumn("late_ppm",
+        when(col("n_batch_keepers").isNotNull && col("n_batch_keepers") > 0,
+          // integer DIV, not fractional /: ppm stays an exact long for
+          // the driver's order-independent hash compare
+          expr("n_late_smaller_id * 1000000L DIV n_batch_keepers"))
+          .cast(LongType))
+  }
 
   /** The per-document release fate relation of a [[maintainRelease]]
     * store — (doc_id, fate) with q212's first-reason-wins attribution

@@ -256,6 +256,21 @@ object PlanSig {
         }
         val fp = Fingerprint(folded, sigs.length, hist, sigs.toVector)
         sigs.clear(); hists.clear()
+        // a measurement drain that folded ZERO plans is lost coverage,
+        // not quiescence (ADVICE r17): either the bus outran the 2 s
+        // bound, or the measured path materialized via RDD-level
+        // actions (df.rdd.collect fires no QueryExecutionListener
+        // event — the v3 rdd-event exclusion's blind spot). Consumers
+        // already gate on n_plans > 0, which prevents a false sig
+        // match, but the degradation to byte-class comparison must be
+        // VISIBLE, not silent.
+        if (expectPlans && fp.nPlans == 0)
+          System.err.println(
+            "[graft] WARN PlanSig.takeFingerprint(expectPlans=true) " +
+              "drained 0 plans — the measured query's plan coverage is " +
+              "lost for this sample (listener-bus overrun, or an " +
+              "RDD-level materialization that fires no listener event); " +
+              "its row degrades to byte-class comparison")
         fp
       }
     }

@@ -134,6 +134,14 @@ object ScaleProbe {
         if (dt < best || bestFp == null) { best = math.min(best, dt); bestFp = fp }
       }
       lastSigFlap = sigsSeen.size > 1
+      // ADVICE r17: the best pass can race the listener bus (nPlans==0)
+      // while other passes captured real plans — reporting the empty
+      // fingerprint would read sig_match=false (or an empty plan json)
+      // purely from bus timing. Substitute a real-plan fingerprint:
+      // they are sig-keyed, and a cross-pass flap is already reported
+      // separately via lastSigFlap.
+      if (bestFp != null && bestFp.nPlans == 0 && sigsSeen.nonEmpty)
+        bestFp = sigsSeen(sigsSeen.keys.min)
       // adjudication dump (the VarianceProbe discipline): when passes
       // at ONE scale disagree, write each distinct fingerprint's exact
       // per-action signature strings to /tmp so the flapping node can
@@ -145,6 +153,18 @@ object ScaleProbe {
         println(s"[scaleprobe] flap dump $p")
       }
       (best, rows, bestFp)
+    }
+    // driver-only timing (ADVICE r17): for primitives that fire NO
+    // listener events (sidecar FS reads), timeMin's expectPlans drain
+    // would stall the full 2 s empty-window bound per pass — pure dead
+    // probe wall. No fingerprint is meaningful for a driver-side read.
+    def timeMinDriver(f: => Long): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime(); f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
     }
 
     // materialize inputs once per scale so input synthesis isn't timed
@@ -370,6 +390,25 @@ object ScaleProbe {
     // probes of a new family without re-running the full table
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Third probe point (VERDICT r17 item 4): a 2-point alpha cannot
+    // distinguish flat-with-offset (job-launch floor dominating both
+    // scales) from genuinely sublinear cost growth — the difference
+    // that decides the 100 TB extrapolation. For the cheap PRODUCTION
+    // families (dedup tiers, ANN probe, substring probes, samplers) a
+    // 100× input is affordable (est. <20 s each from the 2-point fit),
+    // so their rows carry t1/t10/t100 and `alpha3` — the least-squares
+    // slope of log10(t) over the three decades, = log10(t100/t1)/2 for
+    // equally spaced points. Reference arms and super-linear
+    // output-bound rows (cosine fixture-tau, winnow floor sweeps,
+    // tree_stats) stay 2-point: their 100× cost is the blowup the
+    // production presets exist to avoid pricing.
+    val hundredFams = Set("jaccard_pairs", "simhash64_pairs",
+      "cosine_lsh_production", "ann_ivfpq_probe", "bloom_dedup",
+      "within_doc_dedup", "paragraph_dedup", "winnow_substring",
+      "substring_cut", "substring_leak", "temperature_mix",
+      "balanced_shards", "trained_langid")
+    lazy val d100 = synthDocs(spark, 500000L, vocab).localCheckpoint(true)
+    lazy val e100 = synthEmb(spark, 200000L, 64).localCheckpoint(true)
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
@@ -388,9 +427,24 @@ object ScaleProbe {
         out ++= s""","sig_flap":true"""
       if (!sigMatch && fp1 != null && fp10 != null)
         out ++= s""","plan1":${fp1.json},"plan10":${fp10.json}"""
+      var line100 = ""
+      if (hundredFams.contains(name)) {
+        probeTag = s"$name-100x"
+        val in100 = if (in10 eq e10) e100 else d100
+        val (t100, r100, fp100) = timeMin(f(in100)); val flap100 = lastSigFlap
+        val alpha3 = math.log10(t100 / t1) / 2.0
+        val sig100 = fp10 != null && fp100 != null &&
+          fp10.nPlans > 0 && fp100.nPlans > 0 && fp10.sig == fp100.sig
+        out ++= s""","t100":${fmt(t100)},"rows100":$r100,"alpha3":${fmt(alpha3)},"sig_match100":$sig100"""
+        if (flap100) out ++= s""","sig_flap100":true"""
+        if (!sig100 && fp10 != null && fp100 != null)
+          out ++= s""","plan100":${fp100.json}"""
+        line100 = s" t100=${fmt(t100)}s ($r100 rows) alpha3=${fmt(alpha3)}" +
+          s" sig_match100=$sig100" + (if (flap100) " SIG_FLAP100" else "")
+      }
       out ++= "}"
       println(s"[scaleprobe] $name t1=${fmt(t1)}s ($r1 rows) t10=${fmt(t10)}s ($r10 rows) alpha=${fmt(alpha)} sig_match=$sigMatch" +
-        (if (flap1 || flap10) " SIG_FLAP" else ""))
+        (if (flap1 || flap10) " SIG_FLAP" else "") + line100)
     }
     // BPE training: the hybrid claim is that wall-clock NO LONGER scales
     // with nMerges × per-job fixed cost (each merge round is an in-memory
@@ -769,10 +823,13 @@ object ScaleProbe {
         spark.read.parquet(s"$d/texts").agg(max(col("batch_id"))).head().getLong(0)
       def wmRead(d: String): Long =
         graft.streaming.StreamIngest.readSettledWatermark(spark, d).get
+      probeTag = "lineage_guard" // label any flap dump correctly (ADVICE r17)
       val (tA1, _, _) = timeMin(aggMax(s1))
       val (tA10, _, _) = timeMin(aggMax(s10))
-      val (tW1, _, _) = timeMin(wmRead(s1))
-      val (tW10, _, _) = timeMin(wmRead(s10))
+      // driver-side FS reads fire no listener events — timing them via
+      // timeMin would stall the 2 s expectPlans bound per pass
+      val tW1 = timeMinDriver(wmRead(s1))
+      val tW10 = timeMinDriver(wmRead(s10))
       if (out.length > 1) out ++= ","
       out ++= s""""lineage_guard":{"t_agg1":${fmt(tA1)},"t_agg10":${fmt(tA10)}"""
       out ++= s""","alpha_agg":${fmt(math.log10(tA10 / tA1))}"""

@@ -1026,6 +1026,45 @@ class StreamIngestSpec extends SparkSuite {
     assert(ex.getMessage.contains("lineage"))
   }
 
+  test("lineage guard cross-checks the exact corpus max at the bid == watermark boundary") {
+    import spark.implicits._
+    // ADVICE r17: the sidecar is written LAST in a batch, so a crash
+    // after the texts append leaves it one batch stale — and a FOREIGN
+    // lineage whose restarted bid equals that stale value would slip
+    // past a sidecar-only guard where the old exact-max scan refused.
+    // The guard therefore cross-checks the exact corpus max exactly at
+    // bid == watermark (the one ambiguous boundary) and heals the
+    // sidecar forward.
+    val out = Files.createTempDirectory("ssi_wmstale").toString + "/store"
+    val pa = (1 to 10).map(i => s"wmstalebp$i").mkString(" ")
+    StreamIngest.substringIndexBatch(
+      Seq(1L -> s"$pa settled doc one with its own unique trailing words")
+        .toDF("doc_id", "text"), out, 0L, 40, 20)
+    StreamIngest.substringIndexBatch(
+      Seq(2L -> s"$pa settled doc two with different unique tail words")
+        .toDF("doc_id", "text"), out, 1L, 40, 20)
+    // simulate the crash window: texts for bid=1 are settled but the
+    // flag-lands-last sidecar write never happened
+    StreamIngest.writeSettledWatermark(spark, out, 0L)
+    // foreign bid == stale watermark: a sidecar-only guard admits it;
+    // the boundary cross-check must refuse (corpus max is 1 > 0)
+    val ex = intercept[IllegalArgumentException] {
+      StreamIngest.substringIndexBatch(
+        Seq(3L -> s"foreign doc three then $pa unique tail words three")
+          .toDF("doc_id", "text"), out, 0L, 40, 20)
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // ... and the cross-check healed the sidecar to the exact max
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(1L),
+      "the boundary cross-check must heal the stale sidecar forward")
+    // a legit same-lineage replay (bid == true settled max) still
+    // passes the boundary: cross-check sees corpus max == bid
+    StreamIngest.substringIndexBatch(
+      Seq(4L -> s"replay doc four then $pa unique tail words four")
+        .toDF("doc_id", "text"), out, 1L, 40, 20)
+    assert(StreamIngest.readSettledWatermark(spark, out).contains(1L))
+  }
+
   test("substring store: torn appends heal — fp completes, counts never double, pairs stay cross-batch") {
     import spark.implicits._
     // a parquet append that dies mid-job-commit leaves a strict SUBSET
@@ -1800,6 +1839,32 @@ class StreamIngestSpec extends SparkSuite {
     // first-arrived twin (11) owns the substring index
     assert(StreamIngest.readLateArrivals(spark, out)
       .as[(Long, Long)].collect().toSet == Set(1L -> 1L))
+    // round-18: the same sidecar row carries the batch's keeper count,
+    // so the FRACTION folds without re-scanning any store — batch 1's
+    // single keeper (doc 3) arrived late: 1/1 = 1,000,000 ppm
+    assert(StreamIngest.readLateFractions(spark, out)
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      Set((1L, 1L, 1L, 1000000L)))
+    // pre-r18 stores have 2-col late files: the fraction reader must
+    // surface null keepers/ppm for them, never guess — simulate by
+    // rewriting the log without the denominator column
+    val lateDir = s"$out/late"
+    val legacy = spark.read.parquet(lateDir)
+      .select("batch_id", "n_late_smaller_id").collect()
+    val fs2 = new org.apache.hadoop.fs.Path(lateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(lateDir), true)
+    spark.createDataFrame(spark.sparkContext.parallelize(legacy.toSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_late_smaller_id",
+            org.apache.spark.sql.types.LongType))))
+      .write.parquet(lateDir)
+    val legacyRow = StreamIngest.readLateFractions(spark, out).collect().head
+    assert(legacyRow.getLong(0) == 1L && legacyRow.getLong(1) == 1L)
+    assert(legacyRow.isNullAt(2) && legacyRow.isNullAt(3),
+      s"legacy 2-col late rows must read null keepers/ppm: $legacyRow")
   }
 
   test("component log: crash after a completed swap leaves a stale _fold_old that stays benign") {
