@@ -128,8 +128,24 @@ object Similarity {
     *    probability 1 − (1 − 2⁻⁸)⁸ ≈ 0.03 — ~30× candidate pruning.
     *    The floor is property-tested in ExtSpec ("production-tau LSH
     *    recall").
-    *  - both presets keep bits × bands ≤ 64 so one [[SignMask64]] mask
-    *    carries every plane.
+    *  - tau ≥ 0.9 at CORPUS scale: use [[CorpusLshBits]] ×
+    *    [[CorpusLshBands]] (16×32, 512 planes on 8 masks). The knob the
+    *    100× probe forced (round-18): candidate volume is
+    *    ~ bands · n²/2^bits — any FIXED bits makes it quadratic in n
+    *    (the 8×8 preset read alpha≈0.09 at 1×→10× and then 27× wall in
+    *    the 10×→100× decade on LINEAR output growth, pure bucket
+    *    saturation). The production rule is therefore 2^bits ≳ n/64
+    *    (constant expected bucket occupancy; bits grows with log n)
+    *    with bands set by the recall floor: at 16×32,
+    *    recall ≈ 0.94 at c = 0.9 and ≥ 0.999 at c = 0.95, while a
+    *    random pair survives ≈ 32·2⁻¹⁶ ≈ 5·10⁻⁴ — ~64× fewer
+    *    candidates than 8×8 at equal n. Floor property-tested in
+    *    ExtSpec ("corpus-tau LSH recall").
+    *  - each preset keeps bits ≤ 63; bits × bands may exceed 64 —
+    *    whole bands are chunked onto ⌈bands/(64 div bits)⌉
+    *    [[SignMask64]] masks with GLOBAL plane numbering (see
+    *    bandedFlat), so ≤ 64-plane presets are bit-identical to the
+    *    historical single-mask form.
     */
   val CosineLshBits = 2
   val CosineLshBands = 16
@@ -137,6 +153,10 @@ object Similarity {
   /** Production preset for tau ≥ 0.8 — see the tuning rule above. */
   val ProductionLshBits = 8
   val ProductionLshBands = 8
+
+  /** Corpus-scale preset for tau ≥ 0.9 — see the tuning rule above. */
+  val CorpusLshBits = 16
+  val CorpusLshBands = 32
 
   /** Deterministic ±1 hyperplane components — sign from the low bit of
     * the first md5 byte of "h:plane:dim", so any engine (and any rerun)
@@ -179,16 +199,36 @@ object Similarity {
     */
   private def bandedFlat(e: DataFrame, dim: Int, bits: Int, bands: Int,
                          payload: Seq[String]): DataFrame = {
-    require(bits * bands <= 64, "sign mask holds at most 64 planes")
-    val planes = Array.tabulate(bits * bands)(i => hyperplane(i, dim).toArray)
-    val mask = graft.functions.SignMask64.signMask(
-      e.sparkSession, s"${bits}x${bands}x$dim", planes)(col("q"))
+    // MULTI-MASK banding (round-18): one SignMask64 holds ≤ 64 planes,
+    // which capped bits × bands at 64 — and a fixed plane budget is
+    // exactly what the 100× probe exposed as the quadratic tail
+    // (candidate volume ~ bands · n²/2^bits: with bits pinned at 8 the
+    // constant is fixed while n² grows). Whole bands are chunked onto
+    // ⌈bands / (64 div bits)⌉ masks; plane numbering stays GLOBAL
+    // (band b reads planes [b·bits, (b+1)·bits)), so ≤ 64-plane presets
+    // produce bit-identical keys to the single-mask form and the
+    // DuckDB oracle generator (cosineLshOracleSql, global indexing)
+    // covers every width unchanged.
+    require(bits >= 1 && bits <= 63, s"1 <= bits <= 63, got $bits")
+    val bandsPerMask = math.max(64 / bits, 1)
+    val nMasks = (bands + bandsPerMask - 1) / bandsPerMask
+    val maskCols = (0 until nMasks).map { mi =>
+      val bandLo = mi * bandsPerMask
+      val bandHi = math.min(bands, bandLo + bandsPerMask)
+      val planes = Array.tabulate((bandHi - bandLo) * bits)(i =>
+        hyperplane(bandLo * bits + i, dim).toArray)
+      graft.functions.SignMask64.signMask(
+        e.sparkSession, s"${bits}x${bands}x${dim}m$mi", planes)(col("q"))
+        .as(s"m$mi")
+    }
     val bandStructs = (0 until bands).map { b =>
+      val mi = b / bandsPerMask
+      val off = (b % bandsPerMask) * bits
       struct(lit(b).as("band"),
-        col("m").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("kb"))
+        col(s"m$mi").bitwiseAND(lit(((1L << bits) - 1) << off)).as("kb"))
     }
     val p = e.sparkSession.sessionState.conf.numShufflePartitions
-    e.select(col("vec_id") +: payload.map(col) :+ mask.as("m"): _*)
+    e.select((Seq(col("vec_id")) ++ payload.map(col) ++ maskCols): _*)
       .select(col("vec_id") +: payload.map(col) :+ explode(array(bandStructs: _*)).as("bs"): _*)
       .select(Seq(col("vec_id"), col("bs.band").as("band"), col("bs.kb").as("kb"))
         ++ payload.map(col): _*)

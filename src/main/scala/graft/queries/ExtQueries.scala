@@ -1386,6 +1386,36 @@ object ExtQueries {
                  |   list_transform(embedding, x -> x * 2)
                  | FROM embeddings WHERE vec_id % 97 = 3""".stripMargin)),
 
+    // ── the CORPUS-SCALE LSH preset (multi-mask, round-18) ─────────────
+    // The 100× probe showed the fixed 8×8 preset's candidate volume is
+    // quadratic in n (bands·n²/2^bits with bits pinned — bucket
+    // saturation at linear output growth), so corpus scale needs bits
+    // to grow with log n: 16×32 = 512 planes on 8 SignMask64 masks,
+    // the first bits×bands > 64 configuration (bandedFlat chunks whole
+    // bands per mask; plane numbering stays global, so the SAME oracle
+    // generator replays it structurally). Same twin injection as q195;
+    // verified at the preset's documented tau-0.9 floor. Recall floor
+    // property-tested in ExtSpec ("corpus-tau LSH recall").
+    "q231_cosine_lsh_corpus" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val twins = emb.where(col("vec_id") % 97 === 3)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => x * lit(2.0f)).as("embedding"))
+        Similarity.cosineDupPairs(emb.unionByName(twins),
+          tau = 0.90, dim = 64, bits = Similarity.CorpusLshBits,
+          bands = Similarity.CorpusLshBands)
+      },
+      Similarity.cosineLshOracleSql(dim = 64, tau = 0.90,
+        bits = Similarity.CorpusLshBits,
+        bands = Similarity.CorpusLshBands,
+        vSql = """SELECT vec_id, embedding FROM embeddings
+                 | UNION ALL
+                 | SELECT vec_id + 100000,
+                 |   list_transform(embedding, x -> x * 2)
+                 | FROM embeddings WHERE vec_id % 97 = 3""".stripMargin)),
+
     // ── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q35_ann_bruteforce" -> Q(
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 8, k = 5),

@@ -207,6 +207,16 @@ object ScaleProbe {
           bits = Similarity.ProductionLshBits,
           bands = Similarity.ProductionLshBands).count(),
         e1, e10),
+      // the CORPUS preset (16×32 multi-mask, round-18): same family at
+      // the bits-grows-with-n point of the tuning rule — its 100× arm
+      // is the measured answer to cosine_lsh_production's bucket-
+      // saturation tail (whose t100 reads ~27× the t10 on linear
+      // output: candidate volume n²/2^bits with bits pinned)
+      ("cosine_lsh_corpus",
+        (e: DataFrame) => Similarity.cosineDupPairs(e, tau = 0.90, dim = 64,
+          bits = Similarity.CorpusLshBits,
+          bands = Similarity.CorpusLshBands).count(),
+        e1, e10),
       ("ann_ivfpq_probe",
         (e: DataFrame) => Similarity.ivfpqTopK(e, dim = 64, nCoarse = 16,
           nQueries = 8, k = 5).count(),
@@ -403,12 +413,21 @@ object ScaleProbe {
     // tree_stats) stay 2-point: their 100× cost is the blowup the
     // production presets exist to avoid pricing.
     val hundredFams = Set("jaccard_pairs", "simhash64_pairs",
-      "cosine_lsh_production", "ann_ivfpq_probe", "bloom_dedup",
+      "cosine_lsh_production", "cosine_lsh_corpus", "ann_ivfpq_probe",
+      "bloom_dedup",
       "within_doc_dedup", "paragraph_dedup", "winnow_substring",
       "substring_cut", "substring_leak", "temperature_mix",
-      "balanced_shards", "trained_langid")
+      "balanced_shards", "trained_langid", "anchor_cap_star")
+    // Reading the substring-tier 100× rows: synthDocs draws from the
+    // fixture's ~31-word closed vocabulary, so at 500k docs EVERY
+    // k-gram is corpus boilerplate and the UNCAPPED winnow/cut/leak
+    // arms price fixture match-density saturation (rows100/rows10 ≈
+    // 20×), not operator scaling — the honest 100× production row is
+    // anchor_cap_star (maxAnchorDf=64, the q213 guard) on the planted
+    // mega-boilerplate corpus, where the cap bounds exactly this.
     lazy val d100 = synthDocs(spark, 500000L, vocab).localCheckpoint(true)
     lazy val e100 = synthEmb(spark, 200000L, 64).localCheckpoint(true)
+    lazy val mb100 = synthBoiler(spark, 300000L, vocab).localCheckpoint(true)
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
@@ -430,7 +449,8 @@ object ScaleProbe {
       var line100 = ""
       if (hundredFams.contains(name)) {
         probeTag = s"$name-100x"
-        val in100 = if (in10 eq e10) e100 else d100
+        val in100 = if (in10 eq e10) e100
+          else if (in10 eq mb10) mb100 else d100
         val (t100, r100, fp100) = timeMin(f(in100)); val flap100 = lastSigFlap
         val alpha3 = math.log10(t100 / t1) / 2.0
         val sig100 = fp10 != null && fp100 != null &&

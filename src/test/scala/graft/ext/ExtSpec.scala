@@ -150,6 +150,44 @@ class ExtSpec extends SparkSuite {
     assert(cand.size < allPairs / 5, s"no real pruning: ${cand.size} of $allPairs pairs")
   }
 
+  test("corpus-tau LSH recall: 16x32 multi-mask banding keeps >=0.85 at tau 0.9 and prunes harder than 8x8") {
+    // Round-18: the corpus-scale preset (512 planes on 8 SignMask64
+    // masks — the first bits x bands > 64 configuration). Same planted
+    // near-dup construction as the 8x8 test but verified at tau 0.9,
+    // the preset's documented floor. Two laws: (a) recall >= 0.85 of
+    // the exact tau-0.9 pairs; (b) the candidate set is STRICTLY
+    // smaller than the production 8x8 preset's on the identical corpus
+    // (the whole point of growing bits with n).
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = Seq.tabulate(150)(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val noise = 0.04 + rnd.nextDouble() * 0.14 // cosine ~0.93-0.995
+      val dup = unit(v.zip(Array.fill(dim)(rnd.nextGaussian() * noise)).map { case (a, b) => a + b })
+      Seq((2L * i, v.map(_.toFloat)), (2L * i + 1, dup.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.cosineDupPairsExact(df, tau = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 90, s"fixture too sparse: ${truth.size} true pairs")
+    val cand = Similarity.cosineLshCandidates(df, dim,
+        bits = Similarity.CorpusLshBits, bands = Similarity.CorpusLshBands)
+      .as[(Long, Long)].collect().toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.85, f"recall $recall%.3f below floor 0.85 (${truth.size} true pairs)")
+    val cand8x8 = Similarity.cosineLshCandidates(df, dim,
+        bits = Similarity.ProductionLshBits, bands = Similarity.ProductionLshBands)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.size < cand8x8.size,
+      s"16x32 must prune harder than 8x8: ${cand.size} vs ${cand8x8.size}")
+    // and the multi-mask keys are EXACTLY the single-mask keys for a
+    // <=64-plane preset: the 8x8 candidates above already pin that
+    // (they ran through the chunked path with nMasks = 1)
+  }
+
   test("jaccard stop-shingle cap: candidates skip hot shingles, scores stay exact") {
     // Every doc shares the boilerplate prefix "x y z ..." (one hot
     // shingle family); pairs (1,2) additionally share a COLD overlap.
