@@ -49,6 +49,37 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit("lang")), lit(5)) + 1).cast("int")).as("lang"))
   }
 
+  /** Open-vocabulary variant of [[synthDocs]] (round-18): each token is
+    * suffixed with a seed-keyed hash bucket drawn from an n/5-sized
+    * space, so the effective vocabulary GROWS WITH THE CORPUS — the
+    * shape of a real crawl — instead of the fixture's ~31 closed words
+    * whose shingle/fingerprint collisions saturate pair miners at 100×
+    * (rows100/rows10 read ~20-90× on the closed corpus: output-bound
+    * fixture artifacts, not operator scaling). The planted near-twin
+    * pairs (1 in 40, seed-shared text, one-token tail) survive
+    * unchanged, so pair output stays linear and non-empty at every
+    * scale while unrelated documents share almost nothing. */
+  def synthDocsOpen(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
+    val v = vocab.toArray
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    val seed = when(col("id") % 40 === 1, col("id") - 1).otherwise(col("id"))
+    val len = (pmod(xxhash64(seed, lit("len")), lit(70)) + 20).cast("int")
+    val toks = transform(sequence(lit(1), len),
+      j => concat(
+        element_at(vLit, (pmod(xxhash64(seed, j), lit(v.length)) + 1).cast("int")),
+        lit("_"),
+        pmod(xxhash64(seed, j, lit("open")), lit(math.max(n / 5L, 1L))).cast("string")))
+    val tail = when(col("id") % 40 === 1,
+      concat(lit(" "), element_at(vLit,
+        (pmod(xxhash64(col("id"), lit("tail")), lit(v.length)) + 1).cast("int"))))
+      .otherwise(lit(""))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(array_join(toks, " "), tail).as("text"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+        (pmod(xxhash64(col("id"), lit("lang")), lit(5)) + 1).cast("int")).as("lang"))
+  }
+
   /** Planted MEGA-BOILERPLATE corpus: every document shares one ~80-char
     * passage (site chrome at crawl scale) between unique prefix/tail —
     * the adversarial shape for the winnow anchor join (one fingerprint
@@ -176,6 +207,8 @@ object ScaleProbe {
     val c10 = synthChains(spark, 1000000L).toDF().localCheckpoint(true)
     val mb1 = synthBoiler(spark, 3000L, vocab).localCheckpoint(true)
     val mb10 = synthBoiler(spark, 30000L, vocab).localCheckpoint(true)
+    val do1 = synthDocsOpen(spark, 5000L, vocab).localCheckpoint(true)
+    val do10 = synthDocsOpen(spark, 50000L, vocab).localCheckpoint(true)
     import spark.implicits._
 
     val families: Seq[(String, DataFrame => Long, DataFrame, DataFrame)] = Seq(
@@ -185,6 +218,17 @@ object ScaleProbe {
       ("simhash64_pairs",
         (d: DataFrame) => Dedup.simhashHammingPairs(d, maxDist = 3, bits = 64, nBands = 4).count(),
         d1, d10),
+      // open-vocabulary twins of the two 100×-saturated arms (round-18):
+      // same operators, a corpus whose vocabulary grows with n — their
+      // three-point fits price the OPERATOR where the closed-vocab rows
+      // above price fixture collision saturation (kept for continuity)
+      ("simhash64_open_pairs",
+        (d: DataFrame) => Dedup.simhashHammingPairs(d, maxDist = 3, bits = 64, nBands = 4).count(),
+        do1, do10),
+      ("paragraph_dedup_open",
+        (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16, maxDist = 3)
+          .where(col("n_removed_chunks") > 0).count(),
+        do1, do10),
       ("shared_spans",
         (d: DataFrame) => TextAnalysis.sharedSpans(d, k = 8).count(),
         d1, d10),
@@ -417,7 +461,8 @@ object ScaleProbe {
       "bloom_dedup",
       "within_doc_dedup", "paragraph_dedup", "winnow_substring",
       "substring_cut", "substring_leak", "temperature_mix",
-      "balanced_shards", "trained_langid", "anchor_cap_star")
+      "balanced_shards", "trained_langid", "anchor_cap_star",
+      "simhash64_open_pairs", "paragraph_dedup_open")
     // Reading the substring-tier 100× rows: synthDocs draws from the
     // fixture's ~31-word closed vocabulary, so at 500k docs EVERY
     // k-gram is corpus boilerplate and the UNCAPPED winnow/cut/leak
@@ -428,6 +473,7 @@ object ScaleProbe {
     lazy val d100 = synthDocs(spark, 500000L, vocab).localCheckpoint(true)
     lazy val e100 = synthEmb(spark, 200000L, 64).localCheckpoint(true)
     lazy val mb100 = synthBoiler(spark, 300000L, vocab).localCheckpoint(true)
+    lazy val do100 = synthDocsOpen(spark, 500000L, vocab).localCheckpoint(true)
     val out = new StringBuilder("{")
     families.filter(f => only.forall(_.contains(f._1)))
       .zipWithIndex.foreach { case ((name, f, in1, in10), i) =>
@@ -450,7 +496,8 @@ object ScaleProbe {
       if (hundredFams.contains(name)) {
         probeTag = s"$name-100x"
         val in100 = if (in10 eq e10) e100
-          else if (in10 eq mb10) mb100 else d100
+          else if (in10 eq mb10) mb100
+          else if (in10 eq do10) do100 else d100
         val (t100, r100, fp100) = timeMin(f(in100)); val flap100 = lastSigFlap
         val alpha3 = math.log10(t100 / t1) / 2.0
         val sig100 = fp10 != null && fp100 != null &&
