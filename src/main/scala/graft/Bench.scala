@@ -113,7 +113,13 @@ object Bench {
     val collector = new graft.tools.PlanSig.Collector
     if (withExec) spark.listenerManager.register(collector)
     for (p <- 1 to passes; name <- names) {
-      if (name == names.head) calib = calib :+ calibOnce() // once per pass
+      // every 32 queries, not once per pass (round-18: the first
+      // calib-vs-calib diff showed 3 samples/run is too sparse — the
+      // calib MIN read 0.73x while byte-identical totals read 1.06x,
+      // because a ~0.5 s probe samples one instant of a ~17-minute
+      // run; ~8 samples/pass at ~1% overhead track the ambient the
+      // queries actually ran under, and bench_diff folds the MEDIAN)
+      if (names.indexOf(name) % 32 == 0) calib = calib :+ calibOnce()
       val (sec, ok) =
         if (p == passes && withExec) {
           collector.reset() // drop signatures accumulated on prior passes

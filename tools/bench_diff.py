@@ -187,12 +187,21 @@ def main(argv):
 
     # ambient normalization (round-18): when both runs carry the fixed
     # calibration row (Bench `calib`: constant input, constant plan,
-    # timed once per pass), the min-of-passes ratio is an in-artifact
+    # sampled every 32 queries), the MEDIAN ratio is an in-artifact
     # ambient denominator — common_ratio_ambient_adj answers "how much
     # of the total swing is the MACHINE" without per-round forensics.
+    # Median, not min: the first calib-vs-calib diff (0015->0016)
+    # showed min biases to one best-case burst instant and can move
+    # OPPOSITE to the sustained ambient the queries ran under. With the
+    # old 3-samples-per-run records the median is still coarse — treat
+    # ambient_ratio from those as indicative, not authoritative.
+    def med(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
     calib_old, calib_new = old.get("calib") or [], new.get("calib") or []
-    ambient = (round(min(calib_new) / min(calib_old), 4)
-               if calib_old and calib_new and min(calib_old) > 0 else None)
+    ambient = (round(med(calib_new) / med(calib_old), 4)
+               if calib_old and calib_new and med(calib_old) > 0 else None)
 
     report = {
         "old": os.path.basename(old_path), "new": os.path.basename(new_path),
