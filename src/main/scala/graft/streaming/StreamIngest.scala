@@ -1363,7 +1363,16 @@ object StreamIngest {
     * — folds straight from the sidecar, no batch_id on the hashes log
     * and no store re-scan. `late_ppm` is integer parts-per-million
     * (the order-independent integer convention every driver-hashed
-    * ratio in this repo uses). Pre-r18 rows lack the denominator:
+    * ratio in this repo uses), FLOOR division like every other ppm in
+    * the repo — so a batch with 0 < n_late·10⁶ < n_batch_keepers reads
+    * late_ppm = 0 (ADVICE r18 item 3): that is "late but below 1 ppm",
+    * not "clean" — rows exist ONLY for batches that saw lateness, and
+    * the raw n_late_smaller_id count rides the same row, so the two
+    * states are distinguishable by the row's presence and its count
+    * column. Ceiling division was considered and rejected: it would
+    * make this the one ratio in the repo rounding against the
+    * convention, for a purely cosmetic gain. Pre-r18 rows lack the
+    * denominator:
     * mergeSchema surfaces them with null keepers/ppm rather than
     * guessing. Max-fold per column is exact for the same reason as
     * [[readLateArrivals]] — replays undercount n_late and recompute

@@ -154,6 +154,8 @@ object ScaleProbe {
     def timeMin(f: => Long): (Double, Long, PlanSig.Fingerprint) = {
       var best = Double.MaxValue; var rows = 0L
       var bestFp: PlanSig.Fingerprint = null
+      var bestRealFp: PlanSig.Fingerprint = null
+      var bestRealDt = Double.MaxValue
       val sigsSeen = scala.collection.mutable.Map
         .empty[String, PlanSig.Fingerprint]
       for (_ <- 1 to passes) {
@@ -161,18 +163,26 @@ object ScaleProbe {
         val t0 = System.nanoTime(); rows = f
         val dt = (System.nanoTime() - t0) / 1e9
         val fp = collector.takeFingerprint() // after the clock stops
-        if (fp.nPlans > 0) sigsSeen.getOrElseUpdate(fp.sig, fp): Unit
+        if (fp.nPlans > 0) {
+          sigsSeen.getOrElseUpdate(fp.sig, fp): Unit
+          // the fastest pass that captured a REAL plan — substitution
+          // candidate when the best (timed) pass raced the bus
+          if (dt < bestRealDt) { bestRealDt = dt; bestRealFp = fp }
+        }
         if (dt < best || bestFp == null) { best = math.min(best, dt); bestFp = fp }
       }
       lastSigFlap = sigsSeen.size > 1
       // ADVICE r17: the best pass can race the listener bus (nPlans==0)
       // while other passes captured real plans — reporting the empty
       // fingerprint would read sig_match=false (or an empty plan json)
-      // purely from bus timing. Substitute a real-plan fingerprint:
-      // they are sig-keyed, and a cross-pass flap is already reported
-      // separately via lastSigFlap.
-      if (bestFp != null && bestFp.nPlans == 0 && sigsSeen.nonEmpty)
-        bestFp = sigsSeen(sigsSeen.keys.min)
+      // purely from bus timing. Substitute the fingerprint of the
+      // FASTEST real-plan pass (ADVICE r18 item 2: under a flap the
+      // lexicographically-smallest sig could name a plan other than
+      // the one closest to the timed best — tracking the fp alongside
+      // dt keeps the reported plan the nearest witness to the reported
+      // time); a cross-pass flap is still reported via lastSigFlap.
+      if (bestFp != null && bestFp.nPlans == 0 && bestRealFp != null)
+        bestFp = bestRealFp
       // adjudication dump (the VarianceProbe discipline): when passes
       // at ONE scale disagree, write each distinct fingerprint's exact
       // per-action signature strings to /tmp so the flapping node can

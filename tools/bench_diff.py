@@ -63,6 +63,22 @@ import sys
 
 HIST = os.path.join(os.path.dirname(__file__), "..", "bench_history")
 
+# Accepted band for a run's calib MEDIAN, seconds (round-19, VERDICT
+# r18 item 2; documented in BASELINE.md "Round-19: the pinned ambient
+# calib band"). Derivation: committed medians 0.603-0.70 s
+# (run-0015..0017) widened by the worst single-sample spread observed
+# in the 24-sample record (0.486-0.855 around a 0.632 median, ~±35%).
+# A record whose calib median leaves this band ran on a machine whose
+# ambient is OUTSIDE the regime every committed number was priced in —
+# the diff flags it so a machine-degradation round is detectable from
+# the artifact alone (the 243-281 s same-work swings of r16-r17 stayed
+# INSIDE this band; leaving it is a different animal). Only medians
+# from the dense cadence (>= MIN_CALIB_SAMPLES, the every-32-queries
+# sampling of run-0017 on) are flagged: the sparse 3-sample records
+# are indicative only.
+CALIB_BAND = (0.45, 0.95)
+MIN_CALIB_SAMPLES = 8
+
 
 def latest_two(hist):
     runs = sorted(
@@ -112,8 +128,17 @@ def classify(old_e, new_e, old_p=None, new_p=None, sig_class=None):
             and (old_p.get("n_plans") or 0) > 0
             and (new_p.get("n_plans") or 0) > 0):
         if old_p["sig"] != new_p["sig"]:
+            # the registry entry must match BOTH fingerprints' algorithm
+            # version (ADVICE r18 item 1). The outer branch already
+            # requires old_p.v == new_p.v, so checking new_p here is
+            # redundant TODAY — it is kept explicit so the invariant
+            # survives a refactor that relaxes the outer condition
+            # (e.g. a future cross-version comparability rule): a stale
+            # SIG_CLASSES entry must never self-adjudicate a sig pair
+            # computed under a different normalization.
             if (sig_class
                     and sig_class.get("sig_v") == old_p.get("v")
+                    and sig_class.get("sig_v") == new_p.get("v")
                     and old_p["sig"] in sig_class.get("accepted_sigs", [])
                     and new_p["sig"] in sig_class.get("accepted_sigs", [])):
                 return "plan_delta_known"
@@ -203,12 +228,28 @@ def main(argv):
     ambient = (round(med(calib_new) / med(calib_old), 4)
                if calib_old and calib_new and med(calib_old) > 0 else None)
 
+    # calib-band check (round-19): each side with a dense calib record
+    # gets its median checked against the pinned CALIB_BAND; an
+    # out-of-band side is flagged in the report AND on stdout, so a
+    # machine-degradation round announces itself in the artifact.
+    def band_status(samples):
+        if len(samples) < MIN_CALIB_SAMPLES:
+            return None  # sparse record: indicative only, never flagged
+        m = med(samples)
+        lo, hi = CALIB_BAND
+        return {"median": round(m, 4), "lo": lo, "hi": hi,
+                "status": "ok" if lo <= m <= hi else "out_of_band"}
+    calib_band = {
+        k: v for k, v in (("old", band_status(calib_old)),
+                          ("new", band_status(calib_new))) if v}
+
     report = {
         "old": os.path.basename(old_path), "new": os.path.basename(new_path),
         "common_total_old_sec": round(total_old, 2),
         "common_total_new_sec": round(total_new, 2),
         "common_ratio": round(total_new / total_old, 4) if total_old else None,
         "calib_old": calib_old, "calib_new": calib_new,
+        "calib_band": calib_band or None,
         "ambient_ratio": ambient,
         "common_ratio_ambient_adj": (
             round(total_new / total_old / ambient, 4)
@@ -229,6 +270,12 @@ def main(argv):
 
     ident = by_class.get("identical", 0)
     print(f"# bench diff {report['old']} -> {report['new']}")
+    for side, b in (calib_band or {}).items():
+        if b["status"] == "out_of_band":
+            print(f"WARNING: {side} run's calib median {b['median']}s is "
+                  f"OUTSIDE the pinned ambient band [{b['lo']}, {b['hi']}] "
+                  f"(BASELINE.md) — machine-degradation round; totals are "
+                  f"not comparable to the committed record book raw")
     amb = (f", ambient {ambient:.3f}x -> adj "
            f"{report['common_ratio_ambient_adj']:.3f}x" if ambient else "")
     print(f"common {len(common)}: {total_old:.1f}s -> {total_new:.1f}s "
