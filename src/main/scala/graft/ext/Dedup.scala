@@ -525,10 +525,11 @@ object Dedup {
     * spreads the band join evenly at corpus scale.
     */
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
-                          bits: Int = SimhashBits, nBands: Int = 4): DataFrame =
+                          bits: Int = SimhashBits, nBands: Int = 4,
+                          maxBandDf: Int = 0): DataFrame =
     fingerprintHammingPairs(
       simhash(docs, bits).withColumnRenamed("simhash", "fp"),
-      maxDist, bits, nBands)
+      maxDist, bits, nBands, maxBandDf)
 
   /** The banded Hamming pair join over an ARBITRARY fingerprint relation
     * `fps` = (doc_id, fp) with fp a ≤64-bit long — the machinery behind
@@ -541,9 +542,35 @@ object Dedup {
     * superset exactly). Fingerprints ride through the band join — no
     * rescore join; the Hamming filter runs inside the join's codegen
     * stage, BEFORE the pair-dedup aggregate.
+    *
+    * `maxBandDf` — the HOT-BUCKET cap (0 = uncapped, the exact clique
+    * semantics every oracle states; the default, so every pre-r19
+    * caller's plan is byte-unchanged). The band join is quadratic PER
+    * BUCKET: a nav-bar/license chunk repeated across ~10⁶ documents
+    * puts ~10⁶ identical fingerprints under every one of its band
+    * values and the clique emits ~nBands·10¹² candidate rows — the
+    * q213 hot-anchor blowup in banded-fingerprint form. With the cap,
+    * buckets larger than `maxBandDf` rows emit a STAR around the
+    * bucket's deterministic representative (min (doc_id, fp)) instead
+    * of the clique — bucket-LINEAR volume, the q213 discipline.
+    *
+    * The capped contract (spec-pinned in ExtSpec on a planted
+    * mega-boilerplate fixture): every star pair is a clique pair
+    * (capped output ⊆ uncapped), and within an over-cap bucket every
+    * member still pairs with the representative, so for IDENTICAL
+    * fingerprints — the case the cap exists for, dist(rep, member)=0 —
+    * the first-wins CUT SET of a consumer like
+    * [[graft.ext.TextAnalysis.dedupParagraphs]] is preserved exactly
+    * (rep is the bucket minimum, so no member escapes and keep-first
+    * keeps exactly the representative). What the star under-reports is
+    * member×member pairing AROUND a hot core at distance > 0 from the
+    * representative — such a pair is missed only if EVERY band it
+    * shares is over-cap; pairs also colliding in any cold band are
+    * still found by that band's clique.
     */
   def fingerprintHammingPairs(fps: DataFrame, maxDist: Int,
-                              bits: Int, nBands: Int): DataFrame = {
+                              bits: Int, nBands: Int,
+                              maxBandDf: Int = 0): DataFrame = {
     require(maxDist < nBands, s"pigeonhole guarantee needs maxDist < $nBands")
     require(bits % nBands == 0, s"bits=$bits must split into $nBands equal bands")
     val bw = bits / nBands
@@ -562,10 +589,42 @@ object Dedup {
     // random pairs survive the distance cut — filtering first shrinks
     // the distinct's shuffle input by that factor, and the filter is
     // evaluated inside the join's codegen stage.
-    bands.as("x").join(bands.as("y"), Seq("band", "v"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
+    def clique(b: DataFrame): DataFrame =
+      b.as("x").join(b.as("y"), Seq("band", "v"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
+    val candidates =
+      if (maxBandDf <= 0) clique(bands)
+      else {
+        // bucket populations, then the q213 cold/hot split: the df
+        // relation is bucket-count-sized; shuffle_hash keeps the
+        // exploded band relation on the streaming side (the q31/q196
+        // estimate-undershoot discipline) and lets the (band, v)
+        // exchange layout reuse across the split joins
+        val dfRel = bands.groupBy(col("band"), col("v"))
+          .agg(count(lit(1)).as("df"))
+        val cold = bands.join(dfRel.where(col("df") <= maxBandDf)
+          .select(col("band"), col("v")).hint("shuffle_hash"),
+          Seq("band", "v"))
+        val hot = bands.join(dfRel.where(col("df") > maxBandDf)
+          .select(col("band"), col("v")).hint("shuffle_hash"),
+          Seq("band", "v"))
+        // star around the bucket's min (doc_id, fp): rep_id is the
+        // bucket minimum, so rep_id < doc_id needs no dedup logic and
+        // the representative is arrival-order-independent
+        val rep = hot.groupBy(col("band"), col("v"))
+          .agg(min(struct(col("doc_id"), col("fp"))).as("r"))
+          .select(col("band"), col("v"),
+            col("r").getField("doc_id").as("rep_id"),
+            col("r").getField("fp").as("rep_fp"))
+        val star = hot.join(rep.hint("shuffle_hash"), Seq("band", "v"))
+          .where(col("doc_id") > col("rep_id"))
+          .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+            expr("cast(bit_count(rep_fp ^ fp) AS BIGINT)").as("dist"))
+        clique(cold).unionByName(star)
+      }
+    candidates
       .where(col("dist") <= maxDist)
       .distinct()
   }

@@ -2666,9 +2666,27 @@ object TextAnalysis {
     * the cut is one keyed anti-join; reassembly one hash aggregate.
     * All chunk-volume-sized — the same economics as the document-grain
     * chain, one granularity down.
+    *
+    * `maxBandDf` (0 = uncapped, the exact semantics the q130 oracle
+    * states) — the CHUNK-DF cap, round-19: at corpus scale the hot
+    * band buckets ARE the boilerplate this operator exists to remove
+    * (one nav-bar chunk in 10⁶ pages = 10⁶ identical fingerprints in
+    * one bucket → a quadratic clique), so production arms the cap and
+    * the pair source emits a star around each over-cap bucket's
+    * minimum instead (see
+    * [[graft.ext.Dedup.fingerprintHammingPairs]]). The cut set is
+    * EXACTLY preserved for identical-fingerprint boilerplate (every
+    * member pairs with the bucket-min representative at distance 0 —
+    * first-wins cuts all but the representative, as uncapped would);
+    * what can escape is a chunk near-dup ONLY to non-representative
+    * members and only via over-cap buckets — the q213 monotone-
+    * softening trade, spec-pinned. Registered as q232 with the cap
+    * armed against q130's verbatim oracle: the organic fixture's
+    * buckets never reach the cap, so the driver gate proves the
+    * capped plan's no-op contract on real data.
     */
   def dedupParagraphs(docs: DataFrame, chunkTok: Int = 16,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, maxBandDf: Int = 0): DataFrame = {
     val chunks = chunk(docs, chunkTok, chunkTok)
       .withColumn("ck", when(
         assert_true(col("chunk_id") < ChunkKeyBase,
@@ -2678,7 +2696,7 @@ object TextAnalysis {
     val keyed = chunks.select(col("ck").as("doc_id"),
       col("chunk_text").as("text"))
     val cut = Dedup.simhashHammingPairs(keyed, maxDist = maxDist,
-      bits = 64, nBands = 4)
+      bits = 64, nBands = 4, maxBandDf = maxBandDf)
       .select(col("doc_b").as("ck")).distinct()
     val kept = chunks.join(cut, Seq("ck"), "left_anti")
     val total = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ch"))

@@ -2890,31 +2890,27 @@ object ExtQueries {
     "q130_paragraph_dedup" -> Q(
       (s, dir) => TextAnalysis.dedupParagraphs(Tables.documents(s, dir),
         chunkTok = 16, maxDist = 3),
-      {
-        val base = TextAnalysis.ChunkKeyBase
-        s"""WITH ch AS (SELECT doc_id, cast((s - 1) // 16 AS BIGINT) AS chunk_id,
-           |    array_to_string(t[s:s+15], ' ') AS chunk_text
-           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
-           |        FROM (SELECT doc_id, string_split(text, ' ') AS t
-           |              FROM documents))),
-           |ckeys AS (SELECT doc_id * $base + chunk_id AS doc_id,
-           |          chunk_text AS text FROM ch),
-           |${simhashCtesFor(64, "c_", "ckeys")},
-           |cut AS (SELECT DISTINCT b.doc_id AS ck
-           |  FROM c_s a JOIN c_s b ON a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-           |keptch AS (SELECT * FROM ch
-           |  WHERE doc_id * $base + chunk_id NOT IN (SELECT ck FROM cut)),
-           |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
-           |    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean
-           |  FROM keptch GROUP BY doc_id),
-           |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_ch
-           |        FROM ch GROUP BY doc_id)
-           |SELECT t.doc_id,
-           |  t.n_ch - coalesce(st.n_kept, 0) AS n_removed_chunks,
-           |  coalesce(st.text_clean, '') AS text_clean
-           |FROM tot t LEFT JOIN stitched st USING (doc_id)""".stripMargin
-      }),
+      paragraphDedupOracleSql),
+
+    // q130 with the CHUNK-DF CAP armed (round-19, VERDICT r18 item 4):
+    // band buckets larger than maxBandDf emit a star around the bucket
+    // minimum instead of the clique — the guard that keeps the pair
+    // volume bucket-LINEAR when one boilerplate chunk is repeated
+    // across ~10⁶ documents (the q213 hot-anchor discipline on the
+    // banded SimHash join; q31's stop-shingle economics). On the
+    // organic corpus no chunk band bucket reaches the cap (measured
+    // max band-bucket df: 20 at sf0.001, 15 at sf0.01, 172 at sf0.1 —
+    // the r19 probe; cap 256 clears all three, and 128 would ENGAGE
+    // at sf0.1, which is why the q213 default is not reused here), so
+    // the capped plan must produce EXACTLY the uncapped relation —
+    // the oracle is q130's VERBATIM, and the driver gate proves the
+    // cap's no-op contract on real data. The planted mega-boilerplate
+    // behavior (bounded volume, identical-fingerprint cut-set
+    // preservation) is spec-pinned in ExtSpec.
+    "q232_paragraph_dedup_capped" -> Q(
+      (s, dir) => TextAnalysis.dedupParagraphs(Tables.documents(s, dir),
+        chunkTok = 16, maxDist = 3, maxBandDf = 256),
+      paragraphDedupOracleSql),
 
     // ── fastText-class linear quality classifier (hashed features) ─────
     // Production quality scoring is a trained linear model, not a
@@ -5840,6 +5836,37 @@ object ExtQueries {
         |       // (count(*) * cast(sum(m) AS HUGEINT)) AS BIGINT) AS gini_ppm
         |FROM r""".stripMargin),
   )
+
+  /** q130's paragraph-dedup oracle — brute-force all-pairs over the
+    * chunk simhashes. Shared VERBATIM by q232 (the chunk-df-capped
+    * form must produce exactly this relation on the organic corpus,
+    * whose buckets never reach the cap — the q213 no-op-contract
+    * pattern). */
+  private lazy val paragraphDedupOracleSql: String = {
+    val base = TextAnalysis.ChunkKeyBase
+    s"""WITH ch AS (SELECT doc_id, cast((s - 1) // 16 AS BIGINT) AS chunk_id,
+       |    array_to_string(t[s:s+15], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents))),
+       |ckeys AS (SELECT doc_id * $base + chunk_id AS doc_id,
+       |          chunk_text AS text FROM ch),
+       |${simhashCtesFor(64, "c_", "ckeys")},
+       |cut AS (SELECT DISTINCT b.doc_id AS ck
+       |  FROM c_s a JOIN c_s b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |keptch AS (SELECT * FROM ch
+       |  WHERE doc_id * $base + chunk_id NOT IN (SELECT ck FROM cut)),
+       |stitched AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean
+       |  FROM keptch GROUP BY doc_id),
+       |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_ch
+       |        FROM ch GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  t.n_ch - coalesce(st.n_kept, 0) AS n_removed_chunks,
+       |  coalesce(st.text_clean, '') AS text_clean
+       |FROM tot t LEFT JOIN stitched st USING (doc_id)""".stripMargin
+  }
 
   /** q212's per-document release-fate oracle — shared VERBATIM by q214
     * (the continuously-maintained decision log must be hash-equal to

@@ -47,8 +47,23 @@ object PlanSig {
     * partition probe made the same query fold 1 or 2 actions by bus
     * timing). The source was also fixed (widen reads toRdd, which is
     * listener-silent); the fold-side exclusion makes fingerprints
-    * robust to any future lineage access. */
-  val version = 3
+    * robust to any future lineage access. v4 = ensure-requirements
+    * shuffles are POSITION-normalized: emitted as a per-action count
+    * suffix (`#ens=N`) instead of tree nodes. Their position relative
+    * to the adjacent narrow-node stack races AQE stage re-planning —
+    * the jaccard_pairs flap (SCALEPROBE_r17/r18 sig_flap=true, two
+    * sigs differing only in where one such Exchange sat under a
+    * ShuffledHashJoin), which did NOT reproduce on registry q31 in a
+    * 12-iteration VarianceProbe (bench_history/q31-varianceprobe-r19
+    * .txt), ruling out the SIG_CLASSES route (VERDICT r18 item 5).
+    * Their COUNT still moves the sig — a bucketed join losing its
+    * zero-exchange property reads #ens 0→2, a new shuffle stage reads
+    * +1 — so presence regressions stay visible; only the racing
+    * position is erased. Leftover ensure-requirements shuffles under
+    * broadcast joins remain skipped entirely and UNcounted (their
+    * PRESENCE races the join-conversion materialization — the q214
+    * class — so counting them would re-open that flap). */
+  val version = 4
 
   /** Final physical plan beneath any adaptive wrapper. Query-stage
     * wrappers are CHILDLESS (their subtree lives in `.plan`), so a walk
@@ -108,7 +123,7 @@ object PlanSig {
     name.startsWith("BroadcastHashJoin") ||
       name.startsWith("BroadcastNestedLoopJoin")
 
-  private def isLeftoverShuffle(p: SparkPlan): Boolean = p match {
+  private def isEnsureShuffle(p: SparkPlan): Boolean = p match {
     case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
       s.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
     case _ => false
@@ -118,13 +133,21 @@ object PlanSig {
     * wrappers resolved to their final plans, wiring/tactic nodes
     * normalized away, subqueries appended. `underBcastJoin` marks that
     * the walk is on a broadcast join's direct input (surviving wiring
-    * descent), where an ensure-requirements shuffle is a leftover. */
+    * descent), where an ensure-requirements shuffle is a leftover and
+    * is skipped uncounted. Every OTHER ensure-requirements shuffle is
+    * position-normalized (v4): skipped in the tree, tallied, and the
+    * tally appended as a `#ens=N` suffix — see the version scaladoc.
+    * User repartitions (REPARTITION_BY_* origins) stay tree nodes. */
   def signature(plan: SparkPlan): String = {
     val sb = new StringBuilder
+    var nEns = 0
     def walk(p: SparkPlan, underBcastJoin: Boolean): Unit = {
       val n = finalPlan(p)
       if (isWiring(n.nodeName) ||
-          (underBcastJoin && isLeftoverShuffle(n))) {
+          (underBcastJoin && isEnsureShuffle(n))) {
+        (n.children ++ n.subqueries).foreach(walk(_, underBcastJoin))
+      } else if (isEnsureShuffle(n)) {
+        nEns += 1
         (n.children ++ n.subqueries).foreach(walk(_, underBcastJoin))
       } else {
         sb.append(n.nodeName)
@@ -148,6 +171,7 @@ object PlanSig {
       }
     }
     walk(plan, underBcastJoin = false)
+    if (nEns > 0) sb.append("#ens=").append(nEns)
     sb.toString
   }
 

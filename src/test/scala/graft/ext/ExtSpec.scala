@@ -363,6 +363,64 @@ class ExtSpec extends SparkSuite {
     assert(got(4L) == (0L, uniq(4, 32)))
   }
 
+  test("dedupParagraphs chunk-df cap: no-op below the cap, star-exact on planted mega-boilerplate") {
+    import org.apache.spark.sql.functions.col
+    // (1) no-op contract (the q213 pattern, driver-gated as q232): on
+    // a corpus whose band buckets never reach the cap, the capped plan
+    // must produce EXACTLY the uncapped relation.
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"u${d}x$i").mkString(" ")
+    val small = Seq(
+      1L -> s"$boiler ${uniq(1, 16)}",
+      2L -> s"$boiler ${uniq(2, 16)}",
+      3L -> s"${uniq(3, 16)} $boiler",
+      4L -> uniq(4, 32)).toDF("doc_id", "text")
+    val un = TextAnalysis.dedupParagraphs(small, chunkTok = 16, maxDist = 3)
+      .as[(Long, Long, String)].collect().toSet
+    val cap = TextAnalysis.dedupParagraphs(small, chunkTok = 16, maxDist = 3,
+      maxBandDf = 128)
+      .as[(Long, Long, String)].collect().toSet
+    assert(cap == un)
+
+    // (2) planted mega-boilerplate: ONE chunk repeated across 40 docs
+    // with cap=8 — every band bucket of the boilerplate fingerprint is
+    // over-cap (df=40), so the pair source emits the STAR (39 pairs
+    // among boiler chunks, bucket-linear) instead of the clique (780),
+    // every star pair is a clique pair, and — identical fingerprints,
+    // dist(rep, member)=0 — the first-wins CUT SET is preserved
+    // exactly: the capped rewrite equals the uncapped rewrite.
+    val big = (1 to 40).map(d =>
+      d.toLong -> s"$boiler ${uniq(d, 16)}").toDF("doc_id", "text")
+    val unBig = TextAnalysis.dedupParagraphs(big, chunkTok = 16, maxDist = 3)
+      .as[(Long, Long, String)].collect().toSet
+    val capBig = TextAnalysis.dedupParagraphs(big, chunkTok = 16, maxDist = 3,
+      maxBandDf = 8)
+      .as[(Long, Long, String)].collect().toSet
+    assert(capBig == unBig)
+
+    // pair-volume + subset law on the underlying generator: boiler
+    // chunks are chunk 0 of every doc (composite keys d·2²⁰), so pairs
+    // among those keys read straight off the pair relation
+    val base = TextAnalysis.ChunkKeyBase
+    val boilerKeys = (1 to 40).map(d => d.toLong * base).toSet
+    val chunks = TextAnalysis.chunk(big, 16, 16)
+      .select((col("doc_id") * base + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val unPairs = Dedup.simhashHammingPairs(chunks, maxDist = 3,
+      bits = 64, nBands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val capPairs = Dedup.simhashHammingPairs(chunks, maxDist = 3,
+      bits = 64, nBands = 4, maxBandDf = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capPairs.subsetOf(unPairs)) // every star pair is a clique pair
+    def amongBoiler(ps: Set[(Long, Long, Long)]) =
+      ps.filter(p => boilerKeys(p._1) && boilerKeys(p._2))
+    assert(amongBoiler(unPairs).size == 40 * 39 / 2) // the clique
+    assert(amongBoiler(capPairs).size == 39)         // the star
+    // the star is anchored at the bucket minimum: doc 1's chunk 0
+    assert(amongBoiler(capPairs).forall(_._1 == 1L * base))
+  }
+
   test("dedupParagraphs: doc whose every chunk is boilerplate empties out, audit counts it") {
     val boiler = (1 to 16).map(i => s"c$i").mkString(" ")
     val docs = Seq(1L -> boiler, 2L -> boiler).toDF("doc_id", "text")

@@ -130,6 +130,43 @@ class PlanSigSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(collector)
   }
 
+  test("v4: ensure-requirements exchange position is normalized, its count is not") {
+    // the jaccard_pairs flap (SCALEPROBE_r17/r18): two executed plans
+    // identical except WHERE one ensure-requirements Exchange sat
+    // relative to the projection stack. v4 erases exactly the
+    // position (count suffix instead of tree node) — so the two
+    // orderings below must sign identically — while a COUNT change
+    // (a join losing co-partitioning, a new shuffle stage) must still
+    // move the sig, and user repartitions must stay tree nodes.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.exchange.{
+      ENSURE_REQUIREMENTS, REPARTITION_BY_COL, ShuffleExchangeExec}
+    val leaf = Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+      .queryExecution.executedPlan.collectLeaves().head
+    val attr = leaf.output.head
+    val part = HashPartitioning(Seq(attr), 4)
+    val above = ProjectExec(Seq(attr),
+      ShuffleExchangeExec(part, leaf, ENSURE_REQUIREMENTS))
+    val below = ShuffleExchangeExec(part,
+      ProjectExec(Seq(attr), leaf), ENSURE_REQUIREMENTS)
+    assert(PlanSig.signature(above) == PlanSig.signature(below),
+      s"position must be normalized:\n${PlanSig.signature(above)}\nvs\n" +
+        PlanSig.signature(below))
+    assert(PlanSig.signature(above).endsWith("#ens=1"),
+      PlanSig.signature(above))
+    // count sensitivity: 1 vs 2 stacked ensure exchanges differ
+    val one = ShuffleExchangeExec(part, leaf, ENSURE_REQUIREMENTS)
+    val two = ShuffleExchangeExec(part, one, ENSURE_REQUIREMENTS)
+    assert(PlanSig.signature(one) != PlanSig.signature(two))
+    assert(PlanSig.signature(two).endsWith("#ens=2"))
+    // user repartition keeps its tree node (never count-normalized)
+    val user = ShuffleExchangeExec(part, leaf, REPARTITION_BY_COL)
+    assert(PlanSig.signature(user).contains("Exchange"),
+      PlanSig.signature(user))
+    assert(!PlanSig.signature(user).contains("#ens="))
+  }
+
   test("reset drops accumulated actions; fingerprint counts every action in the window") {
     val collector = new PlanSig.Collector
     spark.listenerManager.register(collector)
