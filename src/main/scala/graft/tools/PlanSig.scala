@@ -48,21 +48,29 @@ object PlanSig {
     * timing). The source was also fixed (widen reads toRdd, which is
     * listener-silent); the fold-side exclusion makes fingerprints
     * robust to any future lineage access. v4 = ensure-requirements
-    * shuffles are POSITION-normalized: emitted as a per-action count
-    * suffix (`#ens=N`) instead of tree nodes. Their position relative
-    * to the adjacent narrow-node stack races AQE stage re-planning —
-    * the jaccard_pairs flap (SCALEPROBE_r17/r18 sig_flap=true, two
-    * sigs differing only in where one such Exchange sat under a
-    * ShuffledHashJoin), which did NOT reproduce on registry q31 in a
-    * 12-iteration VarianceProbe (bench_history/q31-varianceprobe-r19
-    * .txt), ruling out the SIG_CLASSES route (VERDICT r18 item 5).
-    * Their COUNT still moves the sig — a bucketed join losing its
-    * zero-exchange property reads #ens 0→2, a new shuffle stage reads
-    * +1 — so presence regressions stay visible; only the racing
-    * position is erased. Leftover ensure-requirements shuffles under
-    * broadcast joins remain skipped entirely and UNcounted (their
-    * PRESENCE races the join-conversion materialization — the q214
-    * class — so counting them would re-open that flap). */
+    * shuffles are normalized away entirely (skipped, descended
+    * through — the BroadcastExchange treatment). Evidence trail
+    * (round 19, VERDICT r18 item 5): the jaccard_pairs flap
+    * (SCALEPROBE_r17/r18 sig_flap=true) did NOT reproduce on registry
+    * q31 in a 12-iteration VarianceProbe
+    * (bench_history/q31-varianceprobe-r19.txt), ruling out the
+    * SIG_CLASSES route; a first v4 draft normalized only the
+    * exchanges' POSITION (count suffix kept), and the re-probe
+    * flapped AGAIN with byte-identical trees and counts 11 vs 10
+    * (bench_history/jaccard-flap-v4count-r19.txt) — proving the r16b
+    * "empty-hot-tier leftover exchange" class is a PRESENCE race
+    * (AQE's empty-relation join rewrite leaves an already-
+    * materialized exchange feeding the replacement projection, or
+    * not, by stage timing), which no position rule can pin. So v4
+    * erases these exchanges from plan identity altogether, on the
+    * BroadcastExchange argument: an ensure-requirements shuffle is
+    * IMPLIED by the strategy nodes the sig does carry (SMJ keeps its
+    * Sorts, aggregates keep their two phases), and a real added/lost
+    * shuffle announces itself in shuffle bytes — which bench_diff
+    * reads beside the sig and escalates as same_plan_work_delta (the
+    * >5% rule). The node HISTOGRAM still counts exchanges, so the
+    * adjudication artifact keeps the signal the identity drops. User
+    * repartitions (REPARTITION_BY_* origins) remain tree nodes. */
   val version = 4
 
   /** Final physical plan beneath any adaptive wrapper. Query-stage
@@ -111,18 +119,17 @@ object PlanSig {
       name == "AQEShuffleRead" || name.startsWith("BroadcastExchange")
   // ReusedExchange is resolved in finalPlan
 
-  /** True when this join broadcasts one side: no child of it can
-    * REQUIRE a shuffle, so an ENSURE_REQUIREMENTS exchange seen
-    * directly under it is a leftover of AQE's join conversion (the
-    * shuffle materialized before the re-plan chose broadcast) — a
-    * materialization race, not plan structure. Measured on q214: the
-    * same read flapped Exchange-present/absent across 4 iterations
-    * with the node histogram constant. User repartitions keep their
-    * own shuffleOrigin (REPARTITION_BY_*) and are never skipped. */
-  private def isBroadcastJoin(name: String): Boolean =
-    name.startsWith("BroadcastHashJoin") ||
-      name.startsWith("BroadcastNestedLoopJoin")
-
+  /** Pre-v4 history, kept for the record: v2 skipped
+    * ensure-requirements exchanges only under broadcast joins (no
+    * child of one can REQUIRE a shuffle, so such an exchange is a
+    * leftover of AQE's join conversion — measured on q214: the same
+    * read flapped Exchange-present/absent across 4 iterations with
+    * the node histogram constant). v4 showed the same
+    * presence/position race exists AWAY from broadcast joins too
+    * (the jaccard empty-hot-tier leftover class) and subsumed the
+    * special case — every ENSURE_REQUIREMENTS exchange is now
+    * normalized; user repartitions keep their own shuffleOrigin
+    * (REPARTITION_BY_*) and are never skipped. */
   private def isEnsureShuffle(p: SparkPlan): Boolean = p match {
     case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
       s.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
@@ -131,47 +138,34 @@ object PlanSig {
 
   /** DFS structural signature: node names with tree shape, adaptive
     * wrappers resolved to their final plans, wiring/tactic nodes
-    * normalized away, subqueries appended. `underBcastJoin` marks that
-    * the walk is on a broadcast join's direct input (surviving wiring
-    * descent), where an ensure-requirements shuffle is a leftover and
-    * is skipped uncounted. Every OTHER ensure-requirements shuffle is
-    * position-normalized (v4): skipped in the tree, tallied, and the
-    * tally appended as a `#ens=N` suffix — see the version scaladoc.
-    * User repartitions (REPARTITION_BY_* origins) stay tree nodes. */
+    * normalized away, subqueries appended. Since v4 EVERY
+    * ensure-requirements shuffle is normalized away (skipped,
+    * descended through) — see the version scaladoc for the evidence
+    * that both their position AND presence race AQE re-planning; the
+    * pre-v4 `underBcastJoin` special case is subsumed. User
+    * repartitions (REPARTITION_BY_* origins) stay tree nodes. */
   def signature(plan: SparkPlan): String = {
     val sb = new StringBuilder
-    var nEns = 0
-    def walk(p: SparkPlan, underBcastJoin: Boolean): Unit = {
+    def walk(p: SparkPlan): Unit = {
       val n = finalPlan(p)
-      if (isWiring(n.nodeName) ||
-          (underBcastJoin && isEnsureShuffle(n))) {
-        (n.children ++ n.subqueries).foreach(walk(_, underBcastJoin))
-      } else if (isEnsureShuffle(n)) {
-        nEns += 1
-        (n.children ++ n.subqueries).foreach(walk(_, underBcastJoin))
+      if (isWiring(n.nodeName) || isEnsureShuffle(n)) {
+        (n.children ++ n.subqueries).foreach(walk)
       } else {
         sb.append(n.nodeName)
-        val bj = isBroadcastJoin(n.nodeName)
         val subs = n.subqueries
         if (n.children.nonEmpty || subs.nonEmpty) {
           sb.append('(')
           var first = true
-          n.children.foreach { c =>
+          (n.children ++ subs).foreach { c =>
             if (!first) sb.append(',')
             first = false
-            walk(c, bj)
-          }
-          subs.foreach { c =>
-            if (!first) sb.append(',')
-            first = false
-            walk(c, underBcastJoin = false)
+            walk(c)
           }
           sb.append(')')
         }
       }
     }
-    walk(plan, underBcastJoin = false)
-    if (nEns > 0) sb.append("#ens=").append(nEns)
+    walk(plan)
     sb.toString
   }
 

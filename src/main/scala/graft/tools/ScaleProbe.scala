@@ -327,6 +327,31 @@ object ScaleProbe {
         (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16, maxDist = 3)
           .where(col("n_removed_chunks") > 0).count(),
         d1, d10),
+      // the CAPPED production counterpart (round-19, q232): same
+      // operator, chunk band buckets over maxBandDf=256 emit the star
+      // instead of the clique. On THIS closed-vocabulary corpus the
+      // 100× decade is exactly the regime the cap exists for — the
+      // uncapped twin above reads alpha3 ≈ 1.0 on collision-saturated
+      // buckets; the capped row prices the same corpus with the
+      // bucket-linear guard armed (the anchor_cap_star discipline on
+      // the banded SimHash join)
+      ("paragraph_dedup_capped",
+        (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16,
+          maxDist = 3, maxBandDf = 256)
+          .where(col("n_removed_chunks") > 0).count(),
+        d1, d10),
+      // the cap's DESIGN-POINT row (the anchor_cap_star analogue): the
+      // planted mega-boilerplate corpus, where one near-identical
+      // chunk rides EVERY document — uncapped, its band buckets are
+      // corpus-sized and the clique is quadratic (unpriceable at 100×
+      // by design); capped, pair volume is bucket-LINEAR (one star per
+      // over-cap bucket) and output grows exactly with the planted
+      // boilerplate mass
+      ("paragraph_dedup_cap_star",
+        (d: DataFrame) => TextAnalysis.dedupParagraphs(d, chunkTok = 16,
+          maxDist = 3, maxBandDf = 256)
+          .where(col("n_removed_chunks") > 0).count(),
+        mb1, mb10),
       ("semantic_dedup",
         (e: DataFrame) => {
           val pairs = Similarity.semanticDupPairs(e, tau = 0.40, k = 8, iters = 2)
@@ -469,7 +494,8 @@ object ScaleProbe {
     val hundredFams = Set("jaccard_pairs", "simhash64_pairs",
       "cosine_lsh_production", "cosine_lsh_corpus", "ann_ivfpq_probe",
       "bloom_dedup",
-      "within_doc_dedup", "paragraph_dedup", "winnow_substring",
+      "within_doc_dedup", "paragraph_dedup", "paragraph_dedup_capped",
+      "paragraph_dedup_cap_star", "winnow_substring",
       "substring_cut", "substring_leak", "temperature_mix",
       "balanced_shards", "trained_langid", "anchor_cap_star",
       "simhash64_open_pairs", "paragraph_dedup_open")
@@ -538,6 +564,27 @@ object ScaleProbe {
       if (out.length > 1) out ++= ","
       out ++= s""""anchor_cap_clique":{"t1":${fmt(tc)},"rows1":$rc}"""
       println(s"[scaleprobe] anchor_cap_clique t1=${fmt(tc)}s ($rc rows, 3000-doc clique reference)")
+    }
+    // Heap-sizing row (VERDICT r18 item 6): the 48 g driver-memory
+    // rule shipped as an anecdote ("the 8 g default OOMs a 32-thread
+    // SHJ build at 500k synthetic docs"); this block turns it into a
+    // measured number — peak execution memory vs the JVM heap for the
+    // heaviest SHJ-build family (jaccard_pairs: 4 ShuffledHashJoins
+    // over the exploded shingle index) at the 100× decade. Gated: runs
+    // only when explicitly selected, it re-prices a ~90 s arm purely
+    // for the memory telemetry.
+    if (only.exists(_.contains("mem_100x"))) {
+      val heap = Runtime.getRuntime.maxMemory()
+      val (rows, m) = ExecStats.measure(spark) {
+        Dedup.ngramJaccardPairs(d100, n = 5, tau = 0.5).count()
+      }
+      if (out.length > 1) out ++= ","
+      out ++= s""""mem_100x":{"family":"jaccard_pairs","rows":$rows""" +
+        s""","heap_max_bytes":$heap,"exec":${m.json}}"""
+      println(s"[scaleprobe] mem_100x jaccard_pairs rows=$rows " +
+        s"heap=${heap / (1L << 20)}MB peak_exec=${m.peakExecMemBytes / (1L << 20)}MB " +
+        s"shuffle_read=${m.shuffleReadBytes / (1L << 20)}MB " +
+        s"spill_disk=${m.spillDiskBytes}")
     }
     if (only.forall(_.contains("bpe_train_hybrid"))) {
       val (th40, _, _) = timeMin(TextAnalysis.bpeTrain(d1, nMerges = 40).count())

@@ -130,14 +130,17 @@ class PlanSigSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(collector)
   }
 
-  test("v4: ensure-requirements exchange position is normalized, its count is not") {
-    // the jaccard_pairs flap (SCALEPROBE_r17/r18): two executed plans
-    // identical except WHERE one ensure-requirements Exchange sat
-    // relative to the projection stack. v4 erases exactly the
-    // position (count suffix instead of tree node) — so the two
-    // orderings below must sign identically — while a COUNT change
-    // (a join losing co-partitioning, a new shuffle stage) must still
-    // move the sig, and user repartitions must stay tree nodes.
+  test("v4: ensure-requirements exchanges are erased from plan identity; user repartitions are not") {
+    // the jaccard_pairs flap (SCALEPROBE_r17/r18, re-probed round 19):
+    // executed plans byte-identical except the POSITION of one
+    // ensure-requirements Exchange — and, under a position-only
+    // normalization draft, byte-identical trees with COUNT 11 vs 10
+    // (bench_history/jaccard-flap-v4count-r19.txt): the r16b leftover
+    // class is a PRESENCE race. v4 therefore erases these exchanges
+    // from plan identity entirely (the BroadcastExchange argument —
+    // a real added/lost shuffle announces itself in bytes, which the
+    // diff escalates as same_plan_work_delta); user repartitions keep
+    // their tree node.
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.ProjectExec
     import org.apache.spark.sql.execution.exchange.{
@@ -146,25 +149,26 @@ class PlanSigSpec extends SparkSuite {
       .queryExecution.executedPlan.collectLeaves().head
     val attr = leaf.output.head
     val part = HashPartitioning(Seq(attr), 4)
+    val plain = ProjectExec(Seq(attr), leaf)
     val above = ProjectExec(Seq(attr),
       ShuffleExchangeExec(part, leaf, ENSURE_REQUIREMENTS))
     val below = ShuffleExchangeExec(part,
       ProjectExec(Seq(attr), leaf), ENSURE_REQUIREMENTS)
-    assert(PlanSig.signature(above) == PlanSig.signature(below),
-      s"position must be normalized:\n${PlanSig.signature(above)}\nvs\n" +
-        PlanSig.signature(below))
-    assert(PlanSig.signature(above).endsWith("#ens=1"),
-      PlanSig.signature(above))
-    // count sensitivity: 1 vs 2 stacked ensure exchanges differ
+    // position-invariant AND presence-invariant: with, with-elsewhere
+    // and without the exchange all sign identically
+    assert(PlanSig.signature(above) == PlanSig.signature(below))
+    assert(PlanSig.signature(above) == PlanSig.signature(plain),
+      s"presence must be normalized:\n${PlanSig.signature(above)}\nvs\n" +
+        PlanSig.signature(plain))
     val one = ShuffleExchangeExec(part, leaf, ENSURE_REQUIREMENTS)
     val two = ShuffleExchangeExec(part, one, ENSURE_REQUIREMENTS)
-    assert(PlanSig.signature(one) != PlanSig.signature(two))
-    assert(PlanSig.signature(two).endsWith("#ens=2"))
-    // user repartition keeps its tree node (never count-normalized)
+    assert(PlanSig.signature(one) == PlanSig.signature(two))
+    assert(!PlanSig.signature(above).contains("Exchange"))
+    // user repartition keeps its tree node (a deliberate layout is
+    // plan structure, not AQE wiring)
     val user = ShuffleExchangeExec(part, leaf, REPARTITION_BY_COL)
     assert(PlanSig.signature(user).contains("Exchange"),
       PlanSig.signature(user))
-    assert(!PlanSig.signature(user).contains("#ens="))
   }
 
   test("reset drops accumulated actions; fingerprint counts every action in the window") {
