@@ -69,6 +69,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q232: chunk-df-capped paragraph dedup — df split is equi-join only, cut stays LeftAnti") {
+    // the capped branch adds the bucket-df aggregate + cold/hot split
+    // joins + the star join: every one must be a keyed equi-join
+    // (never a cartesian/BNLJ — the cap exists to PREVENT a blowup,
+    // it must not plan one), and the downstream first-wins cut keeps
+    // q130's LeftAnti shape
+    val plan = planOf("q232_paragraph_dedup_capped")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("q02: filter is pushed into the events scan") {
     val plan = planOf("q02_filter_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)]"), plan)
