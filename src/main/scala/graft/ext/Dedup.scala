@@ -594,6 +594,39 @@ object Dedup {
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
+    // Uncapped fast path (r20): emit each qualifying pair from its
+    // FIRST shared band only — the matched band must be the LOWEST
+    // all-zero band of fp ^ fp' ([[graft.functions.FirstZeroBand]],
+    // one xor + a short loop per candidate row; a declarative AND
+    // chain re-evaluates the xor per term because join conditions get
+    // no subexpression elimination). Each pair then appears exactly
+    // once, so the result needs NO pair-dedup aggregate: the
+    // `.distinct()` exchange (22 MB shuffle on q77 at sf0.1, the
+    // operator's only exchange besides the band join) disappears while
+    // the emitted SET is unchanged (guide §2.4 — remove shuffles
+    // outright). The capped branch keeps the distinct: there a pair
+    // can surface from a cold clique AND a hot star in different
+    // bands, and the cold/hot split makes "first shared band"
+    // unavailable per branch.
+    def cliqueFirstBand(b: DataFrame): DataFrame = {
+      graft.functions.FirstZeroBand.register(b.sparkSession)
+      val firstBand = call_function("first_zero_band",
+        expr("x.fp ^ y.fp"), lit(bw), lit(nBands))
+      // conjunct order matters: the id cut (1 compare) and the Hamming
+      // cut (xor + popcount) run per CANDIDATE row; the first-band
+      // kernel (xor + band loop) only on the survivors — codegen
+      // short-circuits And left-to-right, and for tight thresholds the
+      // Hamming cut kills ~everything (q103: 12.4M candidates → a few
+      // hundred survivors at sf0.1)
+      b.as("x").join(b.as("y"), Seq("band", "v"))
+        .where(col("x.doc_id") < col("y.doc_id") &&
+          expr(s"bit_count(x.fp ^ y.fp) <= $maxDist") &&
+          firstBand === col("band"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
+    }
+    if (maxBandDf <= 0)
+      return cliqueFirstBand(bands)
     val candidates =
       if (maxBandDf <= 0) clique(bands)
       else {

@@ -26,17 +26,23 @@ object TextAnalysis {
   def occurrences(text: Column, w: String): Column =
     (length(text) - length(call_function("replace", text, lit(w), lit("")))) / w.length
 
-  /** argmax-of-marker-scores language guess as a pure expression —
-    * fold keeps (bestLang, bestScore); strict > so earlier-listed
-    * languages win ties. */
+  /** argmax-of-marker-scores language guess as a pure expression.
+    * Earlier-listed languages win ties (the original fold used strict
+    * >), encoded as the lexicographic max of (score, -listIndex, lang)
+    * structs so every score subtree is evaluated exactly ONCE — the
+    * previous when/otherwise fold embedded each running-best score
+    * subtree twice per step, growing the expression tree ~2^|langs|
+    * (measured r20: 1.10 s for this projection alone over the sf0.1
+    * corpus scan; the struct argmax reads identical, see
+    * OPTIMIZATION_r20.md). All-null scores (null text) fall through to
+    * the first-listed language either way: null scores compare equal,
+    * so -listIndex picks index 0 — the fold's seed. */
   def langGuessExpr(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ws) =>
-      (lang, ws.map(w => occurrences(text, w)).reduce(_ + _))
+    val cand = LangMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(ws.map(w => occurrences(text, w)).reduce(_ + _).as("s"),
+        lit(-i).as("r"), lit(lang).as("l"))
     }
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }._1
+    array_max(array(cand: _*)).getField("l")
   }
 
   /** Language-ID: argmax of summed marker-word occurrences, first-listed
@@ -1295,30 +1301,24 @@ object TextAnalysis {
     * repeated n-gram. Grams are counted with multiplicity — a document
     * that loops one phrase scores near 1.
     *
-    * Pure projection, ZERO shuffles: the max gram count equals the
-    * longest run in the doc's SORTED gram array, computed by one
-    * `aggregate` fold per document. (The grouped formulation —
-    * groupBy(doc, gram) then groupBy(doc) — shuffles one row per
-    * distinct gram of the corpus; per-doc state never needs to leave
-    * the row.) The fold's lambda touches only the accumulator and the
-    * element, so nothing is re-evaluated per element.
+    * Pure projection, ZERO shuffles: the max gram count never leaves
+    * the row — one pass of the codegen'd
+    * [[graft.functions.TopGramRun]] kernel per document. (The grouped
+    * formulation — groupBy(doc, gram) then groupBy(doc) — shuffles one
+    * row per distinct gram of the corpus; and the pre-r20 declarative
+    * form — sort_array over materialized gram strings + an `aggregate`
+    * longest-equal-run fold — ran interpreted per row because Spark's
+    * higher-order functions are CodegenFallback; the kernel computes
+    * the identical number, see its scaladoc.)
     */
   def repetitionScore(docs: DataFrame, n: Int = 2): DataFrame = {
-    val withGrams = docs
+    graft.functions.TopGramRun.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
-        sort_array(transform(sequence(lit(0), size(col("toks")) - n),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("grams"))
-    def run(acc: Column, g: Column) =
-      when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-    val topRep = aggregate(col("grams"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => struct(g.as("prev"), run(acc, g).as("run"),
-        greatest(acc.getField("best"), run(acc, g)).as("best")),
-      acc => acc.getField("best"))
-    withGrams.select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"), topRep.as("top_rep"))
+        (size(col("toks")) - (n - 1)).cast("long").as("n_grams"),
+        call_function("top_gram_run", col("toks"), lit(n)).as("top_rep"))
       .select(col("doc_id"), col("n_grams"), col("top_rep"),
         (col("top_rep").cast("double") / col("n_grams")).as("rep_ratio"))
   }
@@ -1391,31 +1391,31 @@ object TextAnalysis {
     */
   def cleanSignals(docs: DataFrame, repN: Int = 2,
                    extras: Seq[Column] = Nil): DataFrame = {
-    // grams materialized as an attribute before the fold — same
-    // re-evaluation rule as repetitionScore
-    val withGrams = docs
+    graft.functions.TopGramRun.register(docs.sparkSession)
+    // top_rep via the codegen'd TopGramRun kernel (identical number to
+    // the pre-r20 sorted-gram fold — see the kernel scaladoc; the gram
+    // ARRAY is never materialized). n_grams is the same arithmetic the
+    // gram array's size obeyed: size(toks) - repN + 1 when size >= repN
+    // (0 otherwise, including null text — size(null) is null, so the
+    // `when` falls through exactly as the old array() branch did).
+    val withToks = docs
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), col("text"), col("toks"),
         when(size(col("toks")) >= repN,
-          sort_array(transform(sequence(lit(0), size(col("toks")) - repN),
-            i => array_join(slice(col("toks"), i + 1, lit(repN)), " "))))
-          .otherwise(array()).as("grams"))
-    def run(acc: Column, g: Column) =
-      when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-    val topRep = aggregate(col("grams"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => struct(g.as("prev"), run(acc, g).as("run"),
-        greatest(acc.getField("best"), run(acc, g)).as("best")),
-      acc => acc.getField("best"))
-    withGrams.select(Seq(
+          size(col("toks")) - (repN - 1)).otherwise(lit(0))
+          .cast("long").as("n_grams"),
+        when(size(col("toks")) >= repN,
+          call_function("top_gram_run", col("toks"), lit(repN)))
+          .otherwise(lit(0L)).as("top_rep"))
+    withToks.select(Seq(
       col("doc_id"), col("lang"),
       langGuessExpr(col("text")).as("lang_guess"),
       size(col("toks")).cast("long").as("n_tokens"),
-      size(col("grams")).cast("long").as("n_grams"),
-      topRep.as("top_rep"),
-      when(size(col("grams")) > 0,
-        topRep.cast("double") / size(col("grams"))).as("rep_ratio")) ++ extras: _*)
+      col("n_grams"),
+      col("top_rep"),
+      when(col("n_grams") > 0,
+        col("top_rep").cast("double") / col("n_grams")).as("rep_ratio")) ++ extras: _*)
   }
 
   /** Inverse of [[chunk]] for non-overlapping chunks (stride ==
