@@ -40,14 +40,35 @@ object ConnectedComponents {
         .select(sym("a").as("id"), col("lab"), lit(null).cast("long").as("own"))
         .union(l.select(col("id"), col("lab"), col("lab").as("own")))
         .groupBy(col("id")).agg(min(col("lab")).as("lab"), min(col("own")).as("own"))
+    // pointer-halving SHORTCUT (r20): lab := lab(lab). Every label IS a
+    // node id of the same component (initial lab = id; prop only ever
+    // propagates existing labels), so the label's own row exists and
+    // carries a same-component label that is ≤ it — the jump stays
+    // monotone and component-confined, and the fixpoint test below is
+    // untouched (a no-op prop step still proves its input stable, and a
+    // stable labeling is constant per component = the min id). Plain
+    // min-label propagation needs O(component diameter) steps — a
+    // 100 TB near-dup CHAIN (doc A ~ B ~ C ~ ...) pays one edges-sized
+    // shuffle per step; with the shortcut the label forest halves in
+    // height per round, so rounds (and edge shuffles) drop to
+    // O(log diameter). Measured r20 at sf0.1: q126's CC loop 11 → 5
+    // materialized rounds, see OPTIMIZATION_r20.md.
+    def shortcut(l: DataFrame): DataFrame =
+      l.as("a").join(
+          l.select(col("id").as("_sid"), col("lab").as("_slab")).as("b"),
+          col("a.lab") === col("_sid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("_slab"), col("a.lab")).as("lab"))
     while (!converged && iter < maxIter) {
-      // TWO propagations per materialized job (the Closure trick): the
-      // convergence probe on the second step is the one job that
-      // materializes both. `own` is the label entering step 2, so
-      // changed==0 means step 2 was a no-op — and a no-op step proves
-      // its INPUT was already the fixpoint, so stopping here is exact
-      // even when step 1 still changed labels.
-      val next = prop(prop(labels).drop("own")).localCheckpoint(false)
+      // TWO propagations (+ one shortcut) per materialized job (the
+      // Closure trick): the convergence probe on the second prop is the
+      // one job that materializes all three. `own` is the label
+      // entering the final prop, so changed==0 means that prop was a
+      // no-op — and a no-op step proves its INPUT was already the
+      // fixpoint, so stopping here is exact even when earlier steps
+      // still changed labels.
+      val next = prop(shortcut(prop(labels).drop("own")))
+        .localCheckpoint(false)
       val changed = next.agg(count(when(col("lab") < col("own"), 1))).head().getLong(0)
       converged = changed == 0L
       labels = next.drop("own")
