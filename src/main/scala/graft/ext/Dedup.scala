@@ -625,8 +625,18 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           expr("cast(bit_count(x.fp ^ y.fp) AS BIGINT)").as("dist"))
     }
-    if (maxBandDf <= 0)
-      return cliqueFirstBand(bands)
+    if (maxBandDf <= 0) {
+      // lay the band relation out by its join key (the q107/q196
+      // discipline): the self-join's two identical subtrees canonicalize
+      // to ONE reused exchange, the join inherits p-way parallelism
+      // instead of streaming the AQE-coalesced (bytes-tiny,
+      // compute-heavy) relation on one task, and no underestimated
+      // generate-exploded relation can get mis-chosen for broadcast at
+      // scale (the q196 estimate-undershoot argument). p follows
+      // spark.sql.shuffle.partitions — the scale-parameterized knob.
+      val p = fps.sparkSession.sessionState.conf.numShufflePartitions
+      return cliqueFirstBand(bands.repartition(p, col("band"), col("v")))
+    }
     val candidates =
       if (maxBandDf <= 0) clique(bands)
       else {
@@ -740,6 +750,10 @@ object Dedup {
   def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame = {
     require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1, 64]")
     graft.functions.Md5Prefix64.register(docs.sparkSession)
+    // NOT widened (r20): measured — the widen exchange cost q33 +0.4 s
+    // and q92 +0.3 s against a ~0.5 s single-task simhash scan; the
+    // heavy consumers (q77's pair join) got their parallelism from the
+    // band-relation repartition instead. See OPTIMIZATION_r20.md.
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tok =

@@ -351,7 +351,10 @@ object TextAnalysis {
     val L = minLen
     val spark = docs.sparkSession
     graft.functions.CommonPrefixChars.register(spark)
-    val d = docs.select(col("doc_id"), col("text"))
+    // widened (r20): the one-anchor-per-character generate + hash is
+    // scan-stage CPU work — one task at fixture scale, no-op on wide
+    // inputs; the extension joins reread the same widened relation
+    val d = graft.util.Scale.widen(docs.select(col("doc_id"), col("text")))
       .where(length(col("text")) >= L)
     val g = d
       .select(col("doc_id"),
@@ -483,6 +486,10 @@ object TextAnalysis {
       maxAnchorDf: Int = 0): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
     val G = w + k - 1
+    // NOT widened (r20): measured — the widen exchange cost the fast
+    // winnow-tier queries (q197/q198/q213, all ≤1.3 s) +0.2–0.8 s
+    // against a sub-second kernel scan; only the unsampled q196-shape
+    // operators benefit (see exactSubstringPairs)
     val d = docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= G)
     val fp = winnowFingerprintsOf(d, k, w)
@@ -1032,7 +1039,9 @@ object TextAnalysis {
     * exactness law requires the two window sets to be identical, so
     * they must share this definition rather than re-state it. */
   private def windowsOf(docs: DataFrame, len: Int): DataFrame =
-    docs.select(col("doc_id"), col("text"))
+    // widened (r20): the per-character window explode is scan-stage
+    // CPU work — one task at fixture scale, no-op on wide inputs
+    graft.util.Scale.widen(docs.select(col("doc_id"), col("text")))
       .where(length(col("text")) >= len)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"),
@@ -2781,7 +2790,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     graft.functions.Md5Prefix64.register(docs.sparkSession)
     val t = split(col("text"), " ")
-    val grams = docs.where(size(t) >= k)
+    // widen the gram-generation scan (r20): the per-position gram
+    // build + hash is the operator's CPU wall and runs in the SCAN
+    // stage — one task at fixture scale (single parquet row group), a
+    // no-op on any already-wide input (Scale.widen's contract).
+    // Measured: the two 1.6 s single-task gram scans of q107 spread
+    // 32-way, see OPTIMIZATION_r20.md.
+    val grams = graft.util.Scale.widen(docs.select(col("doc_id"), col("text")))
+      .where(size(t) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(t) - k),
         i => struct(i.as("pos"),

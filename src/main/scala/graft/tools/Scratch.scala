@@ -69,6 +69,29 @@ object Scratch {
     time("router_weights") { graft.ext.TextAnalysis.langIdWeights(docs) }
     time("router_full") { graft.ext.TextAnalysis.trainedLangId(docs) }
 
+    // ── KMeans / IVFPQ decomposition ──────────────────────────────────
+    def emb = Tables.table(spark, sfDir, "embeddings")
+    time("km_fit") { graft.ext.KMeans.fit(emb, 8, 1) }
+    time("km_cluster") { graft.ext.KMeans.cluster(emb, 8, 1) }
+    time("km_ivfpq_topk") {
+      graft.ext.Similarity.ivfpqTopK(emb, dim = 64, nCoarse = 8,
+        nQueries = 8, k = 5, m = 4, kSub = 16, iters = 1,
+        nprobe = 2, shortlist = 32)
+    }
+    if (cases.isEmpty || cases.exists("km_ivfpq_build".startsWith)) {
+      def once(): Double = {
+        val p = graft.ext.Similarity.scratchIndexDir("scratch") + "/idx" +
+          System.nanoTime()
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.buildIvfpqIndex(emb, dim = 64, nCoarse = 8,
+          m = 4, kSub = 16, iters = 1, path = p)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val ts = (1 to 3).map(_ => once())
+      println(f"[scratch] km_ivfpq_build                   min ${ts.min}%7.3f s  (${ts.map(t => f"$t%.3f").mkString(", ")})")
+    }
+
     spark.stop()
   }
 }
