@@ -34,13 +34,26 @@ object Closure {
     var m = edges.select(col("id"), col("parent").as("anc")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
+    // one pointer doubling: anc := anc.anc (carrying `keep` through)
+    def jump(l: DataFrame, keep: Seq[String]): DataFrame =
+      l.as("a")
+        .join(l.select(col("id").as("_jid"), col("anc").as("_janc")).as("b"),
+          col("a.anc") === col("_jid"), "left")
+        .select((Seq(col("a.id"),
+          coalesce(col("_janc"), col("a.anc")).as("anc")) ++
+          keep.map(c => col(s"a.$c"))): _*)
     while (changed > 0 && iter < maxIter) {
-      // TWO doublings per materialized job: each join is one pointer
-      // doubling, so total join/shuffle volume to convergence is the
-      // same as one-per-job, but the fixed per-job cost (scheduling,
-      // probe action, checkpoint) is paid half as often — at fixture
-      // scale that fixed cost IS the runtime. The second join's two
-      // identical m1 subtrees collapse into one ReusedExchange.
+      // THREE doublings per materialized job (r20; two before): each
+      // join is one pointer doubling, so total join/shuffle volume to
+      // convergence is the same as one-per-job, but the fixed per-job
+      // cost (scheduling, probe action, checkpoint, per-iteration
+      // replanning) is paid a third as often — at fixture scale that
+      // fixed cost IS the runtime (q180 read 66 jobs at ~60 ms each).
+      // Identical join subtrees collapse into ReusedExchanges. The
+      // probe checks STAGE-1 jumps only — if no pointer moved in the
+      // first doubling, m was already fully converged and the later
+      // doublings were no-ops too; overshoot waste is bounded by the
+      // two extra joins of the final job.
       val m1 = m.as("a")
         .join(m.as("b"), col("a.anc") === col("b.id"), "left")
         .select(
@@ -50,15 +63,7 @@ object Closure {
       // Lazy checkpoint: the convergence probe below is the job that
       // materializes this iteration's result (one job per iteration, and
       // the logical plan stays O(1) instead of growing with iterations).
-      // The probe checks STAGE-1 jumps only — if no pointer moved in the
-      // first doubling, m was already fully converged and the second
-      // doubling was a no-op too.
-      val next = m1.as("a")
-        .join(m1.as("b"), col("a.anc") === col("b.id"), "left")
-        .select(
-          col("a.id"),
-          coalesce(col("b.anc"), col("a.anc")).as("anc"),
-          col("a._jumped"))
+      val next = jump(jump(m1, Seq("_jumped")), Seq("_jumped"))
         .localCheckpoint(false)
       changed = next.where(col("_jumped")).limit(1).count()
       m = next.drop("_jumped")
